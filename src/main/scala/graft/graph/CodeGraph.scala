@@ -1,0 +1,121 @@
+package graft.graph
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A property graph derived deterministically from the driver fixture
+  * tables, playing the role of the reference's code graph (blocks + typed
+  * edges) so that every graph operator is oracle-checkable: DuckDB can
+  * rebuild the identical graph from the same parquet files with the SQL in
+  * [[CodeGraph.edgesSql]] / [[CodeGraph.blocksSql]].
+  *
+  * Shape mirrors the reference's model (SURVEY.md §1): `blocks` are the
+  * nodes (here: documents), `edges` are typed directed relations (here:
+  * the TPC-H foreign keys, which form a DAG —
+  * order → customer → nation → region, order → part/supplier → nation).
+  * A DAG is exactly what the reference's call graphs look like, and it
+  * makes topological-sort semantics well-defined.
+  *
+  * Scale design: `edges` is a pure projection+distinct of the base tables —
+  * at 100 TB it would be written once, bucketed by `src` AND a second copy
+  * bucketed by `dst` (the reference keeps a bidirectional edge index for
+  * the same reason, `src/storage/graph_edge_index.zig:111-144`). Here we
+  * derive it on the fly and let AQE handle the exchanges.
+  */
+object CodeGraph {
+
+  /** Typed edge table: src STRING, dst STRING, edge_type STRING.
+    * Node ids are prefixed keys: C<custkey>, S<suppkey>, N<nationkey>,
+    * R<regionkey>, O<orderkey>, P<partkey>.
+    */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(
+      concat(lit("C"), col("c_custkey")).as("src"),
+      concat(lit("N"), col("c_nationkey")).as("dst"),
+      lit("in_nation").as("edge_type"))
+    val supp = Tables.supplier(spark, dir).select(
+      concat(lit("S"), col("s_suppkey")).as("src"),
+      concat(lit("N"), col("s_nationkey")).as("dst"),
+      lit("in_nation").as("edge_type"))
+    val nat = Tables.nation(spark, dir).select(
+      concat(lit("N"), col("n_nationkey")).as("src"),
+      concat(lit("R"), col("n_regionkey")).as("dst"),
+      lit("in_region").as("edge_type"))
+    val ord = Tables.orders(spark, dir).select(
+      concat(lit("O"), col("o_orderkey")).as("src"),
+      concat(lit("C"), col("o_custkey")).as("dst"),
+      lit("placed_by").as("edge_type"))
+    // lineitem repeats (order, part) across line numbers → distinct,
+    // exactly the dedup the reference's edge index does on put_edge.
+    val li = Tables.lineitem(spark, dir)
+    val contains = li.select(
+      concat(lit("O"), col("l_orderkey")).as("src"),
+      concat(lit("P"), col("l_partkey")).as("dst"),
+      lit("contains").as("edge_type")).distinct()
+    val suppliedBy = li.select(
+      concat(lit("O"), col("l_orderkey")).as("src"),
+      concat(lit("S"), col("l_suppkey")).as("dst"),
+      lit("supplied_by").as("edge_type")).distinct()
+    cust.union(supp).union(nat).union(ord).union(contains).union(suppliedBy)
+  }
+
+  /** DuckDB CTE body reconstructing [[edges]] — embed as
+    * `WITH edges AS (<edgesSql>) ...` in oracle SQL.
+    */
+  val edgesSql: String =
+    """SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst, 'in_nation' AS edge_type FROM customer
+      | UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey, 'in_nation' FROM supplier
+      | UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey, 'in_region' FROM nation
+      | UNION ALL SELECT 'O' || o_orderkey, 'C' || o_custkey, 'placed_by' FROM orders
+      | UNION ALL SELECT DISTINCT 'O' || l_orderkey, 'P' || l_partkey, 'contains' FROM lineitem
+      | UNION ALL SELECT DISTINCT 'O' || l_orderkey, 'S' || l_suppkey, 'supplied_by' FROM lineitem"""
+      .stripMargin.replace("\n", " ")
+
+  /** Block (node) table derived from `documents`, mirroring the reference's
+    * ContextBlock contract (SURVEY.md §1.3): `unit_id` =
+    * "<file_path>:<Container>:<name>" so qualified-name resolution
+    * (`src/query/engine.zig:579-602`) has something real to chew on.
+    * workspace = source, container = lang, name = D<doc_id>.
+    */
+  def blocks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      concat(lit("D"), col("doc_id")).as("id"),
+      lit(1L).as("sequence"),
+      col("source").as("workspace"),
+      lit("document").as("unit_type"),
+      concat(col("source"), lit(":"), col("lang"), lit(":D"), col("doc_id")).as("unit_id"),
+      col("source").as("file_path"),
+      col("text").as("content"),
+      col("n_chars"),
+      lit(false).as("is_deleted"))
+
+  /** DuckDB view body for [[blocks]]. */
+  val blocksSql: String =
+    """SELECT 'D' || doc_id AS id, 1 AS sequence, source AS workspace,
+      | 'document' AS unit_type,
+      | source || ':' || lang || ':D' || doc_id AS unit_id,
+      | source AS file_path, text AS content, n_chars,
+      | false AS is_deleted FROM documents"""
+      .stripMargin.replace("\n", " ")
+
+  /** A *versioned* block table with tombstones, derived from `events`, for
+    * MVCC semantics (latest sequence wins, tombstone shadows —
+    * `docs/DESIGN.md:27-33`): each event is a write of block U<user_id>
+    * at sequence event_id; `error` events are deletes (tombstones).
+    */
+  def versionedBlocks(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      concat(lit("U"), col("user_id")).as("id"),
+      col("event_id").as("sequence"),
+      col("event_type").as("unit_type"),
+      col("value"),
+      (col("event_type") === "error").as("is_deleted"))
+
+  /** DuckDB view body for [[versionedBlocks]]. */
+  val versionedBlocksSql: String =
+    """SELECT 'U' || user_id AS id, event_id AS sequence,
+      | event_type AS unit_type, value,
+      | event_type = 'error' AS is_deleted FROM events"""
+      .stripMargin.replace("\n", " ")
+}

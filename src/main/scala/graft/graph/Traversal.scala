@@ -1,0 +1,198 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Direction of a traversal, reference `src/query/traversal.zig:162-173`. */
+sealed trait Direction
+object Direction {
+  case object Outgoing extends Direction
+  case object Incoming extends Direction
+  case object Both extends Direction
+}
+
+/** Edge-type filter, reference `src/query/traversal.zig:196-205`. */
+sealed trait EdgeFilter
+object EdgeFilter {
+  case object All extends EdgeFilter
+  final case class Only(t: String) extends EdgeFilter
+  final case class Include(ts: Seq[String]) extends EdgeFilter
+  final case class Exclude(ts: Seq[String]) extends EdgeFilter
+}
+
+/** Bounded k-hop traversal spec, reference `TraversalQuery`
+  * (`src/query/traversal.zig:208-248`): defaults depth=10, results=1000,
+  * caps depth ≤ 100, results ≤ 10000.
+  */
+final case class TraversalSpec(
+    direction: Direction = Direction.Outgoing,
+    maxDepth: Int = 10,
+    maxResults: Int = 1000,
+    edgeFilter: EdgeFilter = EdgeFilter.All,
+    trackPaths: Boolean = false) {
+  require(maxDepth >= 1 && maxDepth <= 100, "max_depth must be 1..100")
+  require(maxResults >= 1 && maxResults <= 10000, "max_results must be 1..10000")
+}
+
+/** Iterative DataFrame BFS — the Spark re-expression of the reference's
+  * traversal engine (`src/query/traversal.zig:348-455`). One Spark job per
+  * depth level: frontier ⋈ edges → next frontier, anti-join against
+  * visited for cycle safety, `localCheckpoint` to keep lineage flat.
+  *
+  * BFS, DFS and A* in the reference visit the same *set* (A*'s heuristic
+  * is stubbed to uniform 1.0, `traversal.zig:1282-1290`; SCC delegates to
+  * DFS, `:977-983`) — they differ only in visit order, which matters only
+  * under `max_results` truncation. We canonicalize ordering to
+  * (depth, id), per SURVEY.md §7.5.
+  *
+  * Scale notes (100 TB):
+  *  - the edge-type filter and direction projection are applied ONCE
+  *    before the loop, so every level joins against the smallest possible
+  *    edge set, and Parquet dictionary pushdown prunes edge files;
+  *  - the frontier is usually tiny relative to edges → broadcast-hash
+  *    join (AQE converts automatically under the 10 MB threshold); the
+  *    edges side never gets re-shuffled when it is bucketed by join key;
+  *  - `visited` stays bounded by `maxResults` (≤ 10k rows), so the
+  *    anti-join is always a broadcast.
+  */
+object Traversal {
+
+  private def filterEdges(edges: DataFrame, f: EdgeFilter): DataFrame = f match {
+    case EdgeFilter.All => edges
+    case EdgeFilter.Only(t) => edges.filter(col("edge_type") === t)
+    case EdgeFilter.Include(ts) => edges.filter(col("edge_type").isin(ts: _*))
+    case EdgeFilter.Exclude(ts) => edges.filter(!col("edge_type").isin(ts: _*))
+  }
+
+  /** Project edges to (from, to) hops honoring direction. Bidirectional =
+    * union of both orientations (reference expands both at
+    * `traversal.zig:580-622`).
+    */
+  private def hops(edges: DataFrame, d: Direction): DataFrame = d match {
+    case Direction.Outgoing => edges.select(col("src").as("from"), col("dst").as("to"))
+    case Direction.Incoming => edges.select(col("dst").as("from"), col("src").as("to"))
+    case Direction.Both =>
+      edges.select(col("src").as("from"), col("dst").as("to"))
+        .union(edges.select(col("dst").as("from"), col("src").as("to")))
+  }
+
+  /** BFS from `seeds` (a DataFrame with column `id`).
+    *
+    * Returns (id, depth[, path]): every node reachable within
+    * `spec.maxDepth`, at its minimum depth; the seed itself at depth 0
+    * (the reference visits the start node, `traversal.zig:371-383`).
+    * With `trackPaths`, `path` is the lexicographically-smallest shortest
+    * path from a seed, as ARRAY<STRING> — canonical, unlike the
+    * reference's visit-order-dependent path (documented deviation).
+    * Result capped at `maxResults` by (depth, id) order.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, spec: TraversalSpec): DataFrame = {
+    val hop = hops(filterEdges(edges, spec.edgeFilter), spec.direction)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed0 = (
+        if (spec.trackPaths)
+          seeds.select(col("id"), array(col("id")).as("path"))
+        else seeds.select(col("id"))
+      ).distinct().withColumn("depth", lit(0)).localCheckpoint(true)
+
+      var visited = seed0   // accumulated (id, [path,] depth)
+      var frontier = seed0
+      var depth = 0
+      var total = visited.count()
+      while (depth < spec.maxDepth && total < spec.maxResults && !frontier.isEmpty) {
+        depth += 1
+        val expandedRaw = frontier.join(hop, frontier("id") === hop("from"))
+        val expanded =
+          if (spec.trackPaths)
+            expandedRaw
+              .select(col("to").as("id"), concat(col("path"), array(col("to"))).as("path"))
+              // one canonical (lexicographically smallest) path per node
+              .groupBy("id").agg(min(col("path")).as("path"))
+          else
+            expandedRaw.select(col("to").as("id")).distinct()
+        val next = expanded
+          .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
+          .withColumn("depth", lit(depth))
+          .localCheckpoint(true)
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+        total = visited.count()
+      }
+      // canonical (depth, id) ordering for deterministic truncation
+      visited.orderBy(col("depth"), col("id")).limit(spec.maxResults)
+    } finally hop.unpersist()
+  }
+
+  /** Topological level of every node in a DAG: length of the longest path
+    * from any root (zero-in-degree node). Equivalent to Kahn's algorithm
+    * round numbers (reference `traverse_topological_sort`,
+    * `src/query/traversal.zig:986-1135`). Iterates to fixpoint, bounded
+    * by `maxIters`; if levels still change at the bound, the graph has a
+    * cycle and the nodes still moving are exactly Kahn's leftovers —
+    * they are returned with level = -1 (reference signals cycles with an
+    * empty result, `traversal.zig:1095-1107`; we keep partial output and
+    * mark the cyclic part, which is strictly more informative).
+    */
+  def topoLevels(edges: DataFrame, maxIters: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      var levels = nodes.withColumn("level", lit(0)).localCheckpoint(true)
+      var changed = true
+      var iter = 0
+      while (changed && iter < maxIters) {
+        iter += 1
+        val viaParent = levels.join(e, levels("id") === e("src"))
+          .select(col("dst").as("id"), (col("level") + 1).as("level"))
+        val next = levels.select("id", "level").union(viaParent)
+          .groupBy("id").agg(max("level").as("level"))
+          .localCheckpoint(true)
+        // converged when no node's level grew this round
+        changed = !next.as("n")
+          .join(levels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.level") > col("o.level"))
+          .isEmpty
+        levels = next
+      }
+      if (changed) // cycle: nodes at implausible level are Kahn leftovers
+        levels.withColumn("level",
+          when(col("level") >= maxIters, lit(-1)).otherwise(col("level")))
+      else levels
+    } finally e.unpersist()
+  }
+
+  /** All shortest paths between two nodes, reference `find_paths_between`
+    * (`src/query/traversal.zig:1367-1500`): BFS expanding whole paths (no
+    * cross-path visited set — different shortest paths may share interior
+    * nodes), per-path cycle guard, stop at the first depth that reaches
+    * `to`, cap at `maxPaths` (reference cap 100) in lexicographic order.
+    */
+  def pathsBetween(edges: DataFrame, from: String, to: String,
+                   maxDepth: Int = 10, maxPaths: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val hop = hops(edges, Direction.Outgoing).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (from == to) return Seq(Seq(from)).toDF("path")
+      var frontier = Seq(Seq(from)).toDF("path")
+        .withColumn("head", lit(from)).localCheckpoint(true)
+      var depth = 0
+      var found: Option[DataFrame] = None
+      while (found.isEmpty && depth < maxDepth && !frontier.isEmpty) {
+        depth += 1
+        frontier = frontier.join(hop, col("head") === col("from"))
+          .filter(!array_contains(col("path"), col("to"))) // per-path cycle guard
+          .select(concat(col("path"), array(col("to"))).as("path"), col("to").as("head"))
+          .localCheckpoint(true)
+        val hits = frontier.filter(col("head") === lit(to)).select("path")
+        if (!hits.isEmpty) found = Some(hits)
+      }
+      found.getOrElse(spark.emptyDataset[Seq[String]].toDF("path"))
+        .orderBy(col("path")).limit(maxPaths)
+    } finally hop.unpersist()
+  }
+}
