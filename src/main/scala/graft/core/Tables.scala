@@ -24,7 +24,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  /** Raw events. The fixture's `ts` is parquet TIMESTAMP(NANOS), which
+    * Spark rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` is
+    * set on the session (all entry points in this repo set it) — `ts`
+    * then reads as epoch-nanoseconds LONG.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  /** Events with both the raw epoch-ns (`ts_ns`) and a proper TIMESTAMP
+    * (`ts`, truncated to microseconds — Spark's native resolution).
+    */
+  def eventsNorm(spark: SparkSession, dir: String): DataFrame = {
+    val raw = events(spark, dir)
+    raw.withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts_ns") / 1000)
+          .cast("long")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,7 +1,7 @@
 package graft.graph
 
 import graft.core.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A property graph derived deterministically from the driver fixture
@@ -98,6 +98,51 @@ object CodeGraph {
       | source AS file_path, text AS content, n_chars,
       | false AS is_deleted FROM documents"""
       .stripMargin.replace("\n", " ")
+
+  /** Block rows for every node of [[edges]], so that anchor resolution
+    * (find_by_name) and context queries operate on the same graph the
+    * traversals run on — mirroring the reference, where blocks and edges
+    * live in one store (`src/storage/engine.zig`). `unit_id` follows the
+    * reference convention "<container>:<type>:<name>" so qualified-name
+    * matching has real structure.
+    */
+  def nodeBlocks(spark: SparkSession, dir: String): DataFrame = {
+    def mk(df: DataFrame, prefix: String, key: String, utype: String,
+           content: Column): DataFrame =
+      df.select(
+        concat(lit(prefix), col(key)).as("id"),
+        lit(1L).as("sequence"),
+        lit("tpch").as("workspace"),
+        lit(utype).as("unit_type"),
+        concat(lit(s"tpch:$utype:"), lit(prefix), col(key)).as("unit_id"),
+        lit("tpch").as("file_path"),
+        content.cast("string").as("content"),
+        lit(false).as("is_deleted"))
+    mk(Tables.customer(spark, dir), "C", "c_custkey", "customer", col("c_name"))
+      .union(mk(Tables.supplier(spark, dir), "S", "s_suppkey", "supplier", col("s_name")))
+      .union(mk(Tables.nation(spark, dir), "N", "n_nationkey", "nation", col("n_name")))
+      .union(mk(Tables.region(spark, dir), "R", "r_regionkey", "region", col("r_name")))
+      .union(mk(Tables.orders(spark, dir), "O", "o_orderkey", "order", col("o_orderpriority")))
+      .union(mk(Tables.part(spark, dir), "P", "p_partkey", "part", col("p_name")))
+  }
+
+  /** DuckDB CTE body reconstructing [[nodeBlocks]]. */
+  val nodeBlocksSql: String = {
+    def mk(table: String, prefix: String, key: String, utype: String,
+           content: String): String =
+      s"SELECT '$prefix' || $key AS id, 1 AS sequence, 'tpch' AS workspace, " +
+        s"'$utype' AS unit_type, 'tpch:$utype:$prefix' || $key AS unit_id, " +
+        s"'tpch' AS file_path, CAST($content AS VARCHAR) AS content, " +
+        s"false AS is_deleted FROM $table"
+    Seq(
+      mk("customer", "C", "c_custkey", "customer", "c_name"),
+      mk("supplier", "S", "s_suppkey", "supplier", "s_name"),
+      mk("nation", "N", "n_nationkey", "nation", "n_name"),
+      mk("region", "R", "r_regionkey", "region", "r_name"),
+      mk("orders", "O", "o_orderkey", "order", "o_orderpriority"),
+      mk("part", "P", "p_partkey", "part", "p_name"),
+    ).mkString(" UNION ALL ")
+  }
 
   /** A *versioned* block table with tombstones, derived from `events`, for
     * MVCC semantics (latest sequence wins, tombstone shadows —

@@ -100,8 +100,11 @@ object Traversal {
       var visited = seed0   // accumulated (id, [path,] depth)
       var frontier = seed0
       var depth = 0
-      var total = visited.count()
-      while (depth < spec.maxDepth && total < spec.maxResults && !frontier.isEmpty) {
+      var total = seed0.count()
+      var frontierSize = total
+      // single driver action per level: next.count() after the checkpoint
+      // covers both the emptiness test and the result-cap bookkeeping
+      while (depth < spec.maxDepth && total < spec.maxResults && frontierSize > 0) {
         depth += 1
         val expandedRaw = frontier.join(hop, frontier("id") === hop("from"))
         val expanded =
@@ -118,51 +121,62 @@ object Traversal {
           .localCheckpoint(true)
         visited = visited.union(next).localCheckpoint(true)
         frontier = next
-        total = visited.count()
+        frontierSize = next.count()
+        total += frontierSize
       }
       // canonical (depth, id) ordering for deterministic truncation
       visited.orderBy(col("depth"), col("id")).limit(spec.maxResults)
     } finally hop.unpersist()
   }
 
-  /** Topological level of every node in a DAG: length of the longest path
-    * from any root (zero-in-degree node). Equivalent to Kahn's algorithm
-    * round numbers (reference `traverse_topological_sort`,
-    * `src/query/traversal.zig:986-1135`). Iterates to fixpoint, bounded
-    * by `maxIters`; if levels still change at the bound, the graph has a
-    * cycle and the nodes still moving are exactly Kahn's leftovers —
-    * they are returned with level = -1 (reference signals cycles with an
-    * empty result, `traversal.zig:1095-1107`; we keep partial output and
-    * mark the cyclic part, which is strictly more informative).
+  /** Topological level of every node: Kahn's algorithm by frontier
+    * peeling (reference `traverse_topological_sort`,
+    * `src/query/traversal.zig:986-1135`). Each round peels the current
+    * zero-in-degree layer at `level = round`; a node's level is therefore
+    * the longest path from any root to it. When no zero-in-degree node
+    * remains but nodes do, those leftovers are exactly Kahn's cycle
+    * members — returned with level = -1 (the reference returns an empty
+    * result on cycles, `traversal.zig:1095-1107`; partial output with the
+    * cyclic part marked is strictly more informative, and trivially
+    * maskable for compat).
+    *
+    * Scale: each iteration touches only the REMAINING edges (shrinking
+    * every round), not the whole graph — unlike a whole-graph fixpoint,
+    * a deep thin chain costs O(chain) small jobs, not O(depth × |E|)
+    * full shuffles. maxIters = 100 matches the reference depth cap
+    * (`traversal.zig:242-247`).
     */
-  def topoLevels(edges: DataFrame, maxIters: Int = 64): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val nodes = e.select(col("src").as("id"))
-        .union(e.select(col("dst").as("id"))).distinct()
-      var levels = nodes.withColumn("level", lit(0)).localCheckpoint(true)
-      var changed = true
-      var iter = 0
-      while (changed && iter < maxIters) {
-        iter += 1
-        val viaParent = levels.join(e, levels("id") === e("src"))
-          .select(col("dst").as("id"), (col("level") + 1).as("level"))
-        val next = levels.select("id", "level").union(viaParent)
-          .groupBy("id").agg(max("level").as("level"))
+  def topoLevels(edges: DataFrame, maxIters: Int = 100): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val spark = edges.sparkSession
+    val nodes0 = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+    var remainingEdges = e0.localCheckpoint(true)
+    var remainingNodes = nodes0.localCheckpoint(true)
+    var out: DataFrame = null
+    var level = 0
+    var done = false
+    while (!done && level < maxIters) {
+      // zero-in-degree layer = remaining nodes with no remaining in-edge
+      val layer = remainingNodes
+        .join(remainingEdges.select(col("dst").as("id")).distinct(),
+          Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      if (layer.isEmpty) { done = true } // leftovers (if any) are cyclic
+      else {
+        val levelled = layer.withColumn("level", lit(level))
+        out = if (out == null) levelled else out.union(levelled)
+        remainingNodes = remainingNodes.join(layer, Seq("id"), "left_anti")
           .localCheckpoint(true)
-        // converged when no node's level grew this round
-        changed = !next.as("n")
-          .join(levels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.level") > col("o.level"))
-          .isEmpty
-        levels = next
+        // drop edges originating from the peeled layer
+        remainingEdges = remainingEdges
+          .join(layer.select(col("id").as("src")), Seq("src"), "left_anti")
+          .localCheckpoint(true)
+        level += 1
       }
-      if (changed) // cycle: nodes at implausible level are Kahn leftovers
-        levels.withColumn("level",
-          when(col("level") >= maxIters, lit(-1)).otherwise(col("level")))
-      else levels
-    } finally e.unpersist()
+    }
+    val cyclic = remainingNodes.withColumn("level", lit(-1))
+    if (out == null) cyclic else out.union(cyclic)
   }
 
   /** All shortest paths between two nodes, reference `find_paths_between`
@@ -171,8 +185,18 @@ object Traversal {
     * nodes), per-path cycle guard, stop at the first depth that reaches
     * `to`, cap at `maxPaths` (reference cap 100) in lexicographic order.
     */
+  /** `frontierCap` bounds the number of in-flight paths per level (kept in
+    * lexicographic path order). Without it the intermediate frontier on a
+    * dense graph is combinatorial — every simple path, not every node —
+    * and OOMs long before depth 10; the reference likewise caps paths
+    * DURING search (`traversal.zig:1373`). When the cap binds, the result
+    * is still the lexicographically-smallest paths (pruning keeps the
+    * smallest prefixes, and path order is prefix-consistent), just not
+    * guaranteed exhaustive beyond `maxPaths`.
+    */
   def pathsBetween(edges: DataFrame, from: String, to: String,
-                   maxDepth: Int = 10, maxPaths: Int = 100): DataFrame = {
+                   maxDepth: Int = 10, maxPaths: Int = 100,
+                   frontierCap: Int = 10000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val hop = hops(edges, Direction.Outgoing).persist(StorageLevel.MEMORY_AND_DISK)
@@ -187,6 +211,8 @@ object Traversal {
         frontier = frontier.join(hop, col("head") === col("from"))
           .filter(!array_contains(col("path"), col("to"))) // per-path cycle guard
           .select(concat(col("path"), array(col("to"))).as("path"), col("to").as("head"))
+          // per-level prune: lexicographically-smallest K paths survive
+          .orderBy(col("path")).limit(frontierCap)
           .localCheckpoint(true)
         val hits = frontier.filter(col("head") === lit(to)).select("path")
         if (!hits.isEmpty) found = Some(hits)

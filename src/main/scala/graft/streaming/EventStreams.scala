@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming operators over the `events` table. The reference engine is
+  * batch-only (SURVEY.md §1.2), so this is beyond-reference surface:
+  * tumbling/sliding/session aggregation shaped for Structured Streaming.
+  *
+  * Each transform is written against a plain DataFrame so the SAME
+  * function runs in batch mode (oracle-checkable against DuckDB) and on
+  * a `readStream` source (tested with MemoryStream in the spec).
+  * Watermarking is applied by the caller on the streaming side —
+  * `withWatermark` is a no-op in batch, so [[withEventTime]] output can
+  * be piped through either path.
+  */
+object EventStreams {
+
+  /** Nanosecond epoch → TIMESTAMP (µs truncation) as `event_time`. */
+  def withEventTime(events: DataFrame, tsNsCol: String = "ts"): DataFrame =
+    events.withColumn("event_time",
+      timestamp_micros((col(tsNsCol).cast("long") / 1000).cast("long")))
+
+  /** Tumbling-window counts/sums per event type. In streaming mode, pair
+    * with `.withWatermark("event_time", "…")` for state eviction.
+    * Output keys on epoch seconds of the window start — engine-portable.
+    */
+  def tumbling(ev: DataFrame, width: String = "1 hour"): DataFrame =
+    ev.groupBy(window(col("event_time"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (width, slide). */
+  def sliding(ev: DataFrame, width: String = "1 hour",
+              slide: String = "30 minutes"): DataFrame =
+    ev.groupBy(window(col("event_time"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+
+  /** Batch sessionization: a session breaks after `gapSec` of user
+    * inactivity; classic lag + cumulative-sum-of-breaks. (The streaming
+    * twin is `session_window`/`flatMapGroupsWithState`; the batch shape
+    * is what the oracle can replay.)
+    */
+  def sessionize(ev: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_time")
+    val secs = unix_timestamp(col("event_time"))
+    val newSession = when(
+      secs - lag(secs, 1).over(byUser) > gapSec, 1).otherwise(0)
+    ev.withColumn("brk", coalesce(newSession, lit(0)))
+      .withColumn("session_idx", sum("brk").over(byUser))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        unix_timestamp(min("event_time")).as("session_start"))
+  }
+
+  /** Per-user session counts — the compact correctness surface for
+    * [[sessionize]].
+    */
+  def sessionCounts(ev: DataFrame, gapSec: Long = 1800): DataFrame =
+    sessionize(ev, gapSec)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+}
