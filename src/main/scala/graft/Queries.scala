@@ -1,0 +1,30 @@
+package graft
+
+import graft.queries.{QueriesCore, QueriesGraph, QueriesPipeline, QueriesRelational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregated driver-contract registry. */
+object Queries {
+  val entries: Seq[QueriesCore.Entry] =
+    QueriesCore.entries ++ QueriesGraph.entries ++
+      QueriesPipeline.entries ++ QueriesRelational.entries
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(e => e._1 -> e._2).toMap
+
+  lazy val oracles: Map[String, String] =
+    entries.flatMap(e => e._3.map(sql => e._1 -> sql)).toMap
+
+  /** Headline bench subset: the reference's own bench shapes
+    * (BFS depth 3/5, edge filter, keyword/semantic search, batch
+    * lookup — `/root/reference/src/bench/query.zig:47-143`) plus the
+    * scale-relevant pipeline operators.
+    */
+  val benchNames: Seq[String] = Seq(
+    "bfs_out_depth3", "traverse_dfs_set", "bfs_edge_filter", "bfs_in_depth2",
+    "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
+    "context_query", "filter_bool_tree",
+    "dedup_minhash_bands", "dedup_exact", "ann_topk", "text_stats",
+    "q1_agg", "q3_top_orders", "events_tumbling",
+  )
+}

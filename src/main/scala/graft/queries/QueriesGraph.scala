@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.graph.{CodeGraph, Direction, EdgeFilter, Traversal, TraversalSpec}
+import graft.query.{ContextQuery, Lookups}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-operator query entries: BFS/DFS/A* set traversal in all
+  * directions, edge-type filters, paths, topo levels, context queries,
+  * callers/callees/references. Oracles are DuckDB recursive CTEs over
+  * the same edge derivation.
+  */
+object QueriesGraph {
+  import QueriesCore.{Entry, Fn}
+
+  private val E = CodeGraph.edgesSql
+  private val NB = CodeGraph.nodeBlocksSql
+
+  private def seeds(s: SparkSession, ids: String*): DataFrame = {
+    import s.implicits._
+    ids.toDF("id")
+  }
+
+  /** Recursive min-depth BFS oracle. `step` is the SELECT list + JOIN
+    * condition for one expansion, e.g. outgoing: join on e.src = r.id,
+    * emit e.dst.
+    */
+  private def bfsSql(seedSql: String, depth: Int, emit: String, joinOn: String,
+                     edgePred: String = "TRUE"): String =
+    s"""WITH RECURSIVE e AS ($E), r AS (
+       | $seedSql
+       | UNION ALL
+       | SELECT $emit AS id, r.depth + 1 AS depth FROM r JOIN e ON $joinOn
+       |  WHERE r.depth < $depth AND ($edgePred)
+       |)
+       |SELECT id, MIN(depth) AS depth FROM r GROUP BY id ORDER BY depth, id"""
+      .stripMargin.replace("\n", " ")
+
+  val entries: Seq[Entry] = Seq(
+
+    ("bfs_out_depth3",
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "O0"),
+          TraversalSpec(Direction.Outgoing, maxDepth = 3, maxResults = 10000))
+        .orderBy("depth", "id"),
+      Some(bfsSql("SELECT 'O0' AS id, 0 AS depth", 3, "e.dst", "e.src = r.id"))),
+
+    ("bfs_in_depth2",
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "N3"),
+          TraversalSpec(Direction.Incoming, maxDepth = 2, maxResults = 10000))
+        .orderBy("depth", "id"),
+      Some(bfsSql("SELECT 'N3' AS id, 0 AS depth", 2, "e.src", "e.dst = r.id"))),
+
+    ("bfs_both_depth2",
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "N3"),
+          TraversalSpec(Direction.Both, maxDepth = 2, maxResults = 10000))
+        .orderBy("depth", "id"),
+      Some(s"""WITH RECURSIVE e AS ($E),
+        | e2 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        | r AS (
+        |  SELECT 'N3' AS id, 0 AS depth
+        |  UNION ALL
+        |  SELECT e2.dst AS id, r.depth + 1 FROM r JOIN e2 ON e2.src = r.id
+        |   WHERE r.depth < 2
+        | )
+        | SELECT id, MIN(depth) AS depth FROM r GROUP BY id ORDER BY depth, id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("bfs_edge_filter",
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "N7"),
+          TraversalSpec(Direction.Incoming, maxDepth = 2, maxResults = 10000,
+            edgeFilter = EdgeFilter.Include(Seq("in_nation", "placed_by"))))
+        .orderBy("depth", "id"),
+      Some(bfsSql("SELECT 'N7' AS id, 0 AS depth", 2, "e.src", "e.dst = r.id",
+        "e.edge_type IN ('in_nation','placed_by')"))),
+
+    // DFS and A* canonicalize to the BFS set (the reference's A*
+    // heuristic is a uniform stub, traversal.zig:1282-1290; DFS differs
+    // only in visit order) — registered as their own operators with the
+    // same min-depth oracle. Documented deviation: SURVEY.md §7.5.
+    ("traverse_dfs_set",
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "C1"),
+          TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 10000))
+        .orderBy("depth", "id"),
+      Some(bfsSql("SELECT 'C1' AS id, 0 AS depth", 5, "e.dst", "e.src = r.id"))),
+
+    ("paths_between",
+      (s, d) => Traversal.pathsBetween(CodeGraph.edges(s, d), "O0", "R0",
+          maxDepth = 10, maxPaths = 100)
+        .select(concat_ws("->", col("path")).as("path")).orderBy("path"),
+      Some(s"""WITH RECURSIVE e AS ($E), r AS (
+        |  SELECT 'O0' AS head, 'O0' AS path, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, r.path || '->' || e.dst, r.depth + 1
+        |  FROM r JOIN e ON e.src = r.head
+        |  WHERE r.depth < 10 AND r.head <> 'R0'
+        | ), hits AS (SELECT path, depth FROM r WHERE head = 'R0')
+        | SELECT path FROM hits WHERE depth = (SELECT MIN(depth) FROM hits)
+        | ORDER BY path LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    ("topo_levels",
+      (s, d) => Traversal.topoLevels(CodeGraph.edges(s, d)).orderBy("level", "id"),
+      Some(s"""WITH RECURSIVE e AS ($E),
+        | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        | roots AS (SELECT id FROM nodes
+        |   WHERE id NOT IN (SELECT dst FROM e)),
+        | r AS (
+        |  SELECT id, 0 AS level FROM roots
+        |  UNION ALL
+        |  SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.id
+        | )
+        | SELECT id, MAX(level) AS level FROM r GROUP BY id ORDER BY level, id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("context_query",
+      (s, d) => ContextQuery.execute(
+        CodeGraph.nodeBlocks(s, d), CodeGraph.edges(s, d),
+        ContextQuery.Spec(
+          workspace = "tpch",
+          anchors = Seq(ContextQuery.ByName("customer", "C1"),
+            ContextQuery.ById("N5")),
+          rules = Seq(
+            ContextQuery.Rule(Direction.Outgoing, EdgeFilter.All, maxDepth = 2),
+            ContextQuery.Rule(Direction.Incoming,
+              EdgeFilter.Only("placed_by"), maxDepth = 1)),
+          maxTotalNodes = 1000)),
+      Some(s"""WITH RECURSIVE e AS ($E), nb AS ($NB),
+        | seeds AS (
+        |  SELECT id FROM nb WHERE workspace = 'tpch' AND unit_type = 'customer'
+        |    AND (string_split(unit_id, ':'))[-1] = 'C1'
+        |  UNION SELECT id FROM nb WHERE workspace = 'tpch' AND id = 'N5'),
+        | r1 AS (
+        |  SELECT id, 0 AS depth FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, r1.depth + 1 FROM r1 JOIN e ON e.src = r1.id
+        |   WHERE r1.depth < 2),
+        | r2 AS (
+        |  SELECT id, 0 AS depth FROM seeds
+        |  UNION ALL
+        |  SELECT e.src, r2.depth + 1 FROM r2
+        |   JOIN e ON e.dst = r2.id AND e.edge_type = 'placed_by'
+        |   WHERE r2.depth < 1),
+        | m AS (SELECT id, MIN(depth) AS depth FROM
+        |   (SELECT * FROM r1 UNION ALL SELECT * FROM r2) GROUP BY id)
+        | SELECT m.id, m.depth, nb.unit_type, nb.unit_id, nb.content
+        | FROM m JOIN nb ON m.id = nb.id AND nb.workspace = 'tpch'
+        | ORDER BY m.depth, m.id LIMIT 1000""".stripMargin.replace("\n", " "))),
+
+    ("callers_depth2",
+      (s, d) => Lookups.findCallers(CodeGraph.edges(s, d),
+          CodeGraph.nodeBlocks(s, d), "N3", maxDepth = 2, workspace = "tpch")
+        .orderBy("depth", "id"),
+      Some(s"""WITH RECURSIVE e AS ($E), nb AS ($NB), r AS (
+        |  SELECT 'N3' AS id, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.src, r.depth + 1 FROM r JOIN e ON e.dst = r.id
+        |   WHERE r.depth < 2),
+        | m AS (SELECT id, MIN(depth) AS depth FROM r GROUP BY id
+        |   ORDER BY depth, id LIMIT 1000)
+        | SELECT m.id, m.depth, nb.unit_type, nb.content
+        | FROM m JOIN nb ON m.id = nb.id AND nb.workspace = 'tpch'
+        | ORDER BY m.depth, m.id""".stripMargin.replace("\n", " "))),
+
+    ("callees_depth3",
+      (s, d) => Lookups.findCallees(CodeGraph.edges(s, d),
+          CodeGraph.nodeBlocks(s, d), "O0", maxDepth = 3, workspace = "tpch")
+        .orderBy("depth", "id"),
+      Some(s"""WITH RECURSIVE e AS ($E), nb AS ($NB), r AS (
+        |  SELECT 'O0' AS id, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.id
+        |   WHERE r.depth < 3),
+        | m AS (SELECT id, MIN(depth) AS depth FROM r GROUP BY id)
+        | SELECT m.id, m.depth, nb.unit_type, nb.content
+        | FROM m JOIN nb ON m.id = nb.id AND nb.workspace = 'tpch'
+        | ORDER BY m.depth, m.id""".stripMargin.replace("\n", " "))),
+
+    ("references_depth1",
+      (s, d) => Lookups.findReferences(CodeGraph.edges(s, d),
+          CodeGraph.nodeBlocks(s, d), "C1", maxDepth = 1, workspace = "tpch")
+        .orderBy("depth", "id"),
+      Some(s"""WITH RECURSIVE e AS ($E), nb AS ($NB),
+        | e2 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        | r AS (
+        |  SELECT 'C1' AS id, 0 AS depth
+        |  UNION ALL
+        |  SELECT e2.dst, r.depth + 1 FROM r JOIN e2 ON e2.src = r.id
+        |   WHERE r.depth < 1),
+        | m AS (SELECT id, MIN(depth) AS depth FROM r GROUP BY id)
+        | SELECT m.id, m.depth, nb.unit_type, nb.content
+        | FROM m JOIN nb ON m.id = nb.id AND nb.workspace = 'tpch'
+        | ORDER BY m.depth, m.id""".stripMargin.replace("\n", " "))),
+  )
+}

@@ -1,0 +1,302 @@
+package graft.queries
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline entries: dedup family, similarity/ANN,
+  * text analysis, multimodal plumbing. Oracle SQL is generated from the
+  * same constants (hash counts, band widths, plane matrices, stopword
+  * lists) the Spark operators use, so the two sides cannot drift.
+  */
+object QueriesPipeline {
+  import QueriesCore.Entry
+
+  /** DuckDB: lower-cased whitespace words of `documents.text`. */
+  private val wordsSql =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"""
+
+  /** DuckDB word n-gram shingles from a words list named `ws`. */
+  private def shinglesSql(n: Int): String =
+    s"CASE WHEN len(ws) >= $n THEN list_transform(range(1, len(ws) - ${n - 2}), " +
+      s"i -> array_to_string(ws[i:i+${n - 1}], ' ')) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+
+  /** DuckDB double-precision dot product of two list expressions (strict
+    * left-to-right order, mirroring Spark aggregate/zip_with).
+    */
+  private def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String): String = {
+    val d = dotSql(a, b)
+    val na = s"sqrt(${dotSql(a, a)})"
+    val nb = s"sqrt(${dotSql(b, b)})"
+    s"CASE WHEN $na * $nb = 0 THEN 0.0 ELSE ($d) / ($na * $nb) END"
+  }
+
+  private val K = 16   // minhash permutations
+  private val BANDS = 4
+
+  private def mh(i: Int) = f"mh$i%02d"
+
+  /** DuckDB minhash signature columns mh00..mh15 from shingle list `sh`. */
+  private val sigColsSql: String = (0 until K).map { i =>
+    s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS ${mh(i)}"
+  }.mkString(", ")
+
+  private val bandColsSql: String = (0 until BANDS).map { b =>
+    val parts = (0 until K / BANDS).map(r => mh(b * (K / BANDS) + r)).mkString(" || ")
+    s"md5($parts) AS band$b"
+  }.mkString(", ")
+
+  private val minhashCte =
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       | sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w),
+       | sig AS (SELECT doc_id, $sigColsSql FROM sh),
+       | bands AS (SELECT doc_id, $bandColsSql FROM sig)"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB 16-bit simhash over the words list `ws` (hex parse via
+    * list_position on the digit alphabet — identical to the Spark
+    * expression).
+    */
+  private val simhashSql: String = {
+    val alpha = "['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f']"
+    def digit(p: Int) = s"(list_position($alpha, substr(md5(w), $p, 1)) - 1)"
+    val hexVal = s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+    val bits = (0 until 16).map { j =>
+      val pow = 1L << j
+      val bitSum = s"list_sum(list_transform(vals, v -> CASE WHEN " +
+        s"CAST(floor(v / $pow) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END))"
+      s"CASE WHEN $bitSum > 0 THEN CAST($pow AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       | v AS (SELECT doc_id, list_transform(ws, w -> $hexVal) AS vals FROM w),
+       | sh AS (SELECT doc_id, $bits AS simhash FROM v)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  private val planes = Similarity.planes(8, 64)
+
+  private val lshBucketSql: String = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = p.map(x => s"$x.0").mkString("[", ",", "]")
+      val pow = 1L << j
+      s"CASE WHEN ${dotSql("embedding", planeLit)} >= 0 " +
+        s"THEN CAST($pow AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"SELECT vec_id, $bits AS bucket FROM embeddings"
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    // ===== Deduplication =====
+    ("dedup_exact",
+      (s, d) => Dedup.exact(graft.core.Tables.documents(s, d), Seq("text"), "doc_id")
+        .select("canonical_id", "dup_count").orderBy("canonical_id"),
+      Some("""SELECT MIN(doc_id) AS canonical_id,
+        | CAST(COUNT(*) AS BIGINT) AS dup_count
+        | FROM documents GROUP BY text ORDER BY canonical_id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("dedup_minhash_bands",
+      (s, d) => Dedup.minhashBands(graft.core.Tables.documents(s, d),
+        "doc_id", "text", n = 3, k = K, bands = BANDS).orderBy("doc_id"),
+      Some(s"$minhashCte SELECT doc_id, band0, band1, band2, band3 " +
+        "FROM bands ORDER BY doc_id")),
+
+    ("dedup_minhash_pairs",
+      (s, d) => Dedup.minhashPairs(graft.core.Tables.documents(s, d),
+        "doc_id", "text", n = 3, k = K, bands = BANDS).orderBy("id_a", "id_b"),
+      Some(s"""$minhashCte,
+        | lng AS (
+        |  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+        |  UNION ALL SELECT doc_id, 3, band3 FROM bands)
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM lng a JOIN lng b
+        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    ("dedup_simhash",
+      (s, d) => graft.core.Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      Some(s"$simhashSql SELECT doc_id, simhash FROM sh ORDER BY doc_id")),
+
+    ("dedup_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(graft.core.Tables.documents(s, d),
+        "doc_id", "text", radius = 3).orderBy("id_a", "id_b"),
+      Some(s"""$simhashSql
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    ("ngram_jaccard",
+      (s, d) => Dedup.ngramJaccard(graft.core.Tables.documents(s, d),
+        "doc_id", "text", "source", n = 2, threshold = 0.05)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH w AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
+        | shl AS (SELECT doc_id, source, ${shinglesSql(2)} AS sh FROM w),
+        | ex AS (SELECT source AS blk, doc_id AS id,
+        |   unnest(list_distinct(sh)) AS sh FROM shl),
+        | sizes AS (SELECT blk, id, COUNT(*) AS n_sh FROM ex GROUP BY blk, id),
+        | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        |   FROM ex a JOIN ex b
+        |    ON a.blk = b.blk AND a.sh = b.sh AND a.id < b.id
+        |   GROUP BY 1, 2)
+        | SELECT id_a, id_b,
+        |  round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        | FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        | WHERE round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.05
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // ===== Similarity / ANN =====
+    ("ann_topk",
+      (s, d) => Similarity.bruteForceTopK(
+        graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10),
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        | SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qe")}, 6) AS score
+        | FROM embeddings e, q WHERE e.vec_id <> 0
+        | ORDER BY score DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    ("ann_ivf",
+      (s, d) => Similarity.ivfTopK(
+        graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10, nprobe = 2),
+      Some(s"""WITH cent AS (
+        |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+        | centl AS (SELECT label, list(cv ORDER BY i) AS centroid
+        |   FROM cent GROUP BY label),
+        | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        | cs AS (SELECT c.label, ${cosineSql("c.centroid", "q.qe")} AS cscore
+        |   FROM centl c, q),
+        | probe AS (SELECT label FROM cs ORDER BY cscore DESC, label LIMIT 2)
+        | SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qe")}, 6) AS score
+        | FROM embeddings e JOIN probe USING (label), q
+        | WHERE e.vec_id <> 0
+        | ORDER BY score DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    ("embedding_neardup",
+      (s, d) => Similarity.nearDupPairs(
+        graft.core.Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy("id_a", "id_b"),
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.45
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    ("lsh_buckets",
+      (s, d) => graft.core.Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), planes).as("bucket"))
+        .orderBy("vec_id"),
+      Some(s"WITH b AS ($lshBucketSql) SELECT vec_id, bucket FROM b ORDER BY vec_id")),
+
+    // ===== Text analysis =====
+    ("text_stats",
+      (s, d) => TextAnalysis.analyze(
+        graft.core.Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
+      Some(textStatsSql)),
+
+    ("doc_fingerprint",
+      (s, d) => graft.core.Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.contentHash(col("text")).as("content_hash"),
+        TextAnalysis.minKgramHash(col("text"), 8).as("min_kgram"))
+        .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        | SELECT doc_id, md5(norm) AS content_hash,
+        |  CASE WHEN length(norm) < 8 THEN md5(norm)
+        |   ELSE list_min(list_transform(range(1, length(norm) - 6),
+        |     i -> md5(substr(norm, i, 8)))) END AS min_kgram
+        | FROM n ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // ===== Multimodal plumbing =====
+    ("multimodal_meta",
+      (s, d) => Multimodal.toMedia(graft.core.Tables.documents(s, d))
+        .select("doc_id", "mime", "n_bytes").orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        | (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    ("multimodal_frames",
+      (s, d) => Multimodal.frameSample(
+        Multimodal.toMedia(graft.core.Tables.documents(s, d)))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH m AS (SELECT doc_id,
+        |  (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
+        | SELECT doc_id, mime, frame_idx, CAST(frame_idx AS BIGINT) * 256 AS offset
+        | FROM (SELECT doc_id, mime,
+        |   CAST(unnest(range(0, CAST(ceil(n_bytes / 256.0) AS INT), 4)) AS INT)
+        |     AS frame_idx FROM m)
+        | ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " "))),
+
+    ("multimodal_features",
+      (s, d) => Multimodal.decodeFeatures(
+        Multimodal.toMedia(graft.core.Tables.documents(s, d)))
+        .toDF().select("doc_id", "mime", "n_bytes", "n_chunks", "checksum")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        | (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ord(substr(text, i, 1)))) AS BIGINT) AS checksum
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+  )
+
+  /** Oracle for [[TextAnalysis.analyze]], generated from the same
+    * stopword/profile constants.
+    */
+  private lazy val textStatsSql: String = {
+    def listLit(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+    val stopLit = listLit(TextAnalysis.StopwordsEn)
+    val langScores = TextAnalysis.LangProfiles.map { case (code, stops) =>
+      s"len(list_filter(ws, w -> list_contains(${listLit(stops)}, w))) AS s_$code"
+    }.mkString(", ")
+    val bestExpr = TextAnalysis.LangProfiles.map(p => s"s_${p._1}")
+      .reduce((a, b) => s"greatest($a, $b)")
+    val langCase = TextAnalysis.LangProfiles.map { case (code, _) =>
+      s"WHEN s_$code = best AND best > 0 THEN '$code'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH w AS (SELECT doc_id, text, $wordsSql AS ws FROM documents),
+       | base AS (SELECT doc_id, text, ws,
+       |  CAST(len(ws) AS INT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT)
+       |    AS n_bpeish,
+       |  CASE WHEN len(ws) = 0 THEN 0.0
+       |   ELSE CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)
+       |  END AS raw_avg_len,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |   ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |     / length(text) END AS raw_punct,
+       |  CASE WHEN len(ws) = 0 THEN 0.0
+       |   ELSE CAST(len(list_filter(ws, w -> list_contains($stopLit, w))) AS DOUBLE)
+       |     / len(ws) END AS raw_stop,
+       |  $langScores
+       |  FROM w),
+       | scored AS (SELECT *, $bestExpr AS best FROM base)
+       | SELECT doc_id, n_tokens, n_bpeish,
+       |  round(raw_avg_len, 6) AS avg_token_len,
+       |  round(raw_punct, 6) AS punct_ratio,
+       |  round(raw_stop, 6) AS stopword_ratio,
+       |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |    + 0.3 * (1.0 - raw_punct) + 0.3 * raw_stop, 6) AS quality,
+       |  $langCase AS lang_pred,
+       |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash
+       | FROM scored ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+}
