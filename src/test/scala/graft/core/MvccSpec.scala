@@ -1,0 +1,64 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** MVCC shadowing guarantees — mirrors the reference's
+  * explicit-correctness scenarios (tombstone permanence, latest-wins;
+  * `/root/reference/docs/DESIGN.md:27-33`,
+  * `src/tests/scenarios/tombstone_sequencing.zig`).
+  */
+class MvccSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base: DataFrame = Seq(
+    ("x", 1L, "v1", false),
+    ("x", 2L, "v2", false),   // shadows seq 1
+    ("y", 1L, "w1", false),
+    ("z", 1L, "g1", false),
+    ("z", 2L, null.asInstanceOf[String], true),  // tombstone shadows g1
+  ).toDF("id", "sequence", "content", "is_deleted")
+
+  private def currentMap(df: DataFrame): Map[String, (Long, String)] =
+    Schemas.currentView(df).collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[Long]("sequence"), r.getAs[String]("content"))).toMap
+
+  test("latest sequence wins; tombstone shadows") {
+    val cur = currentMap(base)
+    assert(cur == Map("x" -> (2L, "v2"), "y" -> (1L, "w1")))
+  }
+
+  test("put assigns sequences above the existing max, in id order") {
+    val puts = Seq(("b", "nb"), ("a", "na")).toDF("id", "content")
+    val v2 = Mvcc.putBlocks(base, puts)
+    val cur = currentMap(v2)
+    assert(cur("a") == (3L, "na"))   // 'a' ranks before 'b'
+    assert(cur("b") == (4L, "nb"))
+    assert(cur("x") == (2L, "v2"))
+  }
+
+  test("delete then re-put resurrects with a higher sequence") {
+    val v2 = Mvcc.deleteBlocks(base, Seq("x"))
+    assert(!currentMap(v2).contains("x"))
+    val v3 = Mvcc.putBlocks(v2, Seq(("x", "v3")).toDF("id", "content"))
+    assert(currentMap(v3)("x") == (4L, "v3")) // delete took seq 3
+  }
+
+  test("put_edge dedups identical (src,dst,type)") {
+    val e1 = Seq(("a", "b", "calls")).toDF("src", "dst", "edge_type")
+    val e2 = Seq(("a", "b", "calls"), ("a", "b", "imports"))
+      .toDF("src", "dst", "edge_type")
+    assert(Mvcc.putEdges(e1, e2).count() == 2)
+  }
+
+  test("deterministic blockId is stable and distinct") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("ws", "f:a"), ("ws", "f:b"), ("ws2", "f:a"))
+      .toDF("ws", "uid")
+      .select(Schemas.blockId(col("ws"), col("uid")).as("id"))
+    val ids = df.collect().map(_.getString(0))
+    assert(ids.distinct.length == 3)
+    assert(ids.forall(_.matches("[0-9a-f]{32}")))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "s1"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog", "s1"),   // near dup
+    (4L, "completely different content about spark engines", "s1"),
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val r = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("canonical_id", "dup_count").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("identical texts share the full minhash signature") {
+    val bands = Dedup.minhashBands(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(bands(1L) == bands(2L))
+    assert(bands(1L) != bands(4L))
+  }
+
+  test("minhash pairs surface the exact duplicate") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("simhash is deterministic and equal for identical text") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) >= 0 && sh(1L) < 65536)
+    val again = docs.select(Dedup.simhash16(col("text")).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == docs.select(Dedup.simhash16(col("text")).as("s"))
+      .collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("simhash near-dup pairs include identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("ngram jaccard: identical = 1.0, near dup high, unrelated absent") {
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", "source",
+      n = 2, threshold = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(!j.contains((1L, 4L)))
+  }
+
+  test("shingles of short text are empty, not an error") {
+    val n = Seq((9L, "one two", "s")).toDF("doc_id", "text", "source")
+      .select(size(Dedup.shingles(col("text"), 3)).as("n")).head().getInt(0)
+    assert(n == 0)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),     // identical to query
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),     // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1),    // opposite
+    (4L, Array(1.0f, 1.0f, 0.0f), 0),     // 45 degrees
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical 1, orthogonal 0, opposite -1") {
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) == 0.0)
+    assert(pairs((0L, 3L)) == -1.0)
+    assert(pairs((0L, 4L)) == 0.707107)
+  }
+
+  test("zero vector cosine is 0, not NaN") {
+    val z = Seq((9L, Array(0.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val c = z.crossJoin(emb.filter(col("vec_id") === 0).select(col("embedding").as("q")))
+      .select(Similarity.cosine(col("embedding"), col("q")).as("c"))
+      .head().getDouble(0)
+    assert(c == 0.0)
+  }
+
+  test("brute-force top-k ranks by score then id") {
+    val r = Similarity.bruteForceTopK(emb, 0L, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r == Seq((1L, 1.0), (4L, 0.707107), (2L, 0.0)))
+  }
+
+  test("near-dup pairs above threshold") {
+    val p = Similarity.nearDupPairs(emb, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p == Set((0L, 1L)))
+  }
+
+  test("LSH: identical vectors share a bucket; planes are deterministic") {
+    val pl = Similarity.planes(4, 3)
+    assert(pl.toSeq.map(_.toSeq) == Similarity.planes(4, 3).toSeq.map(_.toSeq))
+    val b = emb.select(col("vec_id"), Similarity.lshBucket(col("embedding"), pl).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+  }
+
+  test("IVF with enough probes finds the brute-force winner") {
+    val r = Similarity.ivfTopK(emb, 0L, 1, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L))
+  }
+}

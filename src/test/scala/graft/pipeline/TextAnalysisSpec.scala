@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  private def stat(text: String, c: org.apache.spark.sql.Column): Any =
+    one(text).select(c.as("v")).head().get(0)
+
+  test("token count splits on whitespace runs") {
+    assert(stat("a  b\tc", TextAnalysis.tokenCount(col("text"))) == 3)
+    assert(stat("", TextAnalysis.tokenCount(col("text"))) == 0)
+  }
+
+  test("bpe-ish count: alpha runs, digits, marks") {
+    // "ab12 c!" -> [ab][1][2][c][!]
+    assert(stat("ab12 c!", TextAnalysis.bpeishCount(col("text"))) == 5)
+  }
+
+  test("avg token length is the exact rational") {
+    assert(stat("ab cdef", TextAnalysis.avgTokenLen(col("text"))) == 3.0)
+  }
+
+  test("punct ratio counts non-alphanumerics") {
+    assert(stat("ab!?", TextAnalysis.punctRatio(col("text"))) == 0.5)
+    assert(stat("", TextAnalysis.punctRatio(col("text"))) == 0.0)
+  }
+
+  test("stopword ratio is frequency-weighted") {
+    assert(stat("the the fox", TextAnalysis.stopwordRatio(col("text"))) == 2.0 / 3.0)
+  }
+
+  test("quality score stays in [0,1]") {
+    Seq("", "the a of to in", "x!@#$%", ("word " * 200).trim).foreach { t =>
+      val q = stat(t, TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+      assert(q >= 0.0 && q <= 1.0, s"quality($t) = $q")
+    }
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    assert(stat("the cat and the dog", TextAnalysis.langId(col("text"))) == "en")
+    assert(stat("le chat est en colère", TextAnalysis.langId(col("text"))) == "fr")
+    assert(stat("der hund ist nicht da", TextAnalysis.langId(col("text"))) == "de")
+    assert(stat("xyzzy plugh", TextAnalysis.langId(col("text"))) == "und")
+  }
+
+  test("content hash is whitespace-insensitive via normalization") {
+    val h1 = stat("Hello  World", TextAnalysis.contentHash(col("text")))
+    val h2 = stat("hello world ", TextAnalysis.contentHash(col("text")))
+    assert(h1 == h2)
+  }
+
+  test("min k-gram fingerprint matches for shifted content") {
+    // shared 8-gram windows dominate: the minimum hash is likely shared
+    val a = stat("abcdefghijklmnop", TextAnalysis.minKgramHash(col("text"), 8))
+    val b = stat("xx abcdefghijklmnop", TextAnalysis.minKgramHash(col("text"), 8))
+    // not guaranteed equal in general, but both deterministic
+    assert(a == stat("abcdefghijklmnop", TextAnalysis.minKgramHash(col("text"), 8)))
+    assert(b.toString.matches("[0-9a-f]{32}"))
+  }
+
+  test("analyze emits one row per document with all columns") {
+    val df = TextAnalysis.analyze(
+      Seq((1L, "the quick brown fox"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(df.columns.toSeq == Seq("doc_id", "n_tokens", "n_bpeish",
+      "avg_token_len", "punct_ratio", "stopword_ratio", "quality",
+      "lang_pred", "content_hash"))
+    assert(df.count() == 2)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ns(min: Long): Long = min * 60L * 1000000000L
+
+  private lazy val events = Seq(
+    // (event_id, ts_ns, user_id, event_type, value)
+    (1L, ns(5), 1L, "click", 1.0),
+    (2L, ns(20), 1L, "click", 2.0),
+    (3L, ns(65), 1L, "view", 3.0),
+    (4L, ns(70), 2L, "click", 4.0),
+    (5L, ns(140), 1L, "click", 5.0),  // >30min gap for user 1 after 70
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumbling windows bucket by hour with counts and sums") {
+    val r = EventStreams.tumbling(EventStreams.withEventTime(events))
+      .collect().map(x => (x.getLong(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    assert(r == Map(
+      (0L, "click") -> (2L, 3.0),
+      (3600L, "view") -> (1L, 3.0),
+      (3600L, "click") -> (1L, 4.0),
+      (7200L, "click") -> (1L, 5.0)))
+  }
+
+  test("sliding windows cover each event twice") {
+    val r = EventStreams.sliding(EventStreams.withEventTime(events))
+    assert(r.agg(sum("n")).head().getLong(0) == 2 * events.count())
+  }
+
+  test("sessionization splits on >30min gaps per user") {
+    val r = EventStreams.sessionCounts(EventStreams.withEventTime(events))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // user 1: events at 5,20 | 65 | 140 min -> gaps 45min and 70min -> 3 sessions
+    assert(r(1L) == (3L, 4L))
+    assert(r(2L) == (1L, 1L))
+  }
+
+  test("the same transform runs on a stream with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamed = EventStreams.tumbling(
+      EventStreams.withEventTime(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .withWatermark("event_time", "2 hours"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("tumbling_test").outputMode("complete").start()
+    try {
+      mem.addData((1L, ns(5), 1L, "click", 1.0), (2L, ns(20), 1L, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from tumbling_test").collect()
+      assert(rows.map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet ==
+        Set((0L, "click", 2L)))
+    } finally q.stop()
+  }
+}
