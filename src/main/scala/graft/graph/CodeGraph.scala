@@ -25,11 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object CodeGraph {
 
+  /** The derived graph is materialized once per (session, dir) and
+    * persisted — the Spark analogue of the reference's on-disk edge
+    * index (`src/storage/graph_edge_index.zig`): traversals must join
+    * against a stored table, not re-pay the derivation scan. At 100 TB
+    * this is a bucketed-by-`src` table written at ingest; here a
+    * persisted view gives the same once-per-job cost.
+    */
+  private val memoCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def memo(spark: SparkSession, dir: String, what: String)
+                  (build: => DataFrame): DataFrame =
+    memoCache.getOrElseUpdate(s"${System.identityHashCode(spark)}|$dir|$what",
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Typed edge table: src STRING, dst STRING, edge_type STRING.
     * Node ids are prefixed keys: C<custkey>, S<suppkey>, N<nationkey>,
     * R<regionkey>, O<orderkey>, P<partkey>.
     */
-  def edges(spark: SparkSession, dir: String): DataFrame = {
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "edges")(edgesUncached(spark, dir))
+
+  private def edgesUncached(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select(
       concat(lit("C"), col("c_custkey")).as("src"),
       concat(lit("N"), col("c_nationkey")).as("dst"),
@@ -106,7 +124,10 @@ object CodeGraph {
     * reference convention "<container>:<type>:<name>" so qualified-name
     * matching has real structure.
     */
-  def nodeBlocks(spark: SparkSession, dir: String): DataFrame = {
+  def nodeBlocks(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "nodeBlocks")(nodeBlocksUncached(spark, dir))
+
+  private def nodeBlocksUncached(spark: SparkSession, dir: String): DataFrame = {
     def mk(df: DataFrame, prefix: String, key: String, utype: String,
            content: Column): DataFrame =
       df.select(

@@ -1,0 +1,44 @@
+package graft.query
+
+import graft.SparkSpec
+
+class QueryCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(n: Int) = (1 to n).toDF("x")
+
+  test("hit returns the same DataFrame and counts stats") {
+    val c = new QueryCache()
+    val a = c.getOrElseUpdate("k")(df(3))
+    val b = c.getOrElseUpdate("k")(df(99))
+    assert(a eq b)
+    assert(b.count() == 3)
+    assert(c.stats == (1L, 1L, 0L))
+  }
+
+  test("TTL expiry recomputes") {
+    var now = 0L
+    val c = new QueryCache(ttlMs = 10, clock = () => now)
+    c.getOrElseUpdate("k")(df(3))
+    now = 11
+    val b = c.getOrElseUpdate("k")(df(5))
+    assert(b.count() == 5)
+    assert(c.stats._3 == 1L) // one eviction
+  }
+
+  test("overflow evicts the LRU quarter") {
+    val c = new QueryCache(maxEntries = 4)
+    (1 to 5).foreach(i => c.getOrElseUpdate(s"k$i")(df(i)))
+    assert(c.size == 4)
+    assert(c.getOrElseUpdate("k1")(df(42)).count() == 42) // k1 was evicted
+  }
+
+  test("invalidateAll empties the cache") {
+    val c = new QueryCache()
+    c.getOrElseUpdate("a")(df(1))
+    c.getOrElseUpdate("b")(df(2))
+    c.invalidateAll()
+    assert(c.size == 0)
+    assert(c.getOrElseUpdate("a")(df(7)).count() == 7)
+  }
+}
