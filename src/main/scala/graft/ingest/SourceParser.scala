@@ -1,0 +1,127 @@
+package graft.ingest
+
+/** Ingestion-side contract, mirroring the reference's `ParsedUnit`
+  * (`/root/reference/src/ingestion/pipeline_types.zig:56-95`): a parsed
+  * semantic unit plus its outgoing raw edges (`ParsedEdge`, `:35-50`,
+  * target still a *name*, resolved later by [[SemanticResolver]]).
+  */
+final case class ParsedEdge(edgeType: String, targetName: String)
+
+final case class ParsedUnit(
+    unitId: String,          // "<file_path>:<entity>" or "<file_path>:<Container>:<entity>"
+    unitType: String,        // function | type | const | import | test | document
+    name: String,
+    parentContainer: String, // "" at top level
+    filePath: String,
+    lineStart: Int,
+    lineEnd: Int,
+    content: String,
+    edges: Seq[ParsedEdge])
+
+/** Pluggable parser: (path, content) → units. The reference walks a real
+  * Zig AST (`parsers/zig_parser.zig`); that is language tooling, not
+  * engine — the JVM build ships a line/regex extractor for a simple
+  * brace language that preserves the unit/edge CONTRACT exactly
+  * (SURVEY.md §7.4 risk note). Runs inside `mapPartitions`/`flatMap`
+  * over a files DataFrame, so any real parser (tree-sitter via JNI, …)
+  * drops in per-partition.
+  */
+trait SourceParser extends Serializable {
+  def parse(filePath: String, content: String): Seq[ParsedUnit]
+}
+
+/** Extractor for a Zig-ish toy language:
+  *   - `fn name(args) { ... }`            → function unit
+  *   - `type Name { ... }`                → type (container) unit;
+  *      nested `fn` inside a type body gets parent = Name and a
+  *      `method_of` edge (reference `zig_parser.zig:350-357`)
+  *   - `const NAME = ...` / `var NAME`    → const/var unit
+  *   - `import "x"` / `import x`          → import unit + `imports` edge
+  *   - `test "name" { ... }`              → test unit
+  *   - `callee(...)` inside a body        → `calls` edge with the raw
+  *      callee name (resolved later; reference `zig_parser.zig:382-441`)
+  * Non-code files (no recognized declarations) become one `document`
+  * unit, like the reference's content-type dispatch
+  * (`ingest_file.zig:44-58`).
+  */
+object SimpleParser extends SourceParser {
+  private val FnRe = """^\s*fn\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(.*""".r
+  private val TypeRe = """^\s*type\s+([A-Za-z_][A-Za-z0-9_]*)\s*\{.*""".r
+  private val ConstRe = """^\s*(const|var)\s+([A-Za-z_][A-Za-z0-9_]*).*""".r
+  private val ImportRe = """^\s*import\s+"?([A-Za-z0-9_./]+)"?\s*;?\s*$""".r
+  private val TestRe = """^\s*test\s+"([^"]+)"\s*\{.*""".r
+  private val CallRe = """([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+  private val Keywords = Set("fn", "if", "while", "for", "switch", "type", "test")
+
+  def parse(filePath: String, content: String): Seq[ParsedUnit] = {
+    val lines = content.split("\n", -1)
+    val units = scala.collection.mutable.ArrayBuffer.empty[ParsedUnit]
+    var container = ""          // current `type` block, by brace depth
+    var containerDepth = 0
+    var depth = 0
+
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      val lineNo = i + 1
+      line match {
+        case TypeRe(name) =>
+          units += ParsedUnit(s"$filePath:$name", "type", name, "", filePath,
+            lineNo, lineNo, line.trim, Seq.empty)
+          container = name
+          containerDepth = depth
+        case FnRe(name) =>
+          val parent = if (container.nonEmpty && depth > containerDepth) container else ""
+          val (body, endLine) = readBody(lines, i)
+          val calls = body.flatMap(extractCalls).filterNot(_ == name).distinct
+          val unitId = if (parent.isEmpty) s"$filePath:$name"
+                       else s"$filePath:$parent:$name"
+          val edges = calls.map(c => ParsedEdge("calls", c)) ++
+            (if (parent.nonEmpty) Seq(ParsedEdge("method_of", parent)) else Seq.empty)
+          units += ParsedUnit(unitId, "function", name, parent, filePath,
+            lineNo, endLine, (line +: body).mkString("\n").trim, edges)
+        case ConstRe(kind, name) =>
+          units += ParsedUnit(s"$filePath:$name", kind, name, "", filePath,
+            lineNo, lineNo, line.trim, Seq.empty)
+        case ImportRe(target) =>
+          units += ParsedUnit(s"$filePath:import:$target", "import", target, "",
+            filePath, lineNo, lineNo, line.trim,
+            Seq(ParsedEdge("imports", target)))
+        case TestRe(name) =>
+          val (body, endLine) = readBody(lines, i)
+          val calls = body.flatMap(extractCalls).distinct
+          units += ParsedUnit(s"$filePath:test:$name", "test", name, "",
+            filePath, lineNo, endLine, (line +: body).mkString("\n").trim,
+            calls.map(c => ParsedEdge("calls", c)))
+        case _ => ()
+      }
+      depth += line.count(_ == '{') - line.count(_ == '}')
+      if (container.nonEmpty && depth <= containerDepth) container = ""
+      i += 1
+    }
+    if (units.isEmpty && content.trim.nonEmpty)
+      Seq(ParsedUnit(s"$filePath:document", "document",
+        filePath.split('/').last, "", filePath, 1, lines.length,
+        content, Seq.empty))
+    else units.toSeq
+  }
+
+  /** Body lines of a brace block opened on `lines(start)` (exclusive of
+    * the opening line), plus the 1-based end line.
+    */
+  private def readBody(lines: Array[String], start: Int): (Seq[String], Int) = {
+    var depth = lines(start).count(_ == '{') - lines(start).count(_ == '}')
+    if (depth <= 0) return (Seq.empty, start + 1)
+    val body = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = start + 1
+    while (j < lines.length && depth > 0) {
+      depth += lines(j).count(_ == '{') - lines(j).count(_ == '}')
+      if (depth > 0 || lines(j).trim != "}") body += lines(j)
+      j += 1
+    }
+    (body.toSeq, j)
+  }
+
+  private def extractCalls(line: String): Seq[String] =
+    CallRe.findAllMatchIn(line).map(_.group(1)).filterNot(Keywords).toSeq
+}

@@ -1,0 +1,58 @@
+package graft.ingest
+
+import graft.core.{Mvcc, Schemas}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Workspace registry + link/unlink/sync lifecycle, reference
+  * `src/workspace/manager.zig:113-377`. The reference persists the
+  * registry as a special metadata block; here it is its own tiny MVCC
+  * table (same latest-sequence-wins view), so registry history is
+  * queryable like everything else.
+  */
+object Workspace {
+
+  def emptyRegistry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long, Boolean)]
+      .toDF("id", "root_path", "sequence", "is_deleted")
+  }
+
+  /** `link_codebase`: register + ingest → (registry', blocks, edges). */
+  def link(registry: DataFrame, name: String, rootPath: String,
+           files: org.apache.spark.sql.Dataset[Ingest.FileDoc],
+           parser: SourceParser = SimpleParser): (DataFrame, DataFrame, DataFrame) = {
+    val spark = registry.sparkSession
+    import spark.implicits._
+    val reg2 = Mvcc.putBlocks(registry,
+      Seq((name, rootPath)).toDF("id", "root_path"))
+    val units = Ingest.parseFiles(files, parser)
+    val blocks = Ingest.unitsToBlocks(units, name)
+    val edges = SemanticResolver.edgesAsBlocks(units, name)
+    (reg2, blocks, edges)
+  }
+
+  /** `unlink_codebase`: tombstone the registry row; blocks are NOT
+    * physically removed (`manager.zig:192-247`).
+    */
+  def unlink(registry: DataFrame, name: String): DataFrame =
+    Mvcc.deleteBlocks(registry, Seq(name))
+
+  /** `sync_codebase`: re-ingest a linked workspace — the Parquet
+    * `replaceWhere` shape: drop the workspace's partition from the
+    * blocks/edges tables and append the fresh parse.
+    */
+  def sync(blocks: DataFrame, edges: DataFrame, name: String,
+           files: org.apache.spark.sql.Dataset[Ingest.FileDoc],
+           parser: SourceParser = SimpleParser): (DataFrame, DataFrame) = {
+    val units = Ingest.parseFiles(files, parser)
+    val freshBlocks = Ingest.unitsToBlocks(units, name)
+    val freshEdges = SemanticResolver.edgesAsBlocks(units, name)
+    (blocks.filter(col("workspace") =!= name).unionByName(freshBlocks),
+      edges.filter(col("workspace") =!= name).unionByName(freshEdges))
+  }
+
+  /** Linked workspaces = MVCC current view of the registry. */
+  def linked(registry: DataFrame): DataFrame =
+    Schemas.currentView(registry).select("id", "root_path")
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.graph.{CodeGraph, GraphAlgos}
+import graft.ingest.{Ingest, SemanticResolver, SimpleParser}
+import org.apache.spark.sql.functions._
+
+/** Entries for the ingestion pipeline and the heavier graph algorithms.
+  *
+  * The ingestion entries parse an embedded demo codebase (no fixture
+  * dependency), so their oracle is the expected output as literal
+  * VALUES — a golden-output check that catches any parser/resolver
+  * regression.
+  */
+object QueriesIngest {
+  import QueriesCore.Entry
+
+  private val E = CodeGraph.edgesSql
+
+  private val demoMain =
+    """import "util.zig"
+      |const MAX = 100
+      |fn main() {
+      |  helper(MAX)
+      |  Parser.parse()
+      |}
+      |type Parser {
+      |  fn parse() {
+      |    tokenize()
+      |  }
+      |  fn tokenize() {
+      |  }
+      |}
+      |test "main works" {
+      |  main()
+      |}
+      |""".stripMargin
+
+  private val demoUtil =
+    """fn helper(x) {
+      |  log(x)
+      |}
+      |fn log(x) {
+      |}
+      |""".stripMargin
+
+  private def demoFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(Ingest.FileDoc("src/main.zig", demoMain),
+      Ingest.FileDoc("src/util.zig", demoUtil)).toDS()
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    ("ingest_units",
+      (s, d) => Ingest.parseFiles(demoFiles(s), SimpleParser)
+        .toDF().select(col("unitId").as("unit_id"),
+          col("unitType").as("unit_type"), col("name"),
+          col("parentContainer").as("parent"))
+        .orderBy("unit_id"),
+      Some("""SELECT * FROM (VALUES
+        | ('src/main.zig:MAX', 'const', 'MAX', ''),
+        | ('src/main.zig:Parser', 'type', 'Parser', ''),
+        | ('src/main.zig:Parser:parse', 'function', 'parse', 'Parser'),
+        | ('src/main.zig:Parser:tokenize', 'function', 'tokenize', 'Parser'),
+        | ('src/main.zig:import:util.zig', 'import', 'util.zig', ''),
+        | ('src/main.zig:main', 'function', 'main', ''),
+        | ('src/main.zig:test:main works', 'test', 'main works', ''),
+        | ('src/util.zig:helper', 'function', 'helper', ''),
+        | ('src/util.zig:log', 'function', 'log', '')
+        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("ingest_resolved_edges",
+      (s, d) => SemanticResolver.resolveEdges(
+        Ingest.parseFiles(demoFiles(s), SimpleParser))
+        .orderBy("src_unit_id", "dst_unit_id", "edge_type"),
+      Some("""SELECT * FROM (VALUES
+        | ('src/main.zig:Parser:parse', 'src/main.zig:Parser', 'method_of'),
+        | ('src/main.zig:Parser:parse', 'src/main.zig:Parser:tokenize', 'calls'),
+        | ('src/main.zig:Parser:tokenize', 'src/main.zig:Parser', 'method_of'),
+        | ('src/main.zig:main', 'src/main.zig:Parser:parse', 'calls'),
+        | ('src/main.zig:main', 'src/util.zig:helper', 'calls'),
+        | ('src/main.zig:test:main works', 'src/main.zig:main', 'calls'),
+        | ('src/util.zig:helper', 'src/util.zig:log', 'calls')
+        |) t(src_unit_id, dst_unit_id, edge_type)
+        | ORDER BY src_unit_id, dst_unit_id, edge_type"""
+        .stripMargin.replace("\n", " "))),
+
+    ("bidirectional_search",
+      (s, d) => GraphAlgos.bidirectionalSearch(
+        CodeGraph.edges(s, d), "O0", "R0", maxDepth = 4).orderBy("id"),
+      Some(s"""WITH RECURSIVE e AS ($E),
+        | f AS (SELECT 'O0' AS id, 0 AS depth
+        |   UNION ALL SELECT e.dst, f.depth + 1 FROM f JOIN e ON e.src = f.id
+        |    WHERE f.depth < 2),
+        | fwd AS (SELECT id, MIN(depth) AS depth_fwd FROM f GROUP BY id),
+        | b AS (SELECT 'R0' AS id, 0 AS depth
+        |   UNION ALL SELECT e.src, b.depth + 1 FROM b JOIN e ON e.dst = b.id
+        |    WHERE b.depth < 2),
+        | bwd AS (SELECT id, MIN(depth) AS depth_bwd FROM b GROUP BY id),
+        | meet AS (SELECT fwd.id, depth_fwd, depth_bwd,
+        |    depth_fwd + depth_bwd AS dist
+        |   FROM fwd JOIN bwd ON fwd.id = bwd.id)
+        | SELECT id, depth_fwd, depth_bwd, dist FROM meet
+        | WHERE dist = (SELECT MIN(dist) FROM meet) ORDER BY id"""
+        .stripMargin.replace("\n", " "))),
+
+    ("scc_components",
+      (s, d) => GraphAlgos.stronglyConnected(
+        CodeGraph.edges(s, d)
+          .filter(col("edge_type").isin("in_nation", "in_region")))
+        .orderBy("id"),
+      // the geo subgraph is a DAG: every node is its own SCC — and the
+      // engine must prove it (the reference fakes SCC as DFS; we don't)
+      Some(s"""WITH e AS ($E),
+        | g AS (SELECT src, dst FROM e
+        |   WHERE edge_type IN ('in_nation', 'in_region')),
+        | nodes AS (SELECT src AS id FROM g UNION SELECT dst FROM g)
+        | SELECT id, id AS component FROM nodes ORDER BY id"""
+        .stripMargin.replace("\n", " "))),
+  )
+}

@@ -1,0 +1,37 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class GraphAlgosSpec extends SparkSpec {
+  import spark.implicits._
+
+  //  a -> b -> c -> d,  a -> x -> d  (two paths),  loop: p <-> q
+  private lazy val edges = Seq(
+    ("a", "b", "calls"), ("b", "c", "calls"), ("c", "d", "calls"),
+    ("a", "x", "calls"), ("x", "d", "calls"),
+    ("p", "q", "calls"), ("q", "p", "calls"),
+  ).toDF("src", "dst", "edge_type")
+
+  test("bidirectional search meets in the middle at min distance") {
+    val r = GraphAlgos.bidirectionalSearch(edges, "a", "d", maxDepth = 4)
+      .collect().map(x => x.getAs[String]("id") ->
+        (x.getAs[Int]("depth_fwd"), x.getAs[Int]("depth_bwd"),
+          x.getAs[Int]("dist"))).toMap
+    // every node on the realized shortest path a->x->d meets at dist 2
+    assert(r.keySet == Set("a", "x", "d"))
+    assert(r("x") == (1, 1, 2))
+    assert(r("a") == (0, 2, 2))
+    assert(r("d") == (2, 0, 2))
+  }
+
+  test("bidirectional search: no meeting is empty") {
+    assert(GraphAlgos.bidirectionalSearch(edges, "d", "a", maxDepth = 4).isEmpty)
+  }
+
+  test("SCC labels cycle members together, DAG nodes alone") {
+    val r = GraphAlgos.stronglyConnected(edges).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r("p") == "p" && r("q") == "p") // cycle {p,q} labelled min id
+    assert(Set("a", "b", "c", "d", "x").forall(n => r(n) == n))
+  }
+}

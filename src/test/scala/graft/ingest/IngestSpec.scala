@@ -1,0 +1,145 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.graph.{Direction, Traversal, TraversalSpec}
+import graft.query.NameResolver
+import org.apache.spark.sql.functions._
+
+/** Ingestion pipeline: parser contract, unit→block translation, symbol
+  * resolution, and the end-to-end README demo (ingest → find_by_name →
+  * callers). Mirrors `/root/reference/src/tests/scenarios/ingestion.zig`
+  * and `semantic_resolver.zig` tests.
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mainZig =
+    """import "util.zig"
+      |const MAX = 100
+      |fn main() {
+      |  helper(MAX)
+      |  Parser.parse()
+      |}
+      |type Parser {
+      |  fn parse() {
+      |    tokenize()
+      |  }
+      |  fn tokenize() {
+      |  }
+      |}
+      |test "main works" {
+      |  main()
+      |}
+      |""".stripMargin
+
+  private val utilZig =
+    """fn helper(x) {
+      |  log(x)
+      |}
+      |fn log(x) {
+      |}
+      |""".stripMargin
+
+  private def files = Seq(
+    Ingest.FileDoc("src/main.zig", mainZig),
+    Ingest.FileDoc("src/util.zig", utilZig),
+    Ingest.FileDoc("README.md", "just docs, no code"),
+  ).toDS()
+
+  private lazy val units = Ingest.parseFiles(files, SimpleParser).collect().toSeq
+
+  test("parser extracts functions, types, consts, imports, tests, documents") {
+    val byType = units.groupBy(_.unitType).view.mapValues(_.size).toMap
+    assert(byType("function") == 5) // main, parse, tokenize, helper, log
+    assert(byType("type") == 1)
+    assert(byType("const") == 1)
+    assert(byType("import") == 1)
+    assert(byType("test") == 1)
+    assert(byType("document") == 1) // README
+  }
+
+  test("container functions get qualified unit_ids and method_of edges") {
+    val parse = units.find(_.unitId == "src/main.zig:Parser:parse").get
+    assert(parse.parentContainer == "Parser")
+    assert(parse.edges.contains(ParsedEdge("method_of", "Parser")))
+    assert(parse.edges.contains(ParsedEdge("calls", "tokenize")))
+  }
+
+  test("call edges carry raw names; keywords excluded") {
+    val main = units.find(_.unitId == "src/main.zig:main").get
+    assert(main.edges.map(_.targetName).toSet == Set("helper", "parse"))
+  }
+
+  test("source_uri and deterministic ids in block translation") {
+    val blocks = Ingest.unitsToBlocks(
+      Ingest.parseFiles(files, SimpleParser), "ws")
+    val row = blocks.filter(col("unit_id") === "src/main.zig:main").head()
+    assert(row.getAs[String]("source_uri") == "file://src/main.zig#L3-L6")
+    assert(row.getAs[String]("id").matches("[0-9a-f]{32}"))
+    assert(blocks.select("id").distinct().count() == blocks.count())
+  }
+
+  test("file size cap and empty files are rejected") {
+    val big = Seq(Ingest.FileDoc("big", "x" * (1024 * 1024 + 1)),
+      Ingest.FileDoc("", "content"), Ingest.FileDoc("empty", "")).toDS()
+    assert(Ingest.parseFiles(big, SimpleParser).isEmpty)
+  }
+
+  test("scoped resolution prefers the same container") {
+    // parse() calls tokenize(): both Parser.tokenize (scoped) exists —
+    // must resolve to the container's, not any global one
+    val edges = SemanticResolver.resolveEdges(Ingest.parseFiles(files, SimpleParser))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(edges.contains(("src/main.zig:Parser:parse",
+      "src/main.zig:Parser:tokenize", "calls")))
+    assert(edges.contains(("src/main.zig:main", "src/util.zig:helper", "calls")))
+    // unresolved log->? no: log is global in util.zig
+    assert(edges.contains(("src/util.zig:helper", "src/util.zig:log", "calls")))
+  }
+
+  test("unresolved targets drop instead of failing") {
+    val orphan = Seq(Ingest.FileDoc("a.zig", "fn f() {\n  ghost()\n}\n")).toDS()
+    val edges = SemanticResolver.resolveEdges(Ingest.parseFiles(orphan, SimpleParser))
+    assert(edges.isEmpty)
+  }
+
+  test("end-to-end README demo: ingest -> find_by_name -> callers") {
+    val u = Ingest.parseFiles(files, SimpleParser)
+    val blocks = Ingest.unitsToBlocks(u, "demo")
+    val edges = SemanticResolver.edgesAsBlocks(u, "demo")
+    // kausal find --type function --name helper
+    val anchor = NameResolver.findByName(blocks, "demo", "function", "helper")
+    val seedId = anchor.select("id").head().getString(0)
+    // kausal show --relation callers --target helper
+    val callers = Traversal.bfs(edges, Seq(seedId).toDF("id"),
+      TraversalSpec(Direction.Incoming, maxDepth = 3))
+      .join(blocks, Seq("id"))
+      .select("unit_id", "depth").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(callers("src/util.zig:helper") == 0)
+    assert(callers("src/main.zig:main") == 1)          // main calls helper
+    assert(callers("src/main.zig:test:main works") == 2) // test calls main
+  }
+
+  test("workspace link/unlink/sync lifecycle") {
+    val reg0 = Workspace.emptyRegistry(spark)
+    val (reg1, blocks, edges) = Workspace.link(reg0, "demo", "/src", files)
+    assert(Workspace.linked(reg1).collect().map(_.getString(0)).toSeq == Seq("demo"))
+    assert(blocks.count() > 0 && edges.count() > 0)
+
+    val reg2 = Workspace.unlink(reg1, "demo")
+    assert(Workspace.linked(reg2).isEmpty)
+
+    // sync replaces the workspace partition with a fresh parse
+    val files2 = Seq(Ingest.FileDoc("src/only.zig", "fn solo() {\n}\n")).toDS()
+    val (b2, e2) = Workspace.sync(blocks, edges, "demo", files2)
+    assert(b2.filter(col("workspace") === "demo").count() == 1)
+    assert(e2.filter(col("workspace") === "demo").isEmpty)
+  }
+
+  test("ingestion stats aggregate files/blocks/edges") {
+    val u = Ingest.parseFiles(files, SimpleParser)
+    val s = Ingest.stats(files, u).head()
+    assert(s.getLong(0) == 3 && s.getLong(1) == 10 && s.getLong(2) > 0)
+  }
+}
