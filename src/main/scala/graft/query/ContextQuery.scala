@@ -51,6 +51,23 @@ object ContextQuery {
     require(maxTotalNodes >= 1 && maxTotalNodes <= 10000)
   }
 
+  /** Static pre-flight cost estimate, `estimate_cost`
+    * (`context_query.zig:225-258`): time = anchors·10µs +
+    * Σ rules·max_depth·5µs, memory = max_total_nodes·2KB; queries over
+    * 1s / 100MB are rejected before execution. On Spark the real
+    * optimizer is Catalyst CBO/AQE — this estimator exists for API
+    * parity and driver-side admission control.
+    */
+  final case class CostEstimate(timeUs: Long, memoryBytes: Long) {
+    def acceptable: Boolean =
+      timeUs <= 1000000L && memoryBytes <= 100L * 1024 * 1024
+  }
+
+  def estimateCost(spec: Spec): CostEstimate = CostEstimate(
+    timeUs = spec.anchors.size * 10L +
+      spec.rules.map(r => r.maxDepth * 5L).sum,
+    memoryBytes = spec.maxTotalNodes * 2048L)
+
   /** Phase 1 — anchor resolution (`context/engine.zig:214-283`): each
     * anchor yields seed block ids, all workspace-validated.
     */

@@ -1,0 +1,90 @@
+package graft.api
+
+import graft.SparkSpec
+
+/** CLI command parsing, execution, and rendering — mirrors the
+  * reference's parser tests (`/root/reference/src/cli/parser.zig`) and
+  * e2e query assertions (`tests/e2e/query.zig`).
+  */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val blocks = Seq(
+    ("f1", "ws1", "function", "a.zig:main"),
+    ("f2", "ws1", "function", "a.zig:helper"),
+    ("i1", "ws1", "import", "a.zig:import:util"),
+    ("u1", "ws1", "function", "util.zig:util"),
+  ).map { case (id, ws, t, uid) =>
+    (id, 1L, ws, t, uid, "a.zig", s"content of $id", false)
+  }.toDF("id", "sequence", "workspace", "unit_type", "unit_id",
+    "file_path", "content", "is_deleted")
+
+  private lazy val edges = Seq(
+    ("f1", "f2", "calls"),
+    ("f1", "u1", "imports"),
+  ).toDF("src", "dst", "edge_type")
+
+  test("parse find with flags and defaults") {
+    assert(Cli.parse(Seq("find", "--type", "function", "--name", "main")) ==
+      Right(Cli.FindCmd("function", "main")))
+    assert(Cli.parse(Seq("find", "--type", "function", "--name", "main",
+      "--workspace", "ws1", "--max-results", "5", "--format", "json")) ==
+      Right(Cli.FindCmd("function", "main", "ws1", 5, "json")))
+  }
+
+  test("parse rejects bad input with messages") {
+    assert(Cli.parse(Seq()).isLeft)
+    assert(Cli.parse(Seq("explode")).isLeft)
+    assert(Cli.parse(Seq("find", "--type", "function")).isLeft)
+    assert(Cli.parse(Seq("find", "--type", "nonsense", "--name", "x")).isLeft)
+    assert(Cli.parse(Seq("show", "--relation", "callers", "--target", "x",
+      "--max-depth", "NaN")).isLeft)
+    assert(Cli.parse(Seq("trace", "--direction", "sideways", "--target", "x")).isLeft)
+  }
+
+  test("find resolves by name with struct_type alias") {
+    val r = Cli.execute(blocks, edges,
+      Cli.FindCmd("function", "helper", "ws1"))
+    assert(r.select("id").collect().map(_.getString(0)).toSeq == Seq("f2"))
+  }
+
+  test("show callers walks incoming edges") {
+    val r = Cli.execute(blocks, edges, Cli.ShowCmd("callers", "helper", "ws1"))
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(r == Map("f2" -> 0, "f1" -> 1))
+  }
+
+  test("show imports follows only import edges") {
+    val r = Cli.execute(blocks, edges, Cli.ShowCmd("imports", "main", "ws1", 2))
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(r == Map("f1" -> 0, "u1" -> 1)) // f2 (calls) excluded
+  }
+
+  test("trace callees emits paths") {
+    val r = Cli.execute(blocks, edges, Cli.TraceCmd("callees", "main"))
+      .collect().map(x => x.getString(0) -> x.getAs[String]("path")).toMap
+    assert(r("f2") == "f1->f2")
+    assert(r("u1") == "f1->u1")
+  }
+
+  test("render text/json/csv") {
+    val df = Seq(("a", 1), ("b,c", 2)).toDF("name", "n")
+    val text = Cli.render(df, "text")
+    assert(text.startsWith("name") && text.contains("b,c"))
+    val json = Cli.render(df, "json")
+    assert(json.contains("""{"name":"a","n":1}"""))
+    val csv = Cli.render(df, "csv")
+    assert(csv.linesIterator.toSeq == Seq("name,n", "a,1", "\"b,c\",2"))
+  }
+
+  test("estimate_cost mirrors the reference formula and limits") {
+    import graft.query.ContextQuery
+    import graft.graph.{Direction, EdgeFilter}
+    val spec = ContextQuery.Spec("ws", Seq(ContextQuery.ById("x")),
+      Seq(ContextQuery.Rule(Direction.Outgoing, EdgeFilter.All, 4)), 1000)
+    val c = ContextQuery.estimateCost(spec)
+    assert(c.timeUs == 10 + 4 * 5)
+    assert(c.memoryBytes == 1000 * 2048L)
+    assert(c.acceptable)
+  }
+}
