@@ -147,36 +147,38 @@ object Traversal {
     * (`traversal.zig:242-247`).
     */
   def topoLevels(edges: DataFrame, maxIters: Int = 100): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst")).distinct()
-    val spark = edges.sparkSession
-    val nodes0 = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct()
-    var remainingEdges = e0.localCheckpoint(true)
-    var remainingNodes = nodes0.localCheckpoint(true)
-    var out: DataFrame = null
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // Delta-Kahn: keep only the positive in-degree table and SUBTRACT the
+    // peeled layer's contribution each round, instead of re-materializing
+    // the remaining edge set — per-round cost is O(edges out of the
+    // layer), and the stored state (indeg) only shrinks.
+    var indeg = e.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var layer = nodes.join(indeg, Seq("id"), "left_anti") // roots
+      .localCheckpoint(true)
+    var out = layer.withColumn("level", lit(0))
     var level = 0
-    var done = false
-    while (!done && level < maxIters) {
-      // zero-in-degree layer = remaining nodes with no remaining in-edge
-      val layer = remainingNodes
-        .join(remainingEdges.select(col("dst").as("id")).distinct(),
-          Seq("id"), "left_anti")
+    var layerCount = layer.count()
+    while (layerCount > 0 && level < maxIters) {
+      level += 1
+      val dec = e
+        .join(layer.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .groupBy(col("dst").as("id")).agg(count(lit(1)).as("sub"))
+      val merged = indeg.join(dec, Seq("id"), "left")
+        .withColumn("deg2", col("deg") - coalesce(col("sub"), lit(0L)))
         .localCheckpoint(true)
-      if (layer.isEmpty) { done = true } // leftovers (if any) are cyclic
-      else {
-        val levelled = layer.withColumn("level", lit(level))
-        out = if (out == null) levelled else out.union(levelled)
-        remainingNodes = remainingNodes.join(layer, Seq("id"), "left_anti")
-          .localCheckpoint(true)
-        // drop edges originating from the peeled layer
-        remainingEdges = remainingEdges
-          .join(layer.select(col("id").as("src")), Seq("src"), "left_anti")
-          .localCheckpoint(true)
-        level += 1
-      }
+      layer = merged.filter(col("deg2") <= 0).select("id").localCheckpoint(true)
+      indeg = merged.filter(col("deg2") > 0)
+        .select(col("id"), col("deg2").as("deg"))
+      layerCount = layer.count()
+      if (layerCount > 0)
+        out = out.union(layer.withColumn("level", lit(level)))
     }
-    val cyclic = remainingNodes.withColumn("level", lit(-1))
-    if (out == null) cyclic else out.union(cyclic)
+    // anything still holding in-degree is on (or downstream of) a cycle
+    out.union(indeg.select("id").withColumn("level", lit(-1)))
   }
 
   /** All shortest paths between two nodes, reference `find_paths_between`
