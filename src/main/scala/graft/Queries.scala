@@ -25,7 +25,8 @@ object Queries {
     "bfs_out_depth3", "traverse_dfs_set", "bfs_edge_filter", "bfs_in_depth2",
     "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
     "context_query", "filter_bool_tree",
-    "dedup_minhash_bands", "dedup_exact", "ann_topk", "text_stats",
+    "dedup_minhash_bands", "dedup_exact", "ann_topk", "ann_topk_native",
+    "text_stats",
     "q1_agg", "q3_top_orders", "events_tumbling",
   )
 }

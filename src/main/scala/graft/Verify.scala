@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // fixture events.parquet has TIMESTAMP(NANOS) -> read as epoch-ns long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -58,6 +58,19 @@ object Dedup {
     }
   }
 
+  /** Scale-path signature: same construction with xxhash64 (codegen'd,
+    * ~10× cheaper than md5) — the variant a 100 TB run uses. Not
+    * oracle-portable (DuckDB has no xxhash64), hence a separate entry
+    * point; equivalence of the SHAPE is covered by the md5 variant's
+    * oracle plus the spec's identical-doc property tests.
+    */
+  def minhashSigFast(text: Column, n: Int, k: Int): Seq[Column] = {
+    val sh = shingles(text, n)
+    (0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s))).as(f"mh$i%02d")
+    }
+  }
+
   /** LSH bands: band b = md5 of the concatenation of its `rowsPerBand`
     * signature components. Docs sharing ANY band key are candidates.
     */

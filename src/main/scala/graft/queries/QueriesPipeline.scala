@@ -167,6 +167,16 @@ object QueriesPipeline {
         | FROM embeddings e, q WHERE e.vec_id <> 0
         | ORDER BY score DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
 
+    ("ann_topk_native",
+      // same oracle as ann_topk: the native codegen expression is
+      // bit-identical to the composable form by construction
+      (s, d) => Similarity.bruteForceTopKNative(
+        graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10),
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        | SELECT e.vec_id, round(${cosineSql("e.embedding", "q.qe")}, 6) AS score
+        | FROM embeddings e, q WHERE e.vec_id <> 0
+        | ORDER BY score DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
     ("ann_ivf",
       (s, d) => Similarity.ivfTopK(
         graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10, nprobe = 2),

@@ -142,6 +142,18 @@ object QueriesRelational {
         |   FROM events CROSS JOIN (VALUES (0), (1800)) t(off))
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
+    ("events_distinct_users",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(count(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
     ("events_sessions",
       (s, d) => EventStreams.sessionCounts(
         EventStreams.withEventTime(Tables.events(s, d)))

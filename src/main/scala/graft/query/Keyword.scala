@@ -19,6 +19,12 @@ object Keyword {
   /** Score expression, `calculate_keyword_similarity`
     * (`operations.zig:421-443`): empty query → 0.0. Duplicated query
     * words count separately, like the reference's word loop.
+    *
+    * Documented deviation (mirrored in the oracle SQL): the reference
+    * splits on a SINGLE space, so consecutive/leading/trailing spaces
+    * yield empty "words" that always match (indexOf("") == 0); this
+    * engine splits on whitespace runs and drops empties — the rational
+    * semantics. Queries without repeated spaces score identically.
     */
   def score(content: Column, query: String): Column = {
     val words = query.split("\\s+").filter(_.nonEmpty)
