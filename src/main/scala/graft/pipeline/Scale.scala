@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out join machinery: salting for skewed keys and bucketed
+  * co-located joins. These are the levers a 100 TB deployment pulls
+  * when AQE's automatic skew handling isn't enough (extreme hot keys)
+  * or when a join key is stable enough to pre-bucket at write time
+  * (the edges table on `src`, the blocks table on `id`).
+  */
+object Scale {
+
+  /** Salted equi-join for a skewed LEFT side: the hot side's rows get a
+    * random-but-deterministic salt in [0, saltFactor); the small side is
+    * replicated saltFactor× with every salt value; joining on
+    * (key, salt) splits each hot key into saltFactor partitions.
+    * Result equals `large.join(small, key)` exactly.
+    *
+    * Deterministic salt (hash of the whole row, not rand()) keeps
+    * reruns and speculative retries consistent.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1)
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col).toSeq: _*)), lit(saltFactor)))
+    val replicated = small.crossJoin(
+      small.sparkSession.range(saltFactor).select(col("id").as("__salt")))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a DataFrame bucketed by a join key. Bucketed tables joined on
+    * their bucket key skip the shuffle entirely (co-located join) —
+    * the persistent-table analogue of the reference's sorted SSTable
+    * layout. Requires a table (saveAsTable), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** The edges table in its scale layout: TWO bucketed copies, one by
+    * `src` and one by `dst` — the reference's bidirectional edge index
+    * (`graph_edge_index.zig:111-144`) re-expressed as storage layout,
+    * so outgoing AND incoming traversal joins are both co-located.
+    */
+  def writeEdgeIndex(edges: DataFrame, baseName: String,
+                     numBuckets: Int = 32): Unit = {
+    writeBucketed(edges, s"${baseName}_by_src", "src", numBuckets)
+    writeBucketed(edges, s"${baseName}_by_dst", "dst", numBuckets)
+  }
+}

@@ -64,4 +64,34 @@ object EventStreams {
     sessionize(ev, gapSec)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** The streaming twin of [[sessionCounts]]: custom state per user via
+    * `mapGroupsWithState` — (last event second, session count, event
+    * count) carried across micro-batches; a gap > `gapSec` between the
+    * stored last-second and an incoming event opens a new session.
+    * Within a micro-batch events are sorted by time; pair with a
+    * watermark upstream so late data is bounded. Output mode: Update.
+    */
+  def streamingSessionCounts(ev: DataFrame, gapSec: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id").cast("long"),
+        unix_timestamp(col("event_time")).as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), UserSessions](
+        GroupStateTimeout.NoTimeout) { case (uid, rows, state) =>
+        var (last, nSess, nEv) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+        rows.map(_._2).toSeq.sorted.foreach { sec =>
+          if (last == Long.MinValue || sec - last > gapSec) nSess += 1
+          last = sec
+          nEv += 1
+        }
+        state.update((last, nSess, nEv))
+        UserSessions(uid, nSess, nEv)
+      }.toDF()
+  }
 }

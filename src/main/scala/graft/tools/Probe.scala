@@ -2,7 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratch probe — not part of the library surface. */
+/** Dev scratch probe — not part of the library surface. Smoke-runs the
+  * driver-contract entry points.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -11,13 +13,12 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev.printSchema()
-    ev.show(3, false)
-    import org.apache.spark.sql.functions._
-    ev.select(timestamp_micros((col("ts") / 1000).cast("long")).as("ts2")).show(3, false)
+    val df = graft.SparkEntry.entry(spark)
+    println(s"entry rows = ${df.count()}")
+    df.show(5, false)
     spark.stop()
   }
 }

@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join exactly") {
+    // skew: one hot key with 1000 rows
+    val large = ((1 to 1000).map(i => ("hot", i)) ++
+      (1 to 50).map(i => (s"k$i", i))).toDF("key", "v")
+    val small = (Seq("hot") ++ (1 to 50).map(i => s"k$i")).zipWithIndex
+      .toDF("key", "w")
+    val plain = large.join(small, Seq("key"))
+      .orderBy("key", "v").collect().toSeq
+    val salted = Scale.saltedJoin(large, small, "key", saltFactor = 8)
+      .select("key", "v", "w").orderBy("key", "v").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted join splits the hot key across salt partitions") {
+    val large = (1 to 100).map(i => ("hot", i)).toDF("key", "v")
+    val salts = large.withColumn("__salt",
+      pmod(xxhash64(struct(col("key"), col("v"))), lit(8)))
+      .select("__salt").distinct().count()
+    assert(salts > 1) // the hot key actually spreads
+  }
+
+  test("bucketed tables join without an exchange") {
+    val e = Seq(("a", "b", "calls"), ("b", "c", "calls"))
+      .toDF("src", "dst", "edge_type")
+    Scale.writeEdgeIndex(e, "edges_t", numBuckets = 4)
+    val bySrc = spark.table("edges_t_by_src")
+    val joined = bySrc.as("l").join(spark.table("edges_t_by_src").as("r"),
+      col("l.src") === col("r.src"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides bucketed by src: no ShuffleExchange on the join keys
+    assert(!plan.contains("Exchange hashpartitioning"))
+    assert(joined.count() == 2)
+    spark.sql("DROP TABLE IF EXISTS edges_t_by_src")
+    spark.sql("DROP TABLE IF EXISTS edges_t_by_dst")
+  }
+}

@@ -42,6 +42,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(r(2L) == (1L, 1L))
   }
 
+  test("stateful streaming sessionization matches batch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamed = EventStreams.streamingSessionCounts(
+      EventStreams.withEventTime(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")))
+    val q = streamed.writeStream.format("memory")
+      .queryName("sessions_test").outputMode("update").start()
+    try {
+      // batch 1: user 1 events at 5 and 20 min (one session)
+      mem.addData((1L, ns(5), 1L, "click", 1.0), (2L, ns(20), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: 65 min (45-min gap -> new session), 140 min (new session);
+      // user 2 first event
+      mem.addData((3L, ns(65), 1L, "view", 3.0), (5L, ns(140), 1L, "click", 5.0),
+        (4L, ns(70), 2L, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """select user_id, n_sessions, n_events from (
+          |  select *, row_number() over (
+          |    partition by user_id order by n_events desc) as rn
+          |  from sessions_test) where rn = 1
+          |""".stripMargin).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = EventStreams.sessionCounts(EventStreams.withEventTime(events))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == batch) // state carried across micro-batches = batch answer
+    } finally q.stop()
+  }
+
   test("the same transform runs on a stream with a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
