@@ -47,6 +47,14 @@ object CodeGraph {
   def edges(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "edges")(edgesUncached(spark, dir))
 
+  /** Distinct (src, dst) pairs, materialized once — the input shape for
+    * structure-only algorithms (topo sort, SCC) that would otherwise
+    * re-pay the distinct shuffle per query.
+    */
+  def edgePairs(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "edgePairs")(
+      edges(spark, dir).select(col("src"), col("dst")).distinct())
+
   private def edgesUncached(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select(
       concat(lit("C"), col("c_custkey")).as("src"),

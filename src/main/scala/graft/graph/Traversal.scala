@@ -88,8 +88,12 @@ object Traversal {
     * Result capped at `maxResults` by (depth, id) order.
     */
   def bfs(edges: DataFrame, seeds: DataFrame, spec: TraversalSpec): DataFrame = {
-    val hop = hops(filterEdges(edges, spec.edgeFilter), spec.direction)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // If the edges table is already persisted (the normal case: a
+    // materialized graph), the hop projection is a cheap in-memory scan
+    // per level — re-persisting it would copy the whole table per query.
+    val parentCached = edges.storageLevel != StorageLevel.NONE
+    val hop0 = hops(filterEdges(edges, spec.edgeFilter), spec.direction)
+    val hop = if (parentCached) hop0 else hop0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val seed0 = (
         if (spec.trackPaths)
@@ -119,14 +123,16 @@ object Traversal {
           .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
           .withColumn("depth", lit(depth))
           .localCheckpoint(true)
-        visited = visited.union(next).localCheckpoint(true)
+        // visited stays a lazy union of per-level checkpoints — each part
+        // is already materialized, so no extra job per level
+        visited = visited.union(next)
         frontier = next
         frontierSize = next.count()
         total += frontierSize
       }
       // canonical (depth, id) ordering for deterministic truncation
       visited.orderBy(col("depth"), col("id")).limit(spec.maxResults)
-    } finally hop.unpersist()
+    } finally if (!parentCached) hop.unpersist()
   }
 
   /** Topological level of every node: Kahn's algorithm by frontier
@@ -146,9 +152,18 @@ object Traversal {
     * full shuffles. maxIters = 100 matches the reference depth cap
     * (`traversal.zig:242-247`).
     */
-  def topoLevels(edges: DataFrame, maxIters: Int = 100): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def topoLevels(edges: DataFrame, maxIters: Int = 100,
+                 edgesDistinct: Boolean = false): DataFrame = {
+    // `edgesDistinct`: caller vouches the (src,dst) projection is
+    // already duplicate-free (e.g. a materialized pair view) — skips
+    // the per-call distinct shuffle; an already-cached input also
+    // skips the redundant persist copy.
+    val pairs =
+      if (edgesDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+    val parentCached = edgesDistinct && edges.storageLevel != StorageLevel.NONE
+    val e = if (parentCached) pairs
+            else pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     // Delta-Kahn: keep only the positive in-degree table and SUBTRACT the
@@ -170,7 +185,9 @@ object Traversal {
       val merged = indeg.join(dec, Seq("id"), "left")
         .withColumn("deg2", col("deg") - coalesce(col("sub"), lit(0L)))
         .localCheckpoint(true)
-      layer = merged.filter(col("deg2") <= 0).select("id").localCheckpoint(true)
+      // layer and the next indeg are cheap filters over the checkpointed
+      // merge — no extra materialization jobs
+      layer = merged.filter(col("deg2") <= 0).select("id")
       indeg = merged.filter(col("deg2") > 0)
         .select(col("id"), col("deg2").as("deg"))
       layerCount = layer.count()
@@ -201,7 +218,9 @@ object Traversal {
                    frontierCap: Int = 10000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val hop = hops(edges, Direction.Outgoing).persist(StorageLevel.MEMORY_AND_DISK)
+    val parentCached = edges.storageLevel != StorageLevel.NONE
+    val hop0 = hops(edges, Direction.Outgoing)
+    val hop = if (parentCached) hop0 else hop0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (from == to) return Seq(Seq(from)).toDF("path")
       var frontier = Seq(Seq(from)).toDF("path")
@@ -221,6 +240,6 @@ object Traversal {
       }
       found.getOrElse(spark.emptyDataset[Seq[String]].toDF("path"))
         .orderBy(col("path")).limit(maxPaths)
-    } finally hop.unpersist()
+    } finally if (!parentCached) hop.unpersist()
   }
 }

@@ -98,7 +98,8 @@ object QueriesGraph {
         | ORDER BY path LIMIT 100""".stripMargin.replace("\n", " "))),
 
     ("topo_levels",
-      (s, d) => Traversal.topoLevels(CodeGraph.edges(s, d)).orderBy("level", "id"),
+      (s, d) => Traversal.topoLevels(CodeGraph.edgePairs(s, d),
+        edgesDistinct = true).orderBy("level", "id"),
       Some(s"""WITH RECURSIVE e AS ($E),
         | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
         | roots AS (SELECT id FROM nodes
