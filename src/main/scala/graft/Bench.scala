@@ -33,21 +33,36 @@ object Bench {
       graft.graph.CodeGraph.nodeBlocks(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // median of N timed iterations per query, like the reference harness
-    // (median/p95 reporting, src/bench/harness.zig:134-142)
+    // (median/p95 reporting, src/bench/harness.zig:134-142). A throwing
+    // query is recorded under "errors" — NOT as a timing — so a
+    // regression can never improve the reported total.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt max 1
-    val results = Queries.benchNames.map { name =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = Queries.benchNames.flatMap { name =>
       val fn = Queries.queries(name)
-      val times = (1 to iters).map { _ =>
+      val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            None
+        }
       }.sorted
-      name -> times(times.size / 2)
+      if (times.isEmpty) None else Some(name -> times(times.size / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

@@ -22,11 +22,12 @@ object Queries {
     * scale-relevant pipeline operators.
     */
   val benchNames: Seq[String] = Seq(
-    "bfs_out_depth3", "traverse_dfs_set", "bfs_edge_filter", "bfs_in_depth2",
+    "bfs_out_depth3", "bfs_out_depth5", "traverse_dfs_set",
+    "bfs_edge_filter", "bfs_in_depth2", "bfs_in_depth5",
     "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
     "context_query", "filter_bool_tree",
     "dedup_minhash_bands", "dedup_exact", "ann_topk", "ann_topk_native",
-    "text_stats",
+    "ann_neardup_lsh", "text_stats",
     "q1_agg", "q3_top_orders", "events_tumbling",
   )
 }

@@ -32,16 +32,30 @@ object Cli {
   private val Directions = Set("callers", "callees")
   private val Formats = Set("text", "json", "csv")
 
+  private val KnownFlags = Set("type", "name", "workspace", "max-results",
+    "relation", "target", "max-depth", "format")
+
   /** Argument parser for `find|show|trace` with the reference's flags
     * (`--type --name --workspace --max-results --relation --target
-    * --max-depth --format`). Returns Left(message) on bad input, like
-    * the reference's error-message-first parser.
+    * --max-depth --format`). Error-message-first like the reference
+    * parser: an unknown/misspelled flag, a dangling `--flag` with no
+    * value, or a bare non-flag token is an error — never silently
+    * ignored (a typo'd flag running with defaults is worse than
+    * failing).
     */
   def parse(args: Seq[String]): Either[String, Command] = {
     if (args.isEmpty) return Left("no command; expected find|show|trace")
-    val flags = args.tail.sliding(2, 2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    val pairs = args.tail.grouped(2).toSeq
+    pairs.collectFirst {
+      case Seq(k) if k.startsWith("--") => s"flag $k is missing a value"
+      case Seq(k) => s"unexpected argument: $k"
+      case Seq(k, _) if !k.startsWith("--") => s"expected a --flag, got: $k"
+      case Seq(k, _) if !KnownFlags(k.drop(2)) => s"unknown flag: $k"
+    } match {
+      case Some(err) => return Left(err)
+      case None => ()
+    }
+    val flags = pairs.collect { case Seq(k, v) => k.drop(2) -> v }.toMap
     def int(k: String, dflt: Int): Either[String, Int] =
       flags.get(k).map(v => v.toIntOption.toRight(s"--$k must be an integer"))
         .getOrElse(Right(dflt))

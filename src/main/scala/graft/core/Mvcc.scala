@@ -24,21 +24,52 @@ import org.apache.spark.sql.functions._
   */
 object Mvcc {
 
+  /** Global dense rank by `idCol` (1-based, added as `__rk`) WITHOUT a
+    * single-task global sort: range-repartition by id (partition p holds
+    * ids below partition p+1), local row_number within each partition in
+    * parallel, then add per-partition cumulative offsets (N≈32 counts —
+    * metadata, not data — collected to the driver and broadcast back).
+    * Two jobs, every stage parallel: the shape that survives a 100-TB
+    * ingest epoch where `Window.orderBy(id)` (no partitionBy) would
+    * funnel the whole batch through one task. The assignment is
+    * IDENTICAL to the global window's: rank in id order.
+    */
+  private def withIdRank(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions max 1
+    // localCheckpoint freezes the range partitioning so the counts job
+    // and the final plan see the same partition ids
+    val parted = df.repartitionByRange(n, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    val offDf = offsets.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    parted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__rk", col("__off") + row_number().over(w))
+      .drop("__pid", "__off")
+  }
+
   /** Append-with-sequence: `puts` must have the same columns as
     * `existing` except `sequence` (assigned here) and the tombstone flag
     * (set false). Within-batch order is by `id` — deterministic across
-    * reruns and cluster layouts.
+    * reruns and cluster layouts; assigned distributed via [[withIdRank]]
+    * (no single-task stage anywhere on the write path).
     */
   def putBlocks(existing: DataFrame, puts: DataFrame,
                 idCol: String = "id", seqCol: String = "sequence",
                 deletedCol: String = "is_deleted"): DataFrame = {
     val maxSeq = existing.agg(coalesce(max(col(seqCol)), lit(0L)).as("m"))
-    val w = Window.orderBy(col(idCol)) // batch is small; single-partition rank is fine
-    val sequenced = puts
+    val sequenced = withIdRank(puts, idCol)
       .crossJoin(broadcast(maxSeq))
-      .withColumn(seqCol, col("m") + row_number().over(w))
-      .drop("m")
+      .withColumn(seqCol, col("m") + col("__rk"))
+      .drop("m", "__rk")
       .withColumn(deletedCol, lit(false))
+    graft.query.QueryCache.invalidateSession(existing.sparkSession)
     existing.unionByName(sequenced.select(existing.columns.map(col).toSeq: _*))
   }
 
@@ -53,16 +84,16 @@ object Mvcc {
     val spark = existing.sparkSession
     import spark.implicits._
     val maxSeq = existing.agg(coalesce(max(col(seqCol)), lit(0L)).as("m"))
-    val w = Window.orderBy(col(idCol))
-    val base = ids.toDF(idCol)
+    val base = withIdRank(ids.toDF(idCol), idCol)
       .crossJoin(broadcast(maxSeq))
-      .withColumn(seqCol, col("m") + row_number().over(w))
-      .drop("m")
+      .withColumn(seqCol, col("m") + col("__rk"))
+      .drop("m", "__rk")
       .withColumn(deletedCol, lit(true))
     val tombstones = existing.columns.foldLeft(base) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(existing.schema(c).dataType))
     }
+    graft.query.QueryCache.invalidateSession(existing.sparkSession)
     existing.unionByName(tombstones.select(existing.columns.map(col).toSeq: _*))
   }
 
@@ -70,7 +101,9 @@ object Mvcc {
     * performs on put (`graph_edge_index.zig:111-144`): an identical
     * (src, dst, edge_type) is stored once.
     */
-  def putEdges(existing: DataFrame, puts: DataFrame): DataFrame =
+  def putEdges(existing: DataFrame, puts: DataFrame): DataFrame = {
+    graft.query.QueryCache.invalidateSession(existing.sparkSession)
     existing.unionByName(puts.select(existing.columns.map(col).toSeq: _*))
       .dropDuplicates("src", "dst", "edge_type")
+  }
 }

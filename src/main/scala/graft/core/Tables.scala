@@ -36,10 +36,13 @@ object Tables {
     */
   def eventsNorm(spark: SparkSession, dir: String): DataFrame = {
     val raw = events(spark, dir)
+    // integer `div`, NOT `/`: Spark's `/` routes longs through DOUBLE,
+    // and epoch-ns (~1.7e18) exceeds 2^53 — the rounded double can be
+    // off by ±1 µs after truncation vs the oracle's exact integer
+    // division.
     raw.withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts_ns") / 1000)
-          .cast("long")))
+        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * an intermediate array and evaluates a lambda per element; for ANN
   * scoring (64–4096 floats × every row) a fused loop with whole-stage
   * codegen is the difference between memory-bound and compute-bound.
-  * The summation order is IDENTICAL to the composable form (left
-  * fold), so results are bit-for-bit equal and interchangeable under
-  * the same oracle.
+  * The semantics are IDENTICAL to the composable form — same
+  * left-fold summation order, and the same NULL behavior (zip_with
+  * pads a length mismatch with null and a null element nulls the
+  * fold, so both cases return NULL here too) — results are
+  * bit-for-bit equal and interchangeable under the same oracle.
   *
   * Decision path per the build rules: (a) compose existing ops — done,
   * kept as the portable default; (b) custom codegen Expression — this
@@ -38,15 +40,33 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // can return NULL even for non-null inputs (length mismatch / null
+  // element), mirroring the composable form
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vec_dot"
+
+  /** True when either input's element type admits nulls — decided at
+    * PLAN time from the schema, so `containsNull=false` embeddings (the
+    * hot path) compile to a branch-free multiply-add loop.
+    */
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsMayBeNull
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -58,13 +78,20 @@ case class DotProductFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val elemNullCheck =
+        if (elementsMayBeNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  $elemNullCheck
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 

@@ -31,14 +31,17 @@ object CodeGraph {
     * against a stored table, not re-pay the derivation scan. At 100 TB
     * this is a bucketed-by-`src` table written at ingest; here a
     * persisted view gives the same once-per-job cost.
+    *
+    * Memoization goes through the real [[graft.query.QueryCache]]
+    * (LRU + TTL + write invalidation, per session, weakly keyed on the
+    * session object): [[graft.core.Mvcc]] mutations invalidate it, so a
+    * write is followed by a re-derivation — the reference's
+    * mutation-invalidates-cache contract (`engine.zig:493-502`).
     */
-  private val memoCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   private def memo(spark: SparkSession, dir: String, what: String)
                   (build: => DataFrame): DataFrame =
-    memoCache.getOrElseUpdate(s"${System.identityHashCode(spark)}|$dir|$what",
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.query.QueryCache.forSession(spark)
+      .getOrElseUpdate(s"codegraph|$dir|$what")(build)
 
   /** Typed edge table: src STRING, dst STRING, edge_type STRING.
     * Node ids are prefixed keys: C<custkey>, S<suppkey>, N<nationkey>,

@@ -45,20 +45,29 @@ object GraphAlgos {
 
   /** Strongly connected components via GraphX: every node labelled with
     * the minimum member id of its SCC (deterministic canonical label).
-    * Node ids are mapped to longs by hashing; collisions are guarded by
-    * carrying the original id alongside.
+    * Node ids are mapped to GraphX longs via `zipWithUniqueId` — DENSE
+    * UNIQUE vids, not hashes: at billions of nodes a 64-bit hash
+    * collision is probable (~50% at 2^32 by birthday bound) and would
+    * silently merge two vertices; unique assignment removes the failure
+    * mode entirely. Edges map to vids through two equi-joins against the
+    * (id, vid) table — the same joins a bucketed edge index makes cheap.
     */
   def stronglyConnected(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val nodes = edges.select(col("src").as("id"))
+    val ids = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-      .withColumn("vid", xxhash64(col("id")))
+    val nodes = spark.createDataFrame(
+        ids.as[String].rdd.zipWithUniqueId().map { case (id, vid) => (vid, id) })
+      .toDF("vid", "id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      nodes.count() // pin the vid assignment before it is used twice
       val vertexRdd = nodes.select("vid", "id").as[(Long, String)].rdd
       val edgeRdd = edges
-        .select(xxhash64(col("src")).as("s"), xxhash64(col("dst")).as("d"))
+        .join(nodes.select(col("id").as("src"), col("vid").as("s")), Seq("src"))
+        .join(nodes.select(col("id").as("dst"), col("vid").as("d")), Seq("dst"))
+        .select("s", "d")
         .as[(Long, Long)].rdd.map { case (s, t) => GxEdge(s, t, ()) }
       val g = GxGraph(vertexRdd, edgeRdd)
       val scc = g.stronglyConnectedComponents(maxIter)

@@ -198,20 +198,24 @@ object Traversal {
     out.union(indeg.select("id").withColumn("level", lit(-1)))
   }
 
-  /** All shortest paths between two nodes, reference `find_paths_between`
-    * (`src/query/traversal.zig:1367-1500`): BFS expanding whole paths (no
-    * cross-path visited set — different shortest paths may share interior
-    * nodes), per-path cycle guard, stop at the first depth that reaches
-    * `to`, cap at `maxPaths` (reference cap 100) in lexicographic order.
-    */
-  /** `frontierCap` bounds the number of in-flight paths per level (kept in
-    * lexicographic path order). Without it the intermediate frontier on a
-    * dense graph is combinatorial — every simple path, not every node —
-    * and OOMs long before depth 10; the reference likewise caps paths
-    * DURING search (`traversal.zig:1373`). When the cap binds, the result
-    * is still the lexicographically-smallest paths (pruning keeps the
-    * smallest prefixes, and path order is prefix-consistent), just not
-    * guaranteed exhaustive beyond `maxPaths`.
+  /** Simple paths between two nodes in order of INCREASING length,
+    * shortest first, up to `maxPaths` (reference `find_paths_between`,
+    * `src/query/traversal.zig:1366-1500`: "in order of increasing
+    * length, with shortest paths first", cap 100). BFS expanding whole
+    * paths (no cross-path visited set — distinct paths may share
+    * interior nodes), per-path cycle guard; a path that reaches `to`
+    * terminates there (it leaves the frontier — matching the oracle's
+    * `head <> to` recursion guard) and the search CONTINUES to deeper
+    * levels until `maxPaths` paths are collected or `maxDepth` is hit.
+    *
+    * `frontierCap` bounds the number of in-flight paths per level (kept
+    * in lexicographic path order). Without it the intermediate frontier
+    * on a dense graph is combinatorial — every simple path, not every
+    * node — and OOMs long before depth 10; the reference likewise caps
+    * paths DURING search (`traversal.zig:1373`). When the cap binds, the
+    * result keeps the lexicographically-smallest paths per level
+    * (pruning keeps the smallest prefixes, and path order is
+    * prefix-consistent), just not guaranteed exhaustive.
     */
   def pathsBetween(edges: DataFrame, from: String, to: String,
                    maxDepth: Int = 10, maxPaths: Int = 100,
@@ -226,20 +230,25 @@ object Traversal {
       var frontier = Seq(Seq(from)).toDF("path")
         .withColumn("head", lit(from)).localCheckpoint(true)
       var depth = 0
-      var found: Option[DataFrame] = None
-      while (found.isEmpty && depth < maxDepth && !frontier.isEmpty) {
+      var nHits = 0L
+      var collected: List[DataFrame] = Nil // one hit batch per depth, in order
+      while (depth < maxDepth && nHits < maxPaths && !frontier.isEmpty) {
         depth += 1
-        frontier = frontier.join(hop, col("head") === col("from"))
+        val expanded = frontier.join(hop, col("head") === col("from"))
           .filter(!array_contains(col("path"), col("to"))) // per-path cycle guard
           .select(concat(col("path"), array(col("to"))).as("path"), col("to").as("head"))
           // per-level prune: lexicographically-smallest K paths survive
           .orderBy(col("path")).limit(frontierCap)
           .localCheckpoint(true)
-        val hits = frontier.filter(col("head") === lit(to)).select("path")
-        if (!hits.isEmpty) found = Some(hits)
+        val hits = expanded.filter(col("head") === lit(to)).select("path")
+        val n = hits.count()
+        if (n > 0) { collected = hits :: collected; nHits += n }
+        // paths that reached `to` are done — only the rest keep expanding
+        frontier = expanded.filter(col("head") =!= lit(to))
       }
-      found.getOrElse(spark.emptyDataset[Seq[String]].toDF("path"))
-        .orderBy(col("path")).limit(maxPaths)
+      collected.reverse
+        .foldLeft(spark.emptyDataset[Seq[String]].toDF("path"))(_ union _)
+        .orderBy(size(col("path")), col("path")).limit(maxPaths)
     } finally if (!parentCached) hop.unpersist()
   }
 }

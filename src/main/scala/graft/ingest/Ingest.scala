@@ -26,6 +26,61 @@ object Ingest {
     */
   val MaxFileBytes: Long = 1024L * 1024
 
+  /** Glob → anchored Java regex: `**` crosses directory boundaries (a
+    * double-star followed by a slash also matches zero directories);
+    * `*` and `?` stay within one path segment — the reference's
+    * include/exclude pattern semantics (`ingest_directory.zig:84-130`).
+    */
+  private[ingest] def globToRegex(glob: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < glob.length) {
+      glob(i) match {
+        case '*' if i + 1 < glob.length && glob(i + 1) == '*' =>
+          if (i + 2 < glob.length && glob(i + 2) == '/') { sb ++= "(?:.*/)?"; i += 2 }
+          else { sb ++= ".*"; i += 1 }
+        case '*' => sb ++= "[^/]*"
+        case '?' => sb ++= "[^/]"
+        case c if "\\.[]{}()+^$|".indexOf(c) >= 0 => sb += '\\'; sb += c
+        case c => sb += c
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The real directory source, reference `ingest_directory_to_blocks`
+    * enumeration (`ingest_directory.zig:37-253`: walk the tree, apply
+    * include/exclude globs, skip oversized files): a recursive
+    * `binaryFile` scan — files are listed and read BY EXECUTORS in
+    * parallel, and the size cap is a pushed-down filter on the file
+    * `length` metadata column (oversized payloads are never read).
+    * Paths are returned RELATIVE to `root` so unit ids / block ids are
+    * stable across hosts and tmp dirs. UTF-8 decode via binary→string
+    * cast (codegen'd, no UDF).
+    */
+  def readDirectory(spark: SparkSession, root: String,
+                    include: Seq[String] = Seq("**"),
+                    exclude: Seq[String] = Nil,
+                    maxBytes: Long = MaxFileBytes): Dataset[FileDoc] = {
+    import spark.implicits._
+    val rootAbs = new java.io.File(root).getAbsolutePath.stripSuffix("/")
+    val raw = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(rootAbs)
+      .filter(col("length") > 0 && col("length") <= maxBytes)
+    val rel = regexp_replace(
+      regexp_replace(col("path"), "^file:(//)?", ""),
+      "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
+    val included = include.map(g => rel.rlike("^" + globToRegex(g) + "$"))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val excluded = exclude.map(g => rel.rlike("^" + globToRegex(g) + "$"))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    raw.filter(included && !excluded)
+      .select(rel.as("path"), col("content").cast("string").as("content"))
+      .as[FileDoc]
+  }
+
   def parseFiles(files: Dataset[FileDoc], parser: SourceParser): Dataset[ParsedUnit] = {
     val spark = files.sparkSession
     import spark.implicits._

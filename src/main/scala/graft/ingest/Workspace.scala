@@ -32,6 +32,20 @@ object Workspace {
     (reg2, blocks, edges)
   }
 
+  /** `link_codebase` from a real directory tree — the reference's entry
+    * point (`manager.zig:379-417`: enumerate under the root with glob
+    * include/exclude and the 1 MiB cap, then ingest): reads the tree via
+    * [[Ingest.readDirectory]] and delegates to [[link]].
+    */
+  def linkDirectory(registry: DataFrame, name: String, rootPath: String,
+                    include: Seq[String] = Seq("**"),
+                    exclude: Seq[String] = Nil,
+                    parser: SourceParser = SimpleParser)
+      : (DataFrame, DataFrame, DataFrame) =
+    link(registry, name, rootPath,
+      Ingest.readDirectory(registry.sparkSession, rootPath, include, exclude),
+      parser)
+
   /** `unlink_codebase`: tombstone the registry row; blocks are NOT
     * physically removed (`manager.zig:192-247`).
     */

@@ -127,19 +127,71 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** SimHash near-dup pairs within a hamming radius, blocked on the
-    * simhash value's high byte (at scale: rotate bands). Verification =
-    * bit_count(xor) ≤ radius.
+  /** SimHash near-dup pairs within a hamming radius, by pigeonhole
+    * banding: split the 16-bit hash into `radius + 1` contiguous bands —
+    * two hashes within hamming ≤ radius must be EXACTLY equal on at
+    * least one band (at most `radius` bits differ, so at most `radius`
+    * bands can be touched). Candidates come from an equi-self-join on
+    * (band_idx, band_value) — a hash-partitioned join, never all-pairs —
+    * then verification = bit_count(xor) ≤ radius.
+    *
+    * Scale: pair volume is bounded by band-bucket sizes. A 16-bit hash
+    * gives only 2^4 buckets per band at radius 3 — fine for the oracle
+    * fixture; a production run uses the identical plan over a 64-bit
+    * simhash (16-bit bands → 65k buckets per band). The operator shape
+    * (explode to r+1 bands → equi-join → verify) is the scale path.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    radius: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), simhash16(col(textCol)).as("simhash"))
-    val a = sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    val nBands = radius + 1
+    val bounds = (0 to nBands).map(i => i * 16 / nBands)
+    val bandVals = (0 until nBands).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1 << width) - 1))
+    }
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= radius)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** n-gram Jaccard verification of an explicit candidate-pair set —
+    * the post-LSH shape at scale: `pairs` (id_a, id_b) comes from
+    * [[minhashPairs]] (or any blocked candidate generator), and work is
+    * linear in |pairs| × shingles-per-doc, never quadratic in the
+    * corpus. |A∩B| = count of shared distinct shingles per pair (two
+    * equi-joins: pairs⋈shingles_a on id, then ⋈shingles_b on (id, sh));
+    * pairs with an empty intersection score 0 via the left join.
+    */
+  def jaccardForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+                      textCol: String, n: Int = 2,
+                      threshold: Double = 0.05): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs.select("id_a", "id_b")
+      .join(ex.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(ex.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs.select("id_a", "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** n-gram Jaccard similarity for pairs sharing a blocking key

@@ -77,10 +77,11 @@ object Similarity {
       .limit(k)
   }
 
-  /** All near-duplicate pairs above a cosine threshold. This variant is
-    * the O(n²) verifier for small n / within-block use; at scale,
-    * generate candidates with [[lshBucketPairs]] first and verify only
-    * those.
+  /** All near-duplicate pairs above a cosine threshold — the EXACT
+    * (quadratic) semantics. Deliberately NOT the registered scale
+    * operator: it exists as the small-n cross-check / recall oracle for
+    * [[lshNearDupPairs]], which is the shipped path (see
+    * `SimilaritySpec`'s subset assertion). Within-block use only.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    idCol: String = "vec_id",
@@ -124,6 +125,56 @@ object Similarity {
     val b = bucketed.select(col(idCol).as("id_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select("bucket", "id_a", "id_b")
+  }
+
+  /** Banded (OR-construction) hyperplane LSH candidates: `nBands` bands
+    * of `planesPerBand` hyperplane bits each; vectors sharing ANY band
+    * key are candidates — the classic recall amplifier
+    * (recall = 1 − (1 − p^k)^L for per-plane agreement p). Same explode →
+    * equi-join-on-(band_idx, band_key) shape as [[Dedup.minhashPairs]]:
+    * pair volume is bounded by band-bucket sizes, never all-pairs.
+    */
+  def lshBandedPairs(emb: DataFrame, nBands: Int = 4, planesPerBand: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     seed: Long = 42L): DataFrame = {
+    val dim = 64 // fixture embedding dimensionality
+    val pl = planes(nBands * planesPerBand, dim, seed)
+    val bandCols = (0 until nBands).map { b =>
+      (0 until planesPerBand).map { j =>
+        val p = pl(b * planesPerBand + j)
+        val planeLit = array(p.map(x => lit(x.toDouble)): _*)
+        when(dot(col(vecCol), planeLit) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val banded = emb.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+    val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** The registered scale path for embedding near-dup: banded-LSH
+    * candidates ([[lshBandedPairs]] — equi-joins on band keys, never
+    * all-pairs) verified by exact cosine. Vectors are fetched per
+    * candidate side via equi-joins on id, so the big table is touched
+    * O(|candidates|), not O(n²). Approximate by construction — misses
+    * pairs sharing no band — but everything it DOES emit is exact;
+    * [[nearDupPairs]] is its small-n recall oracle (see SimilaritySpec).
+    */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double,
+                      nBands: Int = 4, planesPerBand: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      seed: Long = 42L): DataFrame = {
+    val cand = lshBandedPairs(emb, nBands, planesPerBand, idCol, vecCol, seed)
+    cand
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 
   /** IVF: coarse quantizer = per-cell centroid (here: the fixture's

@@ -66,6 +66,26 @@ object QueriesCore {
         |   FROM v3) WHERE rn = 1 AND NOT is_deleted ORDER BY id"""
         .stripMargin.replace("\n", " "))),
 
+    // put_edge dedup semantics through the real write path: an identical
+    // (src, dst, edge_type) is stored once, like the reference's
+    // bidirectional edge index on put (engine.zig:1177-1252,
+    // graph_edge_index.zig:111-144).
+    ("put_edge_dedup",
+      (s, d) => {
+        import s.implicits._
+        val existing = Seq(("A", "B", "calls"), ("A", "C", "calls"))
+          .toDF("src", "dst", "edge_type")
+        val puts = Seq(("A", "B", "calls"), ("B", "C", "calls"),
+          ("B", "C", "calls"), ("A", "B", "imports"))
+          .toDF("src", "dst", "edge_type")
+        Mvcc.putEdges(existing, puts).orderBy("src", "dst", "edge_type")
+      },
+      Some("""SELECT DISTINCT * FROM (VALUES
+        | ('A','B','calls'), ('A','C','calls'), ('A','B','calls'),
+        | ('B','C','calls'), ('B','C','calls'), ('A','B','imports'))
+        | t(src, dst, edge_type) ORDER BY src, dst, edge_type"""
+        .stripMargin.replace("\n", " "))),
+
     ("find_block",
       (s, d) => Lookups.findBlock(current(s, d), "U7"),
       Some(s"$currentViewSql AND id = 'U7'")),

@@ -44,6 +44,20 @@ object QueriesGraph {
         .orderBy("depth", "id"),
       Some(bfsSql("SELECT 'O0' AS id, 0 AS depth", 3, "e.dst", "e.src = r.id"))),
 
+    // depth-5 pair matching the reference bench suite
+    // (/root/reference/src/bench/query.zig:47-141 benches BFS at 3 AND 5)
+    ("bfs_out_depth5",
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "O0"),
+          TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 10000))
+        .orderBy("depth", "id"),
+      Some(bfsSql("SELECT 'O0' AS id, 0 AS depth", 5, "e.dst", "e.src = r.id"))),
+
+    ("bfs_in_depth5",
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "N3"),
+          TraversalSpec(Direction.Incoming, maxDepth = 5, maxResults = 10000))
+        .orderBy("depth", "id"),
+      Some(bfsSql("SELECT 'N3' AS id, 0 AS depth", 5, "e.src", "e.dst = r.id"))),
+
     ("bfs_in_depth2",
       (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "N3"),
           TraversalSpec(Direction.Incoming, maxDepth = 2, maxResults = 10000))
@@ -83,6 +97,11 @@ object QueriesGraph {
         .orderBy("depth", "id"),
       Some(bfsSql("SELECT 'C1' AS id, 0 AS depth", 5, "e.dst", "e.src = r.id"))),
 
+    // Unmasked reference parity: ALL simple paths up to the cap, in
+    // increasing length (shortest first) — not just the first-hit depth.
+    // The '->'-delimited contains() is the per-path cycle guard (never
+    // binds on this DAG fixture, but keeps the CTE terminating and the
+    // semantics identical to the engine's array_contains guard).
     ("paths_between",
       (s, d) => Traversal.pathsBetween(CodeGraph.edges(s, d), "O0", "R0",
           maxDepth = 10, maxPaths = 100)
@@ -93,9 +112,10 @@ object QueriesGraph {
         |  SELECT e.dst, r.path || '->' || e.dst, r.depth + 1
         |  FROM r JOIN e ON e.src = r.head
         |  WHERE r.depth < 10 AND r.head <> 'R0'
-        | ), hits AS (SELECT path, depth FROM r WHERE head = 'R0')
-        | SELECT path FROM hits WHERE depth = (SELECT MIN(depth) FROM hits)
-        | ORDER BY path LIMIT 100""".stripMargin.replace("\n", " "))),
+        |   AND NOT contains('->' || r.path || '->', '->' || e.dst || '->')
+        | ), hits AS (SELECT path, depth FROM r WHERE head = 'R0'
+        |   ORDER BY depth, path LIMIT 100)
+        | SELECT path FROM hits ORDER BY path""".stripMargin.replace("\n", " "))),
 
     ("topo_levels",
       (s, d) => Traversal.topoLevels(CodeGraph.edgePairs(s, d),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.graph.{CodeGraph, GraphAlgos}
-import graft.ingest.{Ingest, SemanticResolver, SimpleParser}
+import graft.ingest.{Ingest, SemanticResolver, SimpleParser, Workspace}
 import org.apache.spark.sql.functions._
 
 /** Entries for the ingestion pipeline and the heavier graph algorithms.
@@ -49,7 +49,65 @@ object QueriesIngest {
       Ingest.FileDoc("src/util.zig", demoUtil)).toDS()
   }
 
+  /** Deterministic on-disk tree for the directory-source entry: code
+    * files that pass the globs, a doc file, a glob-excluded vendor file,
+    * an oversized file (> 1 MiB cap) and an empty file (both must be
+    * skipped by the reader, like the reference's enumeration filters).
+    * Written idempotently under target/ so every run sees the same tree.
+    */
+  private def fixtureTree(): String = {
+    val root = new java.io.File("/root/repo/target/ingest-fixture")
+    def write(relPath: String, content: String): Unit = {
+      val f = new java.io.File(root, relPath)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+    }
+    write("main.zig",
+      "import \"util\"\nfn main() {\n  helper()\n  util_fn()\n}\nfn helper() {\n  compute()\n}\n")
+    write("lib/util.zig",
+      "type Util {\n  fn util_fn() {\n    compute()\n  }\n}\nfn compute() {\n}\n")
+    write("docs/readme.md", "Toy fixture tree for the directory ingestion source.\n")
+    write("vendor/dep.zig", "fn vendored() {\n}\n")
+    write("big.zig", "x" * (1024 * 1024 + 1))
+    write("empty.zig", "")
+    root.getAbsolutePath
+  }
+
   val entries: Seq[Entry] = Seq(
+
+    // Full directory pipeline: binaryFile tree scan → glob
+    // include/exclude → 1 MiB length-pushdown cap → parse → stats.
+    // Golden-output oracle (the tree is deterministic): 3 files pass the
+    // filters, yielding 7 units and 6 raw edges.
+    ("ingest_directory_stats",
+      (s, d) => {
+        val root = fixtureTree()
+        val files = Ingest.readDirectory(s, root,
+          include = Seq("**/*.zig", "**/*.md"), exclude = Seq("vendor/**"))
+        Ingest.stats(files, Ingest.parseFiles(files, SimpleParser))
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS files_processed,
+        | CAST(7 AS BIGINT) AS blocks_generated,
+        | CAST(6 AS BIGINT) AS raw_edges""".stripMargin.replace("\n", " "))),
+
+    // link → link → unlink → re-link registry roundtrip through the real
+    // MVCC write path (put = epoch sequence, unlink = tombstone); the
+    // current view must show the re-linked root, not the tombstoned one
+    // (reference manager.zig:113-377).
+    ("workspace_lifecycle",
+      (s, d) => {
+        import s.implicits._
+        val noFiles = Seq.empty[Ingest.FileDoc].toDS()
+        var reg = Workspace.emptyRegistry(s)
+        reg = Workspace.link(reg, "alpha", "/data/alpha", noFiles)._1
+        reg = Workspace.link(reg, "beta", "/data/beta", noFiles)._1
+        reg = Workspace.unlink(reg, "alpha")
+        reg = Workspace.link(reg, "alpha", "/data/alpha2", noFiles)._1
+        Workspace.linked(reg).orderBy("id")
+      },
+      Some("""SELECT * FROM (VALUES ('alpha', '/data/alpha2'),
+        | ('beta', '/data/beta')) t(id, root_path) ORDER BY id"""
+        .stripMargin.replace("\n", " "))),
 
     ("ingest_units",
       (s, d) => Ingest.parseFiles(demoFiles(s), SimpleParser)

@@ -89,6 +89,21 @@ object QueriesPipeline {
     s"SELECT vec_id, $bits AS bucket FROM embeddings"
   }
 
+  /** Banded-LSH long table (vec_id, band_idx, band_key) from the same
+    * 16-plane seed-42 matrix [[Similarity.lshBandedPairs]] uses.
+    */
+  private val lshBandedSql: String = {
+    val pl16 = Similarity.planes(16, 64)
+    def bandKey(b: Int): String = (0 until 4).map { j =>
+      val planeLit = pl16(b * 4 + j).map(x => s"$x.0").mkString("[", ",", "]")
+      s"CASE WHEN ${dotSql("embedding", planeLit)} >= 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    (0 until 4).map { b =>
+      s"SELECT vec_id, $b AS band_idx, ${bandKey(b)} AS band_key FROM embeddings"
+    }.mkString(" UNION ALL ")
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // ===== Deduplication =====
@@ -137,26 +152,46 @@ object QueriesPipeline {
         | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // Jaccard verification wired to the candidate generator it exists to
+    // verify: minhash-band candidate pairs → per-pair n-gram Jaccard.
+    // Work is linear in |candidates|, never corpus-quadratic.
     ("ngram_jaccard",
-      (s, d) => Dedup.ngramJaccard(graft.core.Tables.documents(s, d),
-        "doc_id", "text", "source", n = 2, threshold = 0.05)
-        .orderBy("id_a", "id_b"),
-      Some(s"""WITH w AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
-        | shl AS (SELECT doc_id, source, ${shinglesSql(2)} AS sh FROM w),
-        | ex AS (SELECT source AS blk, doc_id AS id,
-        |   unnest(list_distinct(sh)) AS sh FROM shl),
-        | sizes AS (SELECT blk, id, COUNT(*) AS n_sh FROM ex GROUP BY blk, id),
-        | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-        |   FROM ex a JOIN ex b
-        |    ON a.blk = b.blk AND a.sh = b.sh AND a.id < b.id
+      (s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        Dedup.jaccardForPairs(
+          Dedup.minhashPairs(docs, "doc_id", "text", n = 3, k = K, bands = BANDS),
+          docs, "doc_id", "text", n = 2, threshold = 0.05)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$minhashCte,
+        | lng AS (
+        |  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+        |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |   FROM lng a JOIN lng b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |     AND a.doc_id < b.doc_id),
+        | sh2 AS (SELECT doc_id, ${shinglesSql(2)} AS sh FROM w),
+        | ex AS (SELECT doc_id AS id, unnest(list_distinct(sh)) AS sh FROM sh2),
+        | sizes AS (SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id),
+        | inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        |   FROM cand c
+        |    JOIN ex a ON a.id = c.id_a
+        |    JOIN ex b ON b.id = c.id_b AND b.sh = a.sh
         |   GROUP BY 1, 2)
-        | SELECT id_a, id_b,
-        |  round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
-        | FROM inter
-        |  JOIN sizes sa ON sa.id = id_a
-        |  JOIN sizes sb ON sb.id = id_b
-        | WHERE round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.05
-        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+        | SELECT c.id_a, c.id_b,
+        |  round(COALESCE(i.inter, 0)
+        |    / CAST(sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) AS DOUBLE), 6)
+        |    AS jaccard
+        | FROM cand c
+        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |  JOIN sizes sa ON sa.id = c.id_a
+        |  JOIN sizes sb ON sb.id = c.id_b
+        | WHERE round(COALESCE(i.inter, 0)
+        |    / CAST(sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) AS DOUBLE), 6) >= 0.05
+        | ORDER BY c.id_a, c.id_b""".stripMargin.replace("\n", " "))),
 
     // ===== Similarity / ANN =====
     ("ann_topk",
@@ -194,6 +229,28 @@ object QueriesPipeline {
         | WHERE e.vec_id <> 0
         | ORDER BY score DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
 
+    // The SCALE path for embedding near-dup: banded-LSH candidates →
+    // exact cosine verify. No all-pairs join anywhere in the plan.
+    ("ann_neardup_lsh",
+      (s, d) => Similarity.lshNearDupPairs(
+        graft.core.Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH lb AS ($lshBandedSql),
+        | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |   FROM lb a JOIN lb b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |     AND a.vec_id < b.vec_id)
+        | SELECT c.id_a, c.id_b,
+        |  round(${cosineSql("ea.embedding", "eb.embedding")}, 6) AS cos
+        | FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.id_a
+        |  JOIN embeddings eb ON eb.vec_id = c.id_b
+        | WHERE round(${cosineSql("ea.embedding", "eb.embedding")}, 6) >= 0.45
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // The EXACT small-n cross-check for ann_neardup_lsh (quadratic by
+    // definition — kept registered as the recall oracle, within-block /
+    // small-n use only; SimilaritySpec asserts lsh ⊆ exact).
     ("embedding_neardup",
       (s, d) => Similarity.nearDupPairs(
         graft.core.Tables.embeddings(s, d), threshold = 0.45)

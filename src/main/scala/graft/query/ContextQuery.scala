@@ -52,21 +52,37 @@ object ContextQuery {
   }
 
   /** Static pre-flight cost estimate, `estimate_cost`
-    * (`context_query.zig:225-258`): time = anchors·10µs +
-    * Σ rules·max_depth·5µs, memory = max_total_nodes·2KB; queries over
-    * 1s / 100MB are rejected before execution. On Spark the real
+    * (`context_query.zig:225-244`), formula mirrored exactly:
+    * time_us = anchors·10 + rules·max(rule depth)·5,
+    * memory_kb = max_total_nodes·2; `exceeds_limits` rejects over
+    * 1 s / 100000 KB (`context_query.zig:247-258`). On Spark the real
     * optimizer is Catalyst CBO/AQE — this estimator exists for API
-    * parity and driver-side admission control.
+    * parity and the [[execute]] admission check.
     */
-  final case class CostEstimate(timeUs: Long, memoryBytes: Long) {
-    def acceptable: Boolean =
-      timeUs <= 1000000L && memoryBytes <= 100L * 1024 * 1024
+  final case class CostEstimate(timeUs: Long, memoryKb: Long) {
+    def acceptable: Boolean = timeUs <= 1000000L && memoryKb <= 100000L
   }
 
   def estimateCost(spec: Spec): CostEstimate = CostEstimate(
     timeUs = spec.anchors.size * 10L +
-      spec.rules.map(r => r.maxDepth * 5L).sum,
-    memoryBytes = spec.maxTotalNodes * 2048L)
+      spec.rules.size.toLong *
+        spec.rules.map(_.maxDepth.toLong).maxOption.getOrElse(0L) * 5L,
+    memoryKb = spec.maxTotalNodes * 2L)
+
+  /** Admission rejection (reference rejects before execution when
+    * `estimate_cost().exceeds_limits()`).
+    */
+  final case class QueryRejected(estimate: CostEstimate)
+      extends RuntimeException(
+        s"context query rejected by admission control: " +
+          s"estimated ${estimate.timeUs} us / ${estimate.memoryKb} KB " +
+          "exceeds 1 s / 100000 KB")
+
+  /** Driver-side deadline exceeded (the Spark analogue of the
+    * reference's `check_timeout`, `context/engine.zig:96-101`).
+    */
+  final case class QueryTimeout(timeoutMs: Long)
+      extends RuntimeException(s"context query exceeded $timeoutMs ms deadline")
 
   /** Phase 1 — anchor resolution (`context/engine.zig:214-283`): each
     * anchor yields seed block ids, all workspace-validated.
@@ -84,9 +100,16 @@ object ContextQuery {
 
   /** Phases 2+3 — per-rule bounded traversal, union, package. Returns
     * (id, depth, unit_type, unit_id, content) at min depth per node,
-    * ordered (depth, id), capped at `maxTotalNodes`.
+    * ordered (depth, id), capped at `maxTotalNodes`. Admission control
+    * runs first: an over-budget estimate is rejected before any job is
+    * submitted, like the reference (`context_query.zig:247-258`).
+    * `admit` is the limit predicate — the reference's `exceeds_limits`
+    * thresholds by default, injectable so operators can tighten them.
     */
-  def execute(blocks: DataFrame, edges: DataFrame, spec: Spec): DataFrame = {
+  def execute(blocks: DataFrame, edges: DataFrame, spec: Spec,
+              admit: CostEstimate => Boolean = _.acceptable): DataFrame = {
+    val est = estimateCost(spec)
+    if (!admit(est)) throw QueryRejected(est)
     val seeds = resolveAnchors(blocks, spec)
     val traversed: DataFrame =
       if (spec.rules.isEmpty) seeds.withColumn("depth", lit(0))
@@ -101,5 +124,41 @@ object ContextQuery {
       .select("id", "depth", "unit_type", "unit_id", "content")
       .orderBy(col("depth"), col("id"))
       .limit(spec.maxTotalNodes)
+  }
+
+  /** [[execute]] under a wall-clock deadline — the distributed analogue
+    * of the reference's per-query `check_timeout`
+    * (`context/engine.zig:96-101`): the query materializes inside a
+    * dedicated job group on a worker thread; if the deadline passes, the
+    * whole group is cancelled (interrupting running tasks) and
+    * [[QueryTimeout]] is thrown. On success the returned DataFrame is
+    * already materialized (localCheckpoint), so later actions on it
+    * cannot outlive the deadline.
+    */
+  def executeWithDeadline(blocks: DataFrame, edges: DataFrame, spec: Spec,
+                          timeoutMs: Long): DataFrame = {
+    val sc = blocks.sparkSession.sparkContext
+    val group = s"graft-ctx-${java.util.UUID.randomUUID()}"
+    val result =
+      new java.util.concurrent.atomic.AtomicReference[Either[Throwable, DataFrame]]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val worker = new Thread(() => {
+      try {
+        sc.setJobGroup(group, "graft context query", interruptOnCancel = true)
+        result.set(Right(execute(blocks, edges, spec).localCheckpoint(true)))
+      } catch { case e: Throwable => result.set(Left(e)) }
+      finally { sc.clearJobGroup(); done.countDown() }
+    }, group)
+    worker.setDaemon(true)
+    worker.start()
+    if (!done.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+      sc.cancelJobGroup(group)
+      done.await(10, java.util.concurrent.TimeUnit.SECONDS) // let tasks unwind
+      throw QueryTimeout(timeoutMs)
+    }
+    result.get() match {
+      case Right(df) => df
+      case Left(e) => throw e
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Result cache with LRU + TTL semantics and write invalidation — the
@@ -78,4 +78,34 @@ final class QueryCache(maxEntries: Int = 1000, ttlMs: Long = 30L * 60 * 1000,
 
   def stats: (Long, Long, Long) = synchronized((hitCount, missCount, evictionCount))
   def size: Int = synchronized(entries.size())
+}
+
+/** Per-session cache registry — THE cache the query path
+  * ([[graft.graph.CodeGraph]] materialization, anchor resolution) goes
+  * through, and the one [[graft.core.Mvcc]] mutations invalidate
+  * (reference `src/query/engine.zig:493-502`: any write invalidates all
+  * cached query results).
+  *
+  * Keyed weakly on the session OBJECT (not an identity hash): a stopped,
+  * unreachable session's entry is dropped by GC, so a recycled identity
+  * hash can never hand a new session a DataFrame bound to a dead
+  * SparkContext, and stale sessions don't accumulate.
+  */
+object QueryCache {
+
+  private val perSession = new java.util.WeakHashMap[SparkSession, QueryCache]()
+
+  def forSession(spark: SparkSession): QueryCache = perSession.synchronized {
+    var c = perSession.get(spark)
+    if (c == null) { c = new QueryCache(); perSession.put(spark, c) }
+    c
+  }
+
+  /** Write-path hook: invalidate the mutating session's cache (no-op if
+    * that session never cached anything).
+    */
+  def invalidateSession(spark: SparkSession): Unit = {
+    val c = perSession.synchronized(perSession.get(spark))
+    if (c != null) c.invalidateAll()
+  }
 }

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object EventStreams {
 
-  /** Nanosecond epoch → TIMESTAMP (µs truncation) as `event_time`. */
+  /** Nanosecond epoch → TIMESTAMP (µs truncation) as `event_time`.
+    * Integer `div`, not `/`: long `/` goes through DOUBLE, which cannot
+    * represent epoch-ns exactly (> 2^53) — `div` matches the oracle's
+    * exact `epoch_ns // 1000`.
+    */
   def withEventTime(events: DataFrame, tsNsCol: String = "ts"): DataFrame =
     events.withColumn("event_time",
-      timestamp_micros((col(tsNsCol).cast("long") / 1000).cast("long")))
+      timestamp_micros(expr(s"CAST(`$tsNsCol` AS BIGINT) div 1000")))
 
   /** Tumbling-window counts/sums per event type. In streaming mode, pair
     * with `.withWatermark("event_time", "…")` for state eviction.

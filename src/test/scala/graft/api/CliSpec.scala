@@ -84,7 +84,16 @@ class CliSpec extends SparkSpec {
       Seq(ContextQuery.Rule(Direction.Outgoing, EdgeFilter.All, 4)), 1000)
     val c = ContextQuery.estimateCost(spec)
     assert(c.timeUs == 10 + 4 * 5)
-    assert(c.memoryBytes == 1000 * 2048L)
+    assert(c.memoryKb == 1000 * 2L)
     assert(c.acceptable)
+    // reference exceeds_limits thresholds
+    assert(!ContextQuery.CostEstimate(1000001L, 1).acceptable)
+    assert(!ContextQuery.CostEstimate(1, 100001L).acceptable)
+  }
+
+  test("parse rejects unknown and dangling flags") {
+    assert(Cli.parse(Seq("find", "--type", "function", "--nmae", "x")).isLeft)
+    assert(Cli.parse(Seq("find", "--type", "function", "--name")).isLeft)
+    assert(Cli.parse(Seq("find", "stray", "--name", "x")).isLeft)
   }
 }

@@ -108,6 +108,23 @@ class TraversalEngineSpec extends SparkSpec {
     assert(r == Seq(Seq("s", "x", "t"), Seq("s", "y", "t")))
   }
 
+  test("paths between: longer-than-shortest paths enumerate, shortest first") {
+    // diamond-with-chord: a->d (len 1), a->b->d (len 2), a->b->c->d (len 3)
+    val g = Seq(("a", "d"), ("a", "b"), ("b", "d"), ("b", "c"), ("c", "d"))
+      .map { case (s, t) => (s, t, "calls") }.toDF("src", "dst", "edge_type")
+    val r = Traversal.pathsBetween(g, "a", "d", maxDepth = 10, maxPaths = 100)
+      .collect().map(_.getAs[scala.collection.Seq[String]]("path")).toSeq
+    assert(r == Seq(Seq("a", "d"), Seq("a", "b", "d"), Seq("a", "b", "c", "d")))
+  }
+
+  test("paths between: maxPaths cap keeps the shortest paths") {
+    val g = Seq(("a", "d"), ("a", "b"), ("b", "d"), ("b", "c"), ("c", "d"))
+      .map { case (s, t) => (s, t, "calls") }.toDF("src", "dst", "edge_type")
+    val r = Traversal.pathsBetween(g, "a", "d", maxDepth = 10, maxPaths = 2)
+      .collect().map(_.getAs[scala.collection.Seq[String]]("path")).toSeq
+    assert(r == Seq(Seq("a", "d"), Seq("a", "b", "d")))
+  }
+
   test("paths between: source equals target") {
     val r = Traversal.pathsBetween(edges, "a", "a").collect()
       .map(_.getAs[scala.collection.Seq[String]]("path")).toSeq
