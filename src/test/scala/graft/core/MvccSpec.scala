@@ -52,6 +52,28 @@ class MvccSpec extends SparkSpec {
     assert(Mvcc.putEdges(e1, e2).count() == 2)
   }
 
+  test("sequence assignment is distributed yet identical to global id-rank") {
+    // 1000-row batch across 4 shuffle partitions: sequences must equal
+    // maxSeq + rank-by-id, and the plan's row_number window must be
+    // partitioned (per-partition rank + offsets), not a global sort.
+    val n = 1000
+    val puts = scala.util.Random.shuffle((1 to n).toList)
+      .map(i => (f"id$i%05d", s"c$i")).toDF("id", "content")
+    val v2 = Mvcc.putBlocks(base, puts)
+    val plan = v2.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      "row_number must be partitioned by __pid, not a global window")
+    val seqs = Schemas.currentView(v2)
+      .filter(org.apache.spark.sql.functions.col("id").startsWith("id"))
+      .select("id", "sequence").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxBase = 2L // base table's max sequence
+    (1 to n).foreach { i =>
+      assert(seqs(f"id$i%05d") == maxBase + i,
+        s"id$i should get sequence ${maxBase + i}")
+    }
+  }
+
   test("deterministic blockId is stable and distinct") {
     import org.apache.spark.sql.functions._
     val df = Seq(("ws", "f:a"), ("ws", "f:b"), ("ws2", "f:a"))

@@ -30,6 +30,27 @@ class DotProductFloatSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("length mismatch and null elements return null, like the composable form") {
+    // composable semantics: zip_with pads the shorter array with null and
+    // a null element nulls the whole fold -> vec_dot must do the same
+    val df = Seq(
+      ("mismatch", Array(1.0f, 2.0f), Array(1.0f)),
+    ).toDF("k", "a", "b")
+      .select(col("k"),
+        Similarity.dot(col("a"), col("b")).as("composed"),
+        Similarity.dotNative(col("a"), col("b")).as("native"))
+    val r = df.head()
+    assert(r.isNullAt(1) && r.isNullAt(2))
+
+    val withNullElem = spark.sql(
+      "SELECT CAST(array(1.0, NULL) AS ARRAY<FLOAT>) AS a, " +
+        "CAST(array(1.0, 2.0) AS ARRAY<FLOAT>) AS b")
+      .select(Similarity.dot(col("a"), col("b")).as("composed"),
+        Similarity.dotNative(col("a"), col("b")).as("native"))
+      .head()
+    assert(withNullElem.isNullAt(0) && withNullElem.isNullAt(1))
+  }
+
   test("native top-k equals the composable top-k") {
     val emb = vecs.withColumnRenamed("id", "vec_id")
       .withColumnRenamed("v", "embedding")

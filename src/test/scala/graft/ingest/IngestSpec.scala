@@ -137,6 +137,57 @@ class IngestSpec extends SparkSpec {
     assert(e2.filter(col("workspace") === "demo").isEmpty)
   }
 
+  test("readDirectory: recursive scan, glob include/exclude, size cap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toFile
+    def write(rel: String, content: String): Unit = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+    }
+    try {
+      write("a.zig", "fn a() {\n}\n")
+      write("sub/deep/b.zig", "fn b() {\n}\n")
+      write("notes.txt", "not code")                 // not in include globs
+      write("vendor/c.zig", "fn c() {\n}\n")         // excluded by glob
+      write("huge.zig", "y" * (1024 * 1024 + 1))     // over the 1 MiB cap
+      write("none.zig", "")                          // empty -> skipped
+      val got = Ingest.readDirectory(spark, root.getAbsolutePath,
+        include = Seq("**/*.zig"), exclude = Seq("vendor/**"))
+        .collect().map(f => f.path -> f.content).toMap
+      assert(got.keySet == Set("a.zig", "sub/deep/b.zig"))
+      assert(got("a.zig") == "fn a() {\n}\n") // UTF-8 decode intact
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  test("glob translation: segment vs cross-directory wildcards") {
+    assert("sub/deep/b.zig".matches(Ingest.globToRegex("**/*.zig")))
+    assert("b.zig".matches(Ingest.globToRegex("**/*.zig")))
+    assert(!"sub/b.zig".matches(Ingest.globToRegex("*.zig"))) // * stays in segment
+    assert("vendor/x/y.zig".matches(Ingest.globToRegex("vendor/**")))
+    assert("a.b.zig".matches(Ingest.globToRegex("a?b.zig")))
+    assert(!"a.bXzig".matches(Ingest.globToRegex("a?b.zig")))
+  }
+
+  test("linkDirectory ingests a real tree through the registry") {
+    val root = java.nio.file.Files.createTempDirectory("graft-link").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(root, "m.zig").toPath,
+        "fn top() {\n  leaf()\n}\nfn leaf() {\n}\n".getBytes("UTF-8"))
+      val (reg, blocks, edges) = Workspace.linkDirectory(
+        Workspace.emptyRegistry(spark), "tree", root.getAbsolutePath)
+      assert(Workspace.linked(reg).collect().map(_.getString(0)).toSeq == Seq("tree"))
+      assert(blocks.filter(col("unit_id") === "m.zig:top").count() == 1)
+      assert(edges.count() == 1) // top -> leaf resolved call
+    } finally {
+      Option(root.listFiles()).foreach(_.foreach(_.delete())); root.delete()
+    }
+  }
+
   test("ingestion stats aggregate files/blocks/edges") {
     val u = Ingest.parseFiles(files, SimpleParser)
     val s = Ingest.stats(files, u).head()

@@ -60,6 +60,47 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((1L, 4L)))
   }
 
+  test("banded simhash pairs equal the brute-force all-pairs result") {
+    // pigeonhole banding is exact for hamming <= radius: the candidate
+    // equi-join may only SHRINK the comparison set, never the result.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val many = ((1L to 30L).map { i =>
+      (i, Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "s")
+    } ++ Seq((31L, "alpha beta gamma delta", "s"),
+      (32L, "alpha beta gamma delta", "s"),       // identical -> hamming 0
+      (33L, "alpha beta gamma epsilon", "s")))    // near
+      .toDF("doc_id", "text", "source")
+    val sh = many.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        bit_count(col("a.s").bitwiseXOR(col("b.s"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashPairs(many, "doc_id", "text", radius = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    assert(banded.exists(p => p._1 == 31L && p._2 == 32L && p._3 == 0))
+  }
+
+  test("banded simhash plan has no cartesian / nested-loop join") {
+    val plan = Dedup.simhashPairs(docs, "doc_id", "text", radius = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("jaccardForPairs verifies candidates, scoring zero-overlap pairs 0") {
+    val cand = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardForPairs(cand, docs, "doc_id", "text",
+      n = 2, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) == 0.0) // candidate with empty intersection survives at 0
+    assert(!j.contains((1L, 3L))) // not a candidate -> never scored
+  }
+
   test("shingles of short text are empty, not an error") {
     val n = Seq((9L, "one two", "s")).toDF("doc_id", "text", "source")
       .select(size(Dedup.shingles(col("text"), 3)).as("n")).head().getInt(0)

@@ -58,4 +58,31 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(r == Seq(1L))
   }
+
+  // 64-dim fixture for the banded path (lshBandedPairs assumes dim 64):
+  // two identical vectors plus noise.
+  private lazy val emb64 = {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val v0 = vec()
+    (Seq((0L, v0), (1L, v0.clone())) ++ (2L to 40L).map(i => (i, vec())))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("banded LSH near-dup: subset of exact, finds identical pair") {
+    val lsh = Similarity.lshNearDupPairs(emb64, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairs(emb64, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH path must only emit exact-verified pairs")
+    assert(lsh.contains((0L, 1L)),
+      "identical vectors share every band -> guaranteed candidate")
+  }
+
+  test("banded LSH plan has no cartesian / nested-loop join") {
+    val plan = Similarity.lshNearDupPairs(emb64, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString)
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.query
 
 import graft.SparkSpec
 import graft.graph.{Direction, EdgeFilter}
+import org.apache.spark.sql.functions._
 
 /** Context-query composition (`/root/reference/src/query/context_query
   * .zig:140-244`, `context/engine.zig:171-211`): anchors → rules →
@@ -69,6 +70,46 @@ class ContextQuerySpec extends SparkSpec {
       anchors = Seq(ContextQuery.ById("nope")),
       rules = Seq(ContextQuery.Rule(Direction.Outgoing, EdgeFilter.All, 1))))
     assert(r.isEmpty)
+  }
+
+  test("admission control rejects an over-budget estimate before any job") {
+    val spec = ContextQuery.Spec(
+      workspace = "ws1",
+      anchors = Seq(ContextQuery.ById("f1")),
+      rules = Seq(ContextQuery.Rule(Direction.Outgoing, EdgeFilter.All, 2)))
+    val e = intercept[ContextQuery.QueryRejected] {
+      ContextQuery.execute(blocks, edges, spec, admit = _ => false)
+    }
+    assert(e.getMessage.contains("admission"))
+    // the default thresholds are the reference's exceeds_limits values
+    assert(ContextQuery.estimateCost(spec).acceptable)
+  }
+
+  test("deadline: a query that cannot finish in time is cancelled") {
+    intercept[ContextQuery.QueryTimeout] {
+      // wrap execute's plan in a deadline by using a blocks table whose
+      // scan is slow: a 50M-row range crossed with itself via the seeds
+      val slowBlocks = spark.range(0, 50000000L)
+        .select(concat(lit("f"), col("id")).as("id"), lit(1L).as("sequence"),
+          lit("ws1").as("workspace"), lit("function").as("unit_type"),
+          concat(lit("a.zig:n"), col("id")).as("unit_id"),
+          lit("a.zig").as("file_path"), lit("c").as("content"),
+          lit(false).as("is_deleted"))
+      ContextQuery.executeWithDeadline(slowBlocks, edges, ContextQuery.Spec(
+        workspace = "ws1",
+        anchors = Seq(ContextQuery.ByName("function", "f49999999")),
+        rules = Seq(ContextQuery.Rule(Direction.Outgoing, EdgeFilter.All, 2))),
+        timeoutMs = 300)
+    }
+  }
+
+  test("deadline: a fast query completes and returns materialized rows") {
+    val r = ContextQuery.executeWithDeadline(blocks, edges, ContextQuery.Spec(
+      workspace = "ws1",
+      anchors = Seq(ContextQuery.ById("f1")),
+      rules = Seq(ContextQuery.Rule(Direction.Outgoing, EdgeFilter.All, 2))),
+      timeoutMs = 120000)
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("f1", "f2", "t1"))
   }
 
   test("spec bounds are validated") {

@@ -41,4 +41,20 @@ class QueryCacheSpec extends SparkSpec {
     assert(c.size == 0)
     assert(c.getOrElseUpdate("a")(df(7)).count() == 7)
   }
+
+  test("MVCC write invalidates the session cache behind a real query") {
+    import graft.graph.CodeGraph
+    val dir = "/root/testdata/sf0.001"
+    val before = CodeGraph.edges(spark, dir).count() // populates the cache
+    val c = QueryCache.forSession(spark)
+    assert(c.size > 0, "CodeGraph materialization must go through QueryCache")
+    // any mutation through the write path invalidates every cached result
+    val base = Seq(("x", 1L, "v", false))
+      .toDF("id", "sequence", "content", "is_deleted")
+    graft.core.Mvcc.putBlocks(base, Seq(("y", "w")).toDF("id", "content"))
+    assert(c.size == 0, "put_block must invalidate the query cache")
+    // the query path transparently re-derives after invalidation
+    assert(CodeGraph.edges(spark, dir).count() == before)
+    assert(c.stats._3 >= 1L) // evictions counted
+  }
 }
