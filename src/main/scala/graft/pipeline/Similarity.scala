@@ -162,6 +162,13 @@ object Similarity {
     * O(|candidates|), not O(n²). Approximate by construction — misses
     * pairs sharing no band — but everything it DOES emit is exact;
     * [[nearDupPairs]] is its small-n recall oracle (see SimilaritySpec).
+    *
+    * Verification cost engineering: norms are computed ONCE PER VECTOR
+    * before the pair join (a pair-side cosine pays 3 dots; this pays 1),
+    * and the per-pair dot is the fused codegen [[dotNative]] expression
+    * (bit-identical to the composable fold — DotProductFloatSpec) — at
+    * millions of candidates per band-bucket batch this is the
+    * difference between lambda-eval and whole-stage-codegen throughput.
     */
   def lshNearDupPairs(emb: DataFrame, threshold: Double,
                       nBands: Int = 4, planesPerBand: Int = 4,
@@ -169,10 +176,16 @@ object Similarity {
                       vecCol: String = "embedding",
                       seed: Long = 42L): DataFrame = {
     val cand = lshBandedPairs(emb, nBands, planesPerBand, idCol, vecCol, seed)
+    val normed = emb.select(col(idCol), col(vecCol),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("nrm"))
+    val d = dotNative(col("va"), col("vb"))
+    val n = col("na") * col("nb")
     cand
-      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
-      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .join(normed.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(normed.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", round(when(n === 0.0, lit(0.0)).otherwise(d / n), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
