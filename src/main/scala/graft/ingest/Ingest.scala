@@ -81,6 +81,40 @@ object Ingest {
       .as[FileDoc]
   }
 
+  /** Continuous ingestion: the Structured Streaming variant of
+    * [[readDirectory]] — files appearing under `root` flow through the
+    * same glob/cap filters and the same [[parseFiles]] transform, one
+    * micro-batch per file listing (the streaming analogue of the
+    * reference's sync-on-change loop, `manager.zig:249-377`). Scale
+    * knobs are the file source's own: `maxFilesPerTrigger` for batch
+    * sizing, a checkpoint dir for exactly-once. The size cap here
+    * filters on decoded content length (the streaming text source has
+    * no length metadata column to push down).
+    */
+  def readStreamDirectory(spark: SparkSession, root: String,
+                          include: Seq[String] = Seq("**"),
+                          exclude: Seq[String] = Nil,
+                          maxBytes: Long = MaxFileBytes): Dataset[FileDoc] = {
+    import spark.implicits._
+    val rootAbs = new java.io.File(root).getAbsolutePath.stripSuffix("/")
+    val raw = spark.readStream.format("text")
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .load(rootAbs)
+      .select(input_file_name().as("uri"), col("value").as("content"))
+    val rel = regexp_replace(
+      regexp_replace(col("uri"), "^file:(//)?", ""),
+      "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
+    val included = include.map(g => rel.rlike("^" + globToRegex(g) + "$"))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val excluded = exclude.map(g => rel.rlike("^" + globToRegex(g) + "$"))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    raw.filter(included && !excluded &&
+        octet_length(col("content")) > 0 &&
+        octet_length(col("content")) <= maxBytes)
+      .select(rel.as("path"), col("content")).as[FileDoc]
+  }
+
   def parseFiles(files: Dataset[FileDoc], parser: SourceParser): Dataset[ParsedUnit] = {
     val spark = files.sparkSession
     import spark.implicits._

@@ -188,6 +188,36 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("streaming directory ingestion parses files as they arrive") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    def write(rel: String, content: String): Unit = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+    }
+    write("one.zig", "fn one() {\n}\n") // present at stream start
+    val units = Ingest.parseFiles(
+      Ingest.readStreamDirectory(spark, root.getAbsolutePath,
+        include = Seq("**/*.zig")), SimpleParser)
+    val q = units.toDF().writeStream.format("memory")
+      .queryName("ingest_stream_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write("sub/two.zig", "fn two() {\n}\n") // arrives mid-stream
+      write("skip.txt", "not code")           // filtered by glob
+      q.processAllAvailable()
+      val got = spark.table("ingest_stream_test")
+        .select("unitId").collect().map(_.getString(0)).toSet
+      assert(got == Set("one.zig:one", "sub/two.zig:two"))
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("ingestion stats aggregate files/blocks/edges") {
     val u = Ingest.parseFiles(files, SimpleParser)
     val s = Ingest.stats(files, u).head()
