@@ -190,22 +190,35 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** IVF: coarse quantizer = per-cell centroid (here: the fixture's
-    * `label` as the cell assignment, i.e. a pre-trained k-means);
-    * search probes only the `nprobe` cells whose centroids are nearest
-    * the query, then scores brute-force within those cells — the classic
-    * inverted-file trade: scan 1/cells of the data per probe.
+  /** IVF index build — the "train once" step: per-cell centroids from
+    * the cell assignment (here the fixture's `label`, i.e. a pre-trained
+    * k-means). At scale this is computed ONCE at ingest, persisted (or
+    * written alongside the table), and reused by every query — never
+    * rebuilt per query; it is one partial-aggregating shuffle over the
+    * corpus and the result is cells×dim tiny (broadcastable).
     */
-  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int, nprobe: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              cellCol: String = "label"): DataFrame = {
-    val centroids = emb
+  def ivfCentroids(emb: DataFrame, cellCol: String = "label",
+                   vecCol: String = "embedding"): DataFrame =
+    emb
       .select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(cellCol), col("pos"))
       .agg(avg(col("v").cast("double")).as("cv"))
       .groupBy(col(cellCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         s => s.getField("cv")).as("centroid"))
+
+  /** IVF search against a prebuilt [[ivfCentroids]] index: probe only
+    * the `nprobe` cells whose centroids are nearest the query, then
+    * score brute-force within those cells — the classic inverted-file
+    * trade: scan nprobe/cells of the data per query. The probed-cell
+    * set is a broadcast left-semi join, so the big table is pruned
+    * before any scoring (with the table partitioned by cell, that is
+    * partition pruning).
+    */
+  def ivfTopKWith(centroids: DataFrame, emb: DataFrame, queryVecId: Long,
+                  k: Int, nprobe: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  cellCol: String = "label"): DataFrame = {
     val q = emb.filter(col(idCol) === queryVecId).select(col(vecCol).as("__qvec"))
     val probed = centroids.crossJoin(broadcast(q))
       .withColumn("cscore", cosine(col("centroid"), col("__qvec")))
@@ -220,4 +233,14 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** One-shot IVF (index built inline) — operator-demo convenience;
+    * production reuses [[ivfCentroids]] across queries via
+    * [[ivfTopKWith]].
+    */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int, nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              cellCol: String = "label"): DataFrame =
+    ivfTopKWith(ivfCentroids(emb, cellCol, vecCol), emb, queryVecId, k,
+      nprobe, idCol, vecCol, cellCol)
 }

@@ -59,6 +59,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Seq(1L))
   }
 
+  test("IVF index builds once and serves repeated queries") {
+    val idx = Similarity.ivfCentroids(emb).persist()
+    try {
+      idx.count() // train once
+      val q0 = Similarity.ivfTopKWith(idx, emb, 0L, 1, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      val q2 = Similarity.ivfTopKWith(idx, emb, 2L, 1, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(q0 == Seq(1L))
+      assert(q2.nonEmpty && q2.head != 2L)
+    } finally { idx.unpersist(); () }
+  }
+
   // 64-dim fixture for the banded path (lshBandedPairs assumes dim 64):
   // two identical vectors plus noise.
   private lazy val emb64 = {
