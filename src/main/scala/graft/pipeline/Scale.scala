@@ -53,4 +53,18 @@ object Scale {
     writeBucketed(edges, s"${baseName}_by_src", "src", numBuckets)
     writeBucketed(edges, s"${baseName}_by_dst", "dst", numBuckets)
   }
+
+  /** Blocks/edges at rest, partitioned by `workspace`: (a) every
+    * workspace-scoped query prunes to its partition at the file level;
+    * (b) `sync_codebase` becomes a DYNAMIC partition overwrite that
+    * rewrites exactly the synced workspace's directory and nothing else
+    * — the at-rest form of [[graft.ingest.Workspace.sync]]'s
+    * filter-and-union (reference `manager.zig:249-377`), minus the full
+    * table rewrite.
+    */
+  def writeWorkspacePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("workspace")
+      .parquet(path)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.api.Cli
 import graft.graph.{CodeGraph, Direction, EdgeFilter, Traversal, TraversalSpec}
 import graft.query.{ContextQuery, Lookups}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -193,6 +194,58 @@ object QueriesGraph {
         | SELECT m.id, m.depth, nb.unit_type, nb.unit_id, nb.content
         | FROM m JOIN nb ON m.id = nb.id AND nb.workspace = 'tpch'
         | ORDER BY m.depth, m.id LIMIT 1000""".stripMargin.replace("\n", " "))),
+
+    // estimate_cost as data: the reference formula over a two-anchor /
+    // two-rule spec, checked against its hand-computed values.
+    ("estimate_cost",
+      (s, d) => {
+        import s.implicits._
+        val spec = ContextQuery.Spec(
+          workspace = "tpch",
+          anchors = Seq(ContextQuery.ById("N5"),
+            ContextQuery.ByName("customer", "C1")),
+          rules = Seq(
+            ContextQuery.Rule(Direction.Outgoing, EdgeFilter.All, maxDepth = 2),
+            ContextQuery.Rule(Direction.Incoming,
+              EdgeFilter.Only("placed_by"), maxDepth = 1)),
+          maxTotalNodes = 1000)
+        val c = ContextQuery.estimateCost(spec)
+        Seq((c.timeUs, c.memoryKb, c.acceptable))
+          .toDF("time_us", "memory_kb", "acceptable")
+      },
+      // anchors(2)*10 + rules(2)*maxDepth(2)*5 = 40 us; 1000 nodes * 2 KB
+      Some("""SELECT CAST(40 AS BIGINT) AS time_us,
+        | CAST(2000 AS BIGINT) AS memory_kb, true AS acceptable"""
+        .stripMargin.replace("\n", " "))),
+
+    // CLI surface through the oracle: `find --type nation --name N3`
+    ("cli_find",
+      (s, d) => Cli.execute(CodeGraph.nodeBlocks(s, d), CodeGraph.edges(s, d),
+        Cli.FindCmd("nation", "N3", workspace = "tpch", maxResults = 10)),
+      Some(s"""WITH nb AS ($NB)
+        | SELECT id, unit_type, unit_id, content FROM nb
+        | WHERE workspace = 'tpch' AND unit_type = 'nation'
+        |  AND (string_split(unit_id, ':'))[-1] = 'N3'
+        | ORDER BY id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    // `show --relation callers --target N3 --max-depth 2`: name/id seed
+    // resolution + incoming traversal + block packaging.
+    ("cli_show_callers",
+      (s, d) => Cli.execute(CodeGraph.nodeBlocks(s, d), CodeGraph.edges(s, d),
+        Cli.ShowCmd("callers", "N3", workspace = "tpch", maxDepth = 2)),
+      Some(s"""WITH RECURSIVE e AS ($E), nb AS ($NB),
+        | seeds AS (SELECT DISTINCT id FROM nb WHERE workspace = 'tpch'
+        |   AND ((string_split(unit_id, ':'))[-1] = 'N3' OR id = 'N3')),
+        | r AS (
+        |  SELECT id, 0 AS depth FROM seeds
+        |  UNION ALL
+        |  SELECT e.src, r.depth + 1 FROM r JOIN e ON e.dst = r.id
+        |   WHERE r.depth < 2),
+        | m AS (SELECT id, MIN(depth) AS depth FROM r GROUP BY id
+        |   ORDER BY depth, id LIMIT 1000)
+        | SELECT m.id, m.depth, nb.unit_type, nb.unit_id
+        | FROM m JOIN nb ON m.id = nb.id
+        | ORDER BY m.depth, m.id""".stripMargin.replace("\n", " "))),
 
     ("callers_depth2",
       (s, d) => Lookups.findCallers(CodeGraph.edges(s, d),

@@ -27,6 +27,24 @@ class ScaleSpec extends SparkSpec {
     assert(salts > 1) // the hot key actually spreads
   }
 
+  test("workspace-partitioned sink: dynamic overwrite replaces only the synced partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wsp").toFile.getAbsolutePath
+    val v1 = Seq(("b1", "ws1", "old1"), ("b2", "ws2", "keep2"))
+      .toDF("id", "workspace", "content")
+    Scale.writeWorkspacePartitioned(v1, dir)
+    // sync ws1: write ONLY ws1 rows; ws2's partition must survive
+    val fresh = Seq(("b9", "ws1", "new1")).toDF("id", "workspace", "content")
+    Scale.writeWorkspacePartitioned(fresh, dir)
+    val back = spark.read.parquet(dir)
+      .select("id", "workspace", "content")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == Set(("b9", "ws1", "new1"), ("b2", "ws2", "keep2")))
+    // workspace-scoped reads prune at the partition level
+    val pruned = spark.read.parquet(dir).filter(col("workspace") === "ws2")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(workspace"), scan)
+  }
+
   test("bucketed tables join without an exchange") {
     val e = Seq(("a", "b", "calls"), ("b", "c", "calls"))
       .toDF("src", "dst", "edge_type")
