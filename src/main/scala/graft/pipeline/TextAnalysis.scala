@@ -126,4 +126,24 @@ object TextAnalysis {
       langId(t).as("lang_pred"),
       contentHash(t).as("content_hash"))
   }
+
+  /** Corpus TF-IDF: per (doc, term) weight tf · ln(N / df) over
+    * whitespace tokens. Scale shape: two hash-partitioned aggregations
+    * (doc-term counts with map-side partial agg, then per-term doc
+    * frequency — the doc-term table is already unique per doc so df is
+    * a plain count), a broadcast of the 1-row corpus size, and one
+    * equi-join on `term`. No collect, no UDF; the idf math is plain
+    * double `ln` so the oracle reproduces it bit-for-bit.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("dfreq")), 6))
+      .select("doc_id", "term", "tf", "dfreq", "tfidf")
+  }
 }

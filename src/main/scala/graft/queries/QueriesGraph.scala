@@ -24,7 +24,9 @@ object QueriesGraph {
 
   /** Recursive min-depth BFS oracle. `step` is the SELECT list + JOIN
     * condition for one expansion, e.g. outgoing: join on e.src = r.id,
-    * emit e.dst.
+    * emit e.dst. LIMIT 10000 mirrors the engine's `maxResults` cap with
+    * its deterministic (depth, id) truncation order — at sf >= 0.1 the
+    * reachable sets exceed the cap, so the oracle must encode it too.
     */
   private def bfsSql(seedSql: String, depth: Int, emit: String, joinOn: String,
                      edgePred: String = "TRUE"): String =
@@ -34,7 +36,8 @@ object QueriesGraph {
        | SELECT $emit AS id, r.depth + 1 AS depth FROM r JOIN e ON $joinOn
        |  WHERE r.depth < $depth AND ($edgePred)
        |)
-       |SELECT id, MIN(depth) AS depth FROM r GROUP BY id ORDER BY depth, id"""
+       |SELECT id, MIN(depth) AS depth FROM r GROUP BY id
+       |ORDER BY depth, id LIMIT 10000"""
       .stripMargin.replace("\n", " ")
 
   val entries: Seq[Entry] = Seq(
@@ -77,8 +80,8 @@ object QueriesGraph {
         |  SELECT e2.dst AS id, r.depth + 1 FROM r JOIN e2 ON e2.src = r.id
         |   WHERE r.depth < 2
         | )
-        | SELECT id, MIN(depth) AS depth FROM r GROUP BY id ORDER BY depth, id"""
-        .stripMargin.replace("\n", " "))),
+        | SELECT id, MIN(depth) AS depth FROM r GROUP BY id
+        | ORDER BY depth, id LIMIT 10000""".stripMargin.replace("\n", " "))),
 
     ("bfs_edge_filter",
       (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "N7"),

@@ -274,6 +274,21 @@ object QueriesPipeline {
         graft.core.Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
       Some(textStatsSql)),
 
+    ("text_tfidf",
+      (s, d) => TextAnalysis.tfidf(
+        graft.core.Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "term"),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | ex AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+        |   GROUP BY doc_id, term),
+        | dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+        | n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        | SELECT doc_id, term, tf, dfreq,
+        |  round(tf * ln(n_docs / CAST(dfreq AS DOUBLE)), 6) AS tfidf
+        | FROM tf JOIN dfreq USING (term), n
+        | ORDER BY doc_id, term""".stripMargin.replace("\n", " "))),
+
     ("doc_fingerprint",
       (s, d) => graft.core.Tables.documents(s, d).select(
         col("doc_id"),
