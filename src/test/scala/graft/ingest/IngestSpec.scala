@@ -218,6 +218,42 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingestion appends through the MVCC write path per micro-batch") {
+    import graft.core.{Mvcc, Schemas}
+    val root = java.nio.file.Files.createTempDirectory("graft-sync").toFile
+    def write(rel: String, content: String): Unit =
+      java.nio.file.Files.write(new java.io.File(root, rel).toPath,
+        content.getBytes("UTF-8"))
+    write("first.zig", "fn first() {\n}\n")
+    // the continuously-synced store: starts empty with the block schema
+    var store = Ingest.unitsToBlocks(
+      Ingest.parseFiles(Seq.empty[Ingest.FileDoc].toDS(), SimpleParser), "live")
+    val stream = Ingest.parseFiles(
+      Ingest.readStreamDirectory(spark, root.getAbsolutePath,
+        include = Seq("**/*.zig")), SimpleParser)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ParsedUnit], _: Long) =>
+        val puts = Ingest.unitsToBlocks(batch, "live")
+          .drop("sequence", "is_deleted")
+        store = Mvcc.putBlocks(store, puts).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      write("second.zig", "fn second() {\n}\n")
+      q.processAllAvailable()
+      val cur = Schemas.currentView(store)
+        .select("unit_id", "sequence").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cur.keySet == Set("first.zig:first", "second.zig:second"))
+      // later micro-batch writes land at higher sequence epochs
+      assert(cur("second.zig:second") > cur("first.zig:first"))
+    } finally {
+      q.stop()
+      Option(root.listFiles()).foreach(_.foreach(_.delete())); root.delete(); ()
+    }
+  }
+
   test("ingestion stats aggregate files/blocks/edges") {
     val u = Ingest.parseFiles(files, SimpleParser)
     val s = Ingest.stats(files, u).head()
