@@ -68,4 +68,16 @@ object Schemas {
       .filter(col("__rn") === 1 && !col(deletedCol))
       .drop("__rn")
   }
+
+  /** Time-travel read: the current view AS OF a sequence — exactly what
+    * the reference's LSM read path computes against any historical
+    * sequence horizon (versions above `seq` don't exist yet; tombstones
+    * at or below it still shadow). One extra pushed-down range filter
+    * before the same window.
+    */
+  def currentViewAsOf(versioned: DataFrame, seq: Long,
+                      idCol: String = "id",
+                      seqCol: String = "sequence",
+                      deletedCol: String = "is_deleted"): DataFrame =
+    currentView(versioned.filter(col(seqCol) <= seq), idCol, seqCol, deletedCol)
 }

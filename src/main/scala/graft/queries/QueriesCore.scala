@@ -37,6 +37,18 @@ object QueriesCore {
       (s, d) => current(s, d).orderBy("id"),
       Some(s"$currentViewSql ORDER BY id")),
 
+    // Time-travel: the view as of a historical sequence horizon —
+    // versions above it don't exist yet, tombstones at/below still
+    // shadow (the reference LSM's read-at-sequence semantics).
+    ("mvcc_asof",
+      (s, d) => Schemas.currentViewAsOf(CodeGraph.versionedBlocks(s, d), 500L)
+        .select("id", "sequence", "unit_type", "value").orderBy("id"),
+      Some(s"""WITH vb AS ($VB), h AS (SELECT * FROM vb WHERE sequence <= 500)
+        | SELECT id, sequence, unit_type, value FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY id ORDER BY sequence DESC) AS rn
+        |   FROM h) WHERE rn = 1 AND NOT is_deleted ORDER BY id"""
+        .stripMargin.replace("\n", " "))),
+
     ("mvcc_roundtrip",
       (s, d) => {
         import s.implicits._

@@ -45,6 +45,16 @@ class MvccSpec extends SparkSpec {
     assert(currentMap(v3)("x") == (4L, "v3")) // delete took seq 3
   }
 
+  test("as-of read: later versions invisible, tombstones at horizon shadow") {
+    // base: x@1=v1, x@2=v2, y@1=w1, z@1=g1, z@2=tombstone
+    val asOf1 = Schemas.currentViewAsOf(base, 1L).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("content")).toMap
+    assert(asOf1 == Map("x" -> "v1", "y" -> "w1", "z" -> "g1")) // pre-delete world
+    val asOf2 = Schemas.currentViewAsOf(base, 2L).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("content")).toMap
+    assert(asOf2 == Map("x" -> "v2", "y" -> "w1")) // tombstone now shadows z
+  }
+
   test("put_edge dedups identical (src,dst,type)") {
     val e1 = Seq(("a", "b", "calls")).toDF("src", "dst", "edge_type")
     val e2 = Seq(("a", "b", "calls"), ("a", "b", "imports"))
