@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -163,6 +164,27 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= radius)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Duplicate GROUPS from verified near-dup pairs — the final step of
+    * the dedup pipeline (candidates → verify → cluster → keep one per
+    * group): connected components over the pair graph, each doc labelled
+    * with the minimum doc id of its group (that min IS the canonical
+    * survivor). Numeric doc ids serve directly as GraphX vertex ids —
+    * no hash mapping, no collision surface — and GraphX's
+    * connectedComponents already labels by minimum vertex id, so the
+    * canonical choice falls out of the algorithm. Scale: CC is the
+    * standard O(diameter) Pregel iteration; near-dup components are
+    * tiny (diameter ~2-3), so it converges in a few supersteps.
+    */
+  def dupGroups(pairs: DataFrame, idACol: String = "id_a",
+                idBCol: String = "id_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgeRdd = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => GxEdge(a, b, ()) }
+    val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents()
+    cc.vertices.toDF("doc_id", "group_id")
   }
 
   /** n-gram Jaccard verification of an explicit candidate-pair set —

@@ -152,6 +152,37 @@ object QueriesPipeline {
         | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // End of the dedup pipeline: minhash candidate pairs clustered into
+    // duplicate groups (connected components, min-id canonical label).
+    // Oracle: transitive closure over the same pair CTE.
+    ("dedup_groups",
+      (s, d) => Dedup.dupGroups(
+        Dedup.minhashPairs(graft.core.Tables.documents(s, d),
+          "doc_id", "text", n = 3, k = K, bands = BANDS))
+        .orderBy("doc_id"),
+      Some(s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        | lng AS (
+        |  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+        |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |   FROM lng a JOIN lng b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |     AND a.doc_id < b.doc_id),
+        | und AS (SELECT id_a AS a, id_b AS b FROM cand
+        |   UNION SELECT id_b, id_a FROM cand),
+        | rch AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM rch r JOIN und u ON r.b = u.a WHERE r.a <> u.b
+        | )
+        | SELECT n.a AS doc_id,
+        |  LEAST(n.a, MIN(r.b)) AS group_id
+        | FROM (SELECT DISTINCT a FROM und) n
+        |  JOIN rch r ON r.a = n.a
+        | GROUP BY n.a ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Jaccard verification wired to the candidate generator it exists to
     // verify: minhash-band candidate pairs → per-pair n-gram Jaccard.
     // Work is linear in |candidates|, never corpus-quadratic.

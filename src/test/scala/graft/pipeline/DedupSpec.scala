@@ -101,6 +101,14 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((1L, 3L))) // not a candidate -> never scored
   }
 
+  test("dupGroups clusters transitively with min-id canonical labels") {
+    // 1-2, 2-3 chain => {1,2,3} labelled 1; 7-9 => labelled 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val g = Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("shingles of short text are empty, not an error") {
     val n = Seq((9L, "one two", "s")).toDF("doc_id", "text", "source")
       .select(size(Dedup.shingles(col("text"), 3)).as("n")).head().getInt(0)
