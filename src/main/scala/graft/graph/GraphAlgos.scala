@@ -43,6 +43,58 @@ object GraphAlgos {
       .select("id", "depth_fwd", "depth_bwd", "dist")
   }
 
+  /** BFS as a GraphX Pregel computation — the scale path for VERY deep
+    * traversals (SURVEY §7.4): the frontier lives entirely in the
+    * vertex RDD across supersteps, so a depth-100 walk does not pay a
+    * driver-coordinated job per level like [[Traversal.bfs]]'s loop
+    * (which wins for the reference's shallow ≤10-hop queries — see
+    * GraphAlgosSpec for the equivalence). Returns the identical
+    * (id, min-depth) set.
+    */
+  def bfsPregel(edges: DataFrame, seeds: Seq[String], maxDepth: Int,
+                direction: Direction = Direction.Outgoing): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ids = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .union(seeds.toDF("id")) // an isolated seed is still visited at depth 0
+      .distinct()
+    val nodes = spark.createDataFrame(
+        ids.as[String].rdd.zipWithUniqueId().map { case (id, vid) => (vid, id) })
+      .toDF("vid", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      nodes.count()
+      val seedSet = seeds.toSet
+      val vertexRdd = nodes.select("vid", "id").as[(Long, String)].rdd
+        .map { case (vid, id) => (vid, if (seedSet(id)) 0 else Int.MaxValue) }
+      val mapped = edges
+        .join(nodes.select(col("id").as("src"), col("vid").as("s")), Seq("src"))
+        .join(nodes.select(col("id").as("dst"), col("vid").as("d")), Seq("dst"))
+        .select("s", "d").as[(Long, Long)].rdd
+      val edgeRdd = direction match {
+        case Direction.Outgoing => mapped.map { case (s, d) => GxEdge(s, d, ()) }
+        case Direction.Incoming => mapped.map { case (s, d) => GxEdge(d, s, ()) }
+        case Direction.Both => mapped.flatMap { case (s, d) =>
+          Seq(GxEdge(s, d, ()), GxEdge(d, s, ())) }
+      }
+      val g = GxGraph(vertexRdd, edgeRdd, Int.MaxValue)
+      val res = g.pregel(Int.MaxValue, maxIterations = maxDepth)(
+        (_, attr, msg) => math.min(attr, msg),
+        t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+               Iterator((t.dstId, t.srcAttr + 1))
+             else Iterator.empty,
+        math.min)
+      // materialize BEFORE nodes.unpersist(): the vid->id join must read
+      // the same vid assignment the graph was built from
+      res.vertices.filter(_._2 != Int.MaxValue)
+        .toDF("vid", "depth")
+        .join(nodes, Seq("vid"))
+        .select(col("id"), col("depth").cast("int"))
+        .localCheckpoint(true)
+    } finally nodes.unpersist()
+  }
+
   /** Strongly connected components via GraphX: every node labelled with
     * the minimum member id of its SCC (deterministic canonical label).
     * Node ids are mapped to GraphX longs via `zipWithUniqueId` — DENSE
@@ -76,6 +128,10 @@ object GraphAlgos {
       val withIds = compDf.join(nodes, Seq("vid")).select("id", "comp_vid")
       val labels = withIds.groupBy("comp_vid").agg(min("id").as("component"))
       withIds.join(labels, Seq("comp_vid")).select("id", "component")
+        // materialize BEFORE nodes.unpersist(): a lazy read after the
+        // unpersist would recompute zipWithUniqueId and could assign
+        // different vids than the graph was built from
+        .localCheckpoint(true)
     } finally nodes.unpersist()
   }
 }

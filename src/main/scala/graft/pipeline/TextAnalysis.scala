@@ -127,6 +127,30 @@ object TextAnalysis {
       contentHash(t).as("content_hash"))
   }
 
+  /** Sequence packing for training pipelines, concat-then-chunk style:
+    * documents are concatenated in (shard, id) order and the token
+    * stream split into windows of `budgetTokens`; each doc is assigned
+    * the window it STARTS in — bin = floor(tokens_before / budget), a
+    * cumulative sum, the standard pretraining packing shape.
+    *
+    * Scale: packing is per-SHARD (`Window.partitionBy(shard)`), never a
+    * global single-partition window — each shard packs independently in
+    * parallel, which is also what a multi-host tokenizer wants. The
+    * shard key is whatever the corpus is already partitioned by
+    * (source, date, bucket).
+    */
+  def packIntoWindows(df: DataFrame, idCol: String, textCol: String,
+                      shardCol: String, budgetTokens: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(shardCol).as("shard"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0)))
+      .withColumn("bin_idx", floor(col("cum_before") / budgetTokens).cast("long"))
+      .drop("cum_before")
+  }
+
   /** Corpus TF-IDF: per (doc, term) weight tf · ln(N / df) over
     * whitespace tokens. Scale shape: two hash-partitioned aggregations
     * (doc-term counts with map-side partial agg, then per-term doc

@@ -320,6 +320,22 @@ object QueriesPipeline {
         | FROM tf JOIN dfreq USING (term), n
         | ORDER BY doc_id, term""".stripMargin.replace("\n", " "))),
 
+    // Sequence packing: concat-then-chunk window assignment per shard
+    // (bin = window the doc starts in at a 4096-token budget).
+    ("text_pack_windows",
+      (s, d) => TextAnalysis.packIntoWindows(
+        graft.core.Tables.documents(s, d), "doc_id", "text", "source", 4096)
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
+        | t AS (SELECT doc_id, source AS shard,
+        |   CAST(len(ws) AS INT) AS n_tokens FROM w),
+        | c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |   PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        | SELECT doc_id, shard, n_tokens,
+        |  CAST(FLOOR(cb / 4096) AS BIGINT) AS bin_idx
+        | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     ("doc_fingerprint",
       (s, d) => graft.core.Tables.documents(s, d).select(
         col("doc_id"),

@@ -28,6 +28,27 @@ class GraphAlgosSpec extends SparkSpec {
     assert(GraphAlgos.bidirectionalSearch(edges, "d", "a", maxDepth = 4).isEmpty)
   }
 
+  test("Pregel BFS visits the same (id, depth) set as the driver-loop BFS") {
+    for (dir <- Seq(Direction.Outgoing, Direction.Incoming, Direction.Both)) {
+      val loop = Traversal.bfs(edges, Seq("a").toDF("id"),
+        TraversalSpec(dir, maxDepth = 4, maxResults = 10000))
+        .select("id", "depth").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      val pregel = GraphAlgos.bfsPregel(edges, Seq("a"), maxDepth = 4, dir)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(pregel == loop, s"direction $dir")
+    }
+  }
+
+  test("Pregel BFS terminates on cycles and honors maxDepth") {
+    val r = GraphAlgos.bfsPregel(edges, Seq("p"), maxDepth = 50)
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(r == Map("p" -> 0, "q" -> 1))
+    val capped = GraphAlgos.bfsPregel(edges, Seq("a"), maxDepth = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("a", "b", "x"))
+  }
+
   test("SCC labels cycle members together, DAG nodes alone") {
     val r = GraphAlgos.stronglyConnected(edges).collect()
       .map(x => x.getString(0) -> x.getString(1)).toMap
