@@ -96,17 +96,22 @@ object Traversal {
     val hop = if (parentCached) hop0 else hop0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE job per level: `count()` is the action that materializes the
-      // persisted frontier (an eager localCheckpoint would be a second,
-      // separate materialization job). Joins against a persisted frame
-      // plan as an InMemoryRelation leaf, so lineage depth never
-      // re-expands in later levels' plans; MEMORY_AND_DISK spills rather
-      // than drops under pressure.
+      // level (an eager localCheckpoint would be a second, separate
+      // materialization job — the LAZY variant materializes on the count
+      // and still replaces the logical plan with a flat LogicalRDD up
+      // front). Lineage truncation here is load-bearing: each level's
+      // plan references the previous level twice (frontier join +
+      // visited union), so without it the logical tree doubles per level
+      // — exponential plan text that OOMs plan rendering near depth 20.
+      // Checkpoint blocks are also cleaned by the ContextCleaner once
+      // unreferenced, unlike Dataset persist entries which pin the cache
+      // manager until an explicit unpersist.
       val seed0 = (
         if (spec.trackPaths)
           seeds.select(col("id"), array(col("id")).as("path"))
         else seeds.select(col("id"))
       ).distinct().withColumn("depth", lit(0))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
 
       var visited = seed0   // accumulated (id, [path,] depth)
       var frontier = seed0
@@ -127,8 +132,8 @@ object Traversal {
         val next = expanded
           .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
           .withColumn("depth", lit(depth))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // visited stays a lazy union of per-level cached frames
+          .localCheckpoint(false)
+        // visited stays a lazy union of per-level checkpointed frames
         visited = visited.union(next)
         frontier = next
         frontierSize = next.count()
@@ -174,16 +179,17 @@ object Traversal {
     // peeled layer's contribution each round, instead of re-materializing
     // the remaining edge set — per-round cost is O(edges out of the
     // layer), and the stored state (indeg) only shrinks.
-    // NOTE: this loop deliberately uses localCheckpoint, not persist:
-    // each round's `merged` feeds the NEXT round's state twice (layer
-    // semi-join + indeg), and truncating lineage per round keeps the
-    // cumulative plan flat — measured 3x faster than cached-lineage
-    // frames here, the opposite of the BFS loop above where each level's
-    // frame is consumed once.
+    // NOTE: like the BFS loop above, each round localCheckpoints:
+    // `merged` feeds the NEXT round's state twice (layer semi-join +
+    // indeg), and truncating lineage per round keeps the cumulative
+    // plan flat — measured 3x faster than cached-lineage frames here.
+    // LAZY checkpoints: the per-round `layerCount` action materializes
+    // them, so each round costs exactly one job (eager would add a
+    // second materialization job per round).
     var indeg = e.groupBy(col("dst").as("id"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      .agg(count(lit(1)).as("deg")).localCheckpoint(false)
     var layer = nodes.join(indeg, Seq("id"), "left_anti") // roots
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var out = layer.withColumn("level", lit(0))
     var level = 0
     var layerCount = layer.count()
@@ -194,7 +200,7 @@ object Traversal {
         .groupBy(col("dst").as("id")).agg(count(lit(1)).as("sub"))
       val merged = indeg.join(dec, Seq("id"), "left")
         .withColumn("deg2", col("deg") - coalesce(col("sub"), lit(0L)))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // layer and the next indeg are cheap filters over the checkpointed
       // merge — no extra materialization jobs
       layer = merged.filter(col("deg2") <= 0).select("id")
@@ -238,7 +244,7 @@ object Traversal {
     try {
       if (from == to) return Seq(Seq(from)).toDF("path")
       var frontier = Seq(Seq(from)).toDF("path")
-        .withColumn("head", lit(from)).persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("head", lit(from)).localCheckpoint(false)
       var frontierSize = frontier.count()
       var depth = 0
       var nHits = 0L
@@ -250,7 +256,7 @@ object Traversal {
           .select(concat(col("path"), array(col("to"))).as("path"), col("to").as("head"))
           // per-level prune: lexicographically-smallest K paths survive
           .orderBy(col("path")).limit(frontierCap)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(false)
         val total = expanded.count() // the materializing action for the level
         val hits = expanded.filter(col("head") === lit(to)).select("path")
         val n = hits.count() // cached scan
