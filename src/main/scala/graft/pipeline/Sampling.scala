@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation. Random sampling
+  * (`df.sample`) is useless for a reproducible training mix — re-running
+  * the pipeline must select the SAME documents, on any cluster, with any
+  * partitioning. So sampling here is a pure function of the row id: a
+  * multiplicative (Knuth) hash maps the id to a pseudo-uniform bucket in
+  * [0, 100), and a row is kept iff its bucket is below the stratum's
+  * configured percentage. That makes samples stable, composable
+  * (a 10% sample is a subset of the 20% sample), and embarrassingly
+  * parallel — a projection + filter, no shuffle, fully pushdown-friendly.
+  *
+  * The hash is `((id mod 1000003) * 2654435761) mod 2^32 mod 100`:
+  * Fibonacci-hash multiplier, a prime pre-modulus so the product stays
+  * well inside 63 bits (DuckDB BIGINT arithmetic is overflow-checked, so
+  * the oracle runs the identical expression), and 1000003 strata are
+  * ample resolution for percentage-level sampling.
+  */
+object Sampling {
+
+  /** Pseudo-uniform bucket in [0, 100) as a pure column expression. */
+  def hashBucket(id: Column): Column =
+    pmod(pmod(id % 1000003L, lit(1000003L)) * 2654435761L, lit(4294967296L)) % 100
+
+  /** The same bucket in DuckDB SQL (identical arithmetic). */
+  def hashBucketSql(idExpr: String): String =
+    s"((($idExpr % 1000003) * 2654435761) % 4294967296) % 100"
+
+  /** Stratified deterministic sample: keep a row iff
+    * `hashBucket(id) < pct(stratum)`. `rates` maps stratum value to the
+    * keep-percentage; strata not listed fall back to `defaultPct`.
+    * Output keeps the id, stratum, and the bucket for auditability.
+    */
+  def stratified(df: DataFrame, idCol: String, stratumCol: String,
+                 rates: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    val pct = rates.foldRight(lit(defaultPct): Column) {
+      case ((stratum, p), elseCol) =>
+        when(col(stratumCol) === stratum, lit(p)).otherwise(elseCol)
+    }
+    df.select(col(idCol), col(stratumCol),
+        hashBucket(col(idCol)).as("bucket"), pct.as("keep_pct"))
+      .filter(col("bucket") < col("keep_pct"))
+  }
+}

@@ -77,6 +77,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric per-vector int8 quantization: scale = 127/max|x| (1.0
+    * for the zero vector), q_i = round(x_i · scale) in [-127, 127].
+    * Both engines round half away from zero, so the oracle reproduces
+    * the codes exactly.
+    */
+  def int8Scale(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(maxAbs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxAbs)
+  }
+
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("int"))
+
+  /** Quantize-then-rescore top-k — the 100-TB ANN layout. int8 codes
+    * are 4x smaller than float32 (the scan becomes memory-bandwidth
+    * bound on codes, and the inner product is exact INTEGER math), the
+    * integer dot ranks a candidate pool of `candidates`, and only that
+    * pool is re-ranked with exact float cosine. Standard
+    * quantize/rescore recall shape; candidate generation is the same
+    * broadcast + per-partition-heap plan as [[bruteForceTopK]], just
+    * over 4x less data.
+    */
+  def quantizedTopK(emb: DataFrame, queryVecId: Long, k: Int,
+                    candidates: Int = 100, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val qt = emb.select(col(idCol), col(vecCol),
+        int8Scale(col(vecCol)).as("__scale"))
+      .withColumn("__q", quantizeInt8(col(vecCol), col("__scale")))
+    val q = qt.filter(col(idCol) === queryVecId)
+      .select(col("__q").as("__qq"), col("__scale").as("__qscale"),
+        col(vecCol).as("__qvec"))
+    qt.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("approx",
+        aggregate(zip_with(col("__q"), col("__qq"),
+          (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+          .cast("double") / (col("__scale") * col("__qscale")))
+      .orderBy(col("approx").desc, col(idCol)).limit(candidates)
+      .withColumn("score", round(cosine(col(vecCol), col("__qvec")), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+  }
+
   /** All near-duplicate pairs above a cosine threshold — the EXACT
     * (quadratic) semantics. Deliberately NOT the registered scale
     * operator: it exists as the small-n cross-check / recall oracle for

@@ -151,6 +151,80 @@ object TextAnalysis {
       .drop("cum_before")
   }
 
+  /** Repetition / degeneracy quality signals (the Gopher-rules shape):
+    * unique-token fraction, the most-repeated token's count, and the
+    * most-repeated bigram's count+fraction. All pure per-row column
+    * math over the token list — one scan, no shuffle, integer counts
+    * and exact rationals so the oracle replays them bit-for-bit. The
+    * per-doc mode computation is O(tokens²) in the worst case but
+    * documents are bounded (tokens ≤ a few thousand) and it stays
+    * inside whole-stage codegen — far cheaper at scale than any
+    * explode + groupBy formulation, which would shuffle the corpus.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val n = size(ws)
+    val uniqFrac = when(n === 0, lit(0.0))
+      .otherwise(size(array_distinct(ws)).cast("double") / n)
+    val topToken = when(n === 0, lit(0)).otherwise(
+      array_max(transform(array_distinct(ws), x => size(filter(ws, y => y === x)))))
+    val bg = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topBigram = when(n < 2, lit(0)).otherwise(
+      array_max(transform(array_distinct(bg), x => size(filter(bg, y => y === x)))))
+    df.select(col(idCol), n.as("n_tokens"),
+      round(uniqFrac, 6).as("uniq_frac"),
+      topToken.as("top_token_count"),
+      topBigram.as("top_bigram_count"),
+      when(n < 2, lit(0.0)).otherwise(topBigram.cast("double") / (n - 1))
+        .as("top_bigram_frac0"))
+      .withColumn("top_bigram_frac", round(col("top_bigram_frac0"), 6))
+      .drop("top_bigram_frac0")
+  }
+
+  /** BM25 top-k keyword retrieval over the corpus for a FIXED small
+    * query-term list (the ad-hoc search shape; an inverted index is the
+    * persisted variant of the same math). Okapi BM25:
+    * `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * `idf = ln((N − df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Deterministic by construction: per-term tf is a COLUMN (array
+    * filter over the token list — no explode, no groupBy), corpus stats
+    * are one integer-only aggregate (counts and a token-sum — exact, so
+    * no float-summation-order hazard), broadcast back as a 1-row frame,
+    * and the score adds per-term components in fixed query order. Two
+    * scans, one tiny aggregate, one TakeOrderedAndProject — no shuffle
+    * of the corpus itself, which is the plan you want at 100 TB.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 50): DataFrame = {
+    val ts = tokens(col(textCol))
+    val perDoc = df.select(
+      Seq(col(idCol), size(ts).as("dl")) ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(ts, x => x === t)).as(s"tf$i")
+        }: _*)
+    val aggs = Seq(sum(col("dl")).as("sum_dl")) ++
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val dlNorm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)
+    def termScore(i: Int): Column = {
+      val idf = log((col("n_docs").cast("double") - col(s"df$i") + 0.5)
+        / (col(s"df$i") + 0.5) + 1.0)
+      idf * (col(s"tf$i") * lit(k1 + 1)) / (col(s"tf$i") + lit(k1) * dlNorm)
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(queryTerms.indices.map(termScore).reduceLeft(_ + _), 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
   /** Corpus TF-IDF: per (doc, term) weight tf · ln(N / df) over
     * whitespace tokens. Scale shape: two hash-partitioned aggregations
     * (doc-term counts with map-side partial agg, then per-term doc

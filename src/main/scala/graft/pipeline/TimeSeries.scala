@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins a training-data/analytics pipeline needs that
+  * Spark has no first-class operator for: the as-of join and the
+  * bounded range (interval) join. Both are built the way the brief's
+  * decision path prefers — composed from existing operators in the
+  * shape that scales — rather than as nested-loop physical plans.
+  *
+  * As-of join: the classic "attach the most recent right-side row at or
+  * before each left row's timestamp, per key". The naive formulation is
+  * a non-equi join (`r.ts <= l.ts` + argmax), which Spark can only
+  * execute as a broadcast-nested-loop — quadratic. The scalable shape
+  * used here is union-tag-window: tag both sides, union them (a free
+  * concatenation — no shuffle), then one hash-partitioned window by key
+  * ordered by (ts, side, tiebreak) carrying the right-side payload
+  * forward with `last(..., ignoreNulls)`. Exactly ONE shuffle (the
+  * window's partitioning), no range explosion, and per-key skew is
+  * bounded by the key's own row count. This is also how a 1000-executor
+  * cluster wants it: both inputs co-partition on the key once.
+  *
+  * Range join: "all pairs within `window` of each other, per key". The
+  * naive form is again a non-equi self-join. The scalable shape is
+  * temporal bucketing: quantize timestamps to `window`-sized buckets;
+  * a pair with 0 <= t_b - t_a <= window must land in the same or
+  * adjacent bucket, so the LEFT side fans out to (bucket, bucket+1)
+  * (factor 2, constant) and the join is a plain equi-join on
+  * (key, bucket) that Spark runs as a shuffled hash/sort-merge join.
+  * The residual inequality is a cheap post-filter. Work is linear in
+  * true pair count + candidate overshoot, never |L|x|R|.
+  */
+object TimeSeries {
+
+  /** As-of join `left` with `right` on `keyCol`, attaching for each left
+    * row the right row with the greatest `tsCol <= left.tsCol` (ties on
+    * ts broken toward the greatest `tieCol`). Right payload columns come
+    * back as `asof_<name>`, NULL when no right row precedes the left row.
+    *
+    * `tsCol` must be an integral epoch column (exact ordering; no double
+    * rounding), present in both inputs; `tieCol` must be non-null in
+    * `right`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val payloadTypes = payloadCols.map(c => c -> right.schema(c).dataType)
+    val leftCols = left.columns
+    val lTagged = left.select(
+      leftCols.map(col) ++
+        Seq(lit(1).as("__side"), lit(null).cast("long").as("__tie")) ++
+        payloadTypes.map { case (c, t) => lit(null).cast(t).as(s"__r_$c") }: _*)
+    val rTagged = right.select(
+      leftCols.map(c =>
+        if (c == keyCol || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("__side"), col(tieCol).cast("long").as("__tie")) ++
+        payloadCols.map(c => col(c).as(s"__r_$c")): _*)
+    // Right rows sort BEFORE left rows at equal ts (side 0 < 1) => the
+    // inclusive `r.ts <= l.ts` as-of semantics. coalesce(-1) keeps the
+    // sort total on both engines (Spark sorts nulls first, DuckDB last).
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), coalesce(col("__tie"), lit(-1L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = payloadCols.foldLeft(lTagged.unionByName(rTagged)) {
+      case (df, c) => df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Ordered pairs (a, b) sharing `keyCol` with
+    * `0 <= b.ts - a.ts <= windowSpan` (ties on ts kept once, with
+    * `a.id < b.id`). Returns (key, a_id, b_id, dt) with dt = b.ts - a.ts.
+    *
+    * Bucketing: `b` must fall in a's bucket or the next one, so `a` fans
+    * out x2 and the join is a pure equi-join on (key, bucket) — see the
+    * object doc. `tsCol` must be integral (exact `div` bucketing).
+    */
+  def rangeSelfJoin(df: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, windowSpan: Long): DataFrame = {
+    val base = df.select(col(keyCol), col(tsCol), col(idCol))
+      .withColumn("__bucket", expr(s"$tsCol div $windowSpan"))
+    val a = base.withColumn("__bk", explode(array(col("__bucket"), col("__bucket") + 1)))
+      .select(col(keyCol), col(tsCol).as("__a_ts"), col(idCol).as("a_id"), col("__bk"))
+    val b = base
+      .select(col(keyCol), col(tsCol).as("__b_ts"), col(idCol).as("b_id"),
+        col("__bucket").as("__bk"))
+    a.join(b, Seq(keyCol, "__bk"))
+      .filter(col("__b_ts") >= col("__a_ts") &&
+        col("__b_ts") - col("__a_ts") <= windowSpan &&
+        (col("__a_ts") < col("__b_ts") || col("a_id") < col("b_id")))
+      .select(col(keyCol), col("a_id"), col("b_id"),
+        (col("__b_ts") - col("__a_ts")).as("dt"))
+  }
+}

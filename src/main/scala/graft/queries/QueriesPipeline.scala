@@ -233,6 +233,35 @@ object QueriesPipeline {
         | FROM embeddings e, q WHERE e.vec_id <> 0
         | ORDER BY score DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
 
+    // int8 quantize-then-rescore: integer-dot candidate pool, exact
+    // float cosine re-rank — the memory-bandwidth-bound 100-TB layout.
+    // Quantization (round half away from zero) and the integer dot are
+    // exact in both engines, so the full pipeline is oracle-checkable.
+    ("ann_topk_quant",
+      (s, d) => Similarity.quantizedTopK(
+        graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10,
+        candidates = 100),
+      Some(s"""WITH base AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    AS maxabs FROM embeddings),
+        | qt AS (SELECT vec_id, embedding,
+        |  CASE WHEN maxabs = 0 THEN CAST(1.0 AS DOUBLE)
+        |   ELSE CAST(127.0 AS DOUBLE) / maxabs END AS scale FROM base),
+        | qv AS (SELECT vec_id, embedding, scale,
+        |  list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS q
+        |  FROM qt),
+        | qrow AS (SELECT q AS qq, scale AS qscale, embedding AS qvec
+        |  FROM qv WHERE vec_id = 0),
+        | cand AS (SELECT vec_id, embedding, qvec,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> q[i] * qq[i]))
+        |    AS DOUBLE) / (scale * qscale) AS approx
+        |  FROM qv, qrow WHERE vec_id <> 0
+        |  ORDER BY approx DESC, vec_id LIMIT 100)
+        | SELECT vec_id, round(${cosineSql("embedding", "qvec")}, 6) AS score
+        | FROM cand ORDER BY score DESC, vec_id LIMIT 10"""
+        .stripMargin.replace("\n", " "))),
+
     ("ann_topk_native",
       // same oracle as ann_topk: the native codegen expression is
       // bit-identical to the composable form by construction
@@ -385,7 +414,103 @@ object QueriesPipeline {
         | CAST(list_sum(list_transform(range(1, length(text) + 1),
         |   i -> ord(substr(text, i, 1)))) AS BIGINT) AS checksum
         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // ===== BM25 retrieval =====
+    // Deterministic columnar BM25 (no explode/groupBy for tf; integer
+    // corpus stats; fixed-order term sum) — the oracle mirrors the
+    // expression tree literally so doubles match bit-for-bit.
+    ("text_bm25",
+      (s, d) => TextAnalysis.bm25(graft.core.Tables.documents(s, d),
+        "doc_id", "text", Bm25Terms),
+      Some(bm25Sql)),
+
+    // ===== Repetition / degeneracy quality signals =====
+    ("text_repetition",
+      (s, d) => TextAnalysis.repetitionStats(
+        graft.core.Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | b AS (SELECT doc_id, ws,
+        |   CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+        |     i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bg FROM w),
+        | c AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+        |   CASE WHEN len(ws) = 0 THEN 0.0
+        |    ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS uf,
+        |   CASE WHEN len(ws) = 0 THEN 0 ELSE list_max(list_transform(
+        |     list_distinct(ws), x -> len(list_filter(ws, y -> y = x)))) END
+        |    AS top_token_count,
+        |   CASE WHEN len(ws) < 2 THEN 0 ELSE list_max(list_transform(
+        |     list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) END
+        |    AS top_bigram_count,
+        |   CASE WHEN len(ws) < 2 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+        |      / (len(ws) - 1) END AS bf
+        |  FROM b)
+        | SELECT doc_id, n_tokens, round(uf, 6) AS uniq_frac,
+        |  CAST(top_token_count AS INT) AS top_token_count,
+        |  CAST(top_bigram_count AS INT) AS top_bigram_count,
+        |  round(bf, 6) AS top_bigram_frac
+        | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // ===== Deterministic stratified sampling =====
+    ("sample_stratified",
+      (s, d) => graft.pipeline.Sampling.stratified(
+        graft.core.Tables.documents(s, d), "doc_id", "source",
+        rates = SampleRates, defaultPct = 10)
+        .orderBy("doc_id"),
+      Some({
+        val rateCase = SampleRates.map { case (src, p) =>
+          s"WHEN source = '$src' THEN $p"
+        }.mkString("CASE ", " ", " ELSE 10 END")
+        s"""WITH b AS (SELECT doc_id, source,
+           | ${graft.pipeline.Sampling.hashBucketSql("doc_id")} AS bucket,
+           | $rateCase AS keep_pct FROM documents)
+           | SELECT doc_id, source, bucket, keep_pct FROM b
+           | WHERE bucket < keep_pct ORDER BY doc_id"""
+          .stripMargin.replace("\n", " ")
+      })),
   )
+
+  // lazy: `entries` above is initialized first and forces these during
+  // its own construction (Scala object vals initialize in declaration
+  // order).
+  private lazy val Bm25Terms = Seq("hash", "join", "filter", "scan")
+
+  private lazy val SampleRates = Seq("src0" -> 20, "src1" -> 50, "src2" -> 80)
+
+  /** Oracle for [[TextAnalysis.bm25]] — identical expression structure
+    * (left-assoc arithmetic, same Scala-computed double literals via
+    * round-trip toString, every fractional literal CAST to DOUBLE so
+    * DuckDB never routes through DECIMAL arithmetic).
+    */
+  private lazy val bm25Sql: String = {
+    val k1 = 1.2
+    val b = 0.75
+    val k1p1 = (k1 + 1).toString
+    val oneMinusB = (1.0 - b).toString
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val dlNorm = s"(CAST($oneMinusB AS DOUBLE) + CAST($b AS DOUBLE) * " +
+      "(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+    val terms = Bm25Terms.indices.map { i =>
+      s"(ln((CAST(n_docs AS DOUBLE) - df$i + CAST(0.5 AS DOUBLE)) / " +
+        s"(df$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * " +
+        s"(tf$i * CAST($k1p1 AS DOUBLE)) / " +
+        s"(tf$i + CAST($k1 AS DOUBLE) * $dlNorm))"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       | t AS (SELECT doc_id, len(ws) AS dl, $tfCols FROM w),
+       | stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, $dfCols FROM t),
+       | scored AS (SELECT doc_id, round($terms, 6) AS score
+       |   FROM t CROSS JOIN stats)
+       | SELECT doc_id, score FROM scored WHERE score > 0
+       | ORDER BY score DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " ")
+  }
 
   /** Oracle for [[TextAnalysis.analyze]], generated from the same
     * stopword/profile constants.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
+import graft.pipeline.TimeSeries
 import graft.streaming.EventStreams
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -171,5 +172,97 @@ object QueriesRelational {
         | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
         |  CAST(SUM(n_events) AS BIGINT) AS n_events
         | FROM g GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // ===== Distribution statistics =====
+    // Exact interpolated percentiles per event type. Spark `percentile`
+    // buffers each group's values, so this is the CORRECTNESS surface;
+    // the 100-TB path is the sketch variant below (approx_percentile,
+    // mergeable partial state, no per-group buffering).
+    ("events_quantiles",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        | FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    // Sketch-based quantiles + distinct counts: the mergeable
+    // (map-side-combinable) shapes a 100-TB aggregation actually runs.
+    // No SQL oracle — sketch internals aren't reproducible in DuckDB —
+    // so the driver records the weaker rows-only check; the exact twin
+    // above is the value-level gate for the same surface.
+    ("events_sketch_stats",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          round(element_at(approx_percentile(col("value"),
+            array(lit(0.5), lit(0.9)), lit(10000)), 1), 4).as("p50_approx"))
+        .orderBy("event_type"),
+      None),
+
+    // ===== Time-series joins (no first-class Spark operator) =====
+    // As-of join: each purchase gets the user's most recent click at or
+    // before it. The oracle replays the SAME union-tag-window shape in
+    // ANSI SQL — the non-equi-join formulation would be the slow path on
+    // both engines.
+    // (timestamps are compared in µs: DuckDB's parquet reader truncates
+    // TIMESTAMP(NANOS) to µs, so the oracle cannot see sub-µs digits)
+    ("events_asof_join",
+      (s, d) => {
+        val e = Tables.eventsNorm(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+        TimeSeries.asofJoin(
+          e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_us"),
+          e.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts_us", "value"),
+          keyCol = "user_id", tsCol = "ts_us", tieCol = "event_id",
+          payloadCols = Seq("event_id", "value", "ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |   FROM events WHERE event_type = 'purchase'),
+        | r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |   FROM events WHERE event_type = 'click'),
+        | u AS (SELECT user_id, ts_us, 1 AS side, event_id,
+        |    CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS DOUBLE) AS r_value,
+        |    CAST(NULL AS BIGINT) AS r_ts FROM l
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 0, NULL, event_id, value, ts_us FROM r),
+        | w AS (SELECT user_id, ts_us, side, event_id,
+        |    last_value(r_id IGNORE NULLS) OVER win AS asof_event_id,
+        |    last_value(r_value IGNORE NULLS) OVER win AS asof_value,
+        |    last_value(r_ts IGNORE NULLS) OVER win AS asof_ts_us
+        |  FROM u WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts_us, side, COALESCE(r_id, -1)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        | SELECT event_id, user_id, ts_us, asof_event_id, asof_value,
+        |  asof_ts_us FROM w WHERE side = 1 ORDER BY event_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Range self-join: ordered event pairs per user within one hour.
+    // Spark side is the bucketed equi-join (x2 fan-out, never |E|x|E|);
+    // the oracle is the plain inequality join, fine at oracle scale.
+    ("events_range_pairs",
+      (s, d) => TimeSeries.rangeSelfJoin(
+        Tables.eventsNorm(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .select("user_id", "ts_us", "event_id"),
+        keyCol = "user_id", tsCol = "ts_us", idCol = "event_id",
+        windowSpan = 3600000000L)
+        .orderBy("a_id", "b_id"),
+      Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS dt
+        | FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND epoch_us(b.ts) >= epoch_us(a.ts)
+        |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+        |  AND (epoch_us(a.ts) < epoch_us(b.ts) OR a.event_id < b.event_id)
+        | ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
   )
 }

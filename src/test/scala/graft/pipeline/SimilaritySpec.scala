@@ -92,6 +92,31 @@ class SimilaritySpec extends SparkSpec {
       "identical vectors share every band -> guaranteed candidate")
   }
 
+  test("quantized top-k with a full candidate pool equals brute force") {
+    val n = 50
+    val rnd = new scala.util.Random(11)
+    val big = (0L until n).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(big, queryVecId = 0, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    val quant = Similarity.quantizedTopK(big, queryVecId = 0, k = 5,
+      candidates = n)
+      .as[(Long, Double)].collect().toSeq
+    // full pool -> the re-rank IS the exact ranking
+    assert(quant === exact)
+  }
+
+  test("int8 codes are within [-127, 127] and zero vector is safe") {
+    val df = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(3.0f, -4.0f)))
+      .toDF("vec_id", "embedding")
+    val codes = df.select(Similarity.quantizeInt8($"embedding",
+        Similarity.int8Scale($"embedding")).as("q"))
+      .as[Seq[Int]].collect().toSeq
+    assert(codes.contains(Seq(0, 0)))
+    assert(codes.flatten.forall(c => c >= -127 && c <= 127))
+    assert(codes.contains(Seq(95, -127))) // 3/4*127 = 95.25 -> 95
+  }
+
   test("banded LSH plan has no cartesian / nested-loop join") {
     val plan = Similarity.lshNearDupPairs(emb64, 0.45)
       .queryExecution.executedPlan.toString

@@ -72,4 +72,20 @@ class TextAnalysisSpec extends SparkSpec {
       "lang_pred", "content_hash"))
     assert(df.count() == 2)
   }
+
+  test("repetitionStats: counts, fractions, and degenerate docs") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // top bigram "a b" x3 of 5, top token a x3
+      (2L, "all distinct words"), // no repetition
+      (3L, "solo"),               // single token: no bigrams
+      (4L, "")                    // empty
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Double, Int, Int, Double)].collect().toSeq
+    assert(got(0) === ((1L, 6, 0.333333, 3, 3, 0.6)))
+    assert(got(1) === ((2L, 3, 1.0, 1, 1, 0.5)))
+    assert(got(2) === ((3L, 1, 1.0, 1, 0, 0.0)))
+    assert(got(3) === ((4L, 0, 0.0, 0, 0, 0.0)))
+  }
 }

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TimeSeries (as-of / range join) and Sampling operators: each scalable
+  * shape is checked against the brute-force formulation on data small
+  * enough to enumerate, plus the plan-shape properties that make it the
+  * scalable one.
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    // (id, key, ts)
+    (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 50L),
+    (4L, "b", 500L), (5L, "c", 10L)
+  ).toDF("event_id", "k", "ts")
+
+  private lazy val right = Seq(
+    // (id, key, ts, v)
+    (10L, "a", 100L, 1.0), (11L, "a", 150L, 2.0), (12L, "a", 99L, 3.0),
+    (13L, "b", 499L, 4.0), (14L, "b", 500L, 5.0), (15L, "d", 1L, 6.0)
+  ).toDF("event_id", "k", "ts", "v")
+
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val got = TimeSeries.asofJoin(left, right, "k", "ts", "event_id",
+      Seq("event_id", "v"))
+      .orderBy("event_id")
+      .select("event_id", "asof_event_id", "asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, Some(10L), Some(1.0)), // tie at ts=100 is inclusive
+      (2L, Some(11L), Some(2.0)), // 150 is the most recent <= 200
+      (3L, None, None),           // earliest right row for key a is ts=99 > 50
+      (4L, Some(14L), Some(5.0)), // tie at 500 beats 499
+      (5L, None, None)))          // key c has no right rows
+  }
+
+  test("asofJoin matches the brute-force non-equi formulation") {
+    val brute = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.ts" <= $"l.ts", "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"l.event_id")
+          .orderBy($"r.ts".desc_nulls_last, $"r.event_id".desc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"l.event_id", $"r.event_id".as("asof_event_id"), $"r.v".as("asof_v"))
+    val got = TimeSeries.asofJoin(left, right, "k", "ts", "event_id",
+      Seq("event_id", "v")).select("event_id", "asof_event_id", "asof_v")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("asofJoin plan has no nested-loop join (single window, no cartesian)") {
+    val plan = TimeSeries.asofJoin(left, right, "k", "ts", "event_id", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  private lazy val pts = Seq(
+    (1L, "a", 0L), (2L, "a", 5L), (3L, "a", 10L), (4L, "a", 27L),
+    (5L, "b", 3L), (6L, "b", 30L), (7L, "b", 33L)
+  ).toDF("id", "k", "ts")
+
+  test("rangeSelfJoin finds exactly the within-window ordered pairs") {
+    val got = TimeSeries.rangeSelfJoin(pts, "k", "ts", "id", windowSpan = 10L)
+      .select("a_id", "b_id", "dt").orderBy("a_id", "b_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 5L), (1L, 3L, 10L), (2L, 3L, 5L),
+      (6L, 7L, 3L)))
+  }
+
+  test("rangeSelfJoin matches brute force on random data") {
+    val n = 200
+    val rnd = new scala.util.Random(7)
+    val df = (1 to n).map(i => (i.toLong, s"k${rnd.nextInt(5)}",
+      rnd.nextInt(1000).toLong)).toDF("id", "k", "ts")
+    val w = 37L
+    val brute = df.as("a").join(df.as("b"),
+        $"a.k" === $"b.k" && $"b.ts" >= $"a.ts" && $"b.ts" - $"a.ts" <= w &&
+          ($"a.ts" < $"b.ts" || $"a.id" < $"b.id"))
+      .select($"a.id".as("a_id"), $"b.id".as("b_id"))
+    val got = TimeSeries.rangeSelfJoin(df, "k", "ts", "id", w)
+      .select("a_id", "b_id")
+    assert(got.count() === brute.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("stratified sampling is deterministic, subset-monotone, and rate-shaped") {
+    val docs = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val s20 = Sampling.stratified(docs, "doc_id", "source", Seq("src0" -> 20), 10)
+    val s40 = Sampling.stratified(docs, "doc_id", "source", Seq("src0" -> 40), 10)
+    // deterministic: same result twice
+    assert(s20.collect().toSeq === s20.collect().toSeq)
+    // monotone: the 20% stratum is a subset of the 40% stratum
+    val ids20 = s20.filter($"source" === "src0").select("doc_id").as[Long].collect().toSet
+    val ids40 = s40.filter($"source" === "src0").select("doc_id").as[Long].collect().toSet
+    assert(ids20.subsetOf(ids40))
+    // roughly rate-shaped (hash is pseudo-uniform; generous bounds)
+    val n0 = ids20.size
+    assert(n0 > 25 && n0 < 75, s"src0 kept $n0 of 250 at 20%")
+  }
+
+  test("bm25 ranks the doc that repeats a query term above one that lacks it") {
+    val docs = Seq(
+      (1L, "hash join hash probe hash table"),
+      (2L, "sort merge join only"),
+      (3L, "nothing relevant here at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("hash", "join"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L)) // doc 3 scores 0 and is filtered
+    assert(got.head._2 > got(1)._2)
+  }
+}
