@@ -64,10 +64,14 @@ object TimeSeries {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"), coalesce(col("__tie"), lit(-1L)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = payloadCols.foldLeft(lTagged.unionByName(rTagged)) {
-      case (df, c) => df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    attached.filter(col("__side") === 1)
+    // all carries in ONE projection: same window spec -> a single Window
+    // operator (one sort); per-column withColumn would stack one Window
+    // node per payload column
+    lTagged.unionByName(rTagged)
+      .select((leftCols.map(col).toSeq :+ col("__side")) ++
+        payloadCols.map(c =>
+          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
   }
 
