@@ -27,6 +27,7 @@ object Queries {
     "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
     "context_query", "filter_bool_tree",
     "dedup_minhash_bands", "dedup_exact", "ann_topk", "ann_topk_native",
+    "ann_topk_quant",
     "ann_neardup_lsh", "text_stats", "text_tfidf", "text_bm25",
     "q1_agg", "q3_top_orders", "events_tumbling",
     "events_asof_join", "events_range_pairs",

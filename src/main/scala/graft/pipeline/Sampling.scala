@@ -21,13 +21,35 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Pseudo-uniform bucket in [0, 100) as a pure column expression. */
+  /** Pseudo-uniform bucket in [0, 100) as a pure column expression —
+    * the literal twin of [[hashBucketSql]] (same `%` chain, so the two
+    * agree for any id sign).
+    */
   def hashBucket(id: Column): Column =
-    pmod(pmod(id % 1000003L, lit(1000003L)) * 2654435761L, lit(4294967296L)) % 100
+    ((id % 1000003L) * 2654435761L) % 4294967296L % 100
 
   /** The same bucket in DuckDB SQL (identical arithmetic). */
   def hashBucketSql(idExpr: String): String =
     s"((($idExpr % 1000003) * 2654435761) % 4294967296) % 100"
+
+  /** Deterministic train/validation/test assignment: the bucket is cut
+    * by cumulative percentage thresholds, so every row lands in exactly
+    * one named split, stable across runs and clusters. `splits` are
+    * (name, pct) with pcts summing to <= 100; rows past the last
+    * threshold get the final split name (the conventional "rest is
+    * train" layout puts the largest split last).
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)]): DataFrame = {
+    val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    require(cuts.last <= 100, "split percentages must sum to <= 100")
+    val b = hashBucket(col(idCol))
+    val expr = splits.map(_._1).zip(cuts).init.foldRight(
+      lit(splits.last._1): Column) { case ((name, cut), elseCol) =>
+      when(b < cut, lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", expr)
+  }
 
   /** Stratified deterministic sample: keep a row iff
     * `hashBucket(id) < pct(stratum)`. `rates` maps stratum value to the

@@ -424,6 +424,19 @@ object QueriesPipeline {
         "doc_id", "text", Bm25Terms),
       Some(bm25Sql)),
 
+    // ===== Deterministic train/val/test split assignment =====
+    ("sample_splits",
+      (s, d) => graft.pipeline.Sampling.assignSplits(
+        graft.core.Tables.documents(s, d).select("doc_id"),
+        "doc_id", Seq("val" -> 10, "test" -> 10, "train" -> 80))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CASE WHEN b < 10 THEN 'val'
+        | WHEN b < 20 THEN 'test' ELSE 'train' END AS split
+        | FROM (SELECT doc_id,
+        |  ${graft.pipeline.Sampling.hashBucketSql("doc_id")} AS b
+        |  FROM documents) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Repetition / degeneracy quality signals =====
     ("text_repetition",
       (s, d) => TextAnalysis.repetitionStats(

@@ -102,6 +102,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n0 > 25 && n0 < 75, s"src0 kept $n0 of 250 at 20%")
   }
 
+  test("assignSplits covers every row once with stable cut points") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val splits = Sampling.assignSplits(docs, "doc_id",
+      Seq("val" -> 10, "test" -> 10, "train" -> 80))
+    assert(splits.count() === 500)
+    val byName = splits.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byName.keySet === Set("val", "test", "train"))
+    assert(byName.values.sum === 500L)
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // stable: a row's split never changes between runs
+    assert(splits.collect().toSeq === splits.collect().toSeq)
+  }
+
   test("bm25 ranks the doc that repeats a query term above one that lacks it") {
     val docs = Seq(
       (1L, "hash join hash probe hash table"),
