@@ -173,6 +173,26 @@ object QueriesRelational {
         |  CAST(SUM(n_events) AS BIGINT) AS n_events
         | FROM g GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
+    // ===== Skew machinery, value-parity-proven =====
+    // saltedJoin must equal the plain equi-join exactly; the oracle IS
+    // the plain join. (ScaleSpec separately proves the plan shape:
+    // per-key fan-out, deterministic salt.)
+    ("salted_join_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_quantity"))
+        val ords = Tables.orders(s, d)
+          .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+        graft.pipeline.Scale.saltedJoin(li, ords, "okey", saltFactor = 8)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        | round(SUM(l_quantity), 4) AS qty
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     // ===== Distribution statistics =====
     // Exact interpolated percentiles per event type. Spark `percentile`
     // buffers each group's values, so this is the CORRECTNESS surface;

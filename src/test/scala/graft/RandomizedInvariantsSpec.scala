@@ -1,0 +1,87 @@
+package graft
+
+import graft.core.Mvcc
+import graft.graph.{Direction, Traversal, TraversalSpec}
+import graft.pipeline.TimeSeries
+import org.apache.spark.sql.functions._
+
+/** Seeded randomized cross-checks of the engine's core invariants
+  * against tiny in-memory reference implementations. Complements the
+  * fixed-fixture specs: these sweep shapes (skew, gaps, fan-in, ties)
+  * a hand-written fixture wouldn't cover.
+  */
+class RandomizedInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BFS (id, depth) equals an in-memory reference BFS on random graphs") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (1 to 180).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}", "calls")
+      }.distinct.toDF("src", "dst", "edge_type")
+      val seed0 = "n0"
+      val got = Traversal.bfs(edges, Seq(seed0).toDF("id"),
+          TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 10000))
+        .select("id", "depth").as[(String, Int)].collect().toSet
+
+      // reference BFS over the collected adjacency list
+      val adj = edges.select("src", "dst").as[(String, String)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      var depth = 0
+      var frontier = Set(seed0)
+      var seen = Map(seed0 -> 0)
+      while (depth < 5 && frontier.nonEmpty) {
+        depth += 1
+        val next = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+          .filterNot(seen.contains)
+        seen = seen ++ next.map(_ -> depth)
+        frontier = next
+      }
+      assert(got === seen.toSet, s"seed=$seed")
+    }
+  }
+
+  test("putBlocks sequences are max+1..max+n in id order on skewed batches") {
+    for (seed <- Seq(7, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val base = rnd.nextInt(1000).toLong
+      // skewed id distribution with gaps and string sort != numeric sort
+      val ids = rnd.shuffle((0 until 300).map(i =>
+        if (i < 200) s"blk${rnd.nextInt(100000)}" else s"a${rnd.nextInt(50)}x$i"))
+        .distinct
+      val existing = Seq(("seed0", base, false, "v"))
+        .toDF("id", "sequence", "is_deleted", "value")
+      val puts = ids.map(id => (id, s"payload-$id")).toDF("id", "value")
+      val out = Mvcc.putBlocks(existing, puts)
+        .filter(col("id") =!= "seed0")
+        .select("id", "sequence").as[(String, Long)].collect().sortBy(_._1)
+      val want = ids.sorted.zipWithIndex.map { case (id, i) => (id, base + i + 1) }
+      assert(out.toSeq === want, s"seed=$seed")
+    }
+  }
+
+  test("asofJoin equals brute-force argmax on random keyed streams") {
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      def gen(nRows: Int, tag: Long) = (0 until nRows).map { i =>
+        (tag * 10000 + i, s"k${rnd.nextInt(8)}", rnd.nextInt(500).toLong,
+          rnd.nextDouble())
+      }
+      val l = gen(300, 1).toDF("event_id", "k", "ts", "v")
+      val r = gen(300, 2).toDF("event_id", "k", "ts", "v")
+      val got = TimeSeries.asofJoin(l, r, "k", "ts", "event_id",
+        Seq("event_id", "v")).select("event_id", "asof_event_id", "asof_v")
+      val brute = l.as("l").join(r.as("r"),
+          $"l.k" === $"r.k" && $"r.ts" <= $"l.ts", "left")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"l.event_id")
+            .orderBy($"r.ts".desc_nulls_last, $"r.event_id".desc_nulls_last)))
+        .filter($"rn" === 1)
+        .select($"l.event_id", $"r.event_id".as("asof_event_id"),
+          $"r.v".as("asof_v"))
+      assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+        s"seed=$seed")
+    }
+  }
+}
