@@ -34,23 +34,32 @@ object Bench {
     } catch { case _: Throwable => () }
     // median of N timed iterations per query, like the reference harness
     // (median/p95 reporting, src/bench/harness.zig:134-142). A throwing
-    // query is recorded under "errors" — NOT as a timing — so a
-    // regression can never improve the reported total.
+    // query is listed under "errors", never under "queries"; its
+    // wall-clock attempt time still counts into "value", so a crashing
+    // regression cannot shrink the reported total, and "n_failed" makes
+    // the failure impossible to miss in a totals-only comparison.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt max 1
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var failedTime = 0.0
     val results = Queries.benchNames.flatMap { name =>
       val fn = Queries.queries(name)
-      val times = (1 to iters).flatMap { _ =>
+      val attempts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             errors.getOrElseUpdate(name,
               s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-            None
+            Left((System.nanoTime() - t0) / 1e9)
         }
-      }.sorted
-      if (times.isEmpty) None else Some(name -> times(times.size / 2))
+      }
+      val times = attempts.collect { case Right(t) => t }.sorted
+      if (times.nonEmpty) Some(name -> times(times.size / 2))
+      else {
+        val spent = attempts.collect { case Left(t) => t }.sorted
+        failedTime += spent(spent.size / 2)
+        None
+      }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -61,8 +70,8 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iters":$iters}""")
+    val total = results.map(_._2).sum + failedTime
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":${errors.size},"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

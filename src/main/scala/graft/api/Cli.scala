@@ -33,7 +33,7 @@ object Cli {
   private val Formats = Set("text", "json", "csv")
 
   private val KnownFlags = Set("type", "name", "workspace", "max-results",
-    "relation", "target", "max-depth", "format")
+    "relation", "target", "max-depth", "format", "direction")
 
   /** Argument parser for `find|show|trace` with the reference's flags
     * (`--type --name --workspace --max-results --relation --target

@@ -50,7 +50,7 @@ case class DotProductFloat(left: Expression, right: Expression)
     * PLAN time from the schema, so `containsNull=false` embeddings (the
     * hot path) compile to a branch-free multiply-add loop.
     */
-  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+  private lazy val elementsMayBeNull: Boolean = Seq(left, right).exists {
     _.dataType match {
       case ArrayType(_, containsNull) => containsNull
       case _ => true

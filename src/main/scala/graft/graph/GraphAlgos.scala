@@ -43,6 +43,36 @@ object GraphAlgos {
       .select("id", "depth_fwd", "depth_bwd", "dist")
   }
 
+  /** Dense-unique (vid, id) mapping for GraphX, shared by every
+    * algorithm here. Hands `body` the pinned nodes table and the
+    * vid-mapped (s, d) edge RDD. LIFETIME RULE (the reason this helper
+    * exists once): the mapping comes from `zipWithUniqueId`, so the
+    * body's result must be MATERIALIZED before this returns — after
+    * `nodes.unpersist()` a lazy read would recompute the zip and could
+    * assign different vids than the graph was built from.
+    */
+  private def withVidMapping[T](edges: DataFrame, extraIds: Seq[String])(
+      body: (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) => T): T = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ids0 = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+    val ids = (if (extraIds.isEmpty) ids0 else ids0.union(extraIds.toDF("id")))
+      .distinct()
+    val nodes = spark.createDataFrame(
+        ids.as[String].rdd.zipWithUniqueId().map { case (id, vid) => (vid, id) })
+      .toDF("vid", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      nodes.count() // pin the vid assignment before it is used twice
+      val mapped = edges
+        .join(nodes.select(col("id").as("src"), col("vid").as("s")), Seq("src"))
+        .join(nodes.select(col("id").as("dst"), col("vid").as("d")), Seq("dst"))
+        .select("s", "d").as[(Long, Long)].rdd
+      body(nodes, mapped)
+    } finally nodes.unpersist()
+  }
+
   /** BFS as a GraphX Pregel computation — the scale path for VERY deep
     * traversals (SURVEY §7.4): the frontier lives entirely in the
     * vertex RDD across supersteps, so a depth-100 walk does not pay a
@@ -55,23 +85,11 @@ object GraphAlgos {
                 direction: Direction = Direction.Outgoing): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val ids = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .union(seeds.toDF("id")) // an isolated seed is still visited at depth 0
-      .distinct()
-    val nodes = spark.createDataFrame(
-        ids.as[String].rdd.zipWithUniqueId().map { case (id, vid) => (vid, id) })
-      .toDF("vid", "id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      nodes.count()
+    // extra ids: an isolated seed is still visited at depth 0
+    withVidMapping(edges, seeds) { (nodes, mapped) =>
       val seedSet = seeds.toSet
       val vertexRdd = nodes.select("vid", "id").as[(Long, String)].rdd
         .map { case (vid, id) => (vid, if (seedSet(id)) 0 else Int.MaxValue) }
-      val mapped = edges
-        .join(nodes.select(col("id").as("src"), col("vid").as("s")), Seq("src"))
-        .join(nodes.select(col("id").as("dst"), col("vid").as("d")), Seq("dst"))
-        .select("s", "d").as[(Long, Long)].rdd
       val edgeRdd = direction match {
         case Direction.Outgoing => mapped.map { case (s, d) => GxEdge(s, d, ()) }
         case Direction.Incoming => mapped.map { case (s, d) => GxEdge(d, s, ()) }
@@ -85,14 +103,12 @@ object GraphAlgos {
                Iterator((t.dstId, t.srcAttr + 1))
              else Iterator.empty,
         math.min)
-      // materialize BEFORE nodes.unpersist(): the vid->id join must read
-      // the same vid assignment the graph was built from
       res.vertices.filter(_._2 != Int.MaxValue)
         .toDF("vid", "depth")
         .join(nodes, Seq("vid"))
         .select(col("id"), col("depth").cast("int"))
-        .localCheckpoint(true)
-    } finally nodes.unpersist()
+        .localCheckpoint(true) // materialize per the helper's lifetime rule
+    }
   }
 
   /** Strongly connected components via GraphX: every node labelled with
@@ -107,20 +123,9 @@ object GraphAlgos {
   def stronglyConnected(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val ids = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
-    val nodes = spark.createDataFrame(
-        ids.as[String].rdd.zipWithUniqueId().map { case (id, vid) => (vid, id) })
-      .toDF("vid", "id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      nodes.count() // pin the vid assignment before it is used twice
+    withVidMapping(edges, Nil) { (nodes, mapped) =>
       val vertexRdd = nodes.select("vid", "id").as[(Long, String)].rdd
-      val edgeRdd = edges
-        .join(nodes.select(col("id").as("src"), col("vid").as("s")), Seq("src"))
-        .join(nodes.select(col("id").as("dst"), col("vid").as("d")), Seq("dst"))
-        .select("s", "d")
-        .as[(Long, Long)].rdd.map { case (s, t) => GxEdge(s, t, ()) }
+      val edgeRdd = mapped.map { case (s, t) => GxEdge(s, t, ()) }
       val g = GxGraph(vertexRdd, edgeRdd)
       val scc = g.stronglyConnectedComponents(maxIter)
       val compDf = scc.vertices.toDF("vid", "comp_vid")
@@ -128,10 +133,7 @@ object GraphAlgos {
       val withIds = compDf.join(nodes, Seq("vid")).select("id", "comp_vid")
       val labels = withIds.groupBy("comp_vid").agg(min("id").as("component"))
       withIds.join(labels, Seq("comp_vid")).select("id", "component")
-        // materialize BEFORE nodes.unpersist(): a lazy read after the
-        // unpersist would recompute zipWithUniqueId and could assign
-        // different vids than the graph was built from
-        .localCheckpoint(true)
-    } finally nodes.unpersist()
+        .localCheckpoint(true) // materialize per the helper's lifetime rule
+    }
   }
 }

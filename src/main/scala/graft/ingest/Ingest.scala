@@ -1,7 +1,7 @@
 package graft.ingest
 
 import graft.core.Schemas
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Directory → blocks + edges ingestion, the Spark re-expression of
@@ -49,6 +49,30 @@ object Ingest {
     sb.toString
   }
 
+  /** Root-relative path from a file-source URI column — shared by the
+    * batch and streaming readers so their path/glob semantics cannot
+    * diverge. File sources URI-encode special characters (space →
+    * `%20`) in both binaryFile's `path` and `input_file_name()`;
+    * decode BEFORE stripping the (raw) root prefix, shielding literal
+    * `+` first because url_decode is form-decoding (`+` → space).
+    */
+  private def relPathCol(uriCol: Column, rootAbs: String): Column = {
+    val deSchemed = regexp_replace(uriCol, "^file:(//)?", "")
+    val decoded = url_decode(regexp_replace(deSchemed, "\\+", "%2B"))
+    regexp_replace(decoded,
+      "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
+  }
+
+  /** include/exclude glob predicate over a root-relative path column. */
+  private def globFilterCol(rel: Column, include: Seq[String],
+                            exclude: Seq[String]): Column = {
+    val included = include.map(g => rel.rlike("^" + globToRegex(g) + "$"))
+      .reduceOption(_ || _).getOrElse(lit(true))
+    val excluded = exclude.map(g => rel.rlike("^" + globToRegex(g) + "$"))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    included && !excluded
+  }
+
   /** The real directory source, reference `ingest_directory_to_blocks`
     * enumeration (`ingest_directory.zig:37-253`: walk the tree, apply
     * include/exclude globs, skip oversized files): a recursive
@@ -69,14 +93,8 @@ object Ingest {
       .option("recursiveFileLookup", "true")
       .load(rootAbs)
       .filter(col("length") > 0 && col("length") <= maxBytes)
-    val rel = regexp_replace(
-      regexp_replace(col("path"), "^file:(//)?", ""),
-      "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
-    val included = include.map(g => rel.rlike("^" + globToRegex(g) + "$"))
-      .reduceOption(_ || _).getOrElse(lit(true))
-    val excluded = exclude.map(g => rel.rlike("^" + globToRegex(g) + "$"))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    raw.filter(included && !excluded)
+    val rel = relPathCol(col("path"), rootAbs)
+    raw.filter(globFilterCol(rel, include, exclude))
       .select(rel.as("path"), col("content").cast("string").as("content"))
       .as[FileDoc]
   }
@@ -102,14 +120,8 @@ object Ingest {
       .option("recursiveFileLookup", "true")
       .load(rootAbs)
       .select(input_file_name().as("uri"), col("value").as("content"))
-    val rel = regexp_replace(
-      regexp_replace(col("uri"), "^file:(//)?", ""),
-      "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
-    val included = include.map(g => rel.rlike("^" + globToRegex(g) + "$"))
-      .reduceOption(_ || _).getOrElse(lit(true))
-    val excluded = exclude.map(g => rel.rlike("^" + globToRegex(g) + "$"))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    raw.filter(included && !excluded &&
+    val rel = relPathCol(col("uri"), rootAbs)
+    raw.filter(globFilterCol(rel, include, exclude) &&
         octet_length(col("content")) > 0 &&
         octet_length(col("content")) <= maxBytes)
       .select(rel.as("path"), col("content")).as[FileDoc]

@@ -22,15 +22,18 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Pseudo-uniform bucket in [0, 100) as a pure column expression —
-    * the literal twin of [[hashBucketSql]] (same `%` chain, so the two
-    * agree for any id sign).
+    * the literal twin of [[hashBucketSql]]. abs() after the inner
+    * modulus keeps the bucket in [0, 100) for NEGATIVE ids too (both
+    * engines' `%` follows the dividend's sign; without abs a negative
+    * id would get a negative bucket, silently passing every
+    * `bucket < pct` gate and landing in the first split).
     */
   def hashBucket(id: Column): Column =
-    ((id % 1000003L) * 2654435761L) % 4294967296L % 100
+    (abs(id % 1000003L) * 2654435761L) % 4294967296L % 100
 
   /** The same bucket in DuckDB SQL (identical arithmetic). */
   def hashBucketSql(idExpr: String): String =
-    s"((($idExpr % 1000003) * 2654435761) % 4294967296) % 100"
+    s"((abs($idExpr % 1000003) * 2654435761) % 4294967296) % 100"
 
   /** Deterministic train/validation/test assignment: the bucket is cut
     * by cumulative percentage thresholds, so every row lands in exactly

@@ -46,33 +46,36 @@ object TimeSeries {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, tieCol: String,
                payloadCols: Seq[String]): DataFrame = {
-    val payloadTypes = payloadCols.map(c => c -> right.schema(c).dataType)
+    import org.apache.spark.sql.types.StructType
     val leftCols = left.columns
+    // The payload travels as ONE struct, not per-column carries: a
+    // per-column last(..., ignoreNulls) would skip a NULL payload VALUE
+    // and tear the row (event_id from the latest right row, value from
+    // an older one). The struct built from a right row is never null
+    // even when its fields are, so ignoreNulls skips exactly the
+    // left-side rows and every field comes from the same right row.
+    val payStruct = StructType(payloadCols.map(c => right.schema(c)).toArray)
     val lTagged = left.select(
-      leftCols.map(col) ++
-        Seq(lit(1).as("__side"), lit(null).cast("long").as("__tie")) ++
-        payloadTypes.map { case (c, t) => lit(null).cast(t).as(s"__r_$c") }: _*)
+      leftCols.map(col) ++ Seq(lit(1).as("__side"),
+        lit(null).cast("long").as("__tie"),
+        lit(null).cast(payStruct).as("__rpay")): _*)
     val rTagged = right.select(
       leftCols.map(c =>
         if (c == keyCol || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(lit(0).as("__side"), col(tieCol).cast("long").as("__tie")) ++
-        payloadCols.map(c => col(c).as(s"__r_$c")): _*)
+        Seq(lit(0).as("__side"), col(tieCol).cast("long").as("__tie"),
+          struct(payloadCols.map(col): _*).as("__rpay")): _*)
     // Right rows sort BEFORE left rows at equal ts (side 0 < 1) => the
     // inclusive `r.ts <= l.ts` as-of semantics. coalesce(-1) keeps the
     // sort total on both engines (Spark sorts nulls first, DuckDB last).
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"), coalesce(col("__tie"), lit(-1L)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all carries in ONE projection: same window spec -> a single Window
-    // operator (one sort); per-column withColumn would stack one Window
-    // node per payload column
     lTagged.unionByName(rTagged)
-      .select((leftCols.map(col).toSeq :+ col("__side")) ++
-        payloadCols.map(c =>
-          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .withColumn("__pay", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__pay").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Ordered pairs (a, b) sharing `keyCol` with

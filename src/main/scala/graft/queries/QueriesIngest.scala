@@ -56,7 +56,10 @@ object QueriesIngest {
     * Written idempotently under target/ so every run sees the same tree.
     */
   private def fixtureTree(): String = {
-    val root = new java.io.File("/root/repo/target/ingest-fixture")
+    // relative to the JVM's working directory (the checkout), not a
+    // hardcoded absolute path — any clone location works
+    val root = new java.io.File(
+      new java.io.File(sys.props("user.dir")), "target/ingest-fixture")
     def write(relPath: String, content: String): Unit = {
       val f = new java.io.File(root, relPath)
       f.getParentFile.mkdirs()

@@ -251,19 +251,21 @@ object QueriesRelational {
         | r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |   FROM events WHERE event_type = 'click'),
         | u AS (SELECT user_id, ts_us, 1 AS side, event_id,
-        |    CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS DOUBLE) AS r_value,
-        |    CAST(NULL AS BIGINT) AS r_ts FROM l
+        |    CAST(NULL AS BIGINT) AS tie,
+        |    CAST(NULL AS STRUCT(i BIGINT, v DOUBLE, t BIGINT)) AS rp FROM l
         |  UNION ALL
-        |  SELECT user_id, ts_us, 0, NULL, event_id, value, ts_us FROM r),
+        |  SELECT user_id, ts_us, 0, NULL, event_id,
+        |    struct_pack(i := event_id, v := value, t := ts_us) FROM r),
         | w AS (SELECT user_id, ts_us, side, event_id,
-        |    last_value(r_id IGNORE NULLS) OVER win AS asof_event_id,
-        |    last_value(r_value IGNORE NULLS) OVER win AS asof_value,
-        |    last_value(r_ts IGNORE NULLS) OVER win AS asof_ts_us
+        |    last_value(rp IGNORE NULLS) OVER win AS p
         |  FROM u WINDOW win AS (PARTITION BY user_id
-        |    ORDER BY ts_us, side, COALESCE(r_id, -1)
+        |    ORDER BY ts_us, side, COALESCE(tie, -1)
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        | SELECT event_id, user_id, ts_us, asof_event_id, asof_value,
-        |  asof_ts_us FROM w WHERE side = 1 ORDER BY event_id"""
+        | SELECT event_id, user_id, ts_us,
+        |  struct_extract(p, 'i') AS asof_event_id,
+        |  struct_extract(p, 'v') AS asof_value,
+        |  struct_extract(p, 't') AS asof_ts_us
+        | FROM w WHERE side = 1 ORDER BY event_id"""
         .stripMargin.replace("\n", " "))),
 
     // Range self-join: ordered event pairs per user within one hour.

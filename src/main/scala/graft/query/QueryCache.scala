@@ -86,19 +86,50 @@ final class QueryCache(maxEntries: Int = 1000, ttlMs: Long = 30L * 60 * 1000,
   * (reference `src/query/engine.zig:493-502`: any write invalidates all
   * cached query results).
   *
-  * Keyed weakly on the session OBJECT (not an identity hash): a stopped,
-  * unreachable session's entry is dropped by GC, so a recycled identity
-  * hash can never hand a new session a DataFrame bound to a dead
-  * SparkContext, and stale sessions don't accumulate.
+  * Keyed on the session OBJECT (not an identity hash, which can be
+  * recycled). Cleanup is deterministic, not GC-dependent — a weak map
+  * would never collect here because each cached DataFrame strongly
+  * references its SparkSession (the classic WeakHashMap
+  * value-reaches-key caveat): entries whose SparkContext has stopped
+  * are swept on every registry access (their cached blocks died with
+  * the context), and the registry is LRU-bounded to [[MaxSessions]]
+  * live sessions, evicting (and unpersisting) the least-recently-used
+  * beyond that.
   */
 object QueryCache {
 
-  private val perSession = new java.util.WeakHashMap[SparkSession, QueryCache]()
+  private val MaxSessions = 16
+
+  private val perSession = new java.util.LinkedHashMap[SparkSession, QueryCache](
+    16, 0.75f, /* accessOrder = */ true)
 
   def forSession(spark: SparkSession): QueryCache = perSession.synchronized {
+    sweepStopped()
     var c = perSession.get(spark)
-    if (c == null) { c = new QueryCache(); perSession.put(spark, c) }
+    if (c == null) {
+      c = new QueryCache()
+      perSession.put(spark, c)
+      val it = perSession.entrySet().iterator()
+      while (perSession.size > MaxSessions && it.hasNext) {
+        val e = it.next()
+        if (e.getKey ne spark) {
+          try e.getValue.invalidateAll() catch { case _: Throwable => () }
+          it.remove()
+        }
+      }
+    }
     c
+  }
+
+  /** Drop registry entries for stopped sessions: their persisted blocks
+    * are already gone with the context, so no unpersist is needed (or
+    * possible).
+    */
+  private def sweepStopped(): Unit = {
+    val it = perSession.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
   }
 
   /** Write-path hook: invalidate the mutating session's cache (no-op if

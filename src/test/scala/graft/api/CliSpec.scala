@@ -42,6 +42,20 @@ class CliSpec extends SparkSpec {
     assert(Cli.parse(Seq("trace", "--direction", "sideways", "--target", "x")).isLeft)
   }
 
+  test("parse accepts every command's full flag vocabulary") {
+    // regression: strict flag validation must know ALL flags its own
+    // command branches require (trace --direction was once rejected)
+    assert(Cli.parse(Seq("trace", "--direction", "callees", "--target", "x",
+      "--max-depth", "4", "--format", "json"))
+      === Right(Cli.TraceCmd("callees", "x", 4, "json")))
+    assert(Cli.parse(Seq("find", "--type", "function", "--name", "f",
+      "--workspace", "w", "--max-results", "5", "--format", "csv"))
+      === Right(Cli.FindCmd("function", "f", "w", 5, "csv")))
+    assert(Cli.parse(Seq("show", "--relation", "callers", "--target", "t",
+      "--workspace", "w", "--max-depth", "2"))
+      === Right(Cli.ShowCmd("callers", "t", "w", 2, "text")))
+  }
+
   test("find resolves by name with struct_type alias") {
     val r = Cli.execute(blocks, edges,
       Cli.FindCmd("function", "helper", "ws1"))

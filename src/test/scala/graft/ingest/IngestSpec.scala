@@ -164,6 +164,29 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("readDirectory: roots and files with spaces keep clean relative paths") {
+    // file-source URIs %XX-encode special characters; the reader must
+    // decode them or the root-prefix strip fails and globs see %20s
+    val root = java.nio.file.Files.createTempDirectory("graft ingest sp").toFile
+    def write(rel: String, content: String): Unit = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+    }
+    try {
+      write("my lib/a b.zig", "fn a() {\n}\n")
+      write("c+d.zig", "fn c() {\n}\n") // literal '+' must survive decode
+      val got = Ingest.readDirectory(spark, root.getAbsolutePath,
+        include = Seq("**/*.zig")).collect().map(_.path).toSet
+      assert(got === Set("my lib/a b.zig", "c+d.zig"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("glob translation: segment vs cross-directory wildcards") {
     assert("sub/deep/b.zig".matches(Ingest.globToRegex("**/*.zig")))
     assert("b.zig".matches(Ingest.globToRegex("**/*.zig")))

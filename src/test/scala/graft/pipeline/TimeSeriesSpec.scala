@@ -51,6 +51,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
   }
 
+  test("asofJoin keeps matched rows coherent when a payload value is NULL") {
+    val l = Seq((1L, "k", 30L)).toDF("event_id", "k", "ts")
+    val r = Seq((100L, "k", 10L, Some(1.5)), (200L, "k", 20L, None))
+      .toDF("event_id", "k", "ts", "v")
+    val got = TimeSeries.asofJoin(l, r, "k", "ts", "event_id",
+        Seq("event_id", "v"))
+      .select("asof_event_id", "asof_v")
+      .as[(Option[Long], Option[Double])].head()
+    // the latest right row is (200, NULL): the NULL must come through,
+    // not be patched with the older row's 1.5 (row tearing)
+    assert(got === ((Some(200L), None)))
+  }
+
   test("asofJoin plan has no nested-loop join (single window, no cartesian)") {
     val plan = TimeSeries.asofJoin(left, right, "k", "ts", "event_id", Seq("v"))
       .queryExecution.executedPlan.toString
@@ -100,6 +113,10 @@ class TimeSeriesSpec extends SparkSpec {
     // roughly rate-shaped (hash is pseudo-uniform; generous bounds)
     val n0 = ids20.size
     assert(n0 > 25 && n0 < 75, s"src0 kept $n0 of 250 at 20%")
+    // negative ids still bucket into [0, 100)
+    val buckets = (-50L until 50L).toDF("doc_id")
+      .select(Sampling.hashBucket($"doc_id").as("b")).as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 100))
   }
 
   test("assignSplits covers every row once with stable cut points") {
