@@ -177,6 +177,29 @@ object Dedup {
     * standard O(diameter) Pregel iteration; near-dup components are
     * tiny (diameter ~2-3), so it converges in a few supersteps.
     */
+  /** Eval-set contamination scan (the decontamination step every
+    * training pipeline runs before a data release): train docs sharing
+    * at least `minShared` distinct word n-gram shingles with any eval
+    * doc, as (train_id, eval_id, n_shared) pairs.
+    *
+    * Scale shape: the EVAL side is tiny relative to the corpus, so its
+    * exploded shingles BROADCAST; the train corpus streams past the
+    * hash join without shuffling, and only the (usually minuscule)
+    * matched pairs reach the aggregation. Never an all-pairs compare.
+    */
+  def contamination(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3,
+                    minShared: Long = 1L): DataFrame = {
+    def exploded(df: DataFrame, outId: String) = df.select(
+      col(idCol).as(outId),
+      explode(array_distinct(shingles(col(textCol), n))).as("__sh"))
+    exploded(train, "train_id")
+      .join(broadcast(exploded(evalSet, "eval_id")), Seq("__sh"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def dupGroups(pairs: DataFrame, idACol: String = "id_a",
                 idBCol: String = "id_b"): DataFrame = {
     val spark = pairs.sparkSession

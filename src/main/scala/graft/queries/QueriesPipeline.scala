@@ -424,6 +424,26 @@ object QueriesPipeline {
         "doc_id", "text", Bm25Terms),
       Some(bm25Sql)),
 
+    // ===== Eval-set contamination (decontamination scan) =====
+    // eval = docs 0..9, train = the rest; shared distinct 3-gram
+    // shingles per (train, eval) pair. Eval shingles broadcast; the
+    // corpus never shuffles.
+    ("text_contamination",
+      (s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        Dedup.contamination(docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10), "doc_id", "text", n = 3)
+          .orderBy("train_id", "eval_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql(3)}))
+        |   AS s FROM w),
+        | e AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < 10),
+        | t AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id >= 10)
+        | SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        | FROM t JOIN e USING (s) GROUP BY 1, 2 ORDER BY 1, 2"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Deterministic train/val/test split assignment =====
     ("sample_splits",
       (s, d) => graft.pipeline.Sampling.assignSplits(

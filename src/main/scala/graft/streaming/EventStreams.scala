@@ -69,6 +69,22 @@ object EventStreams {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
 
+  /** Streaming exactly-once-per-id dedup: drops re-deliveries of the
+    * same `event_id` whose event times fall within the watermark delay
+    * of each other — the at-least-once → effectively-once repair every
+    * ingestion front-end needs. State is bounded BY the watermark
+    * (Spark evicts ids older than the delay), unlike a bare
+    * `dropDuplicates` whose state grows forever on a stream. Batch
+    * twin: plain `dropDuplicates(idCols)` — same result when all
+    * duplicates arrive within the delay.
+    */
+  def dedupWithinWatermark(ev: DataFrame, delay: String = "1 hour",
+                           idCols: Seq[String] = Seq("event_id")): DataFrame =
+    if (ev.isStreaming)
+      ev.withWatermark("event_time", delay)
+        .dropDuplicatesWithinWatermark(idCols)
+    else ev.dropDuplicates(idCols)
+
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
   /** The streaming twin of [[sessionCounts]]: custom state per user via

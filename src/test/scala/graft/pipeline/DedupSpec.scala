@@ -109,6 +109,21 @@ class DedupSpec extends SparkSpec {
     assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("contamination finds shared shingles train-vs-eval, counts distinct") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps high"),   // shares "the quick brown"
+      (11L, "totally unrelated words here now"),
+      (12L, "quick brown fox quick brown fox")   // repeats: distinct shingles
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, evalSet, "doc_id", "text", n = 3)
+      .orderBy("train_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 10 shares "the quick brown" + "quick brown fox" = 2
+    // doc 12 shares "quick brown fox" once (distinct within each doc)
+    assert(got === Seq((10L, 1L, 2L), (12L, 1L, 1L)))
+  }
+
   test("shingles of short text are empty, not an error") {
     val n = Seq((9L, "one two", "s")).toDF("doc_id", "text", "source")
       .select(size(Dedup.shingles(col("text"), 3)).as("n")).head().getInt(0)

@@ -72,6 +72,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamed = EventStreams.dedupWithinWatermark(
+      EventStreams.withEventTime(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")))
+    val q = streamed.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append").start()
+    try {
+      mem.addData((1L, ns(5), 1L, "click", 1.0), (2L, ns(6), 1L, "view", 2.0))
+      q.processAllAvailable()
+      // re-delivery of id 1 in a later micro-batch, within the watermark
+      mem.addData((1L, ns(5), 1L, "click", 1.0), (3L, ns(7), 2L, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("select event_id from dedup_test").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L)) // id 1 exactly once
+      // batch twin gives the same distinct set
+      val batch = EventStreams.dedupWithinWatermark(
+        EventStreams.withEventTime(Seq(
+          (1L, ns(5), 1L, "click", 1.0), (2L, ns(6), 1L, "view", 2.0),
+          (1L, ns(5), 1L, "click", 1.0), (3L, ns(7), 2L, "click", 3.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")))
+      assert(batch.select("event_id").as[Long].collect().sorted.toSeq
+        === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("the same transform runs on a stream with a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
