@@ -54,6 +54,35 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Full-resolution deterministic order key in [0, 2^32) — the same
+    * multiplicative hash as [[hashBucket]] without the final %100, for
+    * orderings where 100 buckets would tie too often.
+    */
+  def hashOrder(id: Column): Column =
+    (abs(id % 1000003L) * 2654435761L) % 4294967296L
+
+  def hashOrderSql(idExpr: String): String =
+    s"((abs($idExpr % 1000003) * 2654435761) % 4294967296)"
+
+  /** Token-budget mixture sampling — the corpus-mixing shape ("take ~N
+    * tokens per domain"): within each stratum, documents are ordered by
+    * the deterministic hash (a reproducible uniform shuffle) and kept
+    * while the stratum's running token total is below `budgetTokens`;
+    * the document that crosses the boundary is kept, so every stratum
+    * with data reaches its budget. One hash-partitioned window per
+    * stratum — strata fill in parallel, nothing global.
+    */
+  def tokenBudget(df: DataFrame, idCol: String, stratumCol: String,
+                  tokensCol: String, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(stratumCol), col(tokensCol))
+      .withColumn("tokens_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("tokens_before") < budgetTokens)
+  }
+
   /** Stratified deterministic sample: keep a row iff
     * `hashBucket(id) < pct(stratum)`. `rates` maps stratum value to the
     * keep-percentage; strata not listed fall back to `defaultPct`.

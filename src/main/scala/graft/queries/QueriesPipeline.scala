@@ -457,6 +457,24 @@ object QueriesPipeline {
         |  FROM documents) ORDER BY doc_id"""
         .stripMargin.replace("\n", " "))),
 
+    // ===== Token-budget mixture sampling =====
+    // ~2000 chars per source, filled in deterministic-hash order; the
+    // boundary-crossing doc is kept (every stratum reaches budget).
+    ("sample_token_budget",
+      (s, d) => graft.pipeline.Sampling.tokenBudget(
+        graft.core.Tables.documents(s, d), "doc_id", "source", "n_chars",
+        budgetTokens = 2000L)
+        .orderBy("doc_id"),
+      Some(s"""WITH o AS (SELECT doc_id, source, n_chars,
+        | CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+        |   ORDER BY ${graft.pipeline.Sampling.hashOrderSql("doc_id")}, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS tokens_before
+        | FROM documents)
+        | SELECT doc_id, source, n_chars, tokens_before FROM o
+        | WHERE tokens_before < 2000 ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Repetition / degeneracy quality signals =====
     ("text_repetition",
       (s, d) => TextAnalysis.repetitionStats(

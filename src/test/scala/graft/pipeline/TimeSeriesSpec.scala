@@ -119,6 +119,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(buckets.forall(b => b >= 0 && b < 100))
   }
 
+  test("tokenBudget fills each stratum to its budget, keeping the crossing doc") {
+    val docs = (0L until 40L).map(i => (i, s"s${i % 2}", 100L))
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = Sampling.tokenBudget(docs, "doc_id", "source", "n_tokens", 550L)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    // 100-token docs, budget 550: tokens_before < 550 keeps docs 0..5
+    // (the 6th crosses the boundary and is kept) in each stratum
+    assert(bySrc === Map("s0" -> 6L, "s1" -> 6L))
+    // deterministic across runs
+    assert(kept.collect().toSeq === kept.collect().toSeq)
+    // a stratum smaller than its budget is kept whole
+    val tiny = Sampling.tokenBudget(docs, "doc_id", "source", "n_tokens", 100000L)
+    assert(tiny.count() === 40L)
+  }
+
   test("assignSplits covers every row once with stable cut points") {
     val docs = (0L until 500L).toDF("doc_id")
     val splits = Sampling.assignSplits(docs, "doc_id",
