@@ -33,14 +33,16 @@ object Bench {
       graft.graph.CodeGraph.nodeBlocks(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // median of N timed iterations per query, like the reference harness
-    // (median/p95 reporting, src/bench/harness.zig:134-142). A throwing
-    // query is listed under "errors", never under "queries"; its
-    // wall-clock attempt time still counts into "value", so a crashing
-    // regression cannot shrink the reported total, and "n_failed" makes
-    // the failure impossible to miss in a totals-only comparison.
+    // (median/p95 reporting, src/bench/harness.zig:134-142). Error
+    // accounting: "errors" notes ANY query that threw at least once
+    // (flaky included); "queries" carries the median of its successful
+    // iterations when there were any; EVERY failed attempt's wall-clock
+    // time is added to "value", so throwing can never shrink the
+    // reported total; n_failed counts queries with ZERO successes.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt max 1
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var failedTime = 0.0
+    var zeroSuccess = 0
     val results = Queries.benchNames.flatMap { name =>
       val fn = Queries.queries(name)
       val attempts = (1 to iters).map { _ =>
@@ -53,13 +55,10 @@ object Bench {
             Left((System.nanoTime() - t0) / 1e9)
         }
       }
+      failedTime += attempts.collect { case Left(t) => t }.sum
       val times = attempts.collect { case Right(t) => t }.sorted
-      if (times.nonEmpty) Some(name -> times(times.size / 2))
-      else {
-        val spent = attempts.collect { case Left(t) => t }.sorted
-        failedTime += spent(spent.size / 2)
-        None
-      }
+      if (times.isEmpty) zeroSuccess += 1
+      if (times.nonEmpty) Some(name -> times(times.size / 2)) else None
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -71,7 +70,7 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + failedTime
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":${errors.size},"sf":"$sfDir","iters":$iters}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

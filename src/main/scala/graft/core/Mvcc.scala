@@ -48,7 +48,13 @@ object Mvcc {
     var acc = 0L
     val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
     val offDf = offsets.toDF("__pid", "__off")
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    // content-hash tie-break: a batch holding TWO rows with the same id
+    // (e.g. a streaming micro-batch updating a block twice) must rank
+    // them the same way on every run/retry — plain orderBy(id) would
+    // break the tie by physical scan order. Equal ids land in one range
+    // partition, so the within-partition tiebreak is total.
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col(idCol), xxhash64(df.columns.map(col).toSeq: _*))
     parted.join(broadcast(offDf), Seq("__pid"))
       .withColumn("__rk", col("__off") + row_number().over(w))
       .drop("__pid", "__off")
@@ -99,11 +105,16 @@ object Mvcc {
 
   /** Edge insert with the dedup the reference's bidirectional edge index
     * performs on put (`graph_edge_index.zig:111-144`): an identical
-    * (src, dst, edge_type) is stored once.
+    * (src, dst, edge_type) is stored once. The reference's index is
+    * per-store = per-workspace, so when the edges table carries a
+    * `workspace` column it joins the dedup key — two workspaces may
+    * legitimately hold the same triple.
     */
   def putEdges(existing: DataFrame, puts: DataFrame): DataFrame = {
     graft.query.QueryCache.invalidateSession(existing.sparkSession)
+    val keys = Seq("src", "dst", "edge_type", "workspace")
+      .filter(existing.columns.contains)
     existing.unionByName(puts.select(existing.columns.map(col).toSeq: _*))
-      .dropDuplicates("src", "dst", "edge_type")
+      .dropDuplicates(keys)
   }
 }

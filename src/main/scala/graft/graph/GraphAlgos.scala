@@ -28,14 +28,20 @@ object GraphAlgos {
     import spark.implicits._
     val fwdDepth = (maxDepth + 1) / 2
     val bwdDepth = maxDepth / 2
-    val fwd = Traversal.bfs(edges, Seq(from).toDF("id"),
-      TraversalSpec(Direction.Outgoing, maxDepth = fwdDepth max 1,
-        maxResults = 10000))
+    // UNCAPPED legs (bfsLoop, not the public 10k-capped bfs): truncating
+    // a frontier here would silently drop meeting candidates and report
+    // a longer-than-real (or missing) shortest path.
+    val fwd = Traversal.bfsLoop(edges, Seq(from).toDF("id"),
+        Direction.Outgoing, fwdDepth, Long.MaxValue)
       .select(col("id"), col("depth").as("depth_fwd"))
-    val bwd = Traversal.bfs(edges, Seq(to).toDF("id"),
-      TraversalSpec(Direction.Incoming, maxDepth = bwdDepth max 1,
-        maxResults = 10000))
-      .select(col("id"), col("depth").as("depth_bwd"))
+    // maxDepth = 1 -> bwdDepth = 0: the backward "frontier" is just the
+    // target at depth 0 (clamping to a 1-hop BFS would let a->b->c pass
+    // a depth-1 search as dist 2)
+    val bwd = (
+      if (bwdDepth == 0) Seq(to).toDF("id").withColumn("depth", lit(0))
+      else Traversal.bfsLoop(edges, Seq(to).toDF("id"),
+        Direction.Incoming, bwdDepth, Long.MaxValue)
+    ).select(col("id"), col("depth").as("depth_bwd"))
     val meet = fwd.join(bwd, Seq("id"))
       .withColumn("dist", col("depth_fwd") + col("depth_bwd"))
     val best = meet.agg(min("dist").as("dist"))

@@ -87,12 +87,26 @@ object Traversal {
     * reference's visit-order-dependent path (documented deviation).
     * Result capped at `maxResults` by (depth, id) order.
     */
-  def bfs(edges: DataFrame, seeds: DataFrame, spec: TraversalSpec): DataFrame = {
+  def bfs(edges: DataFrame, seeds: DataFrame, spec: TraversalSpec): DataFrame =
+    bfsLoop(edges, seeds, spec.direction, spec.maxDepth, spec.maxResults.toLong,
+      spec.edgeFilter, spec.trackPaths)
+
+  /** The loop behind [[bfs]], with the result cap widened to Long so
+    * internal callers (the bidirectional-search legs, which must NOT
+    * truncate their frontiers — a dropped meeting candidate silently
+    * lengthens the reported shortest path) can run uncapped. The public
+    * API keeps the reference's 10k cap via [[TraversalSpec]].
+    */
+  private[graph] def bfsLoop(edges: DataFrame, seeds: DataFrame,
+                             direction: Direction, maxDepth: Int,
+                             maxResults: Long,
+                             edgeFilter: EdgeFilter = EdgeFilter.All,
+                             trackPaths: Boolean = false): DataFrame = {
     // If the edges table is already persisted (the normal case: a
     // materialized graph), the hop projection is a cheap in-memory scan
     // per level — re-persisting it would copy the whole table per query.
     val parentCached = edges.storageLevel != StorageLevel.NONE
-    val hop0 = hops(filterEdges(edges, spec.edgeFilter), spec.direction)
+    val hop0 = hops(filterEdges(edges, edgeFilter), direction)
     val hop = if (parentCached) hop0 else hop0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE job per level: `count()` is the action that materializes the
@@ -107,7 +121,7 @@ object Traversal {
       // unreferenced, unlike Dataset persist entries which pin the cache
       // manager until an explicit unpersist.
       val seed0 = (
-        if (spec.trackPaths)
+        if (trackPaths)
           seeds.select(col("id"), array(col("id")).as("path"))
         else seeds.select(col("id"))
       ).distinct().withColumn("depth", lit(0))
@@ -118,11 +132,11 @@ object Traversal {
       var depth = 0
       var total = seed0.count()
       var frontierSize = total
-      while (depth < spec.maxDepth && total < spec.maxResults && frontierSize > 0) {
+      while (depth < maxDepth && total < maxResults && frontierSize > 0) {
         depth += 1
         val expandedRaw = frontier.join(hop, frontier("id") === hop("from"))
         val expanded =
-          if (spec.trackPaths)
+          if (trackPaths)
             expandedRaw
               .select(col("to").as("id"), concat(col("path"), array(col("to"))).as("path"))
               // one canonical (lexicographically smallest) path per node
@@ -139,8 +153,10 @@ object Traversal {
         frontierSize = next.count()
         total += frontierSize
       }
-      // canonical (depth, id) ordering for deterministic truncation
-      visited.orderBy(col("depth"), col("id")).limit(spec.maxResults)
+      // canonical (depth, id) ordering for deterministic truncation;
+      // uncapped internal callers skip the global sort entirely
+      if (maxResults >= Int.MaxValue.toLong) visited
+      else visited.orderBy(col("depth"), col("id")).limit(maxResults.toInt)
     } finally if (!parentCached) hop.unpersist()
   }
 

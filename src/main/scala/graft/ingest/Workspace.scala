@@ -62,8 +62,12 @@ object Workspace {
     val units = Ingest.parseFiles(files, parser)
     val freshBlocks = Ingest.unitsToBlocks(units, name)
     val freshEdges = SemanticResolver.edgesAsBlocks(units, name)
-    (blocks.filter(col("workspace") =!= name).unionByName(freshBlocks),
-      edges.filter(col("workspace") =!= name).unionByName(freshEdges))
+    // null-SAFE not-equal: MVCC tombstones carry NULL in every non-key
+    // column including `workspace`; a plain =!= evaluates to NULL on
+    // them and the filter would silently drop every tombstone from the
+    // whole table — resurrecting deleted blocks on any sync
+    (blocks.filter(!(col("workspace") <=> name)).unionByName(freshBlocks),
+      edges.filter(!(col("workspace") <=> name)).unionByName(freshEdges))
   }
 
   /** Linked workspaces = MVCC current view of the registry. */

@@ -36,8 +36,10 @@ object Multimodal {
   def toMedia(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
+      // pmod: `%` follows the dividend's sign, so a negative doc_id
+      // would hit element_at(0) (always an error) or index from the end
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-        (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
       encode(col("text"), "UTF-8").as("payload"))
 
@@ -74,7 +76,13 @@ object Multimodal {
       .withColumn("n_chunks",
         ceil(col("n_bytes").cast("double") / chunkSize).cast("int"))
       .select(col("doc_id"), col("mime"),
-        explode(sequence(lit(0), greatest(col("n_chunks") - 1, lit(0)), lit(stride)))
+        // zero chunks -> NO frames (explode of an empty array emits no
+        // rows), matching decodeFeatures' n_chunks = 0 and the oracle's
+        // empty range — not a phantom frame 0 over a payload with no
+        // bytes (greatest(-1, 0) would fabricate one)
+        explode(when(col("n_chunks") > 0,
+          sequence(lit(0), col("n_chunks") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>")))
           .as("frame_idx"))
       .withColumn("offset", col("frame_idx").cast("long") * chunkSize)
 }

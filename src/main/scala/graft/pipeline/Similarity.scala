@@ -166,13 +166,24 @@ object Similarity {
       when(dot(vec, planeLit) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Guard against a dimensionality mismatch: with wrong-length planes
+    * every dot is NULL, every bucket key collapses to 0, and "never
+    * all-pairs" silently becomes one giant quadratic bucket. Adds 0 when
+    * the length matches; raises otherwise.
+    */
+  private def dimGuard(vec: Column, dim: Int): Column =
+    when(size(vec) === dim, lit(0L))
+      .otherwise(raise_error(concat(
+        lit(s"lsh: expected $dim-dim embedding, got "),
+        size(vec).cast("string"))).cast("long"))
+
   def lshBucketPairs(emb: DataFrame, nPlanes: Int = 8,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     seed: Long = 42L): DataFrame = {
-    val dim = 64 // fixture embedding dimensionality
+                     seed: Long = 42L, dim: Int = 64): DataFrame = {
     val pl = planes(nPlanes, dim, seed)
-    val bucketed = emb.select(col(idCol), lshBucket(col(vecCol), pl).as("bucket"))
+    val bucketed = emb.select(col(idCol),
+      (lshBucket(col(vecCol), pl) + dimGuard(col(vecCol), dim)).as("bucket"))
     val a = bucketed.select(col(idCol).as("id_a"), col("bucket"))
     val b = bucketed.select(col(idCol).as("id_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
@@ -189,8 +200,7 @@ object Similarity {
   def lshBandedPairs(emb: DataFrame, nBands: Int = 4, planesPerBand: Int = 4,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     seed: Long = 42L): DataFrame = {
-    val dim = 64 // fixture embedding dimensionality
+                     seed: Long = 42L, dim: Int = 64): DataFrame = {
     val pl = planes(nBands * planesPerBand, dim, seed)
     val bandCols = (0 until nBands).map { b =>
       (0 until planesPerBand).map { j =>
@@ -200,7 +210,8 @@ object Similarity {
       }.reduce(_ + _)
     }
     val banded = emb.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+      posexplode(array(bandCols.map(_ + dimGuard(col(vecCol), dim)): _*))
+        .as(Seq("band_idx", "band_key")))
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key")).filter(col("id_a") < col("id_b"))
@@ -226,8 +237,8 @@ object Similarity {
                       nBands: Int = 4, planesPerBand: Int = 4,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      seed: Long = 42L): DataFrame = {
-    val cand = lshBandedPairs(emb, nBands, planesPerBand, idCol, vecCol, seed)
+                      seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val cand = lshBandedPairs(emb, nBands, planesPerBand, idCol, vecCol, seed, dim)
     val normed = emb.select(col(idCol), col(vecCol),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("nrm"))
     val d = dotNative(col("va"), col("vb"))

@@ -17,7 +17,11 @@ import org.apache.spark.storage.StorageLevel
 final class QueryCache(maxEntries: Int = 1000, ttlMs: Long = 30L * 60 * 1000,
                        clock: () => Long = () => System.currentTimeMillis()) {
 
-  private final case class CacheEntry(df: DataFrame, var lastUsed: Long)
+  // TTL measures age since CREATION (the reference's semantics,
+  // cache.zig:205-214) — a hot entry still expires and re-derives after
+  // ttlMs. LRU recency for overflow eviction comes from the access-order
+  // LinkedHashMap, not from the timestamp.
+  private final case class CacheEntry(df: DataFrame, created: Long)
 
   private val entries = new java.util.LinkedHashMap[String, CacheEntry](
     16, 0.75f, /* accessOrder = */ true)
@@ -32,8 +36,7 @@ final class QueryCache(maxEntries: Int = 1000, ttlMs: Long = 30L * 60 * 1000,
   def getOrElseUpdate(key: String)(build: => DataFrame): DataFrame = synchronized {
     val now = clock()
     val hit = entries.get(key)
-    if (hit != null && now - hit.lastUsed <= ttlMs) {
-      hit.lastUsed = now
+    if (hit != null && now - hit.created <= ttlMs) {
       hitCount += 1
       hit.df
     } else {

@@ -24,6 +24,16 @@ class GraphAlgosSpec extends SparkSpec {
     assert(r("d") == (2, 0, 2))
   }
 
+  test("bidirectional search respects maxDepth=1: no dist-2 leak") {
+    // a->b->c with maxDepth=1: fwd gets one hop, the backward "leg" is
+    // just the target at depth 0 — clamping it to a 1-hop BFS would
+    // report c reachable at dist 2 from a depth-1 search
+    assert(GraphAlgos.bidirectionalSearch(edges, "a", "c", maxDepth = 1).isEmpty)
+    val r = GraphAlgos.bidirectionalSearch(edges, "a", "b", maxDepth = 1)
+      .select("id", "dist").as[(String, Int)].collect().toSeq
+    assert(r === Seq(("b", 1)))
+  }
+
   test("bidirectional search: no meeting is empty") {
     assert(GraphAlgos.bidirectionalSearch(edges, "d", "a", maxDepth = 4).isEmpty)
   }

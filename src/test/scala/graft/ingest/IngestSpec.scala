@@ -137,6 +137,22 @@ class IngestSpec extends SparkSpec {
     assert(e2.filter(col("workspace") === "demo").isEmpty)
   }
 
+  test("sync keeps MVCC tombstones (null workspace) of other rows") {
+    // tombstones carry NULL in every non-key column including workspace;
+    // a null-UNSAFE filter would drop them and resurrect deleted blocks
+    val (_, blocks, edges) = Workspace.link(
+      Workspace.emptyRegistry(spark), "wsA", "/src", files)
+    val someId = blocks.select("id").as[String].head()
+    val withTombstone = graft.core.Mvcc.deleteBlocks(blocks, Seq(someId))
+    assert(graft.core.Schemas.currentView(withTombstone)
+      .filter(col("id") === someId).isEmpty) // deleted
+    // sync an UNRELATED workspace; the tombstone must survive
+    val (b2, _) = Workspace.sync(withTombstone, edges, "wsB",
+      Seq(Ingest.FileDoc("b.zig", "fn b() {\n}\n")).toDS())
+    assert(graft.core.Schemas.currentView(b2)
+      .filter(col("id") === someId).isEmpty, "deleted block resurrected")
+  }
+
   test("readDirectory: recursive scan, glob include/exclude, size cap") {
     val root = java.nio.file.Files.createTempDirectory("graft-ingest").toFile
     def write(rel: String, content: String): Unit = {

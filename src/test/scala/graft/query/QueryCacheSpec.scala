@@ -26,6 +26,16 @@ class QueryCacheSpec extends SparkSpec {
     assert(c.stats._3 == 1L) // one eviction
   }
 
+  test("TTL runs from creation: a hot entry still expires") {
+    var now = 0L
+    val c = new QueryCache(ttlMs = 10, clock = () => now)
+    c.getOrElseUpdate("k")(df(3))
+    now = 6
+    assert(c.getOrElseUpdate("k")(df(9)).count() == 3) // hit, within TTL
+    now = 11 // past creation+TTL even though it was hit at t=6
+    assert(c.getOrElseUpdate("k")(df(5)).count() == 5)
+  }
+
   test("overflow evicts the LRU quarter") {
     val c = new QueryCache(maxEntries = 4)
     (1 to 5).foreach(i => c.getOrElseUpdate(s"k$i")(df(i)))
