@@ -225,6 +225,37 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
+  /** Corpus bigram language-model score — the statistical quality
+    * signal family (a KenLM-style filter's skeleton, with the corpus
+    * itself as the model): per doc, the mean log MLE probability of its
+    * bigrams, `avg(ln(C(a b) / C(a ·)))`, where counts come from the
+    * whole corpus. Degenerate repetitive docs score HIGH (their bigrams
+    * are their own corpus mass), rare/garbled sequences score LOW.
+    *
+    * Scale shape: one explode → two hash-partitioned count aggregations
+    * (map-side partial) → two equi-joins on the count keys → one final
+    * per-doc aggregation. The mean is rounded to 4 dp, absorbing
+    * double-summation-order jitter, same policy as the other
+    * sum-of-doubles entries.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val n = size(ws)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bi = df.select(col(idCol).as("doc_id"), explode(bigrams).as("big"))
+      .withColumn("pre", element_at(split(col("big"), " "), 1))
+    val cb = bi.groupBy("big").agg(count(lit(1)).as("cnt_big"))
+    val cp = bi.groupBy("pre").agg(count(lit(1)).as("cnt_pre"))
+    bi.join(cb, Seq("big")).join(cp, Seq("pre"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(col("cnt_big") / col("cnt_pre")))
+          / count(lit(1)), 4).as("avg_logprob"))
+  }
+
   /** Corpus TF-IDF: per (doc, term) weight tf · ln(N / df) over
     * whitespace tokens. Scale shape: two hash-partitioned aggregations
     * (doc-term counts with map-side partial agg, then per-term doc

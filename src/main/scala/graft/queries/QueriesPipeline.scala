@@ -457,6 +457,24 @@ object QueriesPipeline {
         |  FROM documents) ORDER BY doc_id"""
         .stripMargin.replace("\n", " "))),
 
+    // ===== Corpus bigram LM quality score =====
+    ("text_lm_score",
+      (s, d) => TextAnalysis.lmScore(
+        graft.core.Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | b AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+        |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS big FROM w),
+        | p AS (SELECT doc_id, big, string_split(big, ' ')[1] AS pre FROM b),
+        | cb AS (SELECT big, COUNT(*) AS cnt_big FROM p GROUP BY big),
+        | cp AS (SELECT pre, COUNT(*) AS cnt_pre FROM p GROUP BY pre)
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(SUM(ln(cnt_big / CAST(cnt_pre AS DOUBLE))) / COUNT(*), 4)
+        |   AS avg_logprob
+        | FROM p JOIN cb USING (big) JOIN cp USING (pre)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ===== Token-budget mixture sampling =====
     // ~2000 chars per source, filled in deterministic-hash order; the
     // boundary-crossing doc is kept (every stratum reaches budget).

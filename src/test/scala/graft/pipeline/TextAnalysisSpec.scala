@@ -73,6 +73,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("lmScore: self-predictable bigrams score 0, diverging prefixes below") {
+    val docs = Seq(
+      (1L, "a b a b a b"),  // every bigram is its prefix's only continuation
+      (2L, "c d c e")       // prefix c splits between d and e -> ln(1/2) terms
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got(0) === ((1L, 5L, 0.0)))
+    assert(got(1)._2 === 3L)
+    assert(got(1)._3 < 0.0) // avg of {ln .5, 0, ln .5} / 3
+  }
+
   test("repetitionStats: counts, fractions, and degenerate docs") {
     val docs = Seq(
       (1L, "a b a b a b"),        // top bigram "a b" x3 of 5, top token a x3
