@@ -24,6 +24,18 @@ object Cli {
   final case class TraceCmd(direction: String, target: String,
                             maxDepth: Int = 10,
                             format: String = "text") extends Command
+  final case class LinkCmd(path: String, name: String,
+                           include: Seq[String] = Seq("**"),
+                           exclude: Seq[String] = Nil,
+                           format: String = "text") extends Command
+  final case class UnlinkCmd(name: String, format: String = "text") extends Command
+  final case class SyncCmd(name: Option[String], all: Boolean = false,
+                           format: String = "text") extends Command
+  final case class StatusCmd(verbose: Boolean = false,
+                             format: String = "text") extends Command
+  case object PingCmd extends Command
+  case object VersionCmd extends Command
+  final case class HelpCmd(topic: Option[String]) extends Command
 
   private val EntityTypes = Set("function", "struct_type", "constant", "variable",
     "type", "struct", "const", "var", "document", "customer", "supplier",
@@ -33,32 +45,42 @@ object Cli {
   private val Formats = Set("text", "json", "csv")
 
   private val KnownFlags = Set("type", "name", "workspace", "max-results",
-    "relation", "target", "max-depth", "format", "direction")
+    "relation", "target", "max-depth", "format", "direction",
+    "path", "include", "exclude", "topic")
+  // flags that take no value (reference parser.zig:130-156: --verbose,
+  // --force, --all, --all_paths are presence-only)
+  private val BoolFlags = Set("verbose", "force", "all")
 
-  /** Argument parser for `find|show|trace` with the reference's flags
-    * (`--type --name --workspace --max-results --relation --target
-    * --max-depth --format`). Error-message-first like the reference
-    * parser: an unknown/misspelled flag, a dangling `--flag` with no
-    * value, or a bare non-flag token is an error — never silently
-    * ignored (a typo'd flag running with defaults is worse than
-    * failing).
+  /** Argument parser for the reference's command vocabulary
+    * (`parser.zig:38-156`): query commands `find|show|trace`, workspace
+    * commands `link|unlink|sync|status`, health `ping|version|help`.
+    * Error-message-first like the reference parser: an
+    * unknown/misspelled flag, a dangling `--flag` with no value, or a
+    * bare non-flag token is an error — never silently ignored (a
+    * typo'd flag running with defaults is worse than failing).
     */
   def parse(args: Seq[String]): Either[String, Command] = {
-    if (args.isEmpty) return Left("no command; expected find|show|trace")
-    val pairs = args.tail.grouped(2).toSeq
-    pairs.collectFirst {
-      case Seq(k) if k.startsWith("--") => s"flag $k is missing a value"
-      case Seq(k) => s"unexpected argument: $k"
-      case Seq(k, _) if !k.startsWith("--") => s"expected a --flag, got: $k"
-      case Seq(k, _) if !KnownFlags(k.drop(2)) => s"unknown flag: $k"
-    } match {
-      case Some(err) => return Left(err)
-      case None => ()
+    if (args.isEmpty)
+      return Left("no command; expected find|show|trace|link|unlink|sync|status|ping|version|help")
+    val toks = args.tail
+    var flags = Map.empty[String, String]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.startsWith("--"))
+        return Left(s"expected a --flag, got: $t")
+      val k = t.drop(2)
+      if (BoolFlags(k)) { flags += k -> "true"; i += 1 }
+      else if (!KnownFlags(k)) return Left(s"unknown flag: $t")
+      else if (i + 1 >= toks.length) return Left(s"flag $t is missing a value")
+      else { flags += k -> toks(i + 1); i += 2 }
     }
-    val flags = pairs.collect { case Seq(k, v) => k.drop(2) -> v }.toMap
     def int(k: String, dflt: Int): Either[String, Int] =
       flags.get(k).map(v => v.toIntOption.toRight(s"--$k must be an integer"))
         .getOrElse(Right(dflt))
+    def globs(k: String, dflt: Seq[String]): Seq[String] =
+      flags.get(k).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(dflt)
     val format = flags.getOrElse("format", "text")
     if (!Formats(format)) return Left(s"unknown format: $format")
     args.head match {
@@ -83,6 +105,28 @@ object Cli {
           _ <- if (Directions(dir)) Right(()) else Left(s"unknown direction: $dir")
           d <- int("max-depth", 10)
         } yield TraceCmd(dir, t, d, format)
+      case "link" =>
+        // --name defaults to the path's basename (parser.zig:138-141)
+        flags.get("path").toRight("link requires --path").map { p =>
+          val dfltName = p.reverse.dropWhile(_ == '/').reverse
+            .split('/').lastOption.filter(_.nonEmpty).getOrElse(p)
+          LinkCmd(p, flags.getOrElse("name", dfltName),
+            globs("include", Seq("**")), globs("exclude", Nil), format)
+        }
+      case "unlink" =>
+        flags.get("name").toRight("unlink requires --name")
+          .map(n => UnlinkCmd(n, format))
+      case "sync" =>
+        val all = flags.contains("all")
+        if (!all && !flags.contains("name"))
+          Left("sync requires --name or --all")
+        else if (all && flags.contains("name"))
+          Left("sync takes --name or --all, not both")
+        else Right(SyncCmd(flags.get("name"), all, format))
+      case "status" => Right(StatusCmd(flags.contains("verbose"), format))
+      case "ping" => Right(PingCmd)
+      case "version" => Right(VersionCmd)
+      case "help" => Right(HelpCmd(flags.get("topic")))
       case other => Left(s"unknown command: $other")
     }
   }
@@ -136,7 +180,59 @@ object Cli {
           TraversalSpec(dir, depth, 1000, EdgeFilter.All, trackPaths = true))
           .select(col("id"), col("depth"), concat_ws("->", col("path")).as("path"))
           .orderBy("depth", "id")
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a query command: $other (use executeWorkspace)")
     }
+
+  /** Engine version string, reported by `version` and `ping` like the
+    * reference daemon's handshake (`cli_protocol.zig:16-24` version
+    * fields).
+    */
+  val Version = "0.3.0"
+
+  /** Execute a workspace/health command against a mutable state dir
+    * (see [[WorkspaceStore]]). Returns a small frame for rendering —
+    * every command's result is a table, same as the query commands.
+    */
+  def executeWorkspace(spark: SparkSession, stateDir: String,
+                       cmd: Command): DataFrame = {
+    import spark.implicits._
+    cmd match {
+      case LinkCmd(path, name, inc, exc, _) =>
+        WorkspaceStore.link(spark, stateDir, name, path, inc, exc)
+      case UnlinkCmd(name, _) => WorkspaceStore.unlink(spark, stateDir, name)
+      case SyncCmd(nameOpt, all, _) =>
+        val names =
+          if (all) {
+            val st = WorkspaceStore.load(spark, stateDir)
+            graft.core.Schemas.currentView(st.registry)
+              .select("id").as[String].collect().toSeq
+          } else nameOpt.toSeq
+        WorkspaceStore.sync(spark, stateDir, names)
+      case StatusCmd(verbose, _) => WorkspaceStore.status(spark, stateDir, verbose)
+      case PingCmd => Seq(("pong", Version)).toDF("reply", "version")
+      case VersionCmd => Seq(Version).toDF("version")
+      case HelpCmd(topic) =>
+        val all = Seq(
+          ("find", "find --type T --name N [--workspace W] [--max-results K] [--format F]"),
+          ("show", "show --relation callers|callees|imports|exports --target T [--workspace W] [--max-depth D]"),
+          ("trace", "trace --direction callers|callees --target T [--max-depth D]"),
+          ("link", "link --path P [--name N] [--include GLOBS] [--exclude GLOBS]"),
+          ("unlink", "unlink --name N"),
+          ("sync", "sync --name N | --all"),
+          ("status", "status [--verbose]"),
+          ("ping", "ping"), ("version", "version"))
+        topic.fold(all)(t => all.filter(_._1 == t)).toDF("command", "usage")
+      case other =>
+        throw new IllegalArgumentException(s"not a workspace command: $other")
+    }
+  }
+
+  def isQueryCommand(cmd: Command): Boolean = cmd match {
+    case _: FindCmd | _: ShowCmd | _: TraceCmd => true
+    case _ => false
+  }
 
   /** Render a (small, already-capped) result in the reference's output
     * formats. Collects to the driver — CLI results are bounded by
@@ -183,9 +279,22 @@ object Cli {
           case c: FindCmd => c.format
           case c: ShowCmd => c.format
           case c: TraceCmd => c.format
+          case c: LinkCmd => c.format
+          case c: UnlinkCmd => c.format
+          case c: SyncCmd => c.format
+          case c: StatusCmd => c.format
+          case _ => "text"
         }
-        println(render(execute(CodeGraph.nodeBlocks(spark, dir),
-          CodeGraph.edges(spark, dir), cmd), fmt))
+        val result =
+          if (!isQueryCommand(cmd)) executeWorkspace(spark, dir, cmd)
+          // query commands run against linked workspaces when the dir
+          // holds store state, else against the derived fixture graph
+          else if (WorkspaceStore.exists(spark, dir)) {
+            val (blocks, edges) = WorkspaceStore.currentGraph(spark, dir)
+            execute(blocks, edges, cmd)
+          } else
+            execute(CodeGraph.nodeBlocks(spark, dir), CodeGraph.edges(spark, dir), cmd)
+        println(render(result, fmt))
     }
     spark.stop()
   }

@@ -1,0 +1,223 @@
+package graft.api
+
+import graft.core.{Mvcc, Schemas}
+import graft.ingest.{Ingest, SemanticResolver, SimpleParser, SourceParser}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet-backed persistent workspace state for the CLI's
+  * `link/unlink/sync/status` commands — the Spark analogue of the
+  * reference server's storage engine + workspace manager pair
+  * (`/root/reference/src/workspace/manager.zig:113-377`,
+  * `/root/reference/src/server/cli_protocol.zig:83-574`). The reference
+  * keeps this state in its LSM store under the daemon's data dir; here
+  * it is three parquet tables under `<stateDir>/_graft_ws/`:
+  *
+  *   - `registry`: MVCC-versioned (id, root_path, synced_at, sequence,
+  *     is_deleted) — link/unlink history is queryable like any table;
+  *   - `blocks`: MVCC-versioned ingested blocks (append-only epochs;
+  *     re-link/sync shadow old versions rather than rewriting them);
+  *   - `edges`: resolved (src, dst, edge_type, workspace) relations.
+  *
+  * Writes go through write-to-temp + rename so a failed job never
+  * leaves a half-written table behind, and each command materializes
+  * its new state before the swap (the read path and write path never
+  * race on the same files). At 100 TB the same layout holds with the
+  * rename swapped for a transactional table format's commit; the table
+  * shapes, MVCC sequencing, and append-only contract are unchanged.
+  */
+object WorkspaceStore {
+
+  final case class State(registry: DataFrame, blocks: DataFrame, edges: DataFrame)
+
+  private val registrySchema = StructType(Seq(
+    StructField("id", StringType), StructField("root_path", StringType),
+    StructField("synced_at", LongType), StructField("sequence", LongType),
+    StructField("is_deleted", BooleanType)))
+
+  private val blocksSchema = StructType(Seq(
+    StructField("id", StringType), StructField("sequence", LongType),
+    StructField("workspace", StringType), StructField("unit_type", StringType),
+    StructField("unit_id", StringType), StructField("file_path", StringType),
+    StructField("source_uri", StringType), StructField("content", StringType),
+    StructField("is_deleted", BooleanType)))
+
+  private val edgesSchema = StructType(Seq(
+    StructField("src", StringType), StructField("dst", StringType),
+    StructField("edge_type", StringType), StructField("workspace", StringType)))
+
+  def stateRoot(stateDir: String): String = s"$stateDir/_graft_ws"
+
+  def exists(spark: SparkSession, stateDir: String): Boolean = {
+    val p = new Path(stateRoot(stateDir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  def load(spark: SparkSession, stateDir: String): State = {
+    val root = stateRoot(stateDir)
+    State(
+      readOrEmpty(spark, s"$root/registry", registrySchema),
+      readOrEmpty(spark, s"$root/blocks", blocksSchema),
+      readOrEmpty(spark, s"$root/edges", edgesSchema))
+  }
+
+  /** Overwrite-in-place safely: parquet output can't overwrite files a
+    * lazy plan is still reading, so write to a sibling temp dir first,
+    * then swap via rename (the poor-cluster's atomic commit).
+    */
+  private def writeAtomic(df: DataFrame, dest: String): Unit = {
+    val spark = df.sparkSession
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dest + ".tmp-" + System.nanoTime())
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(destPath)) fs.delete(destPath, true)
+    if (!fs.rename(tmp, destPath))
+      throw new java.io.IOException(s"rename $tmp -> $destPath failed")
+  }
+
+  private def save(stateDir: String, st: State): Unit = {
+    val root = stateRoot(stateDir)
+    writeAtomic(st.registry, s"$root/registry")
+    writeAtomic(st.blocks, s"$root/blocks")
+    writeAtomic(st.edges, s"$root/edges")
+  }
+
+  /** Current (non-tombstoned, latest-sequence) blocks/edges view for the
+    * query commands — what `find/show/trace` run against once any
+    * workspace is linked.
+    */
+  def currentGraph(spark: SparkSession, stateDir: String): (DataFrame, DataFrame) = {
+    val st = load(spark, stateDir)
+    (Schemas.currentView(st.blocks), st.edges)
+  }
+
+  private def ingestTree(spark: SparkSession, name: String, rootPath: String,
+                         include: Seq[String], exclude: Seq[String],
+                         parser: SourceParser): (DataFrame, DataFrame, Long) = {
+    val files = Ingest.readDirectory(spark, rootPath, include, exclude)
+    val units = Ingest.parseFiles(files, parser).cache()
+    val blocks = Ingest.unitsToBlocks(units, name).drop("sequence", "is_deleted")
+    val edges = SemanticResolver.edgesAsBlocks(units, name)
+    (blocks, edges, files.count())
+  }
+
+  /** `kausal link --path P --name N`: register the workspace and ingest
+    * its tree through the MVCC write path (new blocks become the next
+    * sequence epoch; a re-link shadows the previous epoch, never
+    * rewrites it). Returns a one-row summary frame for rendering.
+    */
+  def link(spark: SparkSession, stateDir: String, name: String, rootPath: String,
+           include: Seq[String] = Seq("**"), exclude: Seq[String] = Nil,
+           parser: SourceParser = SimpleParser,
+           nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = {
+    import spark.implicits._
+    val st = load(spark, stateDir)
+    val (blocks, edges, nFiles) = ingestTree(spark, name, rootPath, include, exclude, parser)
+    val reg2 = Mvcc.putBlocks(st.registry,
+      Seq((name, rootPath, nowSeconds)).toDF("id", "root_path", "synced_at"))
+    val blocks2 = Mvcc.putBlocks(st.blocks, blocks)
+    val edges2 = Mvcc.putEdges(st.edges, edges)
+    val (nBlocks, nEdges) = (blocks.count(), edges.count())
+    save(stateDir, State(reg2, blocks2, edges2))
+    Seq((name, rootPath, nFiles, nBlocks, nEdges))
+      .toDF("workspace", "root_path", "files_processed", "blocks_linked", "edges_linked")
+  }
+
+  /** `kausal unlink --name N`: tombstone the registry row. Blocks are
+    * NOT physically removed (reference `manager.zig:192-247`) — the
+    * registry tombstone hides the workspace from `status` and the
+    * query view while its history stays time-travelable.
+    */
+  def unlink(spark: SparkSession, stateDir: String, name: String): DataFrame = {
+    import spark.implicits._
+    val st = load(spark, stateDir)
+    val known = Schemas.currentView(st.registry)
+      .filter(col("id") === name).count() > 0
+    if (!known)
+      throw new IllegalArgumentException(s"workspace not linked: $name")
+    save(stateDir, st.copy(registry = Mvcc.deleteBlocks(st.registry, Seq(name))))
+    Seq((name, "unlinked")).toDF("workspace", "result")
+  }
+
+  /** `kausal sync --name N` / `--all`: re-ingest linked workspaces.
+    * Changed/new units become the next MVCC epoch via `putBlocks`;
+    * units that vanished from the tree get tombstones — the append-only
+    * equivalent of the reference's delete-then-reingest sync
+    * (`manager.zig:249-377`). Edges are replaced per workspace (the
+    * edge table is a current-state index, like the reference's).
+    */
+  def sync(spark: SparkSession, stateDir: String, names: Seq[String],
+           parser: SourceParser = SimpleParser,
+           nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = {
+    import spark.implicits._
+    val st = load(spark, stateDir)
+    val reg = Schemas.currentView(st.registry)
+      .select("id", "root_path").as[(String, String)].collect().toMap
+    val missing = names.filterNot(reg.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(s"workspace not linked: ${missing.mkString(", ")}")
+    var cur = st
+    val summaries = names.sorted.map { name =>
+      val (blocks, edges, nFiles) =
+        ingestTree(spark, name, reg(name), Seq("**"), Nil, parser)
+      // ids present in the current view but absent from the fresh parse
+      // → tombstone (file/unit deleted since link). The id set is one
+      // workspace's units — driver-sized, like Mvcc.deleteBlocks's API.
+      val gone = Schemas.currentView(cur.blocks)
+        .filter(col("workspace") === name).select("id")
+        .except(blocks.select("id")).as[String].collect().toSeq
+      var b2 = Mvcc.putBlocks(cur.blocks, blocks)
+      if (gone.nonEmpty) b2 = Mvcc.deleteBlocks(b2, gone)
+      // null-safe filter: block tombstones carry NULL workspace
+      val e2 = cur.edges.filter(!(col("workspace") <=> name)).unionByName(edges)
+      val r2 = Mvcc.putBlocks(cur.registry,
+        Seq((name, reg(name), nowSeconds)).toDF("id", "root_path", "synced_at"))
+      cur = State(r2, b2, e2)
+      (name, nFiles, blocks.count(), gone.size.toLong)
+    }
+    save(stateDir, cur)
+    summaries.toDF("workspace", "files_processed", "blocks_synced", "blocks_removed")
+  }
+
+  /** `kausal status [--verbose]`: one row per linked workspace with
+    * block/edge counts and the reference's sync-status classification
+    * (never_synced / synced within 1 h / needs_sync —
+    * `cli_protocol.zig:96-113`). Verbose adds the reference's storage
+    * estimate: 2 KiB per block + 64 B per edge
+    * (`cli_protocol.zig:115-130`).
+    */
+  def status(spark: SparkSession, stateDir: String, verbose: Boolean = false,
+             nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = {
+    val st = load(spark, stateDir)
+    val reg = Schemas.currentView(st.registry).select("id", "root_path", "synced_at")
+    val blockCounts = Schemas.currentView(st.blocks)
+      .groupBy(col("workspace")).agg(count(lit(1)).as("block_count"))
+    val edgeCounts = st.edges
+      .groupBy(col("workspace").as("e_ws")).agg(count(lit(1)).as("edge_count"))
+    val base = reg
+      .join(blockCounts, reg("id") === blockCounts("workspace"), "left")
+      .join(edgeCounts, reg("id") === edgeCounts("e_ws"), "left")
+      .select(
+        reg("id").as("workspace"), col("root_path"),
+        coalesce(col("block_count"), lit(0L)).as("block_count"),
+        coalesce(col("edge_count"), lit(0L)).as("edge_count"),
+        when(coalesce(col("synced_at"), lit(0L)) === 0L, "never_synced")
+          .when(lit(nowSeconds) - col("synced_at") <= 3600L, "synced")
+          .otherwise("needs_sync").as("sync_status"))
+      .orderBy("workspace")
+    if (!verbose) base
+    else base.withColumn("storage_bytes",
+      col("block_count") * lit(2048L) + col("edge_count") * lit(64L))
+  }
+}

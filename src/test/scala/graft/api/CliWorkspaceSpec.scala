@@ -1,0 +1,141 @@
+package graft.api
+
+import graft.SparkSpec
+
+/** CLI workspace/health surface: parse vocabulary for
+  * `link/unlink/sync/status/ping/version/help` (reference
+  * `parser.zig:38-156`) and the full lifecycle against a parquet-backed
+  * [[WorkspaceStore]] state dir — the reference daemon's
+  * `handle_*_request` handlers (`cli_protocol.zig:83-574`) re-expressed
+  * as table-in/table-out commands.
+  */
+class CliWorkspaceSpec extends SparkSpec {
+
+  private def writeTree(files: (String, String)*): java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cli-ws").toFile
+    files.foreach { case (rel, content) =>
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+    }
+    root
+  }
+
+  private def tmpState(): String =
+    java.nio.file.Files.createTempDirectory("graft-cli-state").toFile.getAbsolutePath
+
+  private val libZig =
+    """fn alpha() {
+      |  beta()
+      |}
+      |fn beta() {
+      |}
+      |""".stripMargin
+
+  test("parse: workspace + health command vocabulary") {
+    assert(Cli.parse(Seq("link", "--path", "/x/proj")) ==
+      Right(Cli.LinkCmd("/x/proj", "proj")))
+    assert(Cli.parse(Seq("link", "--path", "/x/proj/", "--name", "p2",
+      "--include", "**.zig,src/**", "--exclude", "gen/**")) ==
+      Right(Cli.LinkCmd("/x/proj/", "p2", Seq("**.zig", "src/**"), Seq("gen/**"))))
+    assert(Cli.parse(Seq("unlink", "--name", "p")) == Right(Cli.UnlinkCmd("p")))
+    assert(Cli.parse(Seq("sync", "--name", "p")) == Right(Cli.SyncCmd(Some("p"))))
+    assert(Cli.parse(Seq("sync", "--all")) == Right(Cli.SyncCmd(None, all = true)))
+    assert(Cli.parse(Seq("status")) == Right(Cli.StatusCmd()))
+    assert(Cli.parse(Seq("status", "--verbose", "--format", "json")) ==
+      Right(Cli.StatusCmd(verbose = true, format = "json")))
+    assert(Cli.parse(Seq("ping")) == Right(Cli.PingCmd))
+    assert(Cli.parse(Seq("version")) == Right(Cli.VersionCmd))
+    assert(Cli.parse(Seq("help")) == Right(Cli.HelpCmd(None)))
+    assert(Cli.parse(Seq("help", "--topic", "link")) ==
+      Right(Cli.HelpCmd(Some("link"))))
+    // error-message-first: missing/conflicting/misspelled flags fail
+    assert(Cli.parse(Seq("link")).isLeft)                       // no --path
+    assert(Cli.parse(Seq("sync")).isLeft)                       // no --name/--all
+    assert(Cli.parse(Seq("sync", "--name", "p", "--all")).isLeft)
+    assert(Cli.parse(Seq("unlink")).isLeft)
+    assert(Cli.parse(Seq("status", "--verbos")).isLeft)         // typo'd bool flag
+    assert(Cli.parse(Seq("link", "--path")).isLeft)             // dangling value
+  }
+
+  test("lifecycle: link -> status -> query -> sync -> unlink") {
+    val tree = writeTree("lib.zig" -> libZig)
+    val state = tmpState()
+
+    // link ingests the tree through the MVCC write path
+    val linked = Cli.executeWorkspace(spark, state,
+      Cli.LinkCmd(tree.getAbsolutePath, "proj")).collect().head
+    assert(linked.getAs[String]("workspace") == "proj")
+    assert(linked.getAs[Long]("files_processed") == 1L)
+    assert(linked.getAs[Long]("blocks_linked") >= 2L) // alpha, beta
+
+    // status: linked workspace visible, freshly synced, counts match
+    val st = Cli.executeWorkspace(spark, state, Cli.StatusCmd(verbose = true))
+      .collect()
+    assert(st.length == 1)
+    assert(st.head.getAs[String]("workspace") == "proj")
+    assert(st.head.getAs[String]("sync_status") == "synced")
+    assert(st.head.getAs[Long]("block_count") == linked.getAs[Long]("blocks_linked"))
+    assert(st.head.getAs[Long]("storage_bytes") ==
+      st.head.getAs[Long]("block_count") * 2048L +
+        st.head.getAs[Long]("edge_count") * 64L)
+
+    // query commands run against the linked store: alpha calls beta
+    val (blocks, edges) = WorkspaceStore.currentGraph(spark, state)
+    val callees = Cli.execute(blocks, edges,
+      Cli.ShowCmd("callees", "alpha", maxDepth = 2)).collect()
+    assert(callees.exists(_.getAs[String]("unit_id").endsWith(":beta")))
+
+    // sync after an edit: beta gone, gamma added -> tombstone + new epoch
+    java.nio.file.Files.write(new java.io.File(tree, "lib.zig").toPath,
+      "fn alpha() {\n  gamma()\n}\nfn gamma() {\n}\n".getBytes("UTF-8"))
+    val synced = Cli.executeWorkspace(spark, state,
+      Cli.SyncCmd(Some("proj"))).collect().head
+    assert(synced.getAs[Long]("blocks_removed") >= 1L) // beta tombstoned
+    val (blocks2, edges2) = WorkspaceStore.currentGraph(spark, state)
+    val names2 = blocks2.select("unit_id").collect().map(_.getString(0)).toSet
+    assert(names2.exists(_.endsWith(":gamma")))
+    assert(!names2.exists(_.endsWith(":beta")))
+
+    // unlink tombstones the registry row; status no longer lists it
+    Cli.executeWorkspace(spark, state, Cli.UnlinkCmd("proj"))
+    assert(Cli.executeWorkspace(spark, state, Cli.StatusCmd()).count() == 0L)
+    // unlinking again (or a never-linked name) is an error, like the
+    // reference's "workspace not linked" response
+    intercept[IllegalArgumentException] {
+      Cli.executeWorkspace(spark, state, Cli.UnlinkCmd("proj"))
+    }
+
+    // relink works and the registry history survives (MVCC, not rewrite)
+    val relinked = Cli.executeWorkspace(spark, state,
+      Cli.LinkCmd(tree.getAbsolutePath, "proj")).collect().head
+    assert(relinked.getAs[Long]("blocks_linked") >= 2L)
+    assert(Cli.executeWorkspace(spark, state, Cli.StatusCmd()).count() == 1L)
+  }
+
+  test("sync --all targets every linked workspace; sync of unknown errors") {
+    val t1 = writeTree("a.zig" -> "fn a() {\n}\n")
+    val t2 = writeTree("b.zig" -> "fn b() {\n}\n")
+    val state = tmpState()
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(t1.getAbsolutePath, "w1"))
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(t2.getAbsolutePath, "w2"))
+    val rows = Cli.executeWorkspace(spark, state, Cli.SyncCmd(None, all = true))
+      .collect().map(_.getAs[String]("workspace")).toSeq
+    assert(rows.sorted == Seq("w1", "w2"))
+    intercept[IllegalArgumentException] {
+      Cli.executeWorkspace(spark, state, Cli.SyncCmd(Some("nope")))
+    }
+  }
+
+  test("ping/version/help render as tables") {
+    val state = tmpState()
+    val ping = Cli.executeWorkspace(spark, state, Cli.PingCmd).collect().head
+    assert(ping.getAs[String]("reply") == "pong")
+    assert(ping.getAs[String]("version") == Cli.Version)
+    val help = Cli.executeWorkspace(spark, state, Cli.HelpCmd(None))
+    assert(help.count() >= 8)
+    val one = Cli.executeWorkspace(spark, state, Cli.HelpCmd(Some("sync")))
+      .collect()
+    assert(one.length == 1 && one.head.getAs[String]("usage").contains("--all"))
+  }
+}
