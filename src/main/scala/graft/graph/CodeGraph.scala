@@ -56,7 +56,13 @@ object CodeGraph {
     */
   def edgePairs(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "edgePairs")(
-      edges(spark, dir).select(col("src"), col("dst")).distinct())
+      // persisted hash-partitioned by src: iterative consumers (topo
+      // peeling, out-traversals) probe on src every round, so the
+      // cached layout replaces a per-round exchange of the whole edge
+      // set — the in-memory analogue of the bucketed-by-src edge table
+      edges(spark, dir).select(col("src"), col("dst")).distinct()
+        .repartition(
+          spark.sessionState.conf.numShufflePartitions max 1, col("src")))
 
   private def edgesUncached(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select(
