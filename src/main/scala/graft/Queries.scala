@@ -28,7 +28,9 @@ object Queries {
     "context_query", "filter_bool_tree",
     "dedup_minhash_bands", "dedup_exact", "ann_topk", "ann_topk_native",
     "ann_topk_quant",
-    "ann_neardup_lsh", "text_stats", "text_tfidf", "text_bm25",
+    "ann_neardup_lsh", "embedding_kmeans",
+    "text_stats", "text_tfidf", "text_bm25", "text_pii_scan",
+    "corpus_top_terms",
     "q1_agg", "q3_top_orders", "events_tumbling",
     "events_asof_join", "events_range_pairs",
   )

@@ -306,4 +306,66 @@ object Similarity {
               cellCol: String = "label"): DataFrame =
     ivfTopKWith(ivfCentroids(emb, cellCol, vecCol), emb, queryVecId, k,
       nprobe, idCol, vecCol, cellCol)
+
+  /** Deterministic Lloyd k-means over the embedding column — the
+    * clustering primitive behind IVF index builds, corpus
+    * domain-bucketing, and diversity sampling. Spark-MLlib's shape,
+    * reproducibly: seed centroids are the k lowest-id vectors (no RNG),
+    * each assignment pass is a PROJECTION against centroid literals
+    * (codegen'd, zero shuffle, zero join — the centroid set is k×dim
+    * doubles, driver metadata exactly like [[graft.core.Mvcc]]'s
+    * partition offsets), and each update pass is one partial-agg
+    * shuffle of (cluster, element) pairs — k·dim result rows.
+    * Element means are rounded to 6 dp so the update is reproducible
+    * bit-for-bit by an external engine regardless of either side's
+    * summation order; distances fold left-to-right in double like every
+    * similarity op here.
+    *
+    * At 100 TB: assignment scans dominate and parallelize perfectly;
+    * the update shuffle carries k·dim rows per partition after
+    * map-side combine. `iters` is fixed, not convergence-tested —
+    * pipeline clustering wants bounded cost, and the reference point
+    * (IVF coarse quantizers) standardizes on a handful of rounds.
+    *
+    * Ties (equidistant centroids) break to the LOWEST cluster id via
+    * `array_position` first-match, matching the oracle's
+    * `ORDER BY dist, cid` ranking.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 4, iters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val v = col(vecCol)
+    def distances(cents: Seq[Seq[Double]]): Column = array(cents.map { c =>
+      val cl = typedLit(c)
+      dot(v, v) - lit(2.0) * dot(v, cl) + dot(cl, cl)
+    }: _*)
+    def assign(cents: Seq[Seq[Double]]): DataFrame = {
+      val d = distances(cents)
+      emb.select(col(idCol), v,
+        (array_position(d, array_min(d)) - 1).cast("int").as("cluster"),
+        array_min(d).as("dist"))
+    }
+    var cents: Seq[Seq[Double]] = emb.orderBy(col(idCol)).limit(k)
+      .select(v).collect().map(_.getSeq[Float](0).map(_.toDouble)).toSeq
+    var round = 1
+    while (round < iters) {
+      round += 1
+      // element-wise mean per cluster: ONE shuffle of k·dim partial
+      // aggregates; result is driver metadata for the next projection
+      val updated = assign(cents)
+        .select(col("cluster"), posexplode(v).as(Seq("j", "x")))
+        .groupBy("cluster", "j")
+        .agg(org.apache.spark.sql.functions.round(avg(col("x").cast("double")), 6).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // a cluster that lost all members keeps its previous centroid
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    assign(cents)
+      .select(col(idCol), col("cluster"),
+        org.apache.spark.sql.functions.round(col("dist"), 6).as("dist"))
+  }
 }

@@ -112,6 +112,48 @@ object TextAnalysis {
         i => md5(norm.substr(i, lit(kk))))))
   }
 
+  /** PII patterns, shared verbatim with the DuckDB oracle — restricted
+    * to syntax meaning the same thing in Java regex (Spark) and RE2
+    * (DuckDB): character classes, bounded repeats, `\b`/`\d` — no
+    * lookarounds, no backrefs.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnLikeRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** PII scan + redaction for a corpus: per-document match counts for
+    * email / IPv4 / SSN-shaped identifiers, plus the md5 of the
+    * redacted text (placeholders substituted for every match). Pure
+    * per-row regex columns — one scan, no shuffle, whole-stage
+    * codegen; at 100 TB this is a map-only pass, the cheapest possible
+    * shape for a compliance sweep before training-data release.
+    */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        SsnLikeRe, "<ID>")
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(t, lit(SsnLikeRe), lit(0))).as("n_ids"),
+      md5(redacted).as("redacted_hash"))
+  }
+
+  /** Corpus-wide exact top-k terms: explode → two-stage count (map-side
+    * partial agg) → TakeOrderedAndProject on (count desc, term asc).
+    * The full term table never sorts globally and never reaches the
+    * driver — only each partition's top k does.
+    */
+  def topTerms(df: DataFrame, textCol: String, k: Int = 50): DataFrame =
+    df.select(explode(Dedup.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+
   /** One-scan analysis of a documents table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -328,6 +328,44 @@ object QueriesPipeline {
         .orderBy("vec_id"),
       Some(s"WITH b AS ($lshBucketSql) SELECT vec_id, bucket FROM b ORDER BY vec_id")),
 
+    // Deterministic Lloyd k-means (k=4, 2 rounds): seed = 4 lowest-id
+    // vectors, argmin assignment with lowest-cid tie-break, element
+    // means rounded to 6 dp so both engines' update step is identical
+    // regardless of summation order. The oracle replays both rounds;
+    // an emptied cluster keeps its seed centroid on both sides.
+    ("embedding_kmeans",
+      (s, d) => Similarity.kmeansAssign(
+        graft.core.Tables.embeddings(s, d), k = 4, iters = 2)
+        .orderBy("vec_id"),
+      Some(s"""WITH c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |   embedding AS c FROM embeddings ORDER BY vec_id LIMIT 4),
+        | d1 AS (SELECT e.vec_id, c0.cid, e.embedding,
+        |   ${dotSql("e.embedding", "e.embedding")}
+        |   - 2 * ${dotSql("e.embedding", "c0.c")}
+        |   + ${dotSql("c0.c", "c0.c")} AS dist
+        |  FROM embeddings e CROSS JOIN c0),
+        | a1 AS (SELECT vec_id, cid, embedding,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d1),
+        | idx AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS j),
+        | el AS (SELECT a1.cid, i.j,
+        |   round(avg(CAST(a1.embedding[i.j] AS DOUBLE)), 6) AS m
+        |  FROM a1 CROSS JOIN idx i WHERE a1.rn = 1 GROUP BY a1.cid, i.j),
+        | c1 AS (SELECT cid, list(m ORDER BY j) AS c FROM el GROUP BY cid),
+        | cf AS (SELECT c0.cid,
+        |   COALESCE(c1.c, list_transform(c0.c, x -> CAST(x AS DOUBLE))) AS c
+        |  FROM c0 LEFT JOIN c1 USING (cid)),
+        | d2 AS (SELECT e.vec_id, cf.cid,
+        |   ${dotSql("e.embedding", "e.embedding")}
+        |   - 2 * ${dotSql("e.embedding", "cf.c")}
+        |   + ${dotSql("cf.c", "cf.c")} AS dist
+        |  FROM embeddings e CROSS JOIN cf),
+        | a2 AS (SELECT vec_id, cid, dist,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d2)
+        | SELECT vec_id, cid AS cluster, round(dist, 6) AS dist
+        | FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
     // ===== Text analysis =====
     ("text_stats",
       (s, d) => TextAnalysis.analyze(
@@ -364,6 +402,47 @@ object QueriesPipeline {
         | SELECT doc_id, shard, n_tokens,
         |  CAST(FLOOR(cb / 4096) AS BIGINT) AS bin_idx
         | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // PII scan + redaction. The fixture corpus is digit-free, so the
+    // query augments each doc with synthetic identifiers DERIVED FROM
+    // doc_id (same expression in both engines) — the regex extraction,
+    // counting, and global redaction are what's under test. Patterns
+    // are shared literals, restricted to the Java-regex ∩ RE2 dialect.
+    ("text_pii_scan",
+      (s, d) => {
+        val aug = graft.core.Tables.documents(s, d).select(
+          col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+            col("doc_id") % 256, lit(".7 ref 123-45-6789")).as("text"))
+        TextAnalysis.piiScan(aug, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com via 10.0.'
+        |    || (doc_id % 256) || '.7 ref 123-45-6789' AS text
+        |  FROM documents)
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ids,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g')) AS redacted_hash
+        | FROM aug ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // Corpus-wide exact top terms: two-stage count + TakeOrdered — the
+    // vocabulary/frequency report every corpus build starts with.
+    ("corpus_top_terms",
+      (s, d) => TextAnalysis.topTerms(
+        graft.core.Tables.documents(s, d), "text", 50),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | ex AS (SELECT unnest(ws) AS term FROM w)
+        | SELECT term, COUNT(*) AS cnt FROM ex GROUP BY term
+        | ORDER BY cnt DESC, term LIMIT 50""".stripMargin.replace("\n", " "))),
 
     ("doc_fingerprint",
       (s, d) => graft.core.Tables.documents(s, d).select(

@@ -123,4 +123,37 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString)
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("kmeansAssign: separable clusters recovered, deterministic, tie to lowest cid") {
+    // two tight groups far apart; seeds (2 lowest ids) land one per group
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)), (4L, Array(0.0f, 0.1f)),
+      (1L, Array(9.0f, 9.0f)), (3L, Array(9.1f, 9.0f)), (5L, Array(9.0f, 9.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(pts, k = 2, iters = 2)
+      .orderBy("vec_id").as[(Long, Int, Double)].collect().toSeq
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster(0) == Set(0L, 2L, 4L)) // seeded by vec 0
+    assert(byCluster(1) == Set(1L, 3L, 5L)) // seeded by vec 1
+    // deterministic: second run bit-identical
+    val again = Similarity.kmeansAssign(pts, k = 2, iters = 2)
+      .orderBy("vec_id").as[(Long, Int, Double)].collect().toSeq
+    assert(again == got)
+    // exact tie between centroids -> lowest cluster id wins
+    val tied = Seq(
+      (0L, Array(-1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)) // equidistant from both seeds
+    ).toDF("vec_id", "embedding")
+    val t = Similarity.kmeansAssign(tied, k = 2, iters = 1)
+      .filter($"vec_id" === 2L).as[(Long, Int, Double)].head()
+    assert(t._2 == 0)
+  }
+
+  test("kmeansAssign plans assignment as a projection: no join, no cartesian") {
+    val plan = Similarity.kmeansAssign(emb64, k = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }

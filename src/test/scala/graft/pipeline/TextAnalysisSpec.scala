@@ -100,4 +100,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((3L, 1, 1.0, 1, 0, 0.0)))
     assert(got(3) === ((4L, 0, 0.0, 0, 0, 0.0)))
   }
+
+  test("piiScan: counts every match and redacts all occurrences") {
+    val docs = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org, host 10.0.0.1 ref 123-45-6789"),
+      (2L, "no identifiers here"),
+      (3L, "10.1.2.3 then 10.1.2.3 again") // duplicate matches both count
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got(0)._2 == 2 && got(0)._3 == 1 && got(0)._4 == 1)
+    assert(got(1)._2 == 0 && got(1)._3 == 0 && got(1)._4 == 0)
+    assert(got(2)._3 == 2)
+    // redaction is total: re-scanning the redacted text finds nothing
+    val redacted = docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TextAnalysis.EmailRe, "<EMAIL>"),
+        TextAnalysis.Ipv4Re, "<IP>"),
+        TextAnalysis.SsnLikeRe, "<ID>").as("text"))
+    val rescan = TextAnalysis.piiScan(redacted, "doc_id", "text")
+      .agg(sum(col("n_emails") + col("n_ipv4") + col("n_ids")))
+      .as[Long].head()
+    assert(rescan == 0L)
+  }
+
+  test("topTerms: exact counts, count-desc then term-asc order, limit k") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a d d")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(docs, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 3L), ("d", 2L))) // tie a/b -> term asc
+  }
 }
