@@ -25,6 +25,7 @@ object Queries {
     "bfs_out_depth3", "bfs_out_depth5", "traverse_dfs_set",
     "bfs_edge_filter", "bfs_in_depth2", "bfs_in_depth5",
     "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
+    "sssp_weighted",
     "context_query", "filter_bool_tree",
     "dedup_minhash_bands", "dedup_exact", "ann_topk", "ann_topk_native",
     "ann_topk_quant",

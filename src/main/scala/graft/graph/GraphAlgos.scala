@@ -142,4 +142,50 @@ object GraphAlgos {
         .localCheckpoint(true) // materialize per the helper's lifetime rule
     }
   }
+
+  /** Single-source shortest path over WEIGHTED edges (src, dst, w) —
+    * delta-relaxation Bellman-Ford: each round relaxes only edges out
+    * of nodes whose distance improved LAST round, then folds the
+    * improvements into the distance table with one full-outer merge.
+    * Terminates when a round improves nothing (on a DAG: ≤ longest-path
+    * hops rounds; positive-weight cycles also terminate — a cycle can
+    * never improve its own entry) or at `maxIters`.
+    *
+    * Scale shape, same pattern as the topo peeling loop: the delta
+    * frontier join probes edges on `src` (reuses a src-partitioned
+    * persisted edge layout — no per-round exchange of the edge set);
+    * per-round cost is O(edges out of improved nodes), and the merge is
+    * one shuffle of the O(V) distance table. `localCheckpoint` per
+    * round keeps the cumulative plan flat, and the single `count()` on
+    * the delta materializes it — one job per round.
+    */
+  def ssspWeighted(edges: DataFrame, sourceId: String,
+                   maxIters: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    var dist = Seq((sourceId, 0L)).toDF("id", "dist").localCheckpoint(false)
+    var delta = dist
+    var improved = 1L
+    var it = 0
+    while (improved > 0 && it < maxIters) {
+      it += 1
+      val cand = e
+        .join(delta.select(col("id").as("src"), col("dist").as("dsrc")), Seq("src"))
+        .select(col("dst").as("id"), (col("dsrc") + col("w")).as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      val merged = dist.join(cand, Seq("id"), "full_outer")
+        .select(col("id"), col("dist"), col("cand"),
+          least(coalesce(col("dist"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("best"))
+        .localCheckpoint(false)
+      delta = merged
+        .filter(col("cand").isNotNull &&
+          (col("dist").isNull || col("cand") < col("dist")))
+        .select(col("id"), col("best").as("dist"))
+      dist = merged.select(col("id"), col("best").as("dist"))
+      improved = delta.count() // materializes this round's checkpoint
+    }
+    dist
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.api.Cli
-import graft.graph.{CodeGraph, Direction, EdgeFilter, Traversal, TraversalSpec}
+import graft.graph.{CodeGraph, Direction, EdgeFilter, GraphAlgos, Traversal, TraversalSpec}
 import graft.query.{ContextQuery, Lookups}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -162,6 +162,30 @@ object QueriesGraph {
         |  SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.id
         | )
         | SELECT id, MAX(level) AS level FROM r GROUP BY id ORDER BY level, id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Weighted single-source shortest path (beyond-reference: the
+    // reference's A* heuristic is a uniform stub, so its "weighted"
+    // search degenerates to BFS — this is the real thing). Weights are
+    // derived deterministically from the numeric id parts with BIGINT
+    // arithmetic, so both engines compute the identical edge weight.
+    ("sssp_weighted",
+      (s, d) => GraphAlgos.ssspWeighted(
+        CodeGraph.edgePairs(s, d).withColumn("w",
+          lit(1L) + (expr("CAST(substring(src, 2, 100) AS BIGINT)")
+            + expr("CAST(substring(dst, 2, 100) AS BIGINT)")) % 7),
+        sourceId = "O0").orderBy("id"),
+      Some(s"""WITH RECURSIVE base AS ($E),
+        | e AS (SELECT DISTINCT src, dst,
+        |   1 + (CAST(substr(src, 2) AS BIGINT)
+        |        + CAST(substr(dst, 2) AS BIGINT)) % 7 AS w
+        |  FROM base),
+        | r AS (
+        |  SELECT 'O0' AS id, CAST(0 AS BIGINT) AS dist
+        |  UNION ALL
+        |  SELECT e.dst, r.dist + e.w FROM r JOIN e ON e.src = r.id
+        | )
+        | SELECT id, MIN(dist) AS dist FROM r GROUP BY id ORDER BY id"""
         .stripMargin.replace("\n", " "))),
 
     ("context_query",

@@ -65,4 +65,27 @@ class GraphAlgosSpec extends SparkSpec {
     assert(r("p") == "p" && r("q") == "p") // cycle {p,q} labelled min id
     assert(Set("a", "b", "c", "d", "x").forall(n => r(n) == n))
   }
+
+  test("ssspWeighted: more hops but lighter total wins; unreachable absent") {
+    import spark.implicits._
+    // a->z direct costs 10; a->b->c->z costs 1+1+1 = 3
+    val we = Seq(
+      ("a", "z", 10L), ("a", "b", 1L), ("b", "c", 1L), ("c", "z", 1L),
+      ("q", "r", 1L) // not reachable from a
+    ).toDF("src", "dst", "w")
+    val got = GraphAlgos.ssspWeighted(we, "a")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "z" -> 3L))
+  }
+
+  test("ssspWeighted: positive-weight cycle terminates with stable distances") {
+    import spark.implicits._
+    val we = Seq(
+      ("a", "b", 2L), ("b", "c", 2L), ("c", "a", 2L), // 3-cycle
+      ("b", "d", 1L)
+    ).toDF("src", "dst", "w")
+    val got = GraphAlgos.ssspWeighted(we, "a")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 2L, "c" -> 4L, "d" -> 3L))
+  }
 }
