@@ -33,6 +33,6 @@ object Queries {
     "text_stats", "text_tfidf", "text_bm25", "text_pii_scan",
     "corpus_top_terms",
     "q1_agg", "q3_top_orders", "events_tumbling",
-    "events_asof_join", "events_range_pairs",
+    "events_asof_join", "events_range_pairs", "events_attribution",
   )
 }

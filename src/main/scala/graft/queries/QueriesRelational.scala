@@ -286,5 +286,26 @@ object QueriesRelational {
         |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
         |  AND (epoch_us(a.ts) < epoch_us(b.ts) OR a.event_id < b.event_id)
         | ORDER BY a_id, b_id""".stripMargin.replace("\n", " "))),
+
+    // Click→purchase attribution: the SAME attributionJoin function is
+    // a true watermark-bounded stream-stream join under Structured
+    // Streaming (EventStreamsSpec); here it runs batch against the
+    // oracle. Equi-join on user_id + time-range residual — one shuffle.
+    ("events_attribution",
+      (s, d) => {
+        val ev = EventStreams.withEventTime(Tables.events(s, d))
+        EventStreams.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT l.user_id, l.event_id AS click_id,
+        | r.event_id AS purchase_id,
+        | epoch_us(r.ts) - epoch_us(l.ts) AS delay_us
+        | FROM events l JOIN events r ON r.user_id = l.user_id
+        |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+        | WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        | ORDER BY click_id, purchase_id""".stripMargin.replace("\n", " "))),
   )
 }

@@ -114,4 +114,33 @@ object EventStreams {
         UserSessions(uid, nSess, nEv)
       }.toDF()
   }
+
+  /** Click→purchase attribution: every purchase joined to each same-user
+    * click in the preceding `withinSec` window. Equi-join on `user_id`
+    * with a time-range residual — ONE hash shuffle on the key, never a
+    * nested loop. Written against plain frames so the identical
+    * function is (a) the oracle-checked batch entry and (b) a true
+    * STREAM-STREAM join under Structured Streaming: with watermarks on
+    * both inputs, the time-range condition bounds each side's buffered
+    * state (Spark evicts rows older than watermark + range), which is
+    * what makes an unbounded join feasible at all — the 100-TB
+    * streaming analogue of the bounded interval join in
+    * [[graft.pipeline.TimeSeries]].
+    *
+    * `delay_us` is an exact integer µs delta, engine-portable.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      withinSec: Long = 3600): DataFrame = {
+    val l = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("event_time").as("click_time"))
+    val r = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("event_time").as("purchase_time"))
+    l.join(r,
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <= col("click_time") + expr(s"INTERVAL $withinSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_time")) - unix_micros(col("click_time")))
+          .as("delay_us"))
+  }
 }

@@ -100,6 +100,56 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attribution join runs stream-stream with watermarks, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long, String, Double)]
+    val purchases = MemoryStream[(Long, Long, Long, String, Double)]
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.withEventTime(
+        df.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .withWatermark("event_time", "2 hours")
+    val joined = EventStreams.attributionJoin(
+      prep(clicks.toDF()), prep(purchases.toDF()), withinSec = 3600)
+    val q = joined.writeStream.format("memory")
+      .queryName("attr_test").outputMode("append").start()
+    try {
+      // user 1 clicks at 5 and 20 min; user 2 clicks at 10 min
+      clicks.addData((1L, ns(5), 1L, "click", 0.0),
+        (2L, ns(20), 1L, "click", 0.0), (3L, ns(10), 2L, "click", 0.0))
+      q.processAllAvailable()
+      // purchases arrive in a LATER micro-batch: user 1 at 30 min
+      // (attributes to both clicks), user 2 at 100 min (> 1 h after its
+      // click -> no match), user 3 with no click at all
+      purchases.addData((10L, ns(30), 1L, "purchase", 9.0),
+        (11L, ns(100), 2L, "purchase", 9.0), (12L, ns(30), 3L, "purchase", 9.0))
+      q.processAllAvailable()
+      // both watermarks must advance past the join range before Spark
+      // emits (append mode waits for correctness) — push time forward
+      clicks.addData((4L, ns(400), 9L, "click", 0.0))
+      purchases.addData((13L, ns(400), 9L, "purchase", 9.0))
+      q.processAllAvailable()
+      clicks.addData((5L, ns(900), 9L, "click", 0.0))
+      purchases.addData((14L, ns(900), 9L, "purchase", 9.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "select click_id, purchase_id from attr_test where user_id < 9")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (2L, 10L)))
+      // batch twin over the union of both inputs agrees
+      val all = Seq(
+        (1L, ns(5), 1L, "click", 0.0), (2L, ns(20), 1L, "click", 0.0),
+        (3L, ns(10), 2L, "click", 0.0), (10L, ns(30), 1L, "purchase", 9.0),
+        (11L, ns(100), 2L, "purchase", 9.0), (12L, ns(30), 3L, "purchase", 9.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val ev = EventStreams.withEventTime(all)
+      val batch = EventStreams.attributionJoin(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"))
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("the same transform runs on a stream with a watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
