@@ -110,6 +110,33 @@ object Mvcc {
     * `workspace` column it joins the dedup key — two workspaces may
     * legitimately hold the same triple.
     */
+  /** Offline compaction — the Parquet OPTIMIZE analogue of the
+    * reference's tiered LSM compaction
+    * (`/root/reference/src/storage/tiered_compaction.zig`): rewrite the
+    * versioned table keeping only each id's LATEST version. Tombstones
+    * are KEPT by default — a tombstone must go on shadowing older
+    * copies of its id that may live in segments outside this
+    * compaction's scope (`tombstone.zig:27-64`) — and dropped only
+    * under `full = true`, the reference's rule that tombstone GC is
+    * safe only when compaction covers the whole keyspace.
+    *
+    * Invariants (spec-proven): `currentView(compact(t)) ==
+    * currentView(t)`, and as-of reads at/above the compaction horizon
+    * are unchanged; history below it is intentionally discarded —
+    * that's what compaction is.
+    *
+    * One shuffle (the per-id window). At 100 TB this runs as a
+    * partition-range background job, same shape.
+    */
+  def compact(versioned: DataFrame, full: Boolean = false,
+              idCol: String = "id", seqCol: String = "sequence",
+              deletedCol: String = "is_deleted"): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc)
+    val latest = versioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (full) latest.filter(!col(deletedCol)) else latest
+  }
+
   def putEdges(existing: DataFrame, puts: DataFrame): DataFrame = {
     graft.query.QueryCache.invalidateSession(existing.sparkSession)
     val keys = Seq("src", "dst", "edge_type", "workspace")

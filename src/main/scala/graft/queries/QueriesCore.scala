@@ -78,6 +78,42 @@ object QueriesCore {
         |   FROM v3) WHERE rn = 1 AND NOT is_deleted ORDER BY id"""
         .stripMargin.replace("\n", " "))),
 
+    // Compaction through the same write sequence as mvcc_roundtrip:
+    // keep each id's latest version ONLY; tombstones survive with
+    // is_deleted = true (they must keep shadowing un-compacted
+    // segments — reference tombstone.zig:27-64), shadowed history is
+    // gone. The oracle replays the identical rn = 1 selection WITHOUT
+    // the NOT is_deleted filter that the current view applies.
+    ("mvcc_compact",
+      (s, d) => {
+        import s.implicits._
+        val vb = CodeGraph.versionedBlocks(s, d)
+        val puts = Seq(("U1", "put", 1.5), ("U2", "put", 2.5), ("U999", "put", 3.5))
+          .toDF("id", "unit_type", "value")
+        val v2 = Mvcc.putBlocks(vb, puts)
+        val v3 = Mvcc.deleteBlocks(v2, Seq("U3", "U5"))
+        Mvcc.compact(v3)
+          .select("id", "sequence", "unit_type", "value", "is_deleted")
+          .orderBy("id")
+      },
+      Some(s"""WITH vb AS ($VB),
+        | m AS (SELECT MAX(sequence) AS mx FROM vb),
+        | puts(id, unit_type, value, rk) AS (VALUES
+        |   ('U1','put',CAST(1.5 AS DOUBLE),1),
+        |   ('U2','put',CAST(2.5 AS DOUBLE),2),
+        |   ('U999','put',CAST(3.5 AS DOUBLE),3)),
+        | v2 AS (SELECT * FROM vb UNION ALL
+        |   SELECT p.id, m.mx + p.rk, p.unit_type, p.value, false FROM puts p, m),
+        | m2 AS (SELECT MAX(sequence) AS mx FROM v2),
+        | dels(id, rk) AS (VALUES ('U3',1),('U5',2)),
+        | v3 AS (SELECT * FROM v2 UNION ALL
+        |   SELECT dl.id, m2.mx + dl.rk, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), true
+        |   FROM dels dl, m2)
+        | SELECT id, sequence, unit_type, value, is_deleted FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY id ORDER BY sequence DESC) AS rn
+        |   FROM v3) WHERE rn = 1 ORDER BY id"""
+        .stripMargin.replace("\n", " "))),
+
     // put_edge dedup semantics through the real write path: an identical
     // (src, dst, edge_type) is stored once, like the reference's
     // bidirectional edge index on put (engine.zig:1177-1252,

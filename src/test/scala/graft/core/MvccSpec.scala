@@ -84,6 +84,36 @@ class MvccSpec extends SparkSpec {
     }
   }
 
+  test("compact keeps only latest versions; tombstones survive unless full") {
+    val base = Seq(
+      ("A", 1L, "v1", false), ("A", 3L, "v2", false),   // A rewritten
+      ("B", 2L, "v1", false), ("B", 5L, null, true),    // B deleted
+      ("C", 4L, "v1", false)                            // C single version
+    ).toDF("id", "sequence", "payload", "is_deleted")
+    val compacted = Mvcc.compact(base)
+    // one row per id, each the max-sequence version
+    assert(compacted.count() == 3)
+    val rows = compacted.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(rows("A") == ((3L, false)))
+    assert(rows("B") == ((5L, true)))  // tombstone RETAINED
+    assert(rows("C") == ((4L, false)))
+    // reading through the MVCC view is unchanged by compaction
+    val before = Schemas.currentView(base).select("id", "sequence", "payload")
+      .collect().map(_.toSeq).toSet
+    val after = Schemas.currentView(compacted).select("id", "sequence", "payload")
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+    // as-of at/above the horizon is also unchanged
+    val asofB = Schemas.currentViewAsOf(base, 5L).select("id").collect().map(_.getString(0)).toSet
+    val asofC = Schemas.currentViewAsOf(compacted, 5L).select("id").collect().map(_.getString(0)).toSet
+    assert(asofB == asofC)
+    // full compaction drops the tombstones too (whole-keyspace GC rule)
+    val full = Mvcc.compact(base, full = true)
+    assert(full.count() == 2)
+    assert(full.filter($"is_deleted").count() == 0)
+  }
+
   test("deterministic blockId is stable and distinct") {
     import org.apache.spark.sql.functions._
     val df = Seq(("ws", "f:a"), ("ws", "f:b"), ("ws2", "f:a"))
