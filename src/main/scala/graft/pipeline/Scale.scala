@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-out join machinery: salting for skewed keys and bucketed
@@ -67,4 +67,44 @@ object Scale {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("workspace")
       .parquet(path)
+
+  /** Z-order (Morton) key over two non-negative dimensions, `bits` bits
+    * each: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    * Pure codegen'd bit arithmetic (a 2·bits-term OR tree — no UDF).
+    *
+    * Why it matters at 100 TB: parquet row-group min/max stats prune
+    * scans only along the SORT order. A table sorted by `a` alone skips
+    * nothing for predicates on `b`; sorted by the interleaved key, each
+    * row group covers a tight rectangle in (a, b) space, so 2-D
+    * predicates (user × time, src × dst, key × date) skip on both
+    * dimensions — the standard lakehouse layout trick, here as a plain
+    * column the writer can `orderBy` before writing.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31)
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftrightunsigned(al, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftrightunsigned(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** The matching DuckDB expression, generated from the SAME bit
+    * positions so oracle SQL replays [[zValue]] exactly.
+    */
+  def zValueSql(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+
+  /** Write `df` z-ordered on two dimensions: one global range sort by
+    * the interleaved key (Spark's sort stage samples ranges — no
+    * single-task funnel), then parquet with per-row-group stats that
+    * now bound tight (a, b) rectangles.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+                    bits: Int = 16): Unit =
+    df.orderBy(zValue(col(a), col(b), bits)).write.mode("overwrite").parquet(path)
 }

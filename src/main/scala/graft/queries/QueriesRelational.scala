@@ -193,6 +193,21 @@ object QueriesRelational {
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
 
+    // Z-order layout key: interleave (orderkey, custkey) bits so a
+    // z-sorted table's row-group stats bound tight 2-D rectangles —
+    // data skipping on BOTH dimensions at rest. Same bit positions
+    // generated into both engines' expressions.
+    ("zorder_layout",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          graft.pipeline.Scale.zValue(
+            pmod(col("o_orderkey"), lit(65536)),
+            pmod(col("o_custkey"), lit(65536))).as("z"))
+        .orderBy("z", "o_orderkey"),
+      Some(s"""SELECT o_orderkey,
+        | ${graft.pipeline.Scale.zValueSql("(o_orderkey % 65536)", "(o_custkey % 65536)")} AS z
+        | FROM orders ORDER BY z, o_orderkey""".stripMargin.replace("\n", " "))),
+
     // ===== Distribution statistics =====
     // Exact interpolated percentiles per event type. Spark `percentile`
     // buffers each group's values, so this is the CORRECTNESS surface;

@@ -59,4 +59,27 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS edges_t_by_src")
     spark.sql("DROP TABLE IF EXISTS edges_t_by_dst")
   }
+
+  test("zValue matches a reference Morton interleave and preserves locality") {
+    import spark.implicits._
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val pts = for (a <- 0L to 40L by 7L; b <- 0L to 40L by 7L) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select($"a", $"b", Scale.zValue($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == morton(a, b, 16), s"($a,$b)") }
+    // z-sorted order interleaves dimensions: the max z within the low
+    // quadrant (both dims < 32) is below the min z where both dims >= 32
+    val lowQuad = got.filter { case (a, b, _) => a < 32 && b < 32 }.map(_._3)
+    val highQuad = got.filter { case (a, b, _) => a >= 32 && b >= 32 }.map(_._3)
+    assert(lowQuad.max < highQuad.min)
+    // round-trip through a z-ordered parquet write
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    Scale.writeZOrdered(pts.toDF("a", "b"), path, "a", "b")
+    assert(spark.read.parquet(path).count() == pts.size)
+  }
 }
