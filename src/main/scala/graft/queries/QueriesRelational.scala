@@ -123,6 +123,43 @@ object QueriesRelational {
         | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "))),
 
+    // ===== Cube =====
+    ("cube_counts",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        | coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        | ORDER BY o_orderstatus, o_orderpriority"""
+        .stripMargin.replace("\n", " "))),
+
+    // ===== Pivot =====
+    // Spark's relational pivot operator; the oracle replays it with
+    // FILTERed counts. Missing combinations: Spark pivot yields NULL,
+    // coalesced to 0 to match COUNT FILTER's semantics.
+    ("pivot_status_counts",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Streaming-shaped aggregations over events =====
     // (same transforms run on readStream; batch mode = the oracle path)
     ("events_tumbling",

@@ -84,4 +84,34 @@ class RandomizedInvariantsSpec extends SparkSpec {
         s"seed=$seed")
     }
   }
+
+  test("compaction is invisible to readers after random put/delete storms") {
+    for (seed <- Seq(31, 32)) {
+      val rnd = new scala.util.Random(seed)
+      var table = Seq(("init", 1L, false, "v0"))
+        .toDF("id", "sequence", "is_deleted", "value")
+      // random storm: interleaved put batches and deletes over a small
+      // hot id space (maximizing rewrites + delete/resurrect races)
+      for (_ <- 1 to 4) {
+        val puts = (1 to 40).map(_ => s"id${rnd.nextInt(15)}").distinct
+          .map(id => (id, s"v${rnd.nextInt(1000)}")).toDF("id", "value")
+        table = Mvcc.putBlocks(table, puts)
+        val dels = (1 to 5).map(_ => s"id${rnd.nextInt(15)}").distinct
+          .filter(id => table.filter(col("id") === id).count() > 0)
+        if (dels.nonEmpty) table = Mvcc.deleteBlocks(table, dels)
+      }
+      val before = graft.core.Schemas.currentView(table)
+        .select("id", "sequence", "value").as[(String, Long, String)]
+        .collect().toSet
+      val compacted = Mvcc.compact(table)
+      val after = graft.core.Schemas.currentView(compacted)
+        .select("id", "sequence", "value").as[(String, Long, String)]
+        .collect().toSet
+      assert(after === before, s"seed=$seed")
+      // compacted table holds exactly one row per live-or-tombstoned id
+      val perId = compacted.groupBy("id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).count()
+      assert(perId == 0L, s"seed=$seed")
+    }
+  }
 }
