@@ -218,6 +218,34 @@ object Dedup {
     * equi-joins: pairs⋈shingles_a on id, then ⋈shingles_b on (id, sh));
     * pairs with an empty intersection score 0 via the left join.
     */
+  /** Incremental dedup — flag INCOMING batch documents that near-match
+    * the EXISTING corpus: band the batch, equi-join the corpus's banded
+    * index on (band_idx, band_key), verify candidates with n-gram
+    * Jaccard. This is the production shape at 100 TB: the corpus's
+    * banded projection is computed once and stored (bucketed by band
+    * key), each incoming crawl batch bands only ITSELF and probes the
+    * index — no batch×batch and no corpus×corpus pairing ever happens,
+    * so ingest cost is O(batch × collisions), independent of corpus
+    * re-pairing.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 16, bands: Int = 4,
+                       verifyN: Int = 2, threshold: Double = 0.05): DataFrame = {
+    def long(df: DataFrame): DataFrame =
+      minhashBands(df, idCol, textCol, n, k, bands).select(col(idCol),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+    val cand = long(batch)
+      .select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+      .join(long(corpus)
+        .select(col(idCol).as("id_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select("id_a", "id_b").distinct()
+    jaccardForPairs(cand, batch.unionByName(corpus), idCol, textCol,
+      verifyN, threshold)
+  }
+
   def jaccardForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                       textCol: String, n: Int = 2,
                       threshold: Double = 0.05): DataFrame = {

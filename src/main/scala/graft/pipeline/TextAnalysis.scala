@@ -154,6 +154,22 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(k)
 
+  /** Composite corpus-filter router: ordered first-match reject rules
+    * over the one-scan [[analyze]] metrics → (reason, keep). The shape
+    * every corpus build ends with: a single map-only pass that tags
+    * each document with the FIRST rule it fails (so reject counts per
+    * reason are meaningful), never a per-rule scan.
+    */
+  def filterDecisions(df: DataFrame, idCol: String, textCol: String,
+                      minTokens: Int = 10, minQuality: Double = 0.35,
+                      maxPunct: Double = 0.2): DataFrame =
+    analyze(df, idCol, textCol).select(col(idCol),
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(col("punct_ratio") > maxPunct, "high_punct")
+          .otherwise("keep").as("reason"))
+      .withColumn("keep", col("reason") === "keep")
+
   /** One-scan analysis of a documents table. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

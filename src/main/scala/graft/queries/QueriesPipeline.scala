@@ -224,6 +224,52 @@ object QueriesPipeline {
         |    / CAST(sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) AS DOUBLE), 6) >= 0.05
         | ORDER BY c.id_a, c.id_b""".stripMargin.replace("\n", " "))),
 
+    // Incremental dedup: sources src0..src4 play the incoming batch,
+    // the rest the existing corpus. Batch bands probe the corpus's
+    // banded index — no batch x batch, no corpus x corpus pairing.
+    ("dedup_incremental",
+      (s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        val isBatch = substring(col("source"), 4, 10).cast("int") < 5
+        Dedup.incrementalDedup(
+          docs.filter(isBatch), docs.filter(!isBatch),
+          "doc_id", "text", n = 3, k = K, bands = BANDS,
+          verifyN = 2, threshold = 0.05)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$minhashCte,
+        | lng AS (
+        |  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+        |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |   FROM lng a JOIN lng b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   JOIN documents da ON da.doc_id = a.doc_id
+        |    AND CAST(substr(da.source, 4) AS INT) < 5
+        |   JOIN documents db ON db.doc_id = b.doc_id
+        |    AND CAST(substr(db.source, 4) AS INT) >= 5),
+        | sh2 AS (SELECT doc_id, ${shinglesSql(2)} AS sh FROM w),
+        | ex AS (SELECT doc_id AS id, unnest(list_distinct(sh)) AS sh FROM sh2),
+        | sizes AS (SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id),
+        | inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+        |   FROM cand c
+        |    JOIN ex a ON a.id = c.id_a
+        |    JOIN ex b ON b.id = c.id_b AND b.sh = a.sh
+        |   GROUP BY 1, 2)
+        | SELECT c.id_a, c.id_b,
+        |  round(COALESCE(i.inter, 0)
+        |    / CAST(sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) AS DOUBLE), 6)
+        |    AS jaccard
+        | FROM cand c
+        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |  JOIN sizes sa ON sa.id = c.id_a
+        |  JOIN sizes sb ON sb.id = c.id_b
+        | WHERE round(COALESCE(i.inter, 0)
+        |    / CAST(sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) AS DOUBLE), 6) >= 0.05
+        | ORDER BY c.id_a, c.id_b""".stripMargin.replace("\n", " "))),
+
     // ===== Similarity / ANN =====
     ("ann_topk",
       (s, d) => Similarity.bruteForceTopK(
@@ -443,6 +489,22 @@ object QueriesPipeline {
         | ex AS (SELECT unnest(ws) AS term FROM w)
         | SELECT term, COUNT(*) AS cnt FROM ex GROUP BY term
         | ORDER BY cnt DESC, term LIMIT 50""".stripMargin.replace("\n", " "))),
+
+    // Composite quality router: first-match reject reason per doc, one
+    // map-only pass over the analyze() metrics. Thresholds compare the
+    // same 6-dp-rounded columns in both engines.
+    ("corpus_filter_decisions",
+      (s, d) => TextAnalysis.filterDecisions(
+        graft.core.Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH stats AS ($textStatsSql),
+        | dec AS (SELECT doc_id,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |   WHEN quality < CAST(0.35 AS DOUBLE) THEN 'low_quality'
+        |   WHEN punct_ratio > CAST(0.2 AS DOUBLE) THEN 'high_punct'
+        |   ELSE 'keep' END AS reason FROM stats)
+        | SELECT doc_id, reason, reason = 'keep' AS keep
+        | FROM dec ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     ("doc_fingerprint",
       (s, d) => graft.core.Tables.documents(s, d).select(

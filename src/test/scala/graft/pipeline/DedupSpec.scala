@@ -129,4 +129,24 @@ class DedupSpec extends SparkSpec {
       .select(size(Dedup.shingles(col("text"), 3)).as("n")).head().getInt(0)
     assert(n == 0)
   }
+
+  test("incrementalDedup flags batch-vs-corpus near-dups only") {
+    val rep = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, rep),                                // dup target in corpus
+      (2L, rep),                                // corpus-internal dup of 1
+      (3L, "completely different corpus text here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, rep),                               // near-dup of corpus 1 and 2
+      (11L, rep),                               // batch-internal dup of 10
+      (12L, "fresh unseen content nothing matches")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // only cross-side pairs: batch {10, 11} x corpus {1, 2}; NEVER the
+    // corpus-internal (1,2) or batch-internal (10,11) pairs
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L)))
+  }
 }

@@ -125,6 +125,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rescan == 0L)
   }
 
+  test("filterDecisions: first-match reject reason; keep iff no rule fails") {
+    val longGood = ("the a of and " * 30).trim       // many tokens, stopwords
+    val docs = Seq(
+      (1L, "too short"),                             // < 10 tokens
+      (2L, longGood),                                // passes everything
+      (3L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~") // punct soup
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.filterDecisions(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Boolean)].collect().toSeq
+    assert(got(0) == ((1L, "too_short", false)))
+    assert(got(1) == ((2L, "keep", true)))
+    assert(got(2)._3 == false) // punct soup fails (first matching rule)
+    assert(got(2)._2 != "keep")
+  }
+
   test("topTerms: exact counts, count-desc then term-asc order, limit k") {
     val docs = Seq(
       (1L, "b b b a a c"),
