@@ -29,6 +29,7 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val bnljWhitelist: Map[String, String] = Map(
     "mvcc_roundtrip" -> "crossJoin(broadcast(1-row maxSeq)) in the MVCC write path",
+    "mvcc_compact" -> "same maxSeq pattern (input built through putBlocks/deleteBlocks)",
     "workspace_lifecycle" -> "same maxSeq pattern through Workspace ops",
     "ann_topk" -> "broadcast 1-row query vector",
     "ann_topk_native" -> "broadcast 1-row query vector",
