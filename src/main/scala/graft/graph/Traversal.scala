@@ -212,8 +212,6 @@ object Traversal {
     val e = if (parentCached) pairs
             else pairs.repartition(nPart, col("src"))
               .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
     // Delta-Kahn: keep only the positive in-degree table and SUBTRACT the
     // peeled layer's contribution each round, instead of re-materializing
     // the remaining edge set — per-round cost is O(edges out of the
@@ -227,7 +225,12 @@ object Traversal {
     // second materialization job per round).
     var indeg = e.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).as("deg")).localCheckpoint(false)
-    var layer = nodes.join(indeg, Seq("id"), "left_anti") // roots
+    // roots = nodes with no incoming edge. Every node of an edge-pair
+    // input appears as a src or a dst, and dst-only nodes are never
+    // roots — so distinct(src) anti-join indeg IS the root set, at half
+    // the setup shuffle of the full distinct(src ∪ dst) node table.
+    var layer = e.select(col("src").as("id")).distinct()
+      .join(indeg, Seq("id"), "left_anti")
       .localCheckpoint(false)
     var out = layer.withColumn("level", lit(0))
     var level = 0
