@@ -35,5 +35,6 @@ object Queries {
     "corpus_top_terms",
     "q1_agg", "q3_top_orders", "events_tumbling",
     "events_asof_join", "events_range_pairs", "events_attribution",
+    "events_histogram",
   )
 }

@@ -123,6 +123,21 @@ object QueriesRelational {
         | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "))),
 
+    // Fixed-width histogram per event type: one partial-agg shuffle of
+    // (type, bucket) — the distributed histogram shape (never a
+    // per-group value buffer like exact percentiles need).
+    ("events_histogram",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 10.0d).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket"),
+      Some("""SELECT event_type,
+        | CAST(floor(value / CAST(10.0 AS DOUBLE)) AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Cube =====
     ("cube_counts",
       (s, d) => Tables.orders(s, d)
