@@ -21,9 +21,13 @@ object Cli {
   final case class ShowCmd(relation: String, target: String,
                            workspace: String = "", maxDepth: Int = 3,
                            format: String = "text") extends Command
+  // `allPaths` is accepted for flag parity: the reference PARSES
+  // --all-paths (parser.zig:129, 468) but no handler ever reads it —
+  // trace output is min-depth paths either way. Same here.
   final case class TraceCmd(direction: String, target: String,
                             maxDepth: Int = 10,
-                            format: String = "text") extends Command
+                            format: String = "text",
+                            allPaths: Boolean = false) extends Command
   final case class LinkCmd(path: String, name: String,
                            include: Seq[String] = Seq("**"),
                            exclude: Seq[String] = Nil,
@@ -49,7 +53,7 @@ object Cli {
     "path", "include", "exclude", "topic")
   // flags that take no value (reference parser.zig:130-156: --verbose,
   // --force, --all, --all_paths are presence-only)
-  private val BoolFlags = Set("verbose", "force", "all")
+  private val BoolFlags = Set("verbose", "force", "all", "all-paths")
 
   /** Argument parser for the reference's command vocabulary
     * (`parser.zig:38-156`): query commands `find|show|trace`, workspace
@@ -104,7 +108,7 @@ object Cli {
           t <- flags.get("target").toRight("trace requires --target")
           _ <- if (Directions(dir)) Right(()) else Left(s"unknown direction: $dir")
           d <- int("max-depth", 10)
-        } yield TraceCmd(dir, t, d, format)
+        } yield TraceCmd(dir, t, d, format, flags.contains("all-paths"))
       case "link" =>
         // --name defaults to the path's basename (parser.zig:138-141)
         flags.get("path").toRight("link requires --path").map { p =>
@@ -171,7 +175,7 @@ object Cli {
           .join(blocks, Seq("id"))
           .select("id", "depth", "unit_type", "unit_id")
           .orderBy("depth", "id")
-      case TraceCmd(dirName, target, depth, _) =>
+      case TraceCmd(dirName, target, depth, _, _) =>
         val seedDf = blocks.filter(
           substring_index(col("unit_id"), ":", -1) === target ||
             col("id") === target).select("id").distinct()

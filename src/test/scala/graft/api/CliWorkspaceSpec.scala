@@ -44,6 +44,9 @@ class CliWorkspaceSpec extends SparkSpec {
     assert(Cli.parse(Seq("status")) == Right(Cli.StatusCmd()))
     assert(Cli.parse(Seq("status", "--verbose", "--format", "json")) ==
       Right(Cli.StatusCmd(verbose = true, format = "json")))
+    assert(Cli.parse(Seq("trace", "--direction", "callers", "--target", "t",
+      "--all-paths")) ==
+      Right(Cli.TraceCmd("callers", "t", allPaths = true)))
     assert(Cli.parse(Seq("ping")) == Right(Cli.PingCmd))
     assert(Cli.parse(Seq("version")) == Right(Cli.VersionCmd))
     assert(Cli.parse(Seq("help")) == Right(Cli.HelpCmd(None)))
