@@ -27,7 +27,8 @@ object Queries {
     "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
     "sssp_weighted",
     "context_query", "filter_bool_tree",
-    "dedup_minhash_bands", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_bands", "dedup_minhash_bands_fast",
+    "dedup_exact", "dedup_incremental",
     "ann_topk", "ann_topk_native",
     "ann_topk_quant",
     "ann_neardup_lsh", "embedding_kmeans",

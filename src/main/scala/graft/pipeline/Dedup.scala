@@ -73,11 +73,33 @@ object Dedup {
     * point; equivalence of the SHAPE is covered by the md5 variant's
     * oracle plus the spec's identical-doc property tests.
     */
-  def minhashSigFast(text: Column, n: Int, k: Int): Seq[Column] = {
-    val sh = shingles(text, n)
+  def minhashSigFast(text: Column, n: Int, k: Int): Seq[Column] =
+    minhashSigFastOver(shingles(text, n), k)
+
+  /** xxhash64 signatures over a materialized shingle column — same
+    * once-per-row rule as [[minhashSigOver]]. */
+  def minhashSigFastOver(sh: Column, k: Int): Seq[Column] =
     (0 until k).map { i =>
       array_min(transform(sh, s => xxhash64(lit(i), s))).as(f"mh$i%02d")
     }
+
+  /** The scale-path banding: [[minhashBands]] with xxhash64 signatures
+    * and xxhash64 band keys — all-integer, codegen'd, no string
+    * allocation per hash. Same LSH geometry as the md5 variant (whose
+    * DuckDB oracle proves the construction); this is what a 100 TB run
+    * calls. Not oracle-portable (no xxhash64 in DuckDB) → rows-only
+    * driver check.
+    */
+  def minhashBandsFast(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val withSh = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
+    val withSig = withSh.select(col(idCol) +: minhashSigFastOver(col("__sh"), k): _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((0 until rows).map(r => col(f"mh${b * rows + r}%02d")): _*)
+        .as(s"band$b")
+    }
+    withSig.select(col(idCol) +: bandCols: _*)
   }
 
   /** LSH bands: band b = md5 of the concatenation of its `rowsPerBand`

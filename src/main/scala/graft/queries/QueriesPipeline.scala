@@ -121,6 +121,15 @@ object QueriesPipeline {
       Some(s"$minhashCte SELECT doc_id, band0, band1, band2, band3 " +
         "FROM bands ORDER BY doc_id")),
 
+    // Scale-path banding (xxhash64, all-integer): rows-only check — the
+    // md5 variant above is the oracle-proven construction; this is the
+    // one a 100 TB run calls (and the one the bench times as the dedup
+    // scan cost).
+    ("dedup_minhash_bands_fast",
+      (s, d) => Dedup.minhashBandsFast(graft.core.Tables.documents(s, d),
+        "doc_id", "text", n = 3, k = K, bands = BANDS).orderBy("doc_id"),
+      None),
+
     ("dedup_minhash_pairs",
       (s, d) => Dedup.minhashPairs(graft.core.Tables.documents(s, d),
         "doc_id", "text", n = 3, k = K, bands = BANDS).orderBy("id_a", "id_b"),

@@ -130,6 +130,19 @@ class DedupSpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("fast banding: identical docs share every band key; schema matches md5 variant") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words in this other document right here")
+    ).toDF("doc_id", "text")
+    val fast = Dedup.minhashBandsFast(docs, "doc_id", "text")
+    assert(fast.columns.toSeq == Seq("doc_id", "band0", "band1", "band2", "band3"))
+    val rows = fast.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L))       // identical text -> identical bands
+    assert(rows(1L) != rows(3L))       // different text -> different bands
+  }
+
   test("incrementalDedup flags batch-vs-corpus near-dups only") {
     val rep = "alpha beta gamma delta epsilon zeta eta theta"
     val corpus = Seq(
