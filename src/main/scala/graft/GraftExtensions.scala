@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.DotProductFloat
+import graft.expressions.{DotProductFloat, MinHashBandKeys}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -17,6 +17,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "vec_dot takes exactly 2 arguments")
         DotProductFloat(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_bands"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 4,
+          "minhash_bands takes (text, n, k, bands) — 4 arguments")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   name: String): Int = {
+          require(e.foldable, s"minhash_bands $name must be a literal")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        MinHashBandKeys(children.head, intLit(children(1), "n"),
+          intLit(children(2), "k"), intLit(children(3), "bands"))
       }))
   }
 }

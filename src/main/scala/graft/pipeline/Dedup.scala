@@ -83,23 +83,26 @@ object Dedup {
       array_min(transform(sh, s => xxhash64(lit(i), s))).as(f"mh$i%02d")
     }
 
-  /** The scale-path banding: [[minhashBands]] with xxhash64 signatures
-    * and xxhash64 band keys — all-integer, codegen'd, no string
-    * allocation per hash. Same LSH geometry as the md5 variant (whose
-    * DuckDB oracle proves the construction); this is what a 100 TB run
-    * calls. Not oracle-portable (no xxhash64 in DuckDB) → rows-only
-    * driver check.
+  /** The scale-path banding: the fused native
+    * [[graft.expressions.MinHashBandKeys]] expression (requires
+    * `graft.GraftExtensions` on the session) — ONE tight loop per row
+    * producing all band keys, no per-hash string/array allocation.
+    * Spark's higher-order functions are evaluated interpreted and
+    * materialize an array per signature, which made even the xxhash64
+    * composable form allocation-bound (8.5 s vs sub-second fused at
+    * sf0.1). Same LSH geometry as the md5 variant (whose DuckDB oracle
+    * proves the construction); this is what a 100 TB run calls. Not
+    * oracle-portable → rows-only driver check.
     */
   def minhashBandsFast(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    val withSh = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
-    val withSig = withSh.select(col(idCol) +: minhashSigFastOver(col("__sh"), k): _*)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((0 until rows).map(r => col(f"mh${b * rows + r}%02d")): _*)
-        .as(s"band$b")
-    }
-    withSig.select(col(idCol) +: bandCols: _*)
+    val keys = call_function("minhash_bands",
+      col(textCol), lit(n), lit(k), lit(bands))
+    // materialize the key array once, then slice it — element_at on the
+    // raw call would re-evaluate the expression per band column
+    df.select(col(idCol), keys.as("__bk"))
+      .select(col(idCol) +:
+        (0 until bands).map(b => element_at(col("__bk"), b + 1).as(s"band$b")): _*)
   }
 
   /** LSH bands: band b = md5 of the concatenation of its `rowsPerBand`

@@ -62,6 +62,10 @@ object DedupProbe {
     }
     val sig3 = base.select(col("doc_id") +: sigs3: _*)
     lap("corpus sigs via perm trick", sig3.queryExecution.toRdd.count())
+    val fast = Dedup.minhashBandsFast(docs, "doc_id", "text")
+    lap("full-corpus fused bands", fast.queryExecution.toRdd.count())
+    lap("fused again", Dedup.minhashBandsFast(docs, "doc_id", "text")
+      .queryExecution.toRdd.count())
     spark.stop()
   }
 }
