@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProductFloat, MinHashBandKeys}
+import graft.expressions.{DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,6 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           e.eval().asInstanceOf[Number].intValue()
         }
         MinHashBandKeys(children.head, intLit(children(1), "n"),
+          intLit(children(2), "k"), intLit(children(3), "bands"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands_md5"),
+      new ExpressionInfo(classOf[MinHashBandKeysMd5].getName, "minhash_bands_md5"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 4,
+          "minhash_bands_md5 takes (text, n, k, bands) — 4 arguments")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   name: String): Int = {
+          require(e.foldable, s"minhash_bands_md5 $name must be a literal")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        MinHashBandKeysMd5(children.head, intLit(children(1), "n"),
           intLit(children(2), "k"), intLit(children(3), "bands"))
       }))
   }

@@ -143,6 +143,26 @@ class DedupSpec extends SparkSpec {
     assert(rows(1L) != rows(3L))       // different text -> different bands
   }
 
+  test("fused md5 banding is bit-identical to the composable oracle form") {
+    // the DuckDB oracle encodes the composable construction; the fused
+    // expression must match it exactly, including the short-doc NULL bands
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "Mixed", "CASE", "tabs\there")
+    val many = ((1L to 40L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } ++ Seq((41L, "one two"), (42L, ""), (43L, "   "),
+      (44L, "word"))).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fused = canon(Dedup.minhashBands(many, "doc_id", "text"))
+    val composable = canon(Dedup.minhashBandsComposable(many, "doc_id", "text"))
+    assert(fused == composable)
+    // short docs (< n words) must yield NULL bands in both forms
+    assert(fused(40).tail.forall(_ == null))
+  }
+
   test("incrementalDedup flags batch-vs-corpus near-dups only") {
     val rep = "alpha beta gamma delta epsilon zeta eta theta"
     val corpus = Seq(
