@@ -54,6 +54,16 @@ object Cli {
   // flags that take no value (reference parser.zig:130-156: --verbose,
   // --force, --all, --all_paths are presence-only)
   private val BoolFlags = Set("verbose", "force", "all", "all-paths")
+  // which commands actually HANDLE each presence-only flag — a bool flag
+  // on any other command is an error, same contract as value flags: a
+  // typo'd/misplaced flag must never silently run with defaults.
+  // (--force is parsed by the reference but has no handler anywhere,
+  // parser.zig:130-156 — so it is rejected on every command here.)
+  private val BoolFlagCommands = Map(
+    "verbose" -> Set("status"),
+    "all" -> Set("sync"),
+    "all-paths" -> Set("trace"),
+    "force" -> Set.empty[String])
 
   /** Argument parser for the reference's command vocabulary
     * (`parser.zig:38-156`): query commands `find|show|trace`, workspace
@@ -87,6 +97,9 @@ object Cli {
         .getOrElse(dflt)
     val format = flags.getOrElse("format", "text")
     if (!Formats(format)) return Left(s"unknown format: $format")
+    for (k <- flags.keySet.intersect(BoolFlags).toSeq.sorted)
+      if (!BoolFlagCommands(k).contains(args.head))
+        return Left(s"flag --$k is not valid for ${args.head}")
     args.head match {
       case "find" =>
         for {

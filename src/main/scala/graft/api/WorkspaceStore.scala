@@ -95,11 +95,20 @@ object WorkspaceStore {
 
   /** Current (non-tombstoned, latest-sequence) blocks/edges view for the
     * query commands — what `find/show/trace` run against once any
-    * workspace is linked.
+    * workspace is linked. Scoped to LIVE workspaces: an `unlink`
+    * tombstones only the registry row (blocks stay time-travelable), so
+    * the query view must semi-join both tables against the registry's
+    * current view or unlinked workspaces would keep answering queries
+    * (reference `manager.zig:192-247`: unlink removes the workspace from
+    * the query surface). The registry is driver-sized → broadcast
+    * semi-join, a map-side filter on the blocks/edges scan.
     */
   def currentGraph(spark: SparkSession, stateDir: String): (DataFrame, DataFrame) = {
     val st = load(spark, stateDir)
-    (Schemas.currentView(st.blocks), st.edges)
+    val live = broadcast(
+      Schemas.currentView(st.registry).select(col("id").as("workspace")))
+    (Schemas.currentView(st.blocks).join(live, Seq("workspace"), "left_semi"),
+      st.edges.join(live, Seq("workspace"), "left_semi"))
   }
 
   private def ingestTree(spark: SparkSession, name: String, rootPath: String,
@@ -115,7 +124,14 @@ object WorkspaceStore {
   /** `kausal link --path P --name N`: register the workspace and ingest
     * its tree through the MVCC write path (new blocks become the next
     * sequence epoch; a re-link shadows the previous epoch, never
-    * rewrites it). Returns a one-row summary frame for rendering.
+    * rewrites it). RE-linking an already-registered name routes through
+    * the same diff `sync` performs: current-view ids absent from the
+    * fresh parse (units deleted from the tree, or excluded by new
+    * globs) are tombstoned and the workspace's edges are REPLACED, not
+    * appended — otherwise stale blocks and phantom edges from the
+    * previous link would survive in the current view (the reference's
+    * re-link is delete-then-reingest, `manager.zig:113-190`). Returns a
+    * one-row summary frame for rendering.
     */
   def link(spark: SparkSession, stateDir: String, name: String, rootPath: String,
            include: Seq[String] = Seq("**"), exclude: Seq[String] = Nil,
@@ -123,11 +139,24 @@ object WorkspaceStore {
            nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = {
     import spark.implicits._
     val st = load(spark, stateDir)
+    val relink = Schemas.currentView(st.registry)
+      .filter(col("id") === name).count() > 0
     val (blocks, edges, nFiles) = ingestTree(spark, name, rootPath, include, exclude, parser)
     val reg2 = Mvcc.putBlocks(st.registry,
       Seq((name, rootPath, nowSeconds)).toDF("id", "root_path", "synced_at"))
-    val blocks2 = Mvcc.putBlocks(st.blocks, blocks)
-    val edges2 = Mvcc.putEdges(st.edges, edges)
+    var blocks2 = Mvcc.putBlocks(st.blocks, blocks)
+    if (relink) {
+      // ids live in the current view but absent from the fresh parse →
+      // tombstone (driver-sized: one workspace's vanished units)
+      val gone = Schemas.currentView(st.blocks)
+        .filter(col("workspace") === name).select("id")
+        .except(blocks.select("id")).as[String].collect().toSeq
+      if (gone.nonEmpty) blocks2 = Mvcc.deleteBlocks(blocks2, gone)
+    }
+    // null-safe filter: block tombstones carry NULL workspace
+    val edgeBase = if (relink) st.edges.filter(!(col("workspace") <=> name))
+                   else st.edges
+    val edges2 = Mvcc.putEdges(edgeBase, edges)
     val (nBlocks, nEdges) = (blocks.count(), edges.count())
     save(stateDir, State(reg2, blocks2, edges2))
     Seq((name, rootPath, nFiles, nBlocks, nEdges))

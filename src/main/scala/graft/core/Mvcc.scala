@@ -53,6 +53,15 @@ object Mvcc {
     // them the same way on every run/retry — plain orderBy(id) would
     // break the tie by physical scan order. Equal ids land in one range
     // partition, so the within-partition tiebreak is total.
+    // CONTRACT: intra-batch same-id ordering is ARBITRARY-BUT-STABLE,
+    // not arrival-order — the "latest" version of an id that appears
+    // twice in one batch is whichever row hashes larger, deterministic
+    // across retries but unrelated to the order the caller built the
+    // batch in (a distributed batch HAS no arrival order). Callers that
+    // care which version wins must pre-reduce the batch to one row per
+    // id before putBlocks (the ingest paths satisfy this by
+    // construction: unit ids are file-scoped, so a parse batch never
+    // carries two versions of one id).
     val w = Window.partitionBy(col("__pid"))
       .orderBy(col(idCol), xxhash64(df.columns.map(col).toSeq: _*))
     parted.join(broadcast(offDf), Seq("__pid"))

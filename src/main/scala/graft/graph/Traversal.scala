@@ -145,8 +145,14 @@ object Traversal {
       val bcastRows = 100000L
       while (depth < maxDepth && total < maxResults && frontierSize > 0) {
         depth += 1
+        // with trackPaths every frontier row carries a path ARRAY of
+        // ~depth ids, so a row-count threshold alone under-estimates the
+        // broadcast size by a factor of the depth — scale the cap down
+        // by the rows' width (the 10 MB byte heuristic the optimizer
+        // would have applied is unavailable: checkpoint erased stats)
+        val frontierCap = if (trackPaths) bcastRows / (depth + 1) else bcastRows
         val expandFrom =
-          if (frontierSize <= bcastRows) broadcast(frontier) else frontier
+          if (frontierSize <= frontierCap) broadcast(frontier) else frontier
         val expandedRaw = expandFrom.join(hop, expandFrom("id") === hop("from"))
         val expanded =
           if (trackPaths)

@@ -116,6 +116,63 @@ class CliWorkspaceSpec extends SparkSpec {
     assert(Cli.executeWorkspace(spark, state, Cli.StatusCmd()).count() == 1L)
   }
 
+  test("bool flags are rejected on commands that don't handle them") {
+    // presence-only flags follow the same error-message-first contract as
+    // value flags: accepted ONLY where a handler reads them
+    assert(Cli.parse(Seq("find", "--type", "function", "--name", "x",
+      "--force")) == Left("flag --force is not valid for find"))
+    assert(Cli.parse(Seq("show", "--relation", "callers", "--target", "t",
+      "--all")).isLeft)
+    assert(Cli.parse(Seq("find", "--type", "function", "--name", "x",
+      "--verbose")).isLeft)
+    assert(Cli.parse(Seq("status", "--all-paths")).isLeft)
+    assert(Cli.parse(Seq("sync", "--name", "p", "--verbose")).isLeft)
+    // --force is parsed by the reference but handled nowhere -> rejected
+    // on every command (parser.zig:130-156)
+    assert(Cli.parse(Seq("unlink", "--name", "p", "--force")).isLeft)
+    // the handled homes still parse
+    assert(Cli.parse(Seq("status", "--verbose")).isRight)
+    assert(Cli.parse(Seq("sync", "--all")).isRight)
+    assert(Cli.parse(Seq("trace", "--direction", "callers", "--target", "t",
+      "--all-paths")).isRight)
+  }
+
+  test("unlink hides the workspace from the query view until relink") {
+    val tree = writeTree("lib.zig" -> libZig)
+    val state = tmpState()
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(tree.getAbsolutePath, "proj"))
+    val (b1, e1) = WorkspaceStore.currentGraph(spark, state)
+    assert(b1.count() > 0 && e1.count() > 0)
+    // after unlink the blocks stay stored (time-travelable history) but
+    // find/show/trace must stop seeing them — the registry tombstone
+    // scopes the query view
+    Cli.executeWorkspace(spark, state, Cli.UnlinkCmd("proj"))
+    val (b2, e2) = WorkspaceStore.currentGraph(spark, state)
+    assert(b2.count() == 0 && e2.count() == 0)
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(tree.getAbsolutePath, "proj"))
+    val (b3, e3) = WorkspaceStore.currentGraph(spark, state)
+    assert(b3.count() > 0 && e3.count() > 0)
+  }
+
+  test("re-link tombstones vanished units and replaces the workspace's edges") {
+    val tree = writeTree("lib.zig" -> libZig) // alpha calls beta
+    val state = tmpState()
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(tree.getAbsolutePath, "proj"))
+    // rewrite the tree: beta deleted, gamma added — then re-LINK (not
+    // sync): the link path must run the same vanished-id diff
+    java.nio.file.Files.write(new java.io.File(tree, "lib.zig").toPath,
+      "fn alpha() {\n  gamma()\n}\nfn gamma() {\n}\n".getBytes("UTF-8"))
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(tree.getAbsolutePath, "proj"))
+    val (blocks, edges) = WorkspaceStore.currentGraph(spark, state)
+    val names = blocks.select("unit_id").collect().map(_.getString(0)).toSet
+    assert(names.exists(_.endsWith(":gamma")))
+    assert(!names.exists(_.endsWith(":beta"))) // stale block tombstoned
+    // no phantom edges: every edge endpoint resolves to a live block
+    val liveIds = blocks.select("id").collect().map(_.getString(0)).toSet
+    val dsts = edges.select("dst").collect().map(_.getString(0)).toSet
+    assert(dsts.subsetOf(liveIds))
+  }
+
   test("sync --all targets every linked workspace; sync of unknown errors") {
     val t1 = writeTree("a.zig" -> "fn a() {\n}\n")
     val t2 = writeTree("b.zig" -> "fn b() {\n}\n")
