@@ -25,7 +25,7 @@ object Queries {
     "bfs_out_depth3", "bfs_out_depth5", "traverse_dfs_set",
     "bfs_edge_filter", "bfs_in_depth2", "bfs_in_depth5",
     "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
-    "sssp_weighted",
+    "sssp_weighted", "graph_pagerank", "graph_kcore",
     "context_query", "filter_bool_tree",
     "dedup_minhash_bands", "dedup_minhash_bands_fast",
     "dedup_exact", "dedup_incremental",

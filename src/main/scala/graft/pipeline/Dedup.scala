@@ -306,12 +306,23 @@ object Dedup {
   def jaccardForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                       textCol: String, n: Int = 2,
                       threshold: Double = 0.05): DataFrame = {
+    // only docs that appear in a candidate pair need shingling: at scale
+    // candidates << corpus (LSH's whole point), so semi-joining first
+    // turns "shingle the corpus" into "shingle the candidates" — the
+    // produced pairs are identical (every consumed shingle row carries a
+    // pair id). No broadcast hint: the candidate set's size is workload-
+    // dependent, and AQE picks the broadcast at runtime when it fits
+    // (forcing it blind is the driver-OOM shape a 100 TB run must avoid).
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
     // the exploded shingle table feeds THREE subplans (both sides of
     // the intersection join + the size agg); as a lazy plan each would
     // recompute the shingling — sharing one checkpointed RDD computes
     // it once (measured ~2× on the verify stage at sf0.1)
-    val ex = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+    val ex = df.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("sh"))
       .localCheckpoint(false)
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = pairs.select("id_a", "id_b")

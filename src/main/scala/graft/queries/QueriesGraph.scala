@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.api.Cli
-import graft.graph.{CodeGraph, Direction, EdgeFilter, GraphAlgos, Traversal, TraversalSpec}
+import graft.graph.{CodeGraph, Direction, EdgeFilter, GraphAlgos, GraphAnalytics, Traversal, TraversalSpec}
 import graft.query.{ContextQuery, Lookups}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -318,5 +318,26 @@ object QueriesGraph {
         | SELECT m.id, m.depth, nb.unit_type, nb.content
         | FROM m JOIN nb ON m.id = nb.id AND nb.workspace = 'tpch'
         | ORDER BY m.depth, m.id""".stripMargin.replace("\n", " "))),
+
+    // Whole-graph analytics (beyond-reference): PageRank in fixed-point
+    // LONG arithmetic — integer sums are order-independent on any
+    // partitioning, so the DuckDB oracle (the SAME iteration unrolled as
+    // CTEs, generated from the same constants) matches bit-for-bit.
+    // A float variant is a column swap; the plan shape is identical.
+    ("graph_pagerank",
+      (s, d) => GraphAnalytics.pagerankFixedPoint(
+          CodeGraph.edgePairs(s, d), iters = 5, pairsDistinct = true)
+        .orderBy(desc("rank"), col("id")),
+      Some(GraphAnalytics.pagerankSql(E, iters = 5))),
+
+    // k-core: peel degree<k nodes to the dense kernel (dependency-graph
+    // "load-bearing core"; near-dup-graph cluster density). Fixed-round
+    // unrolled oracle — early convergence is a no-op past the fixpoint,
+    // so engine (converges) and oracle (always `rounds` peels) agree.
+    ("graph_kcore",
+      (s, d) => GraphAnalytics.kcore(
+          CodeGraph.edgePairs(s, d), k = 4, rounds = 8, pairsDistinct = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.kcoreSql(E, k = 4, rounds = 8))),
   )
 }

@@ -1,0 +1,55 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pagerank: fixed-point ranks on a known graph behave like PageRank") {
+    // star: a,b,c -> hub; hub dangles. Hub must out-rank the leaves.
+    val g = Seq(("a", "h"), ("b", "h"), ("c", "h")).toDF("src", "dst")
+    val pr = GraphAnalytics.pagerankFixedPoint(g, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set("a", "b", "c", "h"))
+    assert(pr("h") > pr("a"))
+    assert(pr("a") == pr("b") && pr("b") == pr("c")) // symmetry is exact
+    // total mass stays within integer-floor loss of the scale
+    val total = pr.values.sum
+    assert(total > 900000000000L && total <= 1000000000000L)
+  }
+
+  test("pagerank: deterministic across partitionings (integer sums)") {
+    val g = (1 to 40).map(i => (s"n${i % 7}", s"n${(3 * i + 1) % 7}"))
+      .toDF("src", "dst")
+    val a = GraphAnalytics.pagerankFixedPoint(g.repartition(1), iters = 4)
+      .orderBy("id").collect().toSeq
+    val b = GraphAnalytics.pagerankFixedPoint(g.repartition(13), iters = 4)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("kcore: triangle with a tail peels to the triangle at k=2") {
+    // triangle a-b-c plus tail c-d-e: 2-core = the triangle, each deg 2
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val core = GraphAnalytics.kcore(g, k = 2, rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kcore: cascade needs multiple peels and early-exits at fixpoint") {
+    // chain hanging off a clique: each peel removes one chain node
+    val clique = Seq(("k1", "k2"), ("k1", "k3"), ("k2", "k3"))
+    val chain = Seq(("k3", "t1"), ("t1", "t2"), ("t2", "t3"), ("t3", "t4"))
+    val g = (clique ++ chain).toDF("src", "dst")
+    val core = GraphAnalytics.kcore(g, k = 2, rounds = 20)
+      .select("id").as[String].collect().toSet
+    assert(core == Set("k1", "k2", "k3"))
+  }
+
+  test("kcore: entire graph below k yields an empty core") {
+    val g = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+    assert(GraphAnalytics.kcore(g, k = 2, rounds = 8).isEmpty)
+  }
+}
