@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5}
+import graft.expressions.{DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5, TextStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashBandKeysMd5(children.head, intLit(children(1), "n"),
           intLit(children(2), "k"), intLit(children(3), "bands"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "text_stats takes exactly 1 argument")
+        TextStats(children.head)
       }))
   }
 }

@@ -171,7 +171,33 @@ object TextAnalysis {
       .withColumn("keep", col("reason") === "keep")
 
   /** One-scan analysis of a documents table. */
+  /** One-scan per-document statistics, evaluated by the fused native
+    * [[graft.expressions.TextStats]] expression (requires
+    * `graft.GraftExtensions` on the session): one pass per document
+    * instead of ~9 interpreted higher-order-function trees — same
+    * HOF-allocation pathology (and same fix) as the minhash banding.
+    * Bit-identical to [[analyzeComposable]] (spec-proven), which is the
+    * form the DuckDB oracle mirrors.
+    */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = call_function("text_stats", col(textCol))
+    df.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st.n_tokens").as("n_tokens"),
+        col("__st.n_bpeish").as("n_bpeish"),
+        col("__st.avg_token_len").as("avg_token_len"),
+        col("__st.punct_ratio").as("punct_ratio"),
+        col("__st.stopword_ratio").as("stopword_ratio"),
+        col("__st.quality").as("quality"),
+        col("__st.lang_pred").as("lang_pred"),
+        col("__st.content_hash").as("content_hash"))
+  }
+
+  /** The composable construction of [[analyze]] — pure `functions._`
+    * columns, the exact shape the DuckDB oracle encodes in SQL. Kept as
+    * the spec cross-check for the fused expression.
+    */
+  def analyzeComposable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(
       col(idCol),

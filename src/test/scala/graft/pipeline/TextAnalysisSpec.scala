@@ -63,6 +63,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b.toString.matches("[0-9a-f]{32}"))
   }
 
+  test("fused text_stats ≡ composable columns on the fixture corpus") {
+    // the fused native expression must reproduce the composable (and
+    // thus DuckDB-oracle-matched) columns BIT-FOR-BIT — same contract
+    // as the fused minhash banding
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq((9000001L, ""), (9000002L, "   "), (9000003L, "a"),
+      (9000004L, "The\tQUICK  brown\nfox! 123 a.b@c.de"),
+      (9000005L, "der le el the 的")).toDF("doc_id", "text")
+    val all = docs.unionByName(edge)
+    val fused = TextAnalysis.analyze(all, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val composable = TextAnalysis.analyzeComposable(all, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(fused == composable)
+  }
+
   test("analyze emits one row per document with all columns") {
     val df = TextAnalysis.analyze(
       Seq((1L, "the quick brown fox"), (2L, "")).toDF("doc_id", "text"),
