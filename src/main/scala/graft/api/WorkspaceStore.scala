@@ -147,11 +147,13 @@ object WorkspaceStore {
     var blocks2 = Mvcc.putBlocks(st.blocks, blocks)
     if (relink) {
       // ids live in the current view but absent from the fresh parse →
-      // tombstone (driver-sized: one workspace's vanished units)
+      // tombstone. Stays a DataFrame end-to-end (deleteBlocksDf): no
+      // driver collect, so a re-link of an arbitrarily large workspace
+      // never funnels its vanished-id set through the driver.
       val gone = Schemas.currentView(st.blocks)
         .filter(col("workspace") === name).select("id")
-        .except(blocks.select("id")).as[String].collect().toSeq
-      if (gone.nonEmpty) blocks2 = Mvcc.deleteBlocks(blocks2, gone)
+        .except(blocks.select("id"))
+      blocks2 = Mvcc.deleteBlocksDf(blocks2, gone)
     }
     // null-safe filter: block tombstones carry NULL workspace
     val edgeBase = if (relink) st.edges.filter(!(col("workspace") <=> name))
@@ -201,19 +203,18 @@ object WorkspaceStore {
       val (blocks, edges, nFiles) =
         ingestTree(spark, name, reg(name), Seq("**"), Nil, parser)
       // ids present in the current view but absent from the fresh parse
-      // → tombstone (file/unit deleted since link). The id set is one
-      // workspace's units — driver-sized, like Mvcc.deleteBlocks's API.
+      // → tombstone (file/unit deleted since link). DataFrame end-to-end
+      // (deleteBlocksDf) — no driver collect of the vanished-id set.
       val gone = Schemas.currentView(cur.blocks)
         .filter(col("workspace") === name).select("id")
-        .except(blocks.select("id")).as[String].collect().toSeq
-      var b2 = Mvcc.putBlocks(cur.blocks, blocks)
-      if (gone.nonEmpty) b2 = Mvcc.deleteBlocks(b2, gone)
+        .except(blocks.select("id"))
+      val b2 = Mvcc.deleteBlocksDf(Mvcc.putBlocks(cur.blocks, blocks), gone)
       // null-safe filter: block tombstones carry NULL workspace
       val e2 = cur.edges.filter(!(col("workspace") <=> name)).unionByName(edges)
       val r2 = Mvcc.putBlocks(cur.registry,
         Seq((name, reg(name), nowSeconds)).toDF("id", "root_path", "synced_at"))
       cur = State(r2, b2, e2)
-      (name, nFiles, blocks.count(), gone.size.toLong)
+      (name, nFiles, blocks.count(), gone.count())
     }
     save(stateDir, cur)
     summaries.toDF("workspace", "files_processed", "blocks_synced", "blocks_removed")

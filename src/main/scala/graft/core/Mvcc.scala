@@ -98,8 +98,19 @@ object Mvcc {
                    deletedCol: String = "is_deleted"): DataFrame = {
     val spark = existing.sparkSession
     import spark.implicits._
+    deleteBlocksDf(existing, ids.toDF(idCol), idCol, seqCol, deletedCol)
+  }
+
+  /** [[deleteBlocks]] with the id set as a DataFrame — the 100-TB shape:
+    * a delete driven by a query (e.g. "every current id this re-link no
+    * longer parses") stays distributed end-to-end instead of collecting
+    * ids to the driver and shipping them back as literals.
+    */
+  def deleteBlocksDf(existing: DataFrame, ids: DataFrame,
+                     idCol: String = "id", seqCol: String = "sequence",
+                     deletedCol: String = "is_deleted"): DataFrame = {
     val maxSeq = existing.agg(coalesce(max(col(seqCol)), lit(0L)).as("m"))
-    val base = withIdRank(ids.toDF(idCol), idCol)
+    val base = withIdRank(ids.select(col(idCol)), idCol)
       .crossJoin(broadcast(maxSeq))
       .withColumn(seqCol, col("m") + col("__rk"))
       .drop("m", "__rk")

@@ -114,4 +114,57 @@ class RandomizedInvariantsSpec extends SparkSpec {
       assert(perId == 0L, s"seed=$seed")
     }
   }
+
+  test("kcore equals in-memory iterated peeling on random graphs") {
+    import graft.graph.GraphAnalytics
+    for (seed <- Seq(41, 42, 43)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val pairs = (1 to 120).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.distinct.filter { case (a, b) => a != b }
+      val k = 3
+      val rounds = 8
+      val got = GraphAnalytics.kcore(pairs.toDF("src", "dst"), k, rounds)
+        .as[(String, Long)].collect().toMap
+
+      // reference: exactly `rounds` applications of the peel function
+      // over the undirected multiset (both orientations)
+      var und = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      for (_ <- 1 to rounds) {
+        val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        und = und.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      val want = und.groupBy(_._1)
+        .map { case (v, es) => v -> es.size.toLong }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("pagerank fixed-point: mass bounds and rank ordering on random DAGs") {
+    import graft.graph.GraphAnalytics
+    val scale = 1000000000000L
+    for (seed <- Seq(51, 52)) {
+      val rnd = new scala.util.Random(seed)
+      // random DAG (edges only low->high) with a guaranteed hub sink
+      val n = 30
+      val pairs = ((1 to 100).map { _ =>
+        val a = rnd.nextInt(n - 1)
+        val b = a + 1 + rnd.nextInt(n - a - 1)
+        (f"n$a%02d", f"n$b%02d")
+      } ++ (0 until n - 1).map(i => (f"n$i%02d", f"n${n - 1}%02d"))).distinct
+      val pr = GraphAnalytics.pagerankFixedPoint(
+          pairs.toDF("src", "dst"), iters = 5, scale = scale)
+        .as[(String, Long)].collect().toMap
+      // every node ranked; total mass within integer-floor loss
+      assert(pr.size == n, s"seed=$seed")
+      val total = pr.values.sum
+      assert(total <= scale && total > scale * 9 / 10, s"seed=$seed total=$total")
+      // the all-incoming sink out-ranks every source-only node
+      val sink = pr(f"n${n - 1}%02d")
+      assert(pr.filterKeys(_ != f"n${n - 1}%02d").values.forall(_ < sink),
+        s"seed=$seed")
+    }
+  }
 }
