@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
@@ -251,6 +252,52 @@ object Similarity {
       .withColumn("cos", round(when(n === 0.0, lit(0.0)).otherwise(d / n), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** Batched k-NN self-join (the k-NN GRAPH construction every
+    * embedding-dedup / clustering / semantic-retrieval pipeline needs):
+    * every vector's top-k neighbors among its banded-LSH candidates.
+    * This is the many-query counterpart of [[bruteForceTopK]] — at
+    * 10⁹ vectors the brute-force form is an O(n²) score matrix, while
+    * this stays candidate-bounded end to end:
+    *
+    *   1. candidates: [[lshBandedPairs]] equi-joins on (band_idx,
+    *      band_key) — pair volume is band-bucket-bounded, never n²;
+    *   2. symmetrize (a kNN list is per-source, so each undirected
+    *      candidate pair feeds both endpoints' lists);
+    *   3. exact cosine per candidate (per-vector norms computed once
+    *      pre-join, fused codegen [[dotNative]] per pair);
+    *   4. per-source top-k: row_number over (id) ordered by rounded
+    *      score desc with neighbor-id tie-break — one hash shuffle on
+    *      id; Spark turns the bounded-rank filter into a per-partition
+    *      heap (WindowGroupLimit), so no full per-key sort materializes.
+    *
+    * Approximate by construction (a true neighbor sharing no band is
+    * missed — recall governed by the band geometry, SimilaritySpec
+    * pins it on the fixture); every emitted score is exact.
+    */
+  def knnJoin(emb: DataFrame, k: Int = 5,
+              nBands: Int = 4, planesPerBand: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val cand = lshBandedPairs(emb, nBands, planesPerBand, idCol, vecCol, seed, dim)
+    val sym = cand.union(
+      cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val normed = emb.select(col(idCol), col(vecCol),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("nrm"))
+    val d = dotNative(col("va"), col("vb"))
+    val n = col("na") * col("nb")
+    val scored = sym
+      .join(normed.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(normed.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a").as("id"), col("id_b").as("neighbor"),
+        round(when(n === 0.0, lit(0.0)).otherwise(d / n), 6).as("cos"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
   }
 
   /** IVF index build — the "train once" step: per-cell centroids from

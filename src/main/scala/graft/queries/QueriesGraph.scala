@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.api.Cli
+import graft.core.Tables
 import graft.graph.{CodeGraph, Direction, EdgeFilter, GraphAlgos, GraphAnalytics, Traversal, TraversalSpec}
 import graft.query.{ContextQuery, Lookups}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -339,5 +340,60 @@ object QueriesGraph {
           CodeGraph.edgePairs(s, d), k = 4, rounds = 8, pairsDistinct = true)
         .orderBy("id"),
       Some(GraphAnalytics.kcoreSql(E, k = 4, rounds = 8))),
+
+    // Connected components, DataFrame-native (min-label + pointer jump,
+    // O(log diameter) rounds). Same fixed-round oracle contract as
+    // k-core: early convergence is a no-op past the fixpoint. The GraphX
+    // Pregel CC stays behind dedup_groups; this is the variant whose
+    // oracle is plain SQL and whose shuffles we control.
+    ("graph_components",
+      (s, d) => GraphAnalytics.connectedComponents(
+          CodeGraph.edgePairs(s, d), rounds = 6, pairsDistinct = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.componentsSql(E, rounds = 6))),
+
+    // Per-node triangle counts over the part co-occurrence graph
+    // (parts sharing an order — the basket graph; the TPC-H FK graph
+    // itself is layered and triangle-free). Degree-ordered orientation
+    // bounds wedge volume at O(|E|^1.5) — the shape that survives
+    // star-heavy graphs at 100 TB.
+    ("graph_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+          concat(lit("P"), col("l_partkey")).as("p")).distinct()
+        val pairs = li.join(li.select(col("ok"), col("p").as("q")), Seq("ok"))
+          .filter(col("p") < col("q"))
+          .select(col("p").as("src"), col("q").as("dst")).distinct()
+        GraphAnalytics.triangleCounts(pairs, pairsDistinct = true)
+          .orderBy("id")
+      },
+      Some(GraphAnalytics.trianglesSql(
+        """SELECT DISTINCT x.p AS src, y.p AS dst FROM
+          | (SELECT DISTINCT l_orderkey AS ok, 'P' || l_partkey AS p FROM lineitem) x
+          | JOIN (SELECT DISTINCT l_orderkey AS ok, 'P' || l_partkey AS p FROM lineitem) y
+          | ON x.ok = y.ok AND x.p < y.p""".stripMargin.replace("\n", " ")))),
+
+    // Degree distribution — the first profiling query against any new
+    // graph: joint (out_deg, in_deg) histogram. Two partial-agg
+    // shuffles + one O(V) full-outer merge; output is histogram-sized.
+    ("graph_degrees",
+      (s, d) => {
+        val p = CodeGraph.edgePairs(s, d)
+        val outd = p.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+        val ind = p.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+        outd.join(ind, Seq("id"), "full_outer")
+          .select(coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+            coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+          .groupBy("out_deg", "in_deg").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("out_deg", "in_deg")
+      },
+      Some(s"""WITH e AS ($E), pairs AS (SELECT DISTINCT src, dst FROM e),
+        | o AS (SELECT src AS id, COUNT(*) AS out_deg FROM pairs GROUP BY 1),
+        | i AS (SELECT dst AS id, COUNT(*) AS in_deg FROM pairs GROUP BY 1),
+        | dd AS (SELECT COALESCE(o.out_deg, 0) AS out_deg,
+        |   COALESCE(i.in_deg, 0) AS in_deg
+        |  FROM o FULL OUTER JOIN i ON o.id = i.id)
+        | SELECT out_deg, in_deg, COUNT(*) AS n_nodes FROM dd
+        | GROUP BY 1, 2 ORDER BY out_deg, in_deg""".stripMargin.replace("\n", " "))),
   )
 }

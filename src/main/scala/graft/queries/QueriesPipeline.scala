@@ -363,6 +363,32 @@ object QueriesPipeline {
         | WHERE round(${cosineSql("ea.embedding", "eb.embedding")}, 6) >= 0.45
         | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // Batched k-NN self-join — the k-NN GRAPH every embedding pipeline
+    // builds (dedup clustering, retrieval eval): per-vector top-5 among
+    // banded-LSH candidates, exact cosine, candidate-bounded end to end
+    // (the many-query counterpart of ann_topk; never an n² score
+    // matrix). Oracle replays the same bands → candidates → window.
+    ("ann_knn_join",
+      (s, d) => Similarity.knnJoin(
+        graft.core.Tables.embeddings(s, d), k = 5)
+        .orderBy("id", "rnk"),
+      Some(s"""WITH lb AS ($lshBandedSql),
+        | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |   FROM lb a JOIN lb b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |     AND a.vec_id < b.vec_id),
+        | sym AS (SELECT id_a, id_b FROM cand
+        |   UNION ALL SELECT id_b, id_a FROM cand),
+        | sc AS (SELECT s.id_a AS id, s.id_b AS neighbor,
+        |   round(${cosineSql("ea.embedding", "eb.embedding")}, 6) AS cos
+        |  FROM sym s JOIN embeddings ea ON ea.vec_id = s.id_a
+        |   JOIN embeddings eb ON eb.vec_id = s.id_b),
+        | r AS (SELECT id, neighbor, cos,
+        |   row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rnk
+        |  FROM sc)
+        | SELECT id, neighbor, cos, rnk FROM r WHERE rnk <= 5
+        | ORDER BY id, rnk""".stripMargin.replace("\n", " "))),
+
     // The EXACT small-n cross-check for ann_neardup_lsh (quadratic by
     // definition — kept registered as the recall oracle, within-block /
     // small-n use only; SimilaritySpec asserts lsh ⊆ exact).

@@ -52,4 +52,45 @@ class GraphAnalyticsSpec extends SparkSpec {
     val g = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
     assert(GraphAnalytics.kcore(g, k = 2, rounds = 8).isEmpty)
   }
+
+  test("connectedComponents: labels each component by its min id") {
+    // chain + pair + directed triangle (direction must not matter)
+    val g = Seq(("a", "b"), ("b", "c"), ("x", "y"),
+      ("p", "q"), ("q", "r"), ("r", "p")).toDF("src", "dst")
+    val cc = GraphAnalytics.connectedComponents(g, rounds = 6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "p" -> "p", "q" -> "p", "r" -> "p"))
+  }
+
+  test("connectedComponents: 40-chain converges in log-rounds; extra rounds are no-ops") {
+    val g = (1 until 40).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+      .toDF("src", "dst")
+    val a = GraphAnalytics.connectedComponents(g, rounds = 6)
+      .orderBy("id").collect().toSeq
+    // every node reaches the chain head within 6 (neighbor-min + jump)
+    // rounds: reach(t) >= 2*(reach(t-1)+1) covers distance 39 at t=5
+    assert(a.map(_.getString(1)).distinct == Seq("n001"))
+    // running past the fixpoint changes nothing (the oracle contract)
+    val b = GraphAnalytics.connectedComponents(g, rounds = 12)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("triangleCounts: K4 plus a tail — 3 per clique node, tail absent") {
+    val vs = Seq("a", "b", "c", "d")
+    val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
+    val g = (k4 :+ ("d", "e")).toDF("src", "dst")
+    val t = GraphAnalytics.triangleCounts(g)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangleCounts: reversed and duplicate edges count once") {
+    val g = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val t = GraphAnalytics.triangleCounts(g)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
 }

@@ -92,6 +92,30 @@ class SimilaritySpec extends SparkSpec {
       "identical vectors share every band -> guaranteed candidate")
   }
 
+  test("knnJoin: ranked per-vector lists, candidate-bounded, exact scores") {
+    val r = Similarity.knnJoin(emb64, k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3)))
+    // every emitted edge is an LSH candidate pair (never beyond the bands)
+    val cand = Similarity.lshBandedPairs(emb64)
+      .collect().flatMap(x => Seq((x.getLong(0), x.getLong(1)),
+        (x.getLong(1), x.getLong(0)))).toSet
+    assert(r.forall(t => cand((t._1, t._2))))
+    // ranks are 1..n contiguous, scores non-increasing within a list,
+    // ties broken by neighbor id
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4).toSeq
+      assert(sorted.map(_._4) == (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Seq(p, q) =>
+          assert(p._3 > q._3 || (p._3 == q._3 && p._2 < q._2))
+        case _ =>
+      }
+    }
+    // the identical pair shares every band: each is the other's top-1
+    val top = r.filter(_._4 == 1).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(top(0L) == ((1L, 1.0)) && top(1L) == ((0L, 1.0)))
+  }
+
   test("quantized top-k with a full candidate pool equals brute force") {
     val n = 50
     val rnd = new scala.util.Random(11)
