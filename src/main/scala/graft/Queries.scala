@@ -26,6 +26,8 @@ object Queries {
     "bfs_edge_filter", "bfs_in_depth2", "bfs_in_depth5",
     "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
     "sssp_weighted", "graph_pagerank", "graph_kcore",
+    "graph_components", "graph_triangles", "graph_degrees",
+    "ann_knn_join",
     "context_query", "filter_bool_tree",
     "dedup_minhash_bands", "dedup_minhash_bands_fast",
     "dedup_exact", "dedup_incremental",

@@ -346,11 +346,15 @@ object QueriesGraph {
     // k-core: early convergence is a no-op past the fixpoint. The GraphX
     // Pregel CC stays behind dedup_groups; this is the variant whose
     // oracle is plain SQL and whose shuffles we control.
+    // rounds = 4 covers undirected diameter ≤ 30 (reach ≥ 2·(r+1) per
+    // round) — the layered FK schema bounds this graph's diameter at ~8
+    // (any node is ≤ 4 hops from its region). A generic caller keeps
+    // the default 6 (diameter ≤ ~126).
     ("graph_components",
       (s, d) => GraphAnalytics.connectedComponents(
-          CodeGraph.edgePairs(s, d), rounds = 6, pairsDistinct = true)
+          CodeGraph.edgePairs(s, d), rounds = 4, pairsDistinct = true)
         .orderBy("id"),
-      Some(GraphAnalytics.componentsSql(E, rounds = 6))),
+      Some(GraphAnalytics.componentsSql(E, rounds = 4))),
 
     // Per-node triangle counts over the part co-occurrence graph
     // (parts sharing an order — the basket graph; the TPC-H FK graph
@@ -359,19 +363,41 @@ object QueriesGraph {
     // star-heavy graphs at 100 TB.
     ("graph_triangles",
       (s, d) => {
-        val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
-          concat(lit("P"), col("l_partkey")).as("p")).distinct()
-        val pairs = li.join(li.select(col("ok"), col("p").as("q")), Seq("ok"))
-          .filter(col("p") < col("q"))
-          .select(col("p").as("src"), col("q").as("dst")).distinct()
-        GraphAnalytics.triangleCounts(pairs, pairsDistinct = true)
+        // basket-array pair expansion: ONE groupBy shuffle builds the
+        // per-order part sets, pairs explode map-side in sorted order
+        // (so src < dst by construction) — vs. the naive self-join's
+        // distinct + join + distinct. Cost is Σ C(basket, 2), the
+        // co-occurrence floor. Node ids stay the BIGINT part keys:
+        // 8-byte join/sort keys, not strings.
+        val baskets = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
+        val pairs = baskets.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            | transform(slice(ps, i + 2, size(ps)),
+            |   y -> struct(x AS src, y AS dst))))""".stripMargin))
+            .as("pr"))
+          .select(col("pr.src"), col("pr.dst")).distinct()
+        // the part co-occurrence graph is degree-bounded (max ~222 at
+        // sf0.1) → the adjacency-intersect variant; the wedge-join
+        // variant is the unbounded-degree fallback (spec-pinned equal)
+        GraphAnalytics.triangleCountsAdj(pairs, canonical = true)
           .orderBy("id")
       },
       Some(GraphAnalytics.trianglesSql(
         """SELECT DISTINCT x.p AS src, y.p AS dst FROM
-          | (SELECT DISTINCT l_orderkey AS ok, 'P' || l_partkey AS p FROM lineitem) x
-          | JOIN (SELECT DISTINCT l_orderkey AS ok, 'P' || l_partkey AS p FROM lineitem) y
+          | (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) x
+          | JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) y
           | ON x.ok = y.ok AND x.p < y.p""".stripMargin.replace("\n", " ")))),
+
+    // Related entities / link prediction: 2-hop candidates ranked by
+    // neighborhood Jaccard vs the seed — seed-bounded (broadcast
+    // neighbor set, one equi-join over edges, TakeOrderedAndProject).
+    ("graph_related",
+      (s, d) => GraphAnalytics.relatedNodes(
+        CodeGraph.edgePairs(s, d), seedId = "C1", k = 20,
+        pairsDistinct = true),
+      Some(GraphAnalytics.relatedSql(E, seedId = "C1", k = 20))),
 
     // Degree distribution — the first profiling query against any new
     // graph: joint (out_deg, in_deg) histogram. Two partial-agg

@@ -186,6 +186,22 @@ object QueriesRelational {
         | round(sum(value), 4) AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
+    // Windowed top-k ("trending"): rank over the tumbling agg, planned
+    // as WindowGroupLimit per-partition heaps — output k·windows rows.
+    ("events_window_topk",
+      (s, d) => EventStreams.topKPerWindow(
+        EventStreams.withEventTime(Tables.events(s, d)))
+        .orderBy("window_start", "rnk"),
+      Some("""WITH c AS (
+        |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start,
+        |   event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        | r AS (SELECT window_start, event_type, n, row_number() OVER
+        |   (PARTITION BY window_start ORDER BY n DESC, event_type) AS rnk
+        |  FROM c)
+        | SELECT window_start, event_type, n, rnk FROM r WHERE rnk <= 3
+        | ORDER BY window_start, rnk""".stripMargin.replace("\n", " "))),
+
     ("events_sliding",
       (s, d) => EventStreams.sliding(
         EventStreams.withEventTime(Tables.events(s, d)))

@@ -36,6 +36,25 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Top-k event types per tumbling window by count — the streaming
+    * "trending leaderboard" shape. The windowed count is one partial-agg
+    * shuffle; the rank filter plans as WindowGroupLimit (a per-partition
+    * k-heap per window key), so no per-window full sort materializes and
+    * output is k·windows-bounded. Under Structured Streaming the same
+    * agg runs watermarked and the rank step moves into `foreachBatch`
+    * (rank over an open streaming agg isn't incremental by definition —
+    * a window's leaderboard is only final once the watermark passes it).
+    */
+  def topKPerWindow(ev: DataFrame, k: Int = 3,
+                    width: String = "1 hour"): DataFrame = {
+    val counts = tumbling(ev, width)
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("window_start", "event_type", "n", "rnk")
+  }
+
   /** Sliding windows (width, slide). */
   def sliding(ev: DataFrame, width: String = "1 hour",
               slide: String = "30 minutes"): DataFrame =

@@ -93,4 +93,34 @@ class GraphAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(t == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("triangleCountsAdj equals the wedge-join variant on a dense random graph") {
+    val rnd = new scala.util.Random(5)
+    val g = Seq.fill(300)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val wedge = GraphAnalytics.triangleCounts(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = GraphAnalytics.triangleCountsAdj(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wedge.nonEmpty && wedge == adj)
+  }
+
+  test("relatedNodes: ranks 2-hop candidates by Jaccard, excludes direct neighbors") {
+    // s-{n1,n2}; c-{n1,n2} twin -> 1.0; d-{n1} -> 1/(2+1-1) = 0.5
+    val g = Seq(("s", "n1"), ("s", "n2"), ("c", "n1"), ("c", "n2"), ("d", "n1"))
+      .toDF("src", "dst")
+    val r = GraphAnalytics.relatedNodes(g, "s", k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(3))).toSeq
+    assert(r == Seq(("c", 2L, 1.0), ("d", 1L, 0.5)))
+  }
+
+  test("triangleCountsAdj: K4 plus a tail") {
+    val vs = Seq("a", "b", "c", "d")
+    val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
+    val g = (k4 :+ ("d", "e")).toDF("src", "dst")
+    val t = GraphAnalytics.triangleCountsAdj(g)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
 }
