@@ -64,6 +64,26 @@ object CodeGraph {
         .repartition(
           spark.sessionState.conf.numShufflePartitions max 1, col("src")))
 
+  /** Deduped undirected orientation rows (both (a,b) and (b,a) for
+    * every distinct edge), materialized once per (session, dir) and
+    * hash-partitioned on the probe key — the in-memory analogue of the
+    * reference's BIDIRECTIONAL edge index (`graph_edge_index.zig`
+    * maintains exactly this pair of layouts). Undirected analytics
+    * (k-core, components, related-entities) consume it via their
+    * `undirectedPairs` flag instead of re-paying the 2|E| union+distinct
+    * shuffle per query; at 100 TB this is the second bucketed copy of
+    * the edge table written at ingest (`Scale.writeEdgeIndex`).
+    */
+  def undPairs(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "undPairs") {
+      val p = edgePairs(spark, dir)
+      p.select(col("src"), col("dst"))
+        .union(p.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(
+          spark.sessionState.conf.numShufflePartitions max 1, col("src"))
+    }
+
   private def edgesUncached(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select(
       concat(lit("C"), col("c_custkey")).as("src"),

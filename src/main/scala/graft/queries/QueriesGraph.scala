@@ -337,7 +337,8 @@ object QueriesGraph {
     // so engine (converges) and oracle (always `rounds` peels) agree.
     ("graph_kcore",
       (s, d) => GraphAnalytics.kcore(
-          CodeGraph.edgePairs(s, d), k = 4, rounds = 8, pairsDistinct = true)
+          CodeGraph.undPairs(s, d), k = 4, rounds = 8,
+          undirectedPairs = true)
         .orderBy("id"),
       Some(GraphAnalytics.kcoreSql(E, k = 4, rounds = 8))),
 
@@ -352,7 +353,7 @@ object QueriesGraph {
     // the default 6 (diameter ≤ ~126).
     ("graph_components",
       (s, d) => GraphAnalytics.connectedComponents(
-          CodeGraph.edgePairs(s, d), rounds = 4, pairsDistinct = true)
+          CodeGraph.undPairs(s, d), rounds = 4, undirectedPairs = true)
         .orderBy("id"),
       Some(GraphAnalytics.componentsSql(E, rounds = 4))),
 
@@ -395,8 +396,8 @@ object QueriesGraph {
     // neighbor set, one equi-join over edges, TakeOrderedAndProject).
     ("graph_related",
       (s, d) => GraphAnalytics.relatedNodes(
-        CodeGraph.edgePairs(s, d), seedId = "C1", k = 20,
-        pairsDistinct = true),
+        CodeGraph.undPairs(s, d), seedId = "C1", k = 20,
+        undirectedPairs = true),
       Some(GraphAnalytics.relatedSql(E, seedId = "C1", k = 20))),
 
     // Degree distribution — the first profiling query against any new

@@ -525,6 +525,31 @@ object QueriesPipeline {
         | SELECT term, COUNT(*) AS cnt FROM ex GROUP BY term
         | ORDER BY cnt DESC, term LIMIT 50""".stripMargin.replace("\n", " "))),
 
+    // PMI collocations: phrase-mining / tokenizer-merge candidates —
+    // top bigrams by pointwise mutual information, min pair count 5.
+    // Counts exact LONGs; the PMI ratio is one fixed-order DOUBLE
+    // expression, so ln() agrees bit-for-bit engine-to-engine.
+    ("corpus_pmi",
+      (s, d) => TextAnalysis.pmiCollocations(
+        graft.core.Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | tot AS (SELECT SUM(len(ws)) AS t,
+        |   SUM(GREATEST(len(ws) - 1, 0)) AS tb FROM w),
+        | uni AS (SELECT w1 AS w, COUNT(*) AS cu FROM
+        |   (SELECT unnest(ws) AS w1 FROM w) GROUP BY 1),
+        | bi AS (SELECT unnest(CASE WHEN len(ws) >= 2
+        |   THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |   ELSE CAST([] AS VARCHAR[]) END) AS big FROM w),
+        | cb AS (SELECT big, COUNT(*) AS pair_count FROM bi GROUP BY 1
+        |   HAVING COUNT(*) >= 5),
+        | sp AS (SELECT (string_split(big, ' '))[1] AS w1,
+        |   (string_split(big, ' '))[2] AS w2, pair_count FROM cb)
+        | SELECT sp.w1, sp.w2, sp.pair_count,
+        |  round(ln((CAST(sp.pair_count AS DOUBLE) * tot.t * tot.t)
+        |    / (CAST(tot.tb AS DOUBLE) * u1.cu * u2.cu)), 4) AS pmi
+        | FROM sp JOIN uni u1 ON u1.w = sp.w1 JOIN uni u2 ON u2.w = sp.w2, tot
+        | ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin.replace("\n", " "))),
+
     // Composite quality router: first-match reject reason per doc, one
     // map-only pass over the analyze() metrics. Thresholds compare the
     // same 6-dp-rounded columns in both engines.

@@ -167,4 +167,18 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 3L), ("b", 3L), ("d", 2L))) // tie a/b -> term asc
   }
+
+  test("pmiCollocations: hand-computed PMI, min-count gate, tie order") {
+    // 6 copies of "new york is big": T=24 tokens, TB=18 bigrams, every
+    // bigram count 6, every unigram count 6 ->
+    // pmi = ln(6*24*24 / (18*6*6)) = ln(16/3) = 1.6740 (4 dp)
+    val docs = (1L to 6L).map(i => (i, "new york is big")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 5)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("is", "big", 6L, 1.674), ("new", "york", 6L, 1.674),
+      ("york", "is", 6L, 1.674)))
+    // raising the gate above 6 empties the result
+    assert(TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 7)
+      .isEmpty)
+  }
 }
