@@ -26,7 +26,7 @@ object Queries {
     "bfs_edge_filter", "bfs_in_depth2", "bfs_in_depth5",
     "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
     "sssp_weighted", "graph_pagerank", "graph_kcore",
-    "graph_components", "graph_triangles", "graph_degrees",
+    "graph_components", "graph_triangles", "graph_degrees", "graph_lpa",
     "ann_knn_join",
     "context_query", "filter_bool_tree",
     "dedup_minhash_bands", "dedup_minhash_bands_fast",
@@ -38,6 +38,6 @@ object Queries {
     "corpus_top_terms", "corpus_pmi",
     "q1_agg", "q3_top_orders", "events_tumbling",
     "events_asof_join", "events_range_pairs", "events_attribution",
-    "events_histogram",
+    "events_histogram", "events_kmv_distinct",
   )
 }

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-portable distinct-count sketching.
+  *
+  * Spark's own sketch aggregates (`approx_count_distinct` = HLL++,
+  * `approx_percentile` = KLL) are the production path at 100 TB — but
+  * their binary sketch state is engine-internal, so the entries using
+  * them can only get the driver's weaker rows-only check
+  * (`events_sketch_stats`). This module implements the classic KMV
+  * (k-minimum-values) distinct sketch [Bar-Yossef et al. 2002,
+  * "Counting distinct elements in a data stream"] from pure portable
+  * primitives — md5, substring, integer arithmetic — so the SAME
+  * estimator replays bit-for-bit in DuckDB: the sketch family gets a
+  * real value-level oracle, not just a row count.
+  *
+  * Estimator: hash every value uniformly into (0, 2^32]; keep the k
+  * smallest DISTINCT hashes per group. If a group holds fewer than k
+  * distinct hashes the estimate is exact (= that count); otherwise
+  * E = (k-1) / r_k with r_k = kth-smallest-hash / 2^32 — the classic
+  * unbiased KMV estimate.
+  *
+  * Scale shape: one (group, hash) distinct shuffle (partial-agg
+  * combinable), then the per-group k smallest via a rank-limit window —
+  * Spark plans `row_number <= k` as WindowGroupLimit per-partition
+  * k-heaps, so no group is ever fully sorted and per-group state is
+  * O(k). KMV state is trivially mergeable (union two sketches, keep the
+  * k smallest), which is what makes it a sketch and not a sample.
+  */
+object Sketches {
+
+  /** Portable 32-bit hash in [1, 2^32]: the first 8 hex digits of
+    * md5(value-as-string), parsed as an integer, plus one (avoids a
+    * zero divisor in the estimate; identical shift on both engines).
+    * Spark side uses `conv` (codegen'd hex parse).
+    */
+  def hash32(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 8), 16, 10).cast("long") + lit(1L)
+
+  /** The same hash in DuckDB SQL, generated from the same constants:
+    * instr on the hex alphabet per digit (DuckDB has no hex-parse
+    * function; instr('0123456789abcdef', d) - 1 is the digit value).
+    */
+  def hash32Sql(expr: String): String = {
+    val terms = (1 to 8).map { p =>
+      val pow = 1L << (4 * (8 - p)) // 16^(8-p)
+      s"(instr('0123456789abcdef', substr(md5(CAST($expr AS VARCHAR)), $p, 1)) - 1) * $pow"
+    }
+    s"(${terms.mkString(" + ")} + 1)"
+  }
+
+  /** KMV distinct-count estimate of `valCol` per `groupCols`.
+    * Returns (groupCols..., est_distinct DOUBLE rounded to 4).
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val gs = groupCols.map(col)
+    val d = df.select(gs :+ hash32(col(valCol)).as("hv"): _*).distinct()
+    val w = Window.partitionBy(gs: _*).orderBy(col("hv"))
+    // rank-limit → WindowGroupLimit per-partition k-heaps
+    val kept = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    kept.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("hv"))).as("kth"))
+      .select(gs :+
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * 4294967296.0) / col("kth"), 4))
+          .as("est_distinct"): _*)
+  }
+
+  /** DuckDB oracle for [[kmvDistinct]] over a table, generated from the
+    * same k. `groupCols`/`valExpr` are SQL fragments.
+    */
+  def kmvDistinctSql(table: String, groupCols: Seq[String], valExpr: String,
+                     k: Int = 64): String = {
+    val g = groupCols.mkString(", ")
+    s"""WITH d AS (SELECT DISTINCT $g, ${hash32Sql(valExpr)} AS hv FROM $table),
+       | r AS (SELECT $g, hv, row_number() OVER (PARTITION BY $g ORDER BY hv) AS rn
+       |   FROM d),
+       | s AS (SELECT $g, COUNT(*) AS n_kept,
+       |   MAX(CASE WHEN rn = $k THEN hv END) AS kth
+       |  FROM r WHERE rn <= $k GROUP BY $g)
+       | SELECT $g, CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |  ELSE round(${(k - 1).toDouble * 4294967296.0} / kth, 4) END AS est_distinct
+       | FROM s ORDER BY $g"""
+      .stripMargin.replace("\n", " ")
+  }
+}

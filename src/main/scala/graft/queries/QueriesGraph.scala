@@ -391,6 +391,15 @@ object QueriesGraph {
           | JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) y
           | ON x.ok = y.ok AND x.p < y.p""".stripMargin.replace("\n", " ")))),
 
+    // Community detection: synchronous label propagation with a total
+    // (count desc, label asc) tie-break — the deterministic LPA variant,
+    // fixed-round semantics (unrolled oracle from the same tie-break).
+    ("graph_lpa",
+      (s, d) => GraphAnalytics.labelPropagation(
+          CodeGraph.undPairs(s, d), rounds = 4, undirectedPairs = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.lpaSql(E, rounds = 4))),
+
     // Related entities / link prediction: 2-hop candidates ranked by
     // neighborhood Jaccard vs the seed — seed-bounded (broadcast
     // neighbor set, one equi-join over edges, TakeOrderedAndProject).

@@ -309,6 +309,20 @@ object QueriesRelational {
         .orderBy("event_type"),
       None),
 
+    // KMV (k-minimum-values) distinct sketch — the oracle-portable
+    // sketch: md5-hash values into (0, 2^32], keep the k smallest
+    // distinct per group (WindowGroupLimit k-heaps), estimate
+    // (k-1)/r_k. Unlike the HLL/KLL entry above, every step is exact
+    // integer + one rounded division → full value-level oracle for the
+    // sketch family. KMV state is mergeable (union, keep k smallest) —
+    // the map-side-combinable property that makes it a 100-TB shape.
+    ("events_kmv_distinct",
+      (s, d) => graft.pipeline.Sketches.kmvDistinct(
+          Tables.events(s, d), Seq("event_type"), "user_id", k = 64)
+        .orderBy("event_type"),
+      Some(graft.pipeline.Sketches.kmvDistinctSql(
+        "events", Seq("event_type"), "user_id", k = 64))),
+
     // ===== Time-series joins (no first-class Spark operator) =====
     // As-of join: each purchase gets the user's most recent click at or
     // before it. The oracle replays the SAME union-tag-window shape in

@@ -123,4 +123,37 @@ class GraphAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(t == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
+
+  test("labelPropagation: two cliques joined by a bridge settle to two communities") {
+    // cliques {a1,a2,a3} and {b1,b2,b3}, bridge a3-b1. After LPA each
+    // clique converges to its min label; the bridge endpoints hear 2
+    // votes from their own clique vs 1 from across — clique wins.
+    def clique(vs: Seq[String]) = for { x <- vs; y <- vs if x < y } yield (x, y)
+    val g = (clique(Seq("a1", "a2", "a3")) ++ clique(Seq("b1", "b2", "b3")) :+
+      ("a3", "b1")).toDF("src", "dst")
+    val m = GraphAnalytics.labelPropagation(g, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a1", "a2", "a3").map(m).distinct.size == 1)
+    assert(Seq("b1", "b2", "b3").map(m).distinct.size == 1)
+    assert(m("a1") != m("b1"))
+  }
+
+  test("labelPropagation: deterministic across partitionings and rounds-idempotent on a clique") {
+    val g = (1 to 30).map(i => (s"n${i % 6}", s"n${(i * 5 + 2) % 6}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val a = GraphAnalytics.labelPropagation(g.repartition(1), rounds = 4)
+      .orderBy("id").collect().toSeq
+    val b = GraphAnalytics.labelPropagation(g.repartition(7), rounds = 4)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // a 3-clique reaches the all-min fixpoint by round 3 (round 1 swaps
+    // labels pairwise; the min label dominates from round 2); extra
+    // rounds past the fixpoint are no-ops
+    val k = (for { x <- Seq("x", "y", "z"); y <- Seq("x", "y", "z") if x < y }
+      yield (x, y)).toDF("src", "dst")
+    val r3 = GraphAnalytics.labelPropagation(k, rounds = 3).orderBy("id").collect().toSeq
+    val r5 = GraphAnalytics.labelPropagation(k, rounds = 5).orderBy("id").collect().toSeq
+    assert(r3 == r5)
+    assert(r3.forall(_.getString(1) == "x"))
+  }
 }

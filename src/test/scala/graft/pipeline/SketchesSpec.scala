@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct: below k the estimate is the exact distinct count") {
+    val df = (1 to 200).map(i => ("g", s"u${i % 30}")).toDF("g", "v")
+    val r = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64).collect()
+    assert(r.length == 1 && r.head.getDouble(1) == 30.0)
+  }
+
+  test("kmvDistinct: at n >> k the estimate lands within sampling error") {
+    // n = 5000 distinct; KMV k=256 has RSE ~ 1/sqrt(k-2) ~ 6.3%; allow 4σ
+    val df = (1 to 5000).map(i => ("g", s"user$i")).toDF("g", "v")
+    val est = Sketches.kmvDistinct(df, Seq("g"), "v", k = 256)
+      .collect().head.getDouble(1)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"estimate $est too far")
+  }
+
+  test("kmvDistinct: insensitive to duplication and partitioning") {
+    val base = (1 to 1000).map(i => ("g", s"id$i"))
+    val dup = base ++ base ++ base
+    val a = Sketches.kmvDistinct(base.toDF("g", "v").repartition(1),
+      Seq("g"), "v", k = 64).collect().head.getDouble(1)
+    val b = Sketches.kmvDistinct(dup.toDF("g", "v").repartition(17),
+      Seq("g"), "v", k = 64).collect().head.getDouble(1)
+    assert(a == b)
+  }
+
+  test("hash32 stays in (0, 2^32] and is deterministic") {
+    val df = (1 to 500).map(i => s"k$i").toDF("v")
+      .select(Sketches.hash32(col("v")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 1L && h <= 4294967296L))
+    assert(hs.distinct.length > 490) // 32-bit space: collisions ~0 at n=500
+  }
+}
