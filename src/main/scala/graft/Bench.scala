@@ -47,6 +47,8 @@ object Bench {
       // the undirected (bidirectional-index) view: k-core, components,
       // and related-entities probe it — built once at "ingest"
       graft.graph.CodeGraph.undPairs(spark, sfDir).count()
+      // the part co-occurrence (basket) graph: triangles probe it
+      graft.graph.CodeGraph.coPairs(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // median of N timed iterations per query, like the reference harness
     // (median/p95 reporting, src/bench/harness.zig:134-142). Error

@@ -84,6 +84,29 @@ object CodeGraph {
           spark.sessionState.conf.numShufflePartitions max 1, col("src"))
     }
 
+  /** Canonical part co-occurrence pairs (parts sharing an order; the
+    * "basket graph"), src < dst by construction, BIGINT part keys —
+    * materialized once per (session, dir) like the other derived graph
+    * views: a real pipeline stores this as a table at ingest (one
+    * groupBy shuffle builds the per-order part sets; pairs explode
+    * map-side in sorted order), and every co-occurrence consumer
+    * (triangles, collocation analytics) probes the stored copy.
+    */
+  def coPairs(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "coPairs") {
+      val baskets = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
+      baskets.select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          | transform(slice(ps, i + 2, size(ps)),
+          |   y -> struct(x AS src, y AS dst))))""".stripMargin))
+          .as("pr"))
+        .select(col("pr.src"), col("pr.dst")).distinct()
+        .repartition(
+          spark.sessionState.conf.numShufflePartitions max 1, col("src"))
+    }
+
   private def edgesUncached(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select(
       concat(lit("C"), col("c_custkey")).as("src"),

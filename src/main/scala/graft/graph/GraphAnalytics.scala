@@ -57,36 +57,45 @@ object GraphAnalytics {
     try {
       val nodes = pairs.select(col("src").as("id"))
         .union(pairs.select(col("dst").as("id"))).distinct()
-        .localCheckpoint(false)
-      val n = nodes.count()
+      val outdeg = pairs.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("outdeg"))
+      // state carries (id, outdeg, rank) — outdeg is topology, fixed
+      // across iterations, and carrying it in the state removes a
+      // per-iteration V-sized join (outdeg NULL marks the dangling set,
+      // which the reference formulation computed as a separate anti-join
+      // table). EAGER checkpoint: each round's state feeds THREE
+      // branches of the next round (dangling agg, share projection,
+      // rebuild join) — a lazy checkpoint read from several branches
+      // recomputes its ancestor chain per branch (see
+      // connectedComponents), so materializing once per round is the
+      // same one-job-per-iteration cost the old per-iter action paid,
+      // minus the dropped join.
+      var state = nodes.join(outdeg, Seq("id"), "left")
+        .localCheckpoint(true)
+      val n = state.count() // free: state is materialized
       val base = scale / n
       val teleport = 15L * base / 100L
-      val outdeg = pairs.groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("outdeg")).localCheckpoint(false)
-      // the dangling SET is topology, fixed across iterations — compute
-      // it once; per iteration only its rank-mass changes
-      val dangIds = nodes.join(outdeg, Seq("id"), "left_anti")
-        .localCheckpoint(false)
-      var rank = nodes.withColumn("rank", lit(base)).localCheckpoint(false)
+      state = state.withColumn("rank", lit(base)).localCheckpoint(true)
       for (_ <- 1 to iters) {
-        // ONE action per iteration: this driver-collected LONG is also
-        // what materializes the previous round's lazily-checkpointed
-        // rank (the final round's rank is materialized by the consumer)
-        val dangling = rank.join(dangIds, Seq("id"), "left_semi")
-          .agg(coalesce(sum("rank"), lit(0L))).first().getLong(0)
-        val dangShare = dangling / n
-        val incoming = rank.join(outdeg, Seq("id"))
+        // dangling rank mass as a 1-row broadcast instead of a driver
+        // action: the whole iteration stays one lazy plan, and the
+        // cross-joined scalar replays the reference arithmetic exactly
+        // (floor div by N, all LONG)
+        val dang = state.filter(col("outdeg").isNull)
+          .agg(expr(s"coalesce(sum(rank), 0L) div ${n}L").as("dsh"))
+        val incoming = state.filter(col("outdeg").isNotNull)
           .select(col("id").as("src"), expr("rank div outdeg").as("share"))
           .join(pairs, Seq("src"))
           .groupBy(col("dst").as("id")).agg(sum("share").as("inc"))
-        rank = nodes.join(incoming, Seq("id"), "left")
-          .select(col("id"),
+        state = state.select("id", "outdeg")
+          .join(incoming, Seq("id"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("id"), col("outdeg"),
             (lit(teleport) +
-              expr(s"85 * (coalesce(inc, 0L) + ${dangShare}L) div 100")
-            ).as("rank"))
-          .localCheckpoint(false)
+              expr("85 * (coalesce(inc, 0L) + dsh) div 100")).as("rank"))
+          .localCheckpoint(true)
       }
-      rank
+      state.select("id", "rank")
     } finally if (!parentCached) pairs.unpersist()
   }
 
@@ -306,8 +315,13 @@ object GraphAnalytics {
                        pairsDistinct: Boolean = false,
                        undirectedPairs: Boolean = false): DataFrame = {
     // distinct undirected view — label COUNTS need dedup (a pair stored
-    // in both orientations is one neighbor relation, not two votes)
-    val und = (if (undirectedPairs)
+    // in both orientations is one neighbor relation, not two votes).
+    // An already-persisted undirected index is consumed as-is; the
+    // checkpoint copy is only for derived views (und is read every
+    // round, never mutated).
+    val parentCached = undirectedPairs &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0 = if (undirectedPairs)
       edges.select(col("src").as("a"), col("dst").as("b"))
     else {
       val pairs0 =
@@ -316,15 +330,24 @@ object GraphAnalytics {
       pairs0.select(col("src").as("a"), col("dst").as("b"))
         .union(pairs0.select(col("dst").as("a"), col("src").as("b")))
         .distinct()
-    }).localCheckpoint(false)
+    }
+    val und = if (parentCached) und0 else und0.localCheckpoint(false)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(false)
+    // the vote join probes und on `b`, but a stored undirected index is
+    // laid out by `a` — shuffling the O(E) edge set per round to the
+    // other key is the classic LPA bottleneck. The label table is O(V);
+    // while it is broadcastable, ship IT instead and the edge set never
+    // moves (same V-threshold pattern as connectedComponents). The one
+    // up-front count also materializes und/labels.
+    val small = labels.count() <= 1000000L
     for (_ <- 1 to rounds) {
       // vote of neighbor b's label to node a (every node of und has ≥1
       // neighbor, so the synchronous update is total)
+      val lblsB = labels.withColumnRenamed("id", "b")
       val votes = und
-        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .join(if (small) broadcast(lblsB) else lblsB, Seq("b"))
         .groupBy(col("a").as("id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       labels = votes

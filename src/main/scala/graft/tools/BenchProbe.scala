@@ -14,6 +14,12 @@ object BenchProbe {
     spark.sparkContext.setLogLevel("ERROR")
     def run(name: String): Unit =
       graft.Queries.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    // same warmup as Bench: materialize the derived graph views first
+    graft.graph.CodeGraph.edges(spark, dir).count()
+    graft.graph.CodeGraph.nodeBlocks(spark, dir).count()
+    graft.graph.CodeGraph.edgePairs(spark, dir).count()
+    graft.graph.CodeGraph.undPairs(spark, dir).count()
+    graft.graph.CodeGraph.coPairs(spark, dir).count()
     for (it <- 1 to 3; name <- args) {
       val t0 = System.nanoTime()
       run(name)
