@@ -323,6 +323,18 @@ object QueriesRelational {
       Some(graft.pipeline.Sketches.kmvDistinctSql(
         "events", Seq("event_type"), "user_id", k = 64))),
 
+    // Funnel / ordered-sequence matching (CEP shape): steps completed
+    // per user under greedy earliest matching in (time, event_id) order.
+    // One groupBy shuffle + a codegen'd array walk — no joins; the
+    // oracle replays the equivalent per-step earliest-match join
+    // formulation. The streaming twin (flatMapGroupsWithState carrying
+    // the walk across micro-batches) is spec-pinned to this batch path.
+    ("events_funnel",
+      (s, d) => EventStreams.funnelSteps(
+          Tables.eventsNorm(s, d).withColumn("ts_us", expr("ts_ns div 1000")))
+        .orderBy("user_id"),
+      Some(EventStreams.funnelSql())),
+
     // ===== Time-series joins (no first-class Spark operator) =====
     // As-of join: each purchase gets the user's most recent click at or
     // before it. The oracle replays the SAME union-tag-window shape in

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,6 +131,107 @@ object EventStreams {
         }
         state.update((last, nSess, nEv))
         UserSessions(uid, nSess, nEv)
+      }.toDF()
+  }
+
+  /** Funnel analysis (CEP-style ordered sequence matching): per user,
+    * how many steps of `steps` (default view → click → purchase) were
+    * completed IN ORDER — each step matched by the earliest qualifying
+    * event strictly after the previous step's match (greedy earliest
+    * matching, which is optimal for subsequence matching and totally
+    * deterministic under the (time, event_id) order).
+    *
+    * Shape: ONE groupBy shuffle builds each user's time-sorted event
+    * array; the funnel walk is a codegen'd `aggregate` over the array —
+    * no joins, no per-step passes. Per-user state is that user's events
+    * (bounded by per-user activity, the same bound sessionize carries).
+    * The 3-pass join formulation (min-next-event per step) is what the
+    * oracle replays; the scan is equivalent because greedy matching
+    * takes exactly the per-step minimum.
+    */
+  def funnelSteps(ev: DataFrame,
+                  steps: Seq[String] = Seq("view", "click", "purchase"),
+                  tsUsCol: String = "ts_us"): DataFrame = {
+    val sorted = ev
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col(tsUsCol).as("t"), col("event_id").as("eid"),
+          col("event_type").as("et")))).as("evs"))
+    // the step the walk is waiting for, as a CASE over the stage counter
+    def nextType(stage: Column) =
+      steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (els, (st, i)) => when(stage === i, lit(st)).otherwise(els)
+      }
+    sorted.select(col("user_id"),
+      aggregate(col("evs"), lit(0),
+        (stage, e) => when(stage < steps.size &&
+          e.getField("et") === nextType(stage), stage + 1).otherwise(stage))
+        .cast("long").as("steps_completed"))
+  }
+
+  /** DuckDB oracle for [[funnelSteps]]: the per-step earliest-match
+    * formulation — step k's match is the (t, event_id)-minimal event of
+    * the step's type strictly after step k-1's match (generated for the
+    * same step list).
+    */
+  def funnelSql(steps: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS eid, " +
+      "event_type FROM events), " +
+      "u AS (SELECT DISTINCT user_id FROM e)"
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val prev = if (i == 0) None else Some(s"s$i")
+      val after = prev.fold("")(p =>
+        s" JOIN $p ON e.user_id = $p.user_id AND " +
+          s"(e.t > $p.t OR (e.t = $p.t AND e.eid > $p.eid))")
+      sb ++= s", s${i + 1} AS (SELECT user_id, t, eid FROM (" +
+        s"SELECT e.user_id, e.t, e.eid, row_number() OVER (" +
+        s"PARTITION BY e.user_id ORDER BY e.t, e.eid) AS rn " +
+        s"FROM e$after WHERE e.event_type = '$st') WHERE rn = 1)"
+    }
+    val reached = (steps.size to 1 by -1).map(i =>
+      s"WHEN EXISTS (SELECT 1 FROM s$i WHERE s$i.user_id = u.user_id) THEN $i")
+      .mkString(" ")
+    sb ++= s" SELECT u.user_id, CAST(CASE $reached ELSE 0 END AS BIGINT) " +
+      "AS steps_completed FROM u ORDER BY user_id"
+    sb.result()
+  }
+
+  final case class FunnelState(stage: Int, t: Long, eid: Long)
+  final case class FunnelOut(user_id: Long, steps_completed: Long)
+
+  /** The streaming twin of [[funnelSteps]]: per-user custom state via
+    * `flatMapGroupsWithState` — (stage, last matched (t, event_id))
+    * carried across micro-batches; each batch's events continue the
+    * same greedy walk in (t, eid) order. Emits the user's row only when
+    * the batch advanced the stage (the CEP "pattern progressed" signal);
+    * the final state equals the batch walk when events arrive
+    * time-ordered across batches (spec-pinned). Output mode: Update.
+    */
+  def streamingFunnelSteps(ev: DataFrame,
+                           steps: Seq[String] = Seq("view", "click", "purchase"),
+                           tsUsCol: String = "ts_us"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    ev.select(col("user_id").cast("long"), col(tsUsCol).cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue, Long.MinValue))
+          val before = st.stage
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, eid, et) =>
+            val afterLast = t > st.t || (t == st.t && eid > st.eid)
+            if (st.stage < stepArr.length && afterLast && et == stepArr(st.stage))
+              st = FunnelState(st.stage + 1, t, eid)
+          }
+          state.update(st)
+          if (st.stage != before) Iterator(FunnelOut(uid, st.stage.toLong))
+          else Iterator.empty
       }.toDF()
   }
 

@@ -167,4 +167,60 @@ class EventStreamsSpec extends SparkSpec {
         Set((0L, "click", 2L)))
     } finally q.stop()
   }
+
+  private def us(min: Long): Long = min * 60L * 1000000L
+
+  test("funnelSteps: greedy in-order matching, out-of-order steps don't count") {
+    val ev = Seq(
+      // user 1 completes view -> click -> purchase
+      (1L, us(1), 1L, "view"), (2L, us(2), 1L, "click"), (3L, us(3), 1L, "purchase"),
+      // user 2: purchase BEFORE the view/click — only 2 steps count
+      (4L, us(1), 2L, "purchase"), (5L, us(2), 2L, "view"), (6L, us(3), 2L, "click"),
+      // user 3: view only
+      (7L, us(1), 3L, "view"),
+      // user 4: no funnel step types at all
+      (8L, us(1), 4L, "signup"),
+    ).toDF("event_id", "ts_us", "user_id", "event_type")
+    val r = EventStreams.funnelSteps(ev).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("streaming funnel walk across micro-batches matches the batch walk") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val streamed = EventStreams.streamingFunnelSteps(
+      mem.toDF().toDF("event_id", "ts_us", "user_id", "event_type"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("funnel_test").outputMode("update").start()
+    try {
+      // batch 1: user 1 view+click; user 2 click only (stage stays 0)
+      mem.addData((1L, us(1), 1L, "view"), (2L, us(2), 1L, "click"),
+        (3L, us(1), 2L, "click"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchase completes; user 2 view then (late, BEFORE
+      // the view) a click that must NOT advance the walk
+      mem.addData((4L, us(3), 1L, "purchase"), (5L, us(5), 2L, "view"),
+        (6L, us(4), 2L, "click"))
+      q.processAllAvailable()
+      // batch 3: user 2's click after its view -> stage 2
+      mem.addData((7L, us(6), 2L, "click"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """select user_id, steps_completed from (
+          |  select *, row_number() over (
+          |    partition by user_id order by steps_completed desc) as rn
+          |  from funnel_test) where rn = 1""".stripMargin).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchEv = Seq(
+        (1L, us(1), 1L, "view"), (2L, us(2), 1L, "click"), (3L, us(1), 2L, "click"),
+        (4L, us(3), 1L, "purchase"), (5L, us(5), 2L, "view"), (6L, us(4), 2L, "click"),
+        (7L, us(6), 2L, "click"),
+      ).toDF("event_id", "ts_us", "user_id", "event_type")
+      val batch = EventStreams.funnelSteps(batchEv).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch)
+      assert(batch == Map(1L -> 3L, 2L -> 2L))
+    } finally q.stop()
+  }
 }
