@@ -35,6 +35,7 @@ object Queries {
     "ann_topk_quant",
     "ann_neardup_lsh", "embedding_kmeans",
     "text_stats", "text_tfidf", "text_bm25", "text_pii_scan",
+    "corpus_prep_pipeline",
     "corpus_top_terms", "corpus_pmi",
     "q1_agg", "q3_top_orders", "events_tumbling",
     "events_asof_join", "events_range_pairs", "events_attribution",

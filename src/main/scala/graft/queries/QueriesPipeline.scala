@@ -741,6 +741,56 @@ object QueriesPipeline {
            | WHERE bucket < keep_pct ORDER BY doc_id"""
           .stripMargin.replace("\n", " ")
       })),
+
+    // ===== End-to-end corpus prep =====
+    // The whole release pipeline as ONE composed query — quality filter
+    // → exact-dedup survivors → per-source token-budget mixture →
+    // sequence packing — proving the operators compose (each stage's
+    // output feeds the next with no materialization barriers; Catalyst
+    // plans the chain whole). Oracle = the same four stages as chained
+    // CTEs built from the per-stage oracle logic. Stage shapes: map-only
+    // filter, one groupBy, two per-stratum windows — nothing global.
+    ("corpus_prep_pipeline",
+      (s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        val kept = docs.join(
+          TextAnalysis.filterDecisions(docs, "doc_id", "text")
+            .filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val surv = kept.join(
+          Dedup.exact(kept, Seq("text"), "doc_id")
+            .select(col("canonical_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val sampled = graft.pipeline.Sampling.tokenBudget(
+          surv, "doc_id", "source", "n_chars", budgetTokens = 2000L)
+        TextAnalysis.packIntoWindows(
+          surv.join(sampled.select("doc_id"), Seq("doc_id"), "left_semi"),
+          "doc_id", "text", "source", 4096)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH stats AS ($textStatsSql),
+        | dec AS (SELECT doc_id FROM stats WHERE NOT (n_tokens < 10
+        |   OR quality < CAST(0.35 AS DOUBLE)
+        |   OR punct_ratio > CAST(0.2 AS DOUBLE))),
+        | kept AS (SELECT d.* FROM documents d
+        |   WHERE d.doc_id IN (SELECT doc_id FROM dec)),
+        | canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+        | surv AS (SELECT * FROM kept
+        |   WHERE doc_id IN (SELECT doc_id FROM canon)),
+        | samp AS (SELECT doc_id FROM (SELECT doc_id,
+        |   CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+        |     ORDER BY ${graft.pipeline.Sampling.hashOrderSql("doc_id")}, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS tb FROM surv) WHERE tb < 2000),
+        | t AS (SELECT doc_id, source AS shard,
+        |   CAST(len($wordsSql) AS INT) AS n_tokens FROM surv
+        |   WHERE doc_id IN (SELECT doc_id FROM samp)),
+        | c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+        |   PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        | SELECT doc_id, shard, n_tokens,
+        |  CAST(FLOOR(cb / 4096) AS BIGINT) AS bin_idx
+        | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
   )
 
   // lazy: `entries` above is initialized first and forces these during
