@@ -62,6 +62,13 @@ object Bench {
     var failedTime = 0.0
     var zeroSuccess = 0
     val results = Queries.benchNames.flatMap { name =>
+      // untimed GC nudge between queries: checkpointed RDDs from
+      // completed queries unpersist only when their weak refs are
+      // collected (ContextCleaner) — without this, storage fills as the
+      // suite progresses and later queries bench their spill behavior
+      // instead of their plan (observed: a 2 s query timing 15 s late
+      // in the suite, back to 2 s isolated)
+      System.gc()
       val attempts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { run(name, sfDir); Right((System.nanoTime() - t0) / 1e9) }

@@ -280,7 +280,12 @@ object Similarity {
               nBands: Int = 4, planesPerBand: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 42L, dim: Int = 64): DataFrame = {
+    // cand feeds BOTH orientations of the symmetrization — eager
+    // checkpoint so the banding + bucket self-join run once, not twice
+    // (multi-branch lazy frames recompute per branch, see
+    // GraphAnalytics.connectedComponents)
     val cand = lshBandedPairs(emb, nBands, planesPerBand, idCol, vecCol, seed, dim)
+      .localCheckpoint(true)
     val sym = cand.union(
       cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val normed = emb.select(col(idCol), col(vecCol),

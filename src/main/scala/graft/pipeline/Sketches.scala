@@ -89,4 +89,71 @@ object Sketches {
        | FROM s ORDER BY $g"""
       .stripMargin.replace("\n", " ")
   }
+
+  /** Histogram-sketch quantiles: estimate per-group quantiles of
+    * `valCol` from fixed-width bin counts with linear interpolation
+    * inside the target bin — the mergeable quantile shape (bin counts
+    * add across partitions; one partial-agg shuffle of (group, bin),
+    * never a per-group value buffer like exact `percentile`). The
+    * portable, exactly-reproducible counterpart of `approx_percentile`
+    * (KLL), the same way [[kmvDistinct]] twins
+    * `approx_count_distinct`.
+    *
+    * Estimate for quantile q over bins of width w: with pos = q·(n−1)
+    * (the same rank convention as interpolated percentiles), find the
+    * bin where the cumulative count first exceeds pos; estimate =
+    * bin_lo + w · (pos − cum_before) / bin_count. Exact integer bin
+    * counts + one double interpolation, rounded — bit-reproducible.
+    *
+    * Returns (groupCols..., q_<label> DOUBLE ...) per quantile.
+    */
+  def histQuantiles(df: DataFrame, groupCols: Seq[String], valCol: String,
+                    binWidth: Double, qs: Seq[Double] = Seq(0.5, 0.9, 0.99))
+  : DataFrame = {
+    val gs = groupCols.map(col)
+    val bins = df
+      .groupBy(gs :+ floor(col(valCol) / binWidth).cast("long").as("bin"): _*)
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bins
+      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(gs: _*)))
+    val qCols = qs.map { q =>
+      // the target bin: cb <= pos < cb + c  (pos = q·(n−1))
+      val pos = lit(q) * (col("n") - 1).cast("double")
+      val inBin = pos >= col("cb").cast("double") &&
+        pos < (col("cb") + col("c")).cast("double")
+      val est = col("bin").cast("double") * binWidth +
+        lit(binWidth) * (pos - col("cb").cast("double")) / col("c").cast("double")
+      // exactly one bin satisfies inBin per group (cum counts partition
+      // [0, n); pos < n−1+1) → max picks it
+      round(max(when(inBin, est)), 4).as(s"p${(q * 100).round}")
+    }
+    cum.groupBy(gs: _*).agg(qCols.head, qCols.tail: _*)
+  }
+
+  /** DuckDB oracle for [[histQuantiles]], generated from the same bin
+    * width and quantile list.
+    */
+  def histQuantilesSql(table: String, groupCols: Seq[String], valExpr: String,
+                       binWidth: Double,
+                       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): String = {
+    val g = groupCols.mkString(", ")
+    val qSel = qs.map { q =>
+      val pos = s"(CAST($q AS DOUBLE) * (n - 1))"
+      s"round(MAX(CASE WHEN $pos >= cb AND $pos < cb + c THEN " +
+        s"bin * CAST($binWidth AS DOUBLE) + CAST($binWidth AS DOUBLE) * " +
+        s"($pos - cb) / c END), 4) AS p${(q * 100).round}"
+    }.mkString(", ")
+    s"""WITH bins AS (SELECT $g,
+       |  CAST(floor($valExpr / CAST($binWidth AS DOUBLE)) AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS c FROM $table GROUP BY $g, bin),
+       | cum AS (SELECT $g, bin, c,
+       |  CAST(COALESCE(SUM(c) OVER (PARTITION BY $g ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS cb,
+       |  CAST(SUM(c) OVER (PARTITION BY $g) AS DOUBLE) AS n FROM bins)
+       | SELECT $g, $qSel FROM cum GROUP BY $g ORDER BY $g"""
+      .stripMargin.replace("\n", " ")
+  }
 }

@@ -323,6 +323,19 @@ object QueriesRelational {
       Some(graft.pipeline.Sketches.kmvDistinctSql(
         "events", Seq("event_type"), "user_id", k = 64))),
 
+    // Histogram-sketch quantiles: per-type p50/p90/p99 estimated from
+    // fixed-width bin counts with in-bin interpolation — the mergeable
+    // quantile shape (bin counts add across partitions; one partial-agg
+    // shuffle, no per-group value buffer), exactly reproducible in the
+    // oracle. Twins approx_percentile the way events_kmv_distinct twins
+    // approx_count_distinct; events_quantiles stays the exact gate.
+    ("events_hist_quantiles",
+      (s, d) => graft.pipeline.Sketches.histQuantiles(
+          Tables.events(s, d), Seq("event_type"), "value", binWidth = 10.0)
+        .orderBy("event_type"),
+      Some(graft.pipeline.Sketches.histQuantilesSql(
+        "events", Seq("event_type"), "value", binWidth = 10.0))),
+
     // Funnel / ordered-sequence matching (CEP shape): steps completed
     // per user under greedy earliest matching in (time, event_id) order.
     // One groupBy shuffle + a codegen'd array walk — no joins; the

@@ -30,6 +30,33 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("histQuantiles: uniform values land near the true quantiles") {
+    // values 0..999 in one group, width 10: p50 ~ 499.5 within one bin
+    val df = (0 until 1000).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val r = Sketches.histQuantiles(df, Seq("g"), "v", binWidth = 10.0)
+      .collect().head
+    assert(math.abs(r.getDouble(1) - 499.5) <= 10.0) // p50
+    assert(math.abs(r.getDouble(2) - 899.1) <= 10.0) // p90
+    assert(math.abs(r.getDouble(3) - 989.01) <= 10.0) // p99
+  }
+
+  test("histQuantiles: insensitive to partitioning (mergeable bins)") {
+    val vals = (1 to 500).map(i => ("g", (i * 37 % 211).toDouble))
+    val a = Sketches.histQuantiles(vals.toDF("g", "v").repartition(1),
+      Seq("g"), "v", binWidth = 5.0).collect().head.toSeq
+    val b = Sketches.histQuantiles(vals.toDF("g", "v").repartition(13),
+      Seq("g"), "v", binWidth = 5.0).collect().head.toSeq
+    assert(a == b)
+  }
+
+  test("histQuantiles: single-value group interpolates to the value's bin") {
+    val df = Seq(("g", 42.0)).toDF("g", "v")
+    val r = Sketches.histQuantiles(df, Seq("g"), "v", binWidth = 10.0)
+      .collect().head
+    // n=1 -> pos=0, bin 4, est = 40.0 for every quantile
+    assert(r.getDouble(1) == 40.0 && r.getDouble(2) == 40.0 && r.getDouble(3) == 40.0)
+  }
+
   test("hash32 stays in (0, 2^32] and is deterministic") {
     val df = (1 to 500).map(i => s"k$i").toDF("v")
       .select(Sketches.hash32(col("v")).as("h"))
