@@ -327,8 +327,15 @@ object QueriesPipeline {
         | FROM embeddings e, q WHERE e.vec_id <> 0
         | ORDER BY score DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
 
+    // Probes a MEMOIZED centroid index (built once per session+dir via
+    // QueryCache, write-invalidated like the graph views) — the "train
+    // once at ingest, probe per query" IVF contract; the oracle
+    // rebuilds the same deterministic centroids inline.
     ("ann_ivf",
-      (s, d) => Similarity.ivfTopK(
+      (s, d) => Similarity.ivfTopKWith(
+        graft.query.QueryCache.forSession(s)
+          .getOrElseUpdate(s"ivf-centroids|$d")(
+            Similarity.ivfCentroids(graft.core.Tables.embeddings(s, d))),
         graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10, nprobe = 2),
       Some(s"""WITH cent AS (
         |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS cv
