@@ -167,4 +167,65 @@ class RandomizedInvariantsSpec extends SparkSpec {
         s"seed=$seed")
     }
   }
+
+  test("funnelSteps equals an in-memory greedy walk on random event streams") {
+    import graft.streaming.EventStreams
+    val steps = Seq("view", "click", "purchase")
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    for (seed <- Seq(61, 62, 63)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 400).map { i =>
+        (i.toLong, rnd.nextInt(50).toLong * 1000000L, // coarse ts -> many ties
+          rnd.nextInt(25).toLong, types(rnd.nextInt(types.size)))
+      }
+      // row order must not matter: the walk sorts internally
+      val shuffled = rnd.shuffle(rows)
+      val got = EventStreams.funnelSteps(
+          shuffled.toDF("event_id", "ts_us", "user_id", "event_type"))
+        .as[(Long, Long)].collect().toMap
+      val want = rows.groupBy(_._3).map { case (uid, evs) =>
+        var stage = 0
+        evs.sortBy(e => (e._2, e._1)).foreach { e =>
+          if (stage < steps.size && e._4 == steps(stage)) stage += 1
+        }
+        uid -> stage.toLong
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("histQuantiles is within one bin width of the exact percentile") {
+    import graft.pipeline.Sketches
+    for (seed <- Seq(71, 72)) {
+      val rnd = new scala.util.Random(seed)
+      val vals = (1 to 2000).map(_ => ("g", rnd.nextDouble() * 500.0))
+      val est = Sketches.histQuantiles(vals.toDF("g", "v"), Seq("g"), "v",
+        binWidth = 10.0).collect().head
+      val sorted = vals.map(_._2).sorted
+      def exact(q: Double): Double = {
+        val pos = q * (sorted.size - 1)
+        val lo = sorted(pos.toInt)
+        val hi = sorted(math.min(pos.toInt + 1, sorted.size - 1))
+        lo + (pos - pos.toInt) * (hi - lo)
+      }
+      for ((q, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex)
+        assert(math.abs(est.getDouble(i + 1) - exact(q)) <= 10.0,
+          s"seed=$seed q=$q est=${est.getDouble(i + 1)} exact=${exact(q)}")
+    }
+  }
+
+  test("KMV estimate tracks the true distinct count within sampling error") {
+    import graft.pipeline.Sketches
+    for ((n, seed) <- Seq((300, 81), (3000, 82))) {
+      val rnd = new scala.util.Random(seed)
+      // duplicates + skew: each value drawn from n distinct keys
+      val vals = (1 to n * 3).map(_ => ("g", s"k${rnd.nextInt(n)}"))
+      val nTrue = vals.map(_._2).distinct.size
+      val est = Sketches.kmvDistinct(vals.toDF("g", "v"), Seq("g"), "v",
+        k = 256).collect().head.getDouble(1)
+      // RSE ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+      assert(math.abs(est - nTrue) / nTrue < 0.25,
+        s"seed=$seed est=$est true=$nTrue")
+    }
+  }
 }
