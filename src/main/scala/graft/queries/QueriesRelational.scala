@@ -323,6 +323,33 @@ object QueriesRelational {
       Some(graft.pipeline.Sketches.kmvDistinctSql(
         "events", Seq("event_type"), "user_id", k = 64))),
 
+    // Cohort retention: users bucketed by first-activity hour; for each
+    // (cohort, periods-since) cell, how many of the cohort's users were
+    // active. Two partial-agg shuffles (per-user min, then distinct
+    // (cohort, period, user)) + one count — the standard retention
+    // matrix, output cohorts × periods sized.
+    ("events_retention",
+      (s, d) => {
+        val e = Tables.eventsNorm(s, d)
+          .select(col("user_id"), expr("ts_ns div 3600000000000").as("hr"))
+        val cohorts = e.groupBy("user_id").agg(min("hr").as("cohort"))
+        e.join(cohorts, Seq("user_id"))
+          .select(col("cohort"), (col("hr") - col("cohort")).as("period"),
+            col("user_id"))
+          .distinct()
+          .groupBy("cohort", "period")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "period")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr
+        |   FROM events),
+        | c AS (SELECT user_id, MIN(hr) AS cohort FROM e GROUP BY user_id),
+        | a AS (SELECT DISTINCT c.cohort, e.hr - c.cohort AS period, e.user_id
+        |   FROM e JOIN c ON e.user_id = c.user_id)
+        | SELECT cohort, period, CAST(COUNT(*) AS BIGINT) AS n_users
+        | FROM a GROUP BY 1, 2 ORDER BY cohort, period"""
+        .stripMargin.replace("\n", " "))),
+
     // Histogram-sketch quantiles: per-type p50/p90/p99 estimated from
     // fixed-width bin counts with in-bin interpolation — the mergeable
     // quantile shape (bin counts add across partitions; one partial-agg
