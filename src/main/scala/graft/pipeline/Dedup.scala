@@ -285,17 +285,27 @@ object Dedup {
     * so ingest cost is O(batch × collisions), independent of corpus
     * re-pairing.
     */
+  /** The long-form banded index (id, band_idx, band_key) — the
+    * projection a production corpus STORES (bucketed by band key) so
+    * incoming batches probe it without re-banding the corpus. Pass its
+    * result as [[incrementalDedup]]'s `corpusIndex`.
+    */
+  def bandedIndex(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    minhashBands(df, idCol, textCol, n, k, bands).select(col(idCol),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+
   def incrementalDedup(batch: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 3, k: Int = 16, bands: Int = 4,
-                       verifyN: Int = 2, threshold: Double = 0.05): DataFrame = {
-    def long(df: DataFrame): DataFrame =
-      minhashBands(df, idCol, textCol, n, k, bands).select(col(idCol),
-        posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
-          .as(Seq("band_idx", "band_key")))
-    val cand = long(batch)
+                       verifyN: Int = 2, threshold: Double = 0.05,
+                       corpusIndex: Option[DataFrame] = None): DataFrame = {
+    val corpusIdx = corpusIndex.getOrElse(
+      bandedIndex(corpus, idCol, textCol, n, k, bands))
+    val cand = bandedIndex(batch, idCol, textCol, n, k, bands)
       .select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
-      .join(long(corpus)
+      .join(corpusIdx
         .select(col(idCol).as("id_b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .select("id_a", "id_b").distinct()

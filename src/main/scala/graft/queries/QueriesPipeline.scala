@@ -235,15 +235,21 @@ object QueriesPipeline {
 
     // Incremental dedup: sources src0..src4 play the incoming batch,
     // the rest the existing corpus. Batch bands probe the corpus's
-    // banded index — no batch x batch, no corpus x corpus pairing.
+    // STORED banded index (memoized per session+dir via QueryCache,
+    // write-invalidated — banding the corpus is an ingest cost, not a
+    // per-batch cost) — no batch x batch, no corpus x corpus pairing.
     ("dedup_incremental",
       (s, d) => {
         val docs = graft.core.Tables.documents(s, d)
         val isBatch = substring(col("source"), 4, 10).cast("int") < 5
+        val corpusIdx = graft.query.QueryCache.forSession(s)
+          .getOrElseUpdate(s"banded-index|$d")(
+            Dedup.bandedIndex(docs.filter(!isBatch), "doc_id", "text",
+              n = 3, k = K, bands = BANDS))
         Dedup.incrementalDedup(
           docs.filter(isBatch), docs.filter(!isBatch),
           "doc_id", "text", n = 3, k = K, bands = BANDS,
-          verifyN = 2, threshold = 0.05)
+          verifyN = 2, threshold = 0.05, corpusIndex = Some(corpusIdx))
           .orderBy("id_a", "id_b")
       },
       Some(s"""$minhashCte,
