@@ -235,6 +235,58 @@ object EventStreams {
       }.toDF()
   }
 
+  /** The same funnel walk as a Spark 4 `StatefulProcessor` — see
+    * [[streamingFunnelStepsTws]].
+    */
+  final class FunnelProcessor(steps: Array[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), FunnelOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[FunnelState] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelOut] = {
+      var cur = if (st.exists()) st.get()
+                else FunnelState(0, Long.MinValue, Long.MinValue)
+      val before = cur.stage
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, eid, et) =>
+        val afterLast = t > cur.t || (t == cur.t && eid > cur.eid)
+        if (cur.stage < steps.length && afterLast && et == steps(cur.stage))
+          cur = FunnelState(cur.stage + 1, t, eid)
+      }
+      st.update(cur)
+      if (cur.stage != before) Iterator(FunnelOut(uid, cur.stage.toLong))
+      else Iterator.empty
+    }
+  }
+
+  /** [[streamingFunnelSteps]] on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4): per-user [[FunnelState]] lives in
+    * a typed `ValueState` backed by the RocksDB state store — the
+    * modern replacement for `flatMapGroupsWithState` (TTL-able state
+    * variables, timers, state-schema evolution). Same walk, same
+    * emit-on-progress contract (spec-pinned to the batch path);
+    * requires the RocksDB state store provider on the session.
+    */
+  def streamingFunnelStepsTws(ev: DataFrame,
+                              steps: Seq[String] = Seq("view", "click", "purchase"),
+                              tsUsCol: String = "ts_us"): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.select(col("user_id").cast("long"), col(tsUsCol).cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor(steps.toArray),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Click→purchase attribution: every purchase joined to each same-user
     * click in the preceding `withinSec` window. Equi-join on `user_id`
     * with a time-range residual — ONE hash shuffle on the key, never a

@@ -223,4 +223,37 @@ class EventStreamsSpec extends SparkSpec {
       assert(batch == Map(1L -> 3L, 2L -> 2L))
     } finally q.stop()
   }
+
+  test("transformWithState funnel (RocksDB state store) matches the batch walk") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.streamingFunnelStepsTws(
+        mem.toDF().toDF("event_id", "ts_us", "user_id", "event_type"))
+      .writeStream.format("memory")
+      .queryName("funnel_tws_test").outputMode("update").start()
+    try {
+      mem.addData((1L, us(1), 1L, "view"), (2L, us(2), 1L, "click"),
+        (3L, us(1), 2L, "click"))
+      q.processAllAvailable()
+      mem.addData((4L, us(3), 1L, "purchase"), (5L, us(5), 2L, "view"),
+        (6L, us(4), 2L, "click"))
+      q.processAllAvailable()
+      mem.addData((7L, us(6), 2L, "click"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """select user_id, steps_completed from (
+          |  select *, row_number() over (
+          |    partition by user_id order by steps_completed desc) as rn
+          |  from funnel_tws_test) where rn = 1""".stripMargin).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 3L, 2L -> 2L)) // same as the fMGWS/batch walk
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
 }
