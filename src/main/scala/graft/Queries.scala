@@ -40,6 +40,6 @@ object Queries {
     "q1_agg", "q3_top_orders", "events_tumbling",
     "events_asof_join", "events_range_pairs", "events_attribution",
     "events_histogram", "events_kmv_distinct", "events_hist_quantiles",
-    "events_funnel", "events_retention",
+    "events_funnel", "events_retention", "events_cms_counts",
   )
 }

@@ -133,6 +133,63 @@ object Sketches {
     cum.groupBy(gs: _*).agg(qCols.head, qCols.tail: _*)
   }
 
+  /** Count-min sketch frequency estimates: d independent hash rows of
+    * w counters each; a value's estimate is the MINIMUM of its d
+    * counters — always ≥ the true count, within εN with probability
+    * 1−δ for w = e/ε, d = ln(1/δ) [Cormode & Muthukrishnan 2005]. The
+    * frequency member of the portable sketch family ([[kmvDistinct]] =
+    * distinct, [[histQuantiles]] = quantiles): counters are pure
+    * (row, col) partial-agg counts — mergeable by addition, one
+    * shuffle of d·N cells compacted map-side to ≤ d·w per partition —
+    * and the d·w counter table broadcasts into the estimate join.
+    *
+    * Returns (val STRING, est_count LONG) per distinct value.
+    */
+  def cmsCounts(df: DataFrame, valCol: String, d: Int = 4,
+                w: Int = 256): DataFrame = {
+    val v = col(valCol).cast("string")
+    def cell(i: Int, c: Column) =
+      pmod(hash32(concat(lit(s"$i:"), c)), lit(w.toLong))
+    val cells = (0 until d).map(i =>
+      df.select(lit(i).as("row"), cell(i, v).as("col"))).reduce(_ union _)
+    val counters = cells.groupBy("row", "col").agg(count(lit(1)).as("c"))
+    val vals = df.select(v.as("val")).distinct()
+      .select(col("val") +:
+        (0 until d).map(i => cell(i, col("val")).as(s"k$i")): _*)
+    val joined = (0 until d).foldLeft(vals) { (acc, i) =>
+      acc.join(broadcast(counters.filter(col("row") === i)
+        .select(col("col").as(s"k$i"), col("c").as(s"n$i"))), Seq(s"k$i"))
+    }
+    joined.select(col("val"),
+      least((0 until d).map(i => col(s"n$i")): _*).as("est_count"))
+  }
+
+  /** DuckDB oracle for [[cmsCounts]], generated from the same (d, w)
+    * and hash construction.
+    */
+  def cmsCountsSql(table: String, valExpr: String, d: Int = 4,
+                   w: Int = 256): String = {
+    // the same salted-hash cell for any value expression (ve must
+    // already be VARCHAR); CAST inside hash32Sql is then a no-op, same
+    // as the Spark side's cast of an already-string concat
+    def cellSql(i: Int, ve: String) = s"(${hash32Sql(s"'$i:' || $ve")} % $w)"
+    val src = s"CAST($valExpr AS VARCHAR)"
+    val cellsUnion = (0 until d).map(i =>
+      s"SELECT $i AS row, ${cellSql(i, src)} AS col FROM $table")
+      .mkString(" UNION ALL ")
+    val joins = (0 until d).map(i =>
+      s"JOIN cnt c$i ON c$i.row = $i AND c$i.col = ${cellSql(i, "v.val")}")
+      .mkString(" ")
+    val leastExpr = (0 until d).map(i => s"c$i.c").mkString("LEAST(", ", ", ")")
+    s"""WITH cells AS ($cellsUnion),
+       | cnt AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS c
+       |   FROM cells GROUP BY row, col),
+       | vals AS (SELECT DISTINCT $src AS val FROM $table)
+       | SELECT v.val, $leastExpr AS est_count
+       | FROM vals v $joins ORDER BY val"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB oracle for [[histQuantiles]], generated from the same bin
     * width and quantile list.
     */

@@ -323,6 +323,17 @@ object QueriesRelational {
       Some(graft.pipeline.Sketches.kmvDistinctSql(
         "events", Seq("event_type"), "user_id", k = 64))),
 
+    // Count-min frequency sketch: per-user event-count estimates as
+    // min over d salted-hash counter rows — the frequency member of
+    // the portable sketch family (always >= truth, mergeable by
+    // addition; the d*w counter table broadcasts into the lookup).
+    ("events_cms_counts",
+      (s, d) => graft.pipeline.Sketches.cmsCounts(
+          Tables.events(s, d), "user_id", d = 4, w = 256)
+        .orderBy("val"),
+      Some(graft.pipeline.Sketches.cmsCountsSql(
+        "events", "user_id", d = 4, w = 256))),
+
     // Cohort retention: users bucketed by first-activity hour; for each
     // (cohort, periods-since) cell, how many of the cohort's users were
     // active. Two partial-agg shuffles (per-user min, then distinct

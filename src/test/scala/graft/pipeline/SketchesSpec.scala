@@ -57,6 +57,28 @@ class SketchesSpec extends SparkSpec {
     assert(r.getDouble(1) == 40.0 && r.getDouble(2) == 40.0 && r.getDouble(3) == 40.0)
   }
 
+  test("cmsCounts never under-counts and is exact without collisions") {
+    // 20 values in a 4x256 sketch: collisions unlikely in any single
+    // row, and the MIN over 4 rows needs a collision in EVERY row to
+    // overestimate — assert the guaranteed bound est >= true, and
+    // exactness here
+    val df = (1 to 400).map(i => s"u${i % 20}").toDF("v")
+    val r = Sketches.cmsCounts(df, "v", d = 4, w = 256)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.size == 20)
+    assert(r.values.forall(_ >= 20L)) // true count per value = 20
+    assert(r.values.forall(_ == 20L)) // no 4-row collision at this load
+  }
+
+  test("cmsCounts overestimates under heavy collision load but never under") {
+    // 2000 distinct values into w=16: collisions guaranteed
+    val df = (1 to 2000).map(i => s"k$i").toDF("v")
+    val r = Sketches.cmsCounts(df, "v", d = 2, w = 16)
+      .collect().map(_.getLong(1))
+    assert(r.forall(_ >= 1L))
+    assert(r.exists(_ > 1L))
+  }
+
   test("hash32 stays in (0, 2^32] and is deterministic") {
     val df = (1 to 500).map(i => s"k$i").toDF("v")
       .select(Sketches.hash32(col("v")).as("h"))
