@@ -41,5 +41,6 @@ object Queries {
     "events_asof_join", "events_range_pairs", "events_attribution",
     "events_histogram", "events_kmv_distinct", "events_hist_quantiles",
     "events_funnel", "events_retention", "events_cms_counts",
+    "events_session_windows",
   )
 }

@@ -211,6 +211,35 @@ object QueriesRelational {
         |   FROM events CROSS JOIN (VALUES (0), (1800)) t(off))
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
 
+    // The FIRST-CLASS session operator: Spark's native session_window
+    // (merging interval windows, streaming-state-compatible), beside
+    // the lag+cumsum formulation events_sessions verifies. Second
+    // precision on both sides; a gap of exactly the 30-min width starts
+    // a new session (session_window's strict [start, start+gap) merge).
+    ("events_session_windows",
+      (s, d) => Tables.eventsNorm(s, d)
+        .withColumn("t", timestamp_seconds(expr("ts_ns div 1000000000")))
+        .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          unix_timestamp(col("session_window.end")).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e2 AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec
+        |   FROM events),
+        | m AS (SELECT user_id, sec,
+        |  CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+        |    >= 1800 THEN 1 ELSE 0 END AS brk FROM e2),
+        | sess AS (SELECT user_id, sec,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+        |    ROWS UNBOUNDED PRECEDING) AS si FROM m)
+        | SELECT user_id, MIN(sec) AS session_start,
+        |  MAX(sec) + 1800 AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        | FROM sess GROUP BY user_id, si
+        | ORDER BY user_id, session_start""".stripMargin.replace("\n", " "))),
+
     ("events_distinct_users",
       (s, d) => Tables.events(s, d)
         .groupBy("event_type")
