@@ -289,6 +289,135 @@ object GraphAnalytics {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
+  /** Minimum spanning forest by Borůvka's algorithm, deterministic:
+    * edge "weights" are totally ordered as (w, a, b), which makes the
+    * MSF unique — and therefore equal to what Kruskal produces under
+    * the same order (RandomizedInvariantsSpec pins that equivalence).
+    * Per round, every component selects its minimum outgoing edge
+    * (struct-min partial agg — no per-component sort), selected edges
+    * join the forest, and touched components contract via
+    * [[connectedComponents]] over the component graph (which is ≤ V/2
+    * nodes after the first round and shrinks geometrically).
+    *
+    * Scale shape: per round one edges⋈labels equi-join + one O(V)
+    * struct-min, then contraction over the META-graph (one chosen edge
+    * per component — component-sized, not edge-sized, and shrinking
+    * ≥2× per round). Contraction is hybrid: while the meta-graph has
+    * ≤ `metaDriverMax` edges it is union-found ON THE DRIVER (it's
+    * metadata scale, exactly like Mvcc's partition offsets — a dozen
+    * distributed jobs to merge a few thousand labels is pure
+    * overhead); above that, the distributed pointer-jumping
+    * [[connectedComponents]] contracts it. Borůvka halves component
+    * count per round → `rounds` = O(log V); early exit when no
+    * crossing edges remain.
+    *
+    * No DuckDB oracle — MSF needs iterated contraction, which SQL
+    * can't replay faithfully; verification is the spec's Kruskal
+    * equivalence on random graphs (same strategy a native engine
+    * would use).
+    *
+    * Returns forest edges (a, b, w) with a < b.
+    */
+  def minimumSpanningForest(edges: DataFrame, rounds: Int = 8,
+                            metaDriverMax: Long = 5000000L): DataFrame = {
+    // canonical undirected edge list: a < b, min weight per pair
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+      .localCheckpoint(true)
+    // TRUE Borůvka contraction: after each round the graph is
+    // re-expressed over component labels — (ca, cb) meta-endpoints with
+    // the original endpoints (oa, ob) carried so forest edges stay
+    // real. Only the lightest edge between each component pair
+    // survives contraction (any heavier parallel edge closes a
+    // 2-cycle once contracted — cycle property — so it can never join
+    // the MSF). The working set therefore shrinks geometrically:
+    // round 1 touches E, later rounds touch the meta-graph only.
+    var live = canon.select(col("a").as("ca"), col("b").as("cb"),
+      col("w"), col("a").as("oa"), col("b").as("ob"))
+    var forest = canon.limit(0)
+    var r = 0
+    var crossing = -1L // unknown before the first materialization
+    while (r < rounds && crossing != 0) {
+      r += 1
+      // each component's minimal incident edge under the (w, oa, ob)
+      // total order — seen from both endpoints; identical struct from
+      // both sides → distinct dedups the doubly-chosen
+      val e = struct(col("w"), col("oa"), col("ob"), col("ca"), col("cb"))
+      val chosen = live.select(col("ca").as("comp"), e.as("e"))
+        .union(live.select(col("cb").as("comp"), e.as("e")))
+        .groupBy("comp").agg(min("e").as("e"))
+        .select(col("e.w").as("w"), col("e.oa").as("oa"),
+          col("e.ob").as("ob"), col("e.ca").as("ca"), col("e.cb").as("cb"))
+        .distinct()
+        .localCheckpoint(true)
+      forest = forest.unionByName(
+        chosen.select(col("oa").as("a"), col("ob").as("b"), col("w")))
+      val nChosen = chosen.count() // materialized: free
+      if (nChosen == 0) crossing = 0
+      else {
+        // merged-set relabeling (set -> its MIN member, the same
+        // labeling connectedComponents yields). The chosen meta-graph
+        // has ≤ one edge per component; while it is metadata-sized it
+        // is union-found on the driver (like Mvcc's partition offsets
+        // — a dozen distributed jobs to merge a few thousand labels is
+        // pure overhead); past metaDriverMax the distributed
+        // pointer-jumping CC takes over.
+        val mapping =
+          if (nChosen <= metaDriverMax) {
+            val es = chosen.select("ca", "cb")
+              .collect().map(x => (x.getString(0), x.getString(1)))
+            val parent = scala.collection.mutable.Map.empty[String, String]
+            def find(x: String): String = {
+              val p = parent.getOrElse(x, x)
+              if (p == x) x else { val r0 = find(p); parent(x) = r0; r0 }
+            }
+            es.foreach { case (x, y) =>
+              val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(rx) = ry
+            }
+            val members = (es.map(_._1) ++ es.map(_._2)).distinct
+            val minOfRoot = members.groupBy(find).map { case (root, ms) =>
+              root -> ms.min
+            }
+            val spark = edges.sparkSession
+            import spark.implicits._
+            members.map(m => (m, minOfRoot(find(m)))).toSeq.toDF("c", "c2")
+          } else
+            connectedComponents(
+              chosen.select(col("ca").as("src"), col("cb").as("dst")),
+              rounds = 6, pairsDistinct = false)
+              .select(col("id").as("c"), col("component").as("c2"))
+        // contract: relabel endpoints, drop intra-component edges, keep
+        // the lightest (w, oa, ob) edge per component pair. The
+        // broadcast hint only applies to the driver-sized mapping; the
+        // distributed-CC branch's mapping shuffles normally.
+        val m = struct(col("w"), col("oa"), col("ob"))
+        def side(from: String, to: String) = {
+          val s0 = mapping.select(col("c").as(from), col("c2").as(to))
+          if (nChosen <= metaDriverMax) broadcast(s0) else s0
+        }
+        live = live
+          .join(side("ca", "ma"), Seq("ca"), "left")
+          .join(side("cb", "mb"), Seq("cb"), "left")
+          .select(coalesce(col("ma"), col("ca")).as("na"),
+            coalesce(col("mb"), col("cb")).as("nb"),
+            col("w"), col("oa"), col("ob"))
+          .filter(col("na") =!= col("nb"))
+          .select(least(col("na"), col("nb")).as("ca"),
+            greatest(col("na"), col("nb")).as("cb"),
+            col("w"), col("oa"), col("ob"))
+          .groupBy("ca", "cb").agg(min(m).as("m"))
+          .select(col("ca"), col("cb"), col("m.w").as("w"),
+            col("m.oa").as("oa"), col("m.ob").as("ob"))
+          .localCheckpoint(true)
+        crossing = live.count()
+      }
+    }
+    forest.select("a", "b", "w")
+  }
+
   /** Community detection by synchronous label propagation (LPA):
     * every node simultaneously adopts the most frequent label among its
     * neighbors, ties broken by the smallest label — the deterministic

@@ -397,6 +397,19 @@ object QueriesGraph {
         undirectedPairs = true),
       Some(GraphAnalytics.relatedSql(E, seedId = "C1", k = 20))),
 
+    // Minimum spanning forest (Borůvka, deterministic (w, a, b) total
+    // order → unique MSF = Kruskal's result, which the randomized spec
+    // pins). No SQL oracle: MSF needs iterated contraction, beyond
+    // DuckDB SQL — rows-only driver check, Kruskal equivalence is the
+    // value gate. Weights derived like sssp_weighted's.
+    ("graph_msf",
+      (s, d) => GraphAnalytics.minimumSpanningForest(
+        CodeGraph.edgePairs(s, d).withColumn("w",
+          lit(1L) + (expr("CAST(substring(src, 2, 100) AS BIGINT)")
+            + expr("CAST(substring(dst, 2, 100) AS BIGINT)")) % 7))
+        .orderBy("a", "b"),
+      None),
+
     // Degree distribution — the first profiling query against any new
     // graph: joint (out_deg, in_deg) histogram. Two partial-agg
     // shuffles + one O(V) full-outer merge; output is histogram-sized.

@@ -14,7 +14,25 @@ import org.apache.spark.sql.functions._
 object QueriesRelational {
   import QueriesCore.Entry
 
+  /** ONE query string, executed verbatim by BOTH engines — the
+    * SQL-surface parity proof: `spark.sql` over a registered view and
+    * the DuckDB oracle run the identical dialect-common text.
+    */
+  private val SqlSurfaceQuery: String =
+    "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "round(SUM(l_quantity), 2) AS qty " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+
   val entries: Seq[Entry] = Seq(
+
+    // spark.sql(...) as the query surface (not the DataFrame DSL):
+    // the oracle IS the same string.
+    ("sql_surface",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(SqlSurfaceQuery)
+      },
+      Some(SqlSurfaceQuery)),
 
     // ===== Aggregation (TPC-H Q1 shape; partial agg + single shuffle) =====
     ("q1_agg",

@@ -168,6 +168,39 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("minimumSpanningForest equals in-memory Kruskal under the same total order") {
+    import graft.graph.GraphAnalytics
+    for (seed <- Seq(91, 92, 93)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val raw = (1 to 120).map { _ =>
+        (f"n${rnd.nextInt(n)}%02d", f"n${rnd.nextInt(n)}%02d",
+          (1 + rnd.nextInt(9)).toLong)
+      }.distinct
+      val got = GraphAnalytics.minimumSpanningForest(
+          raw.toDF("src", "dst", "w"))
+        .as[(String, String, Long)].collect().toSet
+      // reference Kruskal over the canonical (a, b, min w) edges with
+      // the (w, a, b) total order — the unique MSF under that order
+      val canon = raw.filter(e => e._1 != e._2)
+        .map { case (x, y, w) =>
+          (if (x < y) x else y, if (x < y) y else x, w) }
+        .groupBy(e => (e._1, e._2))
+        .map { case ((a, b), es) => (a, b, es.map(_._3).min) }.toSeq
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val want = canon.sortBy(e => (e._3, e._1, e._2)).flatMap {
+        case (a, b, w) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+      }.toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("funnelSteps equals an in-memory greedy walk on random event streams") {
     import graft.streaming.EventStreams
     val steps = Seq("view", "click", "purchase")
