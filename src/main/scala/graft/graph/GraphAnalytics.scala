@@ -488,10 +488,11 @@ object GraphAnalytics {
     labels.select(col("id"), col("lbl").as("community"))
   }
 
-  /** DuckDB oracle for [[labelPropagation]]: `rounds` unrolled
-    * vote-count + argmin steps (generated from the same tie-break).
+  /** The CTE chain shared by [[lpaSql]] and [[modularitySql]]: builds
+    * `g0` (deduped undirected orientation rows) and `l<rounds>` (the
+    * final label table).
     */
-  def lpaSql(edgesSql: String, rounds: Int = 4): String = {
+  private def lpaCtes(edgesSql: String, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"WITH e AS ($edgesSql), "
     sb ++= "pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e), "
@@ -506,9 +507,85 @@ object GraphAnalytics {
         s"SELECT id, lbl, row_number() OVER (PARTITION BY id " +
         s"ORDER BY c DESC, lbl) AS rn FROM c$t) WHERE rn = 1)"
     }
-    sb ++= s" SELECT id, lbl AS community FROM l$rounds ORDER BY id"
     sb.result()
   }
+
+  /** DuckDB oracle for [[labelPropagation]]: `rounds` unrolled
+    * vote-count + argmin steps (generated from the same tie-break).
+    */
+  def lpaSql(edgesSql: String, rounds: Int = 4): String =
+    lpaCtes(edgesSql, rounds) +
+      s" SELECT id, lbl AS community FROM l$rounds ORDER BY id"
+
+  /** Newman modularity of the [[labelPropagation]] partition, as ONE
+    * exact rational: Q = Σ_c [e_c/m − (D_c/2m)²] = (4·m·A − B)/(4·m²)
+    * with A = Σ_c intra-community edges, B = Σ_c (degree sum)², m =
+    * undirected edge count — all LONG until the single rounded double
+    * division, so the oracle replays the whole chain (4 LPA rounds
+    * included) bit-for-bit. Returns one row
+    * (m, intra_edges, modularity).
+    *
+    * Scale shape: the partition comes from [[labelPropagation]]; the
+    * metric itself is two broadcast-able label joins over the canonical
+    * edge list + two partial-agg sums.
+    */
+  def modularity(edges: DataFrame, rounds: Int = 4,
+                 pairsDistinct: Boolean = false,
+                 undirectedPairs: Boolean = false): DataFrame = {
+    val labels = labelPropagation(edges, rounds, pairsDistinct, undirectedPairs)
+      .withColumnRenamed("community", "lbl")
+      .localCheckpoint(true)
+    // canonical a < b undirected edges from the same input view
+    val und = if (undirectedPairs)
+      edges.select(col("src").as("a"), col("dst").as("b"))
+    else {
+      val p0 =
+        if (pairsDistinct) edges.select(col("src"), col("dst"))
+        else edges.select(col("src"), col("dst")).distinct()
+      p0.select(col("src").as("a"), col("dst").as("b"))
+        .union(p0.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+    }
+    val canon = und.filter(col("a") < col("b")).localCheckpoint(true)
+    val m = canon.count()
+    val intra = canon
+      .join(broadcast(labels.select(col("id").as("a"), col("lbl").as("la"))), Seq("a"))
+      .join(broadcast(labels.select(col("id").as("b"), col("lbl").as("lb"))), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .count()
+    // degree per node over the undirected view; D_c = Σ degrees, B = Σ D_c²
+    val b = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      .join(broadcast(labels), Seq("id"))
+      .groupBy("lbl").agg(sum("deg").as("dc"))
+      .agg(sum(col("dc") * col("dc"))).first().getLong(0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // the single double division, rounded with the same round() the
+    // rest of the oracle surface uses (and the same operand order as
+    // the generated SQL)
+    Seq((m, intra, b)).toDF("m", "intra_edges", "__b")
+      .select(col("m"), col("intra_edges"),
+        round((lit(4.0) * col("m") * col("intra_edges") - col("__b")) /
+          (lit(4.0) * col("m") * col("m")), 6).as("modularity"))
+  }
+
+  /** DuckDB oracle for [[modularity]], generated over the same
+    * unrolled LPA chain.
+    */
+  def modularitySql(edgesSql: String, rounds: Int = 4): String =
+    lpaCtes(edgesSql, rounds) +
+      s""", canon AS (SELECT a, b FROM g0 WHERE a < b),
+         | mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM canon),
+         | ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra FROM canon c
+         |  JOIN l$rounds x ON x.id = c.a JOIN l$rounds y ON y.id = c.b
+         |  WHERE x.lbl = y.lbl),
+         | dg AS (SELECT g0.a AS id, COUNT(*) AS deg FROM g0 GROUP BY 1),
+         | dc AS (SELECT l.lbl, SUM(d.deg) AS dsum FROM dg d
+         |  JOIN l$rounds l ON l.id = d.id GROUP BY 1),
+         | bb AS (SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS b FROM dc)
+         | SELECT m, intra AS intra_edges,
+         |  round((4.0 * m * intra - b) / (4.0 * m * m), 6) AS modularity
+         | FROM mm, ia, bb""".stripMargin.replace("\n", " ")
 
   /** DuckDB oracle for [[connectedComponents]]: `rounds` unrolled
     * (neighbor-min + jump) steps, every CTE materialized (each l_t is

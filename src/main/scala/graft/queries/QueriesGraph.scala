@@ -397,6 +397,14 @@ object QueriesGraph {
         undirectedPairs = true),
       Some(GraphAnalytics.relatedSql(E, seedId = "C1", k = 20))),
 
+    // Partition quality: Newman modularity of the LPA communities as
+    // one exact rational — the oracle replays the whole chain (all 4
+    // LPA rounds + the metric) bit-for-bit.
+    ("graph_modularity",
+      (s, d) => GraphAnalytics.modularity(
+        CodeGraph.undPairs(s, d), rounds = 4, undirectedPairs = true),
+      Some(GraphAnalytics.modularitySql(E, rounds = 4))),
+
     // Minimum spanning forest (Borůvka, deterministic (w, a, b) total
     // order → unique MSF = Kruskal's result, which the randomized spec
     // pins). No SQL oracle: MSF needs iterated contraction, beyond
