@@ -370,6 +370,27 @@ object QueriesRelational {
       Some(graft.pipeline.Sketches.kmvDistinctSql(
         "events", Seq("event_type"), "user_id", k = 64))),
 
+    // Rolling-frame analytics: per-user moving average over the
+    // current + 3 preceding events in (time, event_id) order — the
+    // ROWS-BETWEEN frame shape (distinct from the rank and cumulative
+    // windows elsewhere). The ≤4-row frame sums left-to-right in frame
+    // order on both engines, so the rounded double matches exactly.
+    ("events_rolling",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(expr("ts_ns div 1000"), col("event_id"))
+          .rowsBetween(-3, 0)
+        Tables.eventsNorm(s, d)
+          .withColumn("roll_avg", round(avg("value").over(w), 4))
+          .select("event_id", "user_id", "value", "roll_avg")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+        | round(avg(value) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+        | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
     // Count-min frequency sketch: per-user event-count estimates as
     // min over d salted-hash counter rows — the frequency member of
     // the portable sketch family (always >= truth, mergeable by
