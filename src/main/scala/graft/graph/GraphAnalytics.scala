@@ -319,7 +319,7 @@ object GraphAnalytics {
     * Returns forest edges (a, b, w) with a < b.
     */
   def minimumSpanningForest(edges: DataFrame, rounds: Int = 8,
-                            metaDriverMax: Long = 5000000L): DataFrame = {
+                            metaDriverMax: Long = 1000000L): DataFrame = {
     // canonical undirected edge list: a < b, min weight per pair
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
@@ -460,17 +460,21 @@ object GraphAnalytics {
         .union(pairs0.select(col("dst").as("a"), col("src").as("b")))
         .distinct()
     }
-    val und = if (parentCached) und0 else und0.localCheckpoint(false)
-    var labels = und.select(col("a").as("id")).distinct()
+    val undRaw = if (parentCached) und0 else und0.localCheckpoint(false)
+    var labels = undRaw.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(false)
     // the vote join probes und on `b`, but a stored undirected index is
     // laid out by `a` — shuffling the O(E) edge set per round to the
     // other key is the classic LPA bottleneck. The label table is O(V);
     // while it is broadcastable, ship IT instead and the edge set never
-    // moves (same V-threshold pattern as connectedComponents). The one
-    // up-front count also materializes und/labels.
+    // moves (same V-threshold pattern as connectedComponents). Past the
+    // threshold, re-lay the edge set out by `b` ONCE so every round's
+    // shuffled join exchanges only the O(V) label table — never E per
+    // round. The one up-front count also materializes und/labels.
     val small = labels.count() <= 1000000L
+    val und = if (small) undRaw
+      else undRaw.repartition(col("b")).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       // vote of neighbor b's label to node a (every node of und has ≥1
       // neighbor, so the synchronous update is total)
@@ -547,15 +551,23 @@ object GraphAnalytics {
         .distinct()
     }
     val canon = und.filter(col("a") < col("b")).localCheckpoint(true)
+    // the label table broadcasts only while V-bounded (same threshold
+    // as the LPA rounds themselves); above it the joins shuffle — the
+    // label side is O(V), never the edge set twice
+    val smallV = labels.count() <= 1000000L
+    def lbl(as: String, out: String) = {
+      val s0 = labels.select(col("id").as(as), col("lbl").as(out))
+      if (smallV) broadcast(s0) else s0
+    }
     val m = canon.count()
     val intra = canon
-      .join(broadcast(labels.select(col("id").as("a"), col("lbl").as("la"))), Seq("a"))
-      .join(broadcast(labels.select(col("id").as("b"), col("lbl").as("lb"))), Seq("b"))
+      .join(lbl("a", "la"), Seq("a"))
+      .join(lbl("b", "lb"), Seq("b"))
       .filter(col("la") === col("lb"))
       .count()
     // degree per node over the undirected view; D_c = Σ degrees, B = Σ D_c²
     val b = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
-      .join(broadcast(labels), Seq("id"))
+      .join(lbl("id", "lbl"), Seq("id"))
       .groupBy("lbl").agg(sum("deg").as("dc"))
       .agg(sum(col("dc") * col("dc"))).first().getLong(0)
     val spark = edges.sparkSession
