@@ -370,6 +370,40 @@ object QueriesRelational {
       Some(graft.pipeline.Sketches.kmvDistinctSql(
         "events", Seq("event_type"), "user_id", k = 64))),
 
+    // Robust anomaly detection: per-type outlier counts under the
+    // median-absolute-deviation rule (|v − med| > 5·MAD) — the
+    // monitoring pass a pipeline runs over every numeric feed. Median
+    // and MAD are 4-dp-rounded interpolated percentiles (the parity
+    // events_quantiles already proves), so the threshold compare is
+    // deterministic on both engines; the two tiny per-type stats
+    // tables broadcast back over the scan.
+    ("events_outliers",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val med = e.groupBy("event_type")
+          .agg(round(percentile(col("value"), lit(0.5)), 4).as("med"))
+        val withMed = e.join(broadcast(med), Seq("event_type"))
+        val mad = withMed.groupBy("event_type")
+          .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 4)
+            .as("mad"))
+        withMed.join(broadcast(mad), Seq("event_type"))
+          .filter(abs(col("value") - col("med")) > col("mad") * lit(5.0))
+          .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type,
+        |   round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1),
+        | m2 AS (SELECT e.event_type, e.value, med.med
+        |  FROM events e JOIN med USING (event_type)),
+        | mad AS (SELECT event_type,
+        |   round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+        |  FROM m2 GROUP BY 1)
+        | SELECT m2.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers
+        | FROM m2 JOIN mad USING (event_type)
+        | WHERE abs(m2.value - m2.med) > mad.mad * CAST(5.0 AS DOUBLE)
+        | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
     // Rolling-frame analytics: per-user moving average over the
     // current + 3 preceding events in (time, event_id) order — the
     // ROWS-BETWEEN frame shape (distinct from the rank and cumulative
