@@ -78,6 +78,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Top-k by a caller-supplied similarity metric — MIPS (raw inner
+    * product, the embedding-service retrieval metric) and L2 retrieval
+    * share the broadcast-query + per-partition-k-heap shape of
+    * [[bruteForceTopK]]; only the scored column differs. `ascending`
+    * for distance metrics (smaller = closer).
+    */
+  def topKBy(emb: DataFrame, queryVecId: Long, k: Int,
+             score: (Column, Column) => Column, ascending: Boolean = false,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val q = emb.filter(col(idCol) === queryVecId)
+      .select(col(vecCol).as("__qvec"))
+    val scored = emb.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(score(col(vecCol), col("__qvec")), 6))
+      .select(col(idCol), col("score"))
+    scored.orderBy(
+        (if (ascending) col("score").asc else col("score").desc), col(idCol))
+      .limit(k)
+  }
+
+  /** Squared L2 distance via the dot expansion — one fused dot per
+    * side plus the cross dot, no per-element subtraction array.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    dotNative(a, a) - lit(2.0) * dotNative(a, b) + dotNative(b, b)
+
   /** Symmetric per-vector int8 quantization: scale = 127/max|x| (1.0
     * for the zero vector), q_i = round(x_i · scale) in [-127, 127].
     * Both engines round half away from zero, so the oracle reproduces

@@ -294,6 +294,30 @@ object QueriesPipeline {
         | FROM embeddings e, q WHERE e.vec_id <> 0
         | ORDER BY score DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
 
+    // Inner-product retrieval (MIPS — the embedding-service metric) and
+    // L2 retrieval: same broadcast-query + per-partition-k-heap shape
+    // as cosine, different scored column; L2 via the dot expansion (no
+    // per-element subtraction array).
+    ("ann_topk_mips",
+      (s, d) => Similarity.topKBy(
+        graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10,
+        Similarity.dotNative(_, _)),
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        | SELECT e.vec_id, round(${dotSql("e.embedding", "q.qe")}, 6) AS score
+        | FROM embeddings e, q WHERE e.vec_id <> 0
+        | ORDER BY score DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    ("ann_topk_l2",
+      (s, d) => Similarity.topKBy(
+        graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10,
+        Similarity.l2sq, ascending = true),
+      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        | SELECT e.vec_id, round(${dotSql("e.embedding", "e.embedding")}
+        |   - 2 * ${dotSql("e.embedding", "q.qe")}
+        |   + ${dotSql("q.qe", "q.qe")}, 6) AS score
+        | FROM embeddings e, q WHERE e.vec_id <> 0
+        | ORDER BY score ASC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
     // int8 quantize-then-rescore: integer-dot candidate pool, exact
     // float cosine re-rank — the memory-bandwidth-bound 100-TB layout.
     // Quantization (round half away from zero) and the integer dot are

@@ -33,6 +33,8 @@ class PlanGuardSpec extends SparkSpec {
     "workspace_lifecycle" -> "same maxSeq pattern through Workspace ops",
     "ann_topk" -> "broadcast 1-row query vector",
     "ann_topk_native" -> "broadcast 1-row query vector",
+    "ann_topk_mips" -> "broadcast 1-row query vector",
+    "ann_topk_l2" -> "broadcast 1-row query vector",
     "ann_topk_quant" -> "broadcast 1-row query vector + scale row",
     "ann_ivf" -> "broadcast 1-row query vector + nprobe cell ids",
     "text_tfidf" -> "broadcast 1-row corpus-size frame",
