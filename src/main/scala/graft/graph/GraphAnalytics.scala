@@ -856,4 +856,181 @@ object GraphAnalytics {
     sb ++= s" SELECT a AS id, COUNT(*) AS deg FROM g$rounds GROUP BY 1 ORDER BY id"
     sb.result()
   }
+
+  /** Personalized PageRank: power iteration where the teleport vector is
+    * concentrated on a seed set instead of uniform — "rank the graph
+    * from THESE nodes' point of view" (context packing around an anchor
+    * set, related-entity expansion, seed-biased sampling). Same
+    * fixed-point LONG arithmetic as [[pagerankFixedPoint]] (integer sums
+    * are order-independent → oracle-portable bit-for-bit):
+    *
+    *   tele(v)   = scale div |S|  if v ∈ S else 0
+    *   dangShare = sum(rank over outdeg-0 nodes) div |S|   (to seeds)
+    *   rank'(v)  = (15 * tele(v)) div 100
+    *             + (85 * (Σ incoming shares + [v∈S] dangShare)) div 100
+    *
+    * Scale shape identical to the global variant: one out-degree agg
+    * (once), then per iteration one rank⋈edges equi-join on src + one
+    * partial-agg shuffle; the seed set is a driver-side literal (the
+    * anchor list of a context query — reference caps anchors at 4,
+    * `context_query.zig:151-157`), so seed membership is a codegen'd
+    * `isin`, not a join.
+    */
+  def pprFixedPoint(edges: DataFrame, seeds: Seq[String], iters: Int = 5,
+                    scale: Long = 1000000000000L,
+                    pairsDistinct: Boolean = false): DataFrame = {
+    require(seeds.nonEmpty, "ppr needs at least one seed")
+    val nSeeds = seeds.size.toLong
+    val parentCached = pairsDistinct &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pairs0 =
+      if (pairsDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+    val pairs = if (parentCached) pairs0
+      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = pairs.select(col("src").as("id"))
+        .union(pairs.select(col("dst").as("id"))).distinct()
+      val outdeg = pairs.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("outdeg"))
+      val tshare = scale / nSeeds
+      val isSeed = col("id").isin(seeds: _*)
+      var state = nodes.join(outdeg, Seq("id"), "left")
+        .withColumn("tele", when(isSeed, lit(tshare)).otherwise(lit(0L)))
+        .withColumn("rank", col("tele"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val dang = state.filter(col("outdeg").isNull)
+          .agg(expr(s"coalesce(sum(rank), 0L) div ${nSeeds}L").as("dsh"))
+        val incoming = state.filter(col("outdeg").isNotNull)
+          .select(col("id").as("src"), expr("rank div outdeg").as("share"))
+          .join(pairs, Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum("share").as("inc"))
+        state = state.select("id", "outdeg", "tele")
+          .join(incoming, Seq("id"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("id"), col("outdeg"), col("tele"),
+            (expr("15 * tele div 100") +
+              expr("85 * (coalesce(inc, 0L) + if(tele > 0L, dsh, 0L)) div 100")
+              ).as("rank"))
+          .localCheckpoint(true)
+      }
+      state.select("id", "rank")
+    } finally if (!parentCached) pairs.unpersist()
+  }
+
+  /** DuckDB oracle for [[pprFixedPoint]] — the same iteration unrolled,
+    * generated from the same constants (seed list, scale, iters).
+    */
+  def pprSql(edgesSql: String, seeds: Seq[String], iters: Int = 5,
+             scale: Long = 1000000000000L): String = {
+    val nSeeds = seeds.size.toLong
+    val tshare = scale / nSeeds
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e), "
+    sb ++= "nodes AS MATERIALIZED (SELECT src AS id FROM pairs UNION SELECT dst FROM pairs), "
+    sb ++= "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM pairs GROUP BY 1), "
+    sb ++= s"r0 AS MATERIALIZED (SELECT id, CASE WHEN id IN ($seedList) " +
+      s"THEN $tshare ELSE 0 END AS rank FROM nodes)"
+    for (t <- 1 to iters) {
+      val p = s"r${t - 1}"
+      sb ++= s", d$t AS MATERIALIZED " +
+        s"(SELECT COALESCE(SUM(rank), 0) // $nSeeds AS dsh " +
+        s"FROM $p WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.id = $p.id))"
+      sb ++= s", s$t AS MATERIALIZED " +
+        s"(SELECT p.dst AS id, SUM(r.rank // g.outdeg) AS inc " +
+        s"FROM $p r JOIN deg g ON g.id = r.id JOIN pairs p ON p.src = r.id GROUP BY 1)"
+      sb ++= s", r$t AS MATERIALIZED " +
+        s"(SELECT n.id, (15 * CASE WHEN n.id IN ($seedList) THEN $tshare ELSE 0 END) // 100 + " +
+        s"(85 * (COALESCE(s.inc, 0) + CASE WHEN n.id IN ($seedList) " +
+        s"THEN (SELECT dsh FROM d$t) ELSE 0 END)) // 100 AS rank " +
+        s"FROM nodes n LEFT JOIN s$t s ON s.id = n.id)"
+    }
+    sb ++= s" SELECT id, rank FROM r$iters ORDER BY rank DESC, id"
+    sb.result()
+  }
+
+  /** Deterministic random walks — the corpus generator behind
+    * DeepWalk/node2vec-style graph embeddings (a training-data pipeline
+    * op: walks ARE the documents the skip-gram model trains on). One
+    * walk starts at every node; at step t the walk at node u moves to
+    * the out-neighbor v minimizing `md5(walk_id || ':t:' || v)` — a
+    * deterministic hash-pick that both engines reproduce exactly, in
+    * place of an RNG (the brief's no-`Math.random` determinism rule;
+    * statistically it is a uniform pick per (walk, step), which is the
+    * DeepWalk distribution). A walk at a node with no out-edges stays
+    * put (truncated walk, like the reference traversal hitting a leaf).
+    *
+    * Returns (walk_id, path ARRAY, hops). Scale shape: per step, one
+    * equi-join state⋈edges on the current node + one per-walk top-1
+    * (window row_number — WindowGroupLimit pushes the rank-1 filter
+    * into a per-partition heap, so the shuffle carries candidates, the
+    * sort is per-walk top-1). Walk count is a parameter of the caller's
+    * seed set at 100 TB — start from a node SAMPLE, not all of V; the
+    * per-step cost is O(out-edges of current frontier).
+    */
+  def randomWalks(edges: DataFrame, steps: Int = 3,
+                  pairsDistinct: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parentCached = pairsDistinct &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pairs0 =
+      if (pairsDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+    val pairs = if (parentCached) pairs0
+      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = pairs.select(col("src").as("id"))
+        .union(pairs.select(col("dst").as("id"))).distinct()
+      var state = nodes.select(col("id").as("walk_id"), col("id").as("cur"),
+        array(col("id")).as("path")).localCheckpoint(true)
+      for (t <- 1 to steps) {
+        val cand = state.join(pairs, state("cur") === pairs("src"), "left")
+          .withColumn("h", md5(concat(col("walk_id"), lit(s":$t:"), col("dst"))))
+        val w = Window.partitionBy("walk_id")
+          .orderBy(col("h").asc_nulls_last, col("dst").asc_nulls_last)
+        state = cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("walk_id"),
+            coalesce(col("dst"), col("cur")).as("cur"),
+            when(col("dst").isNull, col("path"))
+              .otherwise(concat(col("path"), array(col("dst")))).as("path"))
+          .localCheckpoint(true)
+      }
+      // '->'-joined string, not ARRAY: the driver's comparator (and any
+      // hash-based external check) wants sortable scalar cells — same
+      // flattening contract as paths_between
+      state.select(col("walk_id"),
+        concat_ws("->", col("path")).as("path"),
+        (size(col("path")) - 1).cast("long").as("hops"))
+    } finally if (!parentCached) pairs.unpersist()
+  }
+
+  /** DuckDB oracle for [[randomWalks]]: the same hash-pick unrolled one
+    * CTE pair per step (candidates, then per-walk rank-1 survivor).
+    */
+  def randomWalksSql(edgesSql: String, steps: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e), "
+    sb ++= "nodes AS MATERIALIZED (SELECT src AS id FROM pairs UNION SELECT dst FROM pairs), "
+    sb ++= "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur, [id] AS path FROM nodes)"
+    for (t <- 1 to steps) {
+      val p = s"w${t - 1}"
+      sb ++= s", c$t AS (SELECT w.walk_id, w.cur, w.path, p.dst, " +
+        s"md5(w.walk_id || ':$t:' || p.dst) AS h " +
+        s"FROM $p w LEFT JOIN pairs p ON p.src = w.cur)"
+      sb ++= s", w$t AS MATERIALIZED (SELECT walk_id, " +
+        "COALESCE(dst, cur) AS cur, " +
+        "CASE WHEN dst IS NULL THEN path ELSE list_append(path, dst) END AS path " +
+        s"FROM (SELECT *, row_number() OVER (PARTITION BY walk_id " +
+        s"ORDER BY h NULLS LAST, dst NULLS LAST) AS rn FROM c$t) WHERE rn = 1)"
+    }
+    sb ++= s" SELECT walk_id, array_to_string(path, '->') AS path, " +
+      s"CAST(len(path) - 1 AS BIGINT) AS hops " +
+      s"FROM w$steps ORDER BY walk_id"
+    sb.result()
+  }
 }

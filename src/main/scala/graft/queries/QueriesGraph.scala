@@ -440,5 +440,29 @@ object QueriesGraph {
         |  FROM o FULL OUTER JOIN i ON o.id = i.id)
         | SELECT out_deg, in_deg, COUNT(*) AS n_nodes FROM dd
         | GROUP BY 1, 2 ORDER BY out_deg, in_deg""".stripMargin.replace("\n", " "))),
+
+    // Personalized PageRank: teleport mass concentrated on an anchor
+    // set ("rank the graph from these nodes' point of view" — context
+    // packing, related-entity expansion). Same fixed-point LONG
+    // arithmetic and unrolled-CTE oracle as graph_pagerank; the seed
+    // set is a driver-side literal like a context query's anchors.
+    ("graph_ppr",
+      (s, d) => GraphAnalytics.pprFixedPoint(
+          CodeGraph.edgePairs(s, d), seeds = Seq("C1", "S1"),
+          iters = 5, pairsDistinct = true)
+        .orderBy(desc("rank"), col("id")),
+      Some(GraphAnalytics.pprSql(E, seeds = Seq("C1", "S1"), iters = 5))),
+
+    // Deterministic random walks — DeepWalk/node2vec corpus generation
+    // (walks are the training documents of a graph-embedding model).
+    // Next-hop = hash-argmin over out-neighbors: deterministic, oracle
+    // replayable, uniform-per-(walk,step) statistically. Walks start at
+    // every node here (fixture-sized); at 100 TB the start set is a
+    // node sample parameter.
+    ("graph_walks",
+      (s, d) => GraphAnalytics.randomWalks(
+          CodeGraph.edgePairs(s, d), steps = 3, pairsDistinct = true)
+        .orderBy("walk_id"),
+      Some(GraphAnalytics.randomWalksSql(E, steps = 3))),
   )
 }
