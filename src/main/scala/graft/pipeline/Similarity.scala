@@ -447,4 +447,39 @@ object Similarity {
       .select(col(idCol), col("cluster"),
         org.apache.spark.sql.functions.round(col("dist"), 6).as("dist"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = cluster the embedding space, then drop any vector
+    * with a sufficiently-similar lower-id neighbor IN ITS CLUSTER. The
+    * clusters are the blocking scheme — the pair join is equi on
+    * `cluster`, so comparisons are quadratic only within a cell, never
+    * across the corpus (the paper's exact rationale for clustering
+    * first). Deterministic keep rule: a vector survives iff no
+    * lower-id cluster-mate has cosine ≥ threshold (lower-id = the
+    * paper's "keep one representative", made total and order-free).
+    *
+    * Returns every input id with (cluster, keep). At 100 TB: k scales
+    * with corpus size (n / target-cell-size, the paper uses ~11k cells
+    * for LAION) so cells stay bounded; the kmeans assign is a
+    * broadcast-centroid projection (see [[kmeansAssign]]) and the pair
+    * join shuffles on `cluster` once.
+    */
+  def semDedup(emb: DataFrame, k: Int = 4, iters: Int = 2,
+               threshold: Double = 0.5,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+  : DataFrame = {
+    val assigned = kmeansAssign(emb, k, iters)
+      .select(col(idCol), col("cluster"))
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+    val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= lit(threshold))
+      .select(col("id_b").as("__dup")).distinct()
+    assigned.join(dups, assigned(idCol) === dups("__dup"), "left")
+      .select(col(idCol), col("cluster"), col("__dup").isNull.as("keep"))
+  }
 }

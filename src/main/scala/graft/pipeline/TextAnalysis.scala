@@ -268,6 +268,42 @@ object TextAnalysis {
       .drop("top_bigram_frac0")
   }
 
+  /** Corpus-level duplicated-text signal (the cross-document
+    * counterpart of [[repetitionStats]], which is within-document):
+    * for each document, what fraction of its word n-gram windows also
+    * occurs in at least one OTHER document — the "duplicated n-grams"
+    * quality gate of the C4/Gopher/Dolma pipelines (a high fraction
+    * marks boilerplate, mirrors, templated spam).
+    *
+    * Shape: explode windows → (1) distinct (doc, gram) + gram-count
+    * agg for the shared-gram set, (2) left-semi join windows against
+    * it, (3) per-doc count — two partial-agg shuffles and one semi
+    * join, all keyed on the gram. At 100 TB the gram column is
+    * `xxhash64(gram)` instead of the string (same joins, 8-byte keys);
+    * the string form here keeps the oracle readable. No collect, no
+    * all-pairs anything: cost is linear in total windows.
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame = {
+    val win = df.select(col(idCol), explode(Dedup.shingles(col(textCol), n))
+      .as("gram"))
+    val sharedGrams = win.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val total = win.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+    val dup = win.join(sharedGrams, Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(total, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_windows"), lit(0L)), lit(1L)), 6)
+          .as("dup_frac"))
+  }
+
   /** BM25 top-k keyword retrieval over the corpus for a FIXED small
     * query-term list (the ad-hoc search shape; an inverted index is the
     * persisted variant of the same math). Okapi BM25:

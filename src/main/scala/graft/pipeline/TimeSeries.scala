@@ -102,4 +102,47 @@ object TimeSeries {
       .select(col(keyCol), col("a_id"), col("b_id"),
         (col("__b_ts") - col("__a_ts")).as("dt"))
   }
+
+  /** Resample-to-grid with forward-fill — the gap-filling step every
+    * time-series feature pipeline needs before a model sees the data
+    * (sensors/feeds emit irregularly; training wants a dense regular
+    * grid). Per key: quantize `tsCol` (integral epoch) to
+    * `bucketSpan`-sized buckets and aggregate observations
+    * (`round(sum,4)` — the engine-portable agg convention), then
+    * generate the key's full [min_bucket, max_bucket] grid via
+    * `sequence` + `explode`, left-join the observations back, and
+    * forward-fill misses with the latest preceding observed value
+    * (`last(..., ignoreNulls)` over a cumulative window).
+    *
+    * Returns (key, bucket, v_obs NULLABLE, v_filled, is_gap). Leading
+    * buckets before a key's first observation cannot fill — they don't
+    * exist here by construction (grid starts at the key's own min).
+    *
+    * Scale shape: one partial-agg shuffle (bucket agg), one tiny
+    * per-key bounds agg, the grid explode is output-sized (no data
+    * fan-out), and the fill window re-uses the join's (key) hash
+    * partitioning — no extra exchange. Skewed keys are bounded by
+    * their own time range, not their event count: the whole pipeline
+    * after the first agg is grid-sized, which is why resample-early is
+    * the 100-TB shape (a key with 10^9 raw events still contributes
+    * only range/span grid rows downstream).
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              bucketSpan: Long): DataFrame = {
+    val obs = df
+      .select(col(keyCol), expr(s"$tsCol div $bucketSpan").as("bucket"),
+        col(valCol))
+      .groupBy(keyCol, "bucket")
+      .agg(round(sum(valCol), 4).as("v_obs"))
+    val grid = obs.groupBy(keyCol)
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val w = Window.partitionBy(keyCol).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"), col("v_obs"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("v_filled"),
+        col("v_obs").isNull.as("is_gap"))
+  }
 }

@@ -35,6 +35,39 @@ object QueriesPipeline {
     s"CASE WHEN $na * $nb = 0 THEN 0.0 ELSE ($d) / ($na * $nb) END"
   }
 
+  /** DuckDB CTE chain replaying [[Similarity.kmeansAssign]] (k=4,
+    * iters=2) — `a2` holds the final (vec_id, cid, dist, rn) ranking.
+    * Shared by embedding_kmeans and semdedup so the two entries' oracle
+    * arithmetic cannot drift.
+    */
+  private val kmeansCtes: String =
+    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |   embedding AS c FROM embeddings ORDER BY vec_id LIMIT 4),
+       | d1 AS (SELECT e.vec_id, c0.cid, e.embedding,
+       |   ${dotSql("e.embedding", "e.embedding")}
+       |   - 2 * ${dotSql("e.embedding", "c0.c")}
+       |   + ${dotSql("c0.c", "c0.c")} AS dist
+       |  FROM embeddings e CROSS JOIN c0),
+       | a1 AS (SELECT vec_id, cid, embedding,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM d1),
+       | idx AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS j),
+       | el AS (SELECT a1.cid, i.j,
+       |   round(avg(CAST(a1.embedding[i.j] AS DOUBLE)), 6) AS m
+       |  FROM a1 CROSS JOIN idx i WHERE a1.rn = 1 GROUP BY a1.cid, i.j),
+       | c1 AS (SELECT cid, list(m ORDER BY j) AS c FROM el GROUP BY cid),
+       | cf AS (SELECT c0.cid,
+       |   COALESCE(c1.c, list_transform(c0.c, x -> CAST(x AS DOUBLE))) AS c
+       |  FROM c0 LEFT JOIN c1 USING (cid)),
+       | d2 AS (SELECT e.vec_id, cf.cid,
+       |   ${dotSql("e.embedding", "e.embedding")}
+       |   - 2 * ${dotSql("e.embedding", "cf.c")}
+       |   + ${dotSql("cf.c", "cf.c")} AS dist
+       |  FROM embeddings e CROSS JOIN cf),
+       | a2 AS (SELECT vec_id, cid, dist,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM d2)""".stripMargin.replace("\n", " ")
+
   private val K = 16   // minhash permutations
   private val BANDS = 4
 
@@ -455,34 +488,31 @@ object QueriesPipeline {
       (s, d) => Similarity.kmeansAssign(
         graft.core.Tables.embeddings(s, d), k = 4, iters = 2)
         .orderBy("vec_id"),
-      Some(s"""WITH c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-        |   embedding AS c FROM embeddings ORDER BY vec_id LIMIT 4),
-        | d1 AS (SELECT e.vec_id, c0.cid, e.embedding,
-        |   ${dotSql("e.embedding", "e.embedding")}
-        |   - 2 * ${dotSql("e.embedding", "c0.c")}
-        |   + ${dotSql("c0.c", "c0.c")} AS dist
-        |  FROM embeddings e CROSS JOIN c0),
-        | a1 AS (SELECT vec_id, cid, embedding,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |  FROM d1),
-        | idx AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS j),
-        | el AS (SELECT a1.cid, i.j,
-        |   round(avg(CAST(a1.embedding[i.j] AS DOUBLE)), 6) AS m
-        |  FROM a1 CROSS JOIN idx i WHERE a1.rn = 1 GROUP BY a1.cid, i.j),
-        | c1 AS (SELECT cid, list(m ORDER BY j) AS c FROM el GROUP BY cid),
-        | cf AS (SELECT c0.cid,
-        |   COALESCE(c1.c, list_transform(c0.c, x -> CAST(x AS DOUBLE))) AS c
-        |  FROM c0 LEFT JOIN c1 USING (cid)),
-        | d2 AS (SELECT e.vec_id, cf.cid,
-        |   ${dotSql("e.embedding", "e.embedding")}
-        |   - 2 * ${dotSql("e.embedding", "cf.c")}
-        |   + ${dotSql("cf.c", "cf.c")} AS dist
-        |  FROM embeddings e CROSS JOIN cf),
-        | a2 AS (SELECT vec_id, cid, dist,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |  FROM d2)
+      Some(s"""WITH $kmeansCtes
         | SELECT vec_id, cid AS cluster, round(dist, 6) AS dist
         | FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
+    // SemDeDup: semantic dedup = the kmeans assignment as the BLOCKING
+    // scheme, cosine only within a cell, drop any vector with a
+    // similar lower-id cluster-mate. The oracle replays the identical
+    // kmeans chain (shared CTE text) and the identical keep rule.
+    ("semdedup",
+      (s, d) => Similarity.semDedup(
+        graft.core.Tables.embeddings(s, d), k = 4, iters = 2,
+        threshold = 0.45)
+        .orderBy("vec_id"),
+      Some(s"""WITH $kmeansCtes,
+        | asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+        | pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(${cosineSql("ea.embedding", "eb.embedding")}, 6)
+        |    >= CAST(0.45 AS DOUBLE)),
+        | dup AS (SELECT DISTINCT id_b FROM pr)
+        | SELECT asg.vec_id, asg.cid AS cluster, dup.id_b IS NULL AS keep
+        | FROM asg LEFT JOIN dup ON dup.id_b = asg.vec_id
+        | ORDER BY vec_id""".stripMargin.replace("\n", " "))),
 
     // ===== Text analysis =====
     ("text_stats",
@@ -730,6 +760,30 @@ object QueriesPipeline {
         | SELECT doc_id, source, n_chars, tokens_before FROM o
         | WHERE tokens_before < 2000 ORDER BY doc_id"""
         .stripMargin.replace("\n", " "))),
+
+    // Cross-document duplicated n-grams (C4/Gopher/Dolma gate): per
+    // doc, the fraction of its 8-gram windows that also occur in ≥1
+    // OTHER document. Gram-keyed aggs + one semi join; at 100 TB the
+    // gram key is xxhash64'd (same plan, 8-byte keys).
+    ("text_dup_ngrams",
+      (s, d) => TextAnalysis.dupNgramStats(
+        graft.core.Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | sh AS (SELECT doc_id, ${shinglesSql(8)} AS sh FROM w),
+        | win AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+        | dg AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd
+        |   FROM win GROUP BY 1) WHERE nd >= 2),
+        | tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY 1),
+        | dup AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM win
+        |   WHERE gram IN (SELECT gram FROM dg) GROUP BY 1)
+        | SELECT d.doc_id, COALESCE(tot.n_windows, 0) AS n_windows,
+        |  COALESCE(dup.n_dup_windows, 0) AS n_dup_windows,
+        |  round(CAST(COALESCE(dup.n_dup_windows, 0) AS DOUBLE) /
+        |    GREATEST(COALESCE(tot.n_windows, 0), 1), 6) AS dup_frac
+        | FROM documents d LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |  LEFT JOIN dup ON dup.doc_id = d.doc_id
+        | ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
 
     // ===== Repetition / degeneracy quality signals =====
     ("text_repetition",

@@ -370,6 +370,87 @@ object QueriesRelational {
       Some(graft.pipeline.Sketches.kmvDistinctSql(
         "events", Seq("event_type"), "user_id", k = 64))),
 
+    // Resample-to-grid + forward-fill (gap filling): per event type,
+    // 10-minute buckets over the type's own [min, max] range, observed
+    // sums where data exists, latest-preceding value carried into the
+    // gaps — the densification step before windowed features/models.
+    // ~63% of grid cells are gaps at this span, so the fill path is
+    // genuinely exercised.
+    ("events_gapfill",
+      (s, d) => TimeSeries.gapFill(
+          Tables.eventsNorm(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+          keyCol = "event_type", tsCol = "ts_us", valCol = "value",
+          bucketSpan = 600000000L)
+        .orderBy("event_type", "bucket"),
+      Some("""WITH o AS (SELECT event_type, epoch_us(ts) // 600000000 AS bucket,
+        |   round(sum(value), 4) AS v_obs FROM events GROUP BY 1, 2),
+        | b AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        |   FROM o GROUP BY 1),
+        | g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM b),
+        | j AS (SELECT g.event_type, g.bucket, o.v_obs FROM g LEFT JOIN o
+        |   ON o.event_type = g.event_type AND o.bucket = g.bucket)
+        | SELECT event_type, bucket, v_obs,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS v_filled,
+        |  v_obs IS NULL AS is_gap
+        | FROM j ORDER BY event_type, bucket""".stripMargin.replace("\n", " "))),
+
+    // Changepoint detection (Page's CUSUM chart): per type, cumulative
+    // sum of deviations from the type mean in (ts, event_id) order; the
+    // row where |CUSUM| peaks is the candidate changepoint. Every
+    // double quantity derives from the ORDERED cumulative sum (frame
+    // order is identical on both engines — the events_rolling
+    // contract), the mean included (final cum / n, not an unordered
+    // AVG), so the 4-dp rounding compares bit-for-bit. One window
+    // shuffle + a per-type top-1 (WindowGroupLimit heap).
+    ("events_cusum",
+      (s, d) => {
+        val ord = Window.partitionBy("event_type")
+          .orderBy(col("ts_us"), col("event_id"))
+        val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val allW = ord.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val typW = Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val scored = Tables.eventsNorm(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("cum", sum("value").over(cumW))
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("n", count(lit(1)).over(typW))
+          .withColumn("tot", last("cum").over(allW))
+          .withColumn("cusum",
+            round(col("cum") - col("rn") * (col("tot") / col("n")), 4))
+        val rk = Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("event_id"))
+        scored.withColumn("rk", row_number().over(rk))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("event_id").as("cp_event_id"),
+            col("cusum").as("cp_cusum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c0 AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |   SUM(value) OVER (PARTITION BY event_type
+        |     ORDER BY epoch_us(ts), event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY epoch_us(ts), event_id) AS rn,
+        |   COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        | c AS (SELECT event_type, event_id, cum, rn, n,
+        |   last_value(cum) OVER (PARTITION BY event_type
+        |     ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot
+        |  FROM c0),
+        | d AS (SELECT event_type, event_id,
+        |   round(cum - rn * (tot / n), 4) AS cusum FROM c),
+        | f AS (SELECT event_type, event_id, cusum, row_number() OVER (
+        |   PARTITION BY event_type ORDER BY abs(cusum) DESC, event_id) AS rk
+        |  FROM d)
+        | SELECT event_type, event_id AS cp_event_id, cusum AS cp_cusum
+        | FROM f WHERE rk = 1 ORDER BY event_type"""
+        .stripMargin.replace("\n", " "))),
+
     // Robust anomaly detection: per-type outlier counts under the
     // median-absolute-deviation rule (|v − med| > 5·MAD) — the
     // monitoring pass a pipeline runs over every numeric feed. Median

@@ -156,4 +156,64 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(r3 == r5)
     assert(r3.forall(_.getString(1) == "x"))
   }
+
+  test("ppr: teleport mass concentrates rank around the seeds") {
+    // chain x -> y -> z plus unrelated clique; seed = x. Rank must flow
+    // x -> y -> z and the unrelated component must stay at zero.
+    val g = Seq(("x", "y"), ("y", "z"), ("p", "q"), ("q", "p"))
+      .toDF("src", "dst")
+    val pr = GraphAnalytics.pprFixedPoint(g, seeds = Seq("x"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reachable-from-seed nodes hold all the mass (z, the dangling
+    // sink, legitimately accumulates the most — its inflow only leaves
+    // via the dangling redistribution back to the seed)
+    assert(pr("x") > 0L && pr("y") > 0L && pr("z") > 0L)
+    assert(pr("p") == 0L && pr("q") == 0L)
+    assert(pr.values.sum <= 1000000000000L) // floor-loss only, never gain
+    // deterministic across partitionings
+    val a = GraphAnalytics.pprFixedPoint(g.repartition(1), Seq("x"), iters = 5)
+      .orderBy("id").collect().toSeq
+    val b = GraphAnalytics.pprFixedPoint(g.repartition(7), Seq("x"), iters = 5)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("ppr: multi-seed splits the teleport mass equally") {
+    val g = Seq(("a", "m"), ("b", "m")).toDF("src", "dst")
+    val pr = GraphAnalytics.pprFixedPoint(g, seeds = Seq("a", "b"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("a") == pr("b")) // symmetric seeds, exact integer equality
+    assert(pr("m") > 0L)
+  }
+
+  test("randomWalks: every emitted step follows an edge, deterministically") {
+    val g = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val edgeSet = Set(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+    val walks = GraphAnalytics.randomWalks(g, steps = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(walks.length == 3) // one walk per node
+    walks.foreach { case (wid, path, hops) =>
+      val ids = path.split("->").toSeq
+      assert(ids.head == wid)
+      assert(hops == ids.length - 1)
+      ids.sliding(2).foreach { case Seq(u, v) => assert(edgeSet((u, v))) }
+    }
+    // a cycle never strands the walk: all walks take the full 3 hops
+    assert(walks.forall(_._3 == 3L))
+    // deterministic across partitionings
+    val a = GraphAnalytics.randomWalks(g.repartition(1), steps = 3)
+      .orderBy("walk_id").collect().toSeq
+    val b = GraphAnalytics.randomWalks(g.repartition(5), steps = 3)
+      .orderBy("walk_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("randomWalks: a dangling node truncates its walk") {
+    val g = Seq(("a", "b")).toDF("src", "dst") // b has no out-edges
+    val m = GraphAnalytics.randomWalks(g, steps = 4)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m("b") == (("b", 0L)))          // stuck at the start
+    assert(m("a") == (("a->b", 1L)))       // one hop, then stuck
+  }
 }

@@ -180,4 +180,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("semDedup: drops exactly the vectors with a similar lower-id cluster-mate") {
+    // vec 1 duplicates vec 0 (cos = 1); vec 4 is 45 degrees from both
+    // (cos ~ 0.7071); vecs 2 and 3 are orthogonal/opposite to everything.
+    val out = Similarity.semDedup(emb, k = 2, iters = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L)) // every input id present
+    assert(out(0L))    // lowest id of the duplicate pair survives
+    assert(!out(1L))   // its exact duplicate is dropped
+    assert(out(2L) && out(3L)) // dissimilar vectors survive
+    // keep decisions agree with the brute-force rule within clusters
+    val asg = Similarity.kmeansAssign(emb, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    for (id <- vecs.keys) {
+      val dominated = vecs.keys.exists(o =>
+        o < id && asg(o) == asg(id) && cos(vecs(o), vecs(id)) >= 0.9)
+      assert(out(id) == !dominated, s"vec $id keep=${out(id)}")
+    }
+  }
 }

@@ -181,4 +181,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 7)
       .isEmpty)
   }
+
+  test("dupNgramStats: flags windows whose gram appears in another doc") {
+    // docs 1 and 2 share the trigram "a b c"; doc 3 is all-unique;
+    // doc 4 is too short for any window.
+    val docs = Seq(
+      (1L, "a b c d"),     // windows: "a b c", "b c d"
+      (2L, "z a b c"),     // windows: "z a b", "a b c"
+      (3L, "p q r s"),     // windows: "p q r", "q r s" -- unique
+      (4L, "x y")          // no window at n = 3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramStats(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 2L, 1L, 0.5)))
+    assert(got(1) == ((2L, 2L, 1L, 0.5)))
+    assert(got(2) == ((3L, 2L, 0L, 0.0)))
+    assert(got(3) == ((4L, 0L, 0L, 0.0))) // short doc: zero, not missing
+  }
 }

@@ -159,4 +159,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.map(_._1) === Seq(1L, 2L)) // doc 3 scores 0 and is filtered
     assert(got.head._2 > got(1)._2)
   }
+
+  test("gapFill: dense grid per key, forward-filled gaps, observed sums kept") {
+    // key k1 observes buckets 0 and 3 (span 10): grid 0..3 with two
+    // gaps carrying bucket 0's value; key k2 is a single point.
+    val df = Seq(
+      ("k1", 5L, 2.0), ("k1", 7L, 3.0),   // bucket 0, sum 5.0
+      ("k1", 35L, 7.0),                    // bucket 3
+      ("k2", 100L, 1.0)
+    ).toDF("k", "ts", "v")
+    val got = TimeSeries.gapFill(df, "k", "ts", "v", bucketSpan = 10L)
+      .orderBy("k", "bucket")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("k1", 0L, Some(5.0), 5.0, false),
+      ("k1", 1L, None, 5.0, true),
+      ("k1", 2L, None, 5.0, true),
+      ("k1", 3L, Some(7.0), 7.0, false),
+      ("k2", 10L, Some(1.0), 1.0, false)))
+  }
 }
