@@ -62,12 +62,16 @@ object Bench {
     var failedTime = 0.0
     var zeroSuccess = 0
     val results = Queries.benchNames.flatMap { name =>
-      // untimed GC nudge between queries: checkpointed RDDs from
-      // completed queries unpersist only when their weak refs are
-      // collected (ContextCleaner) — without this, storage fills as the
+      // untimed storage reset between queries: checkpointed RDDs from
+      // completed queries otherwise unpersist only when the
+      // ContextCleaner collects their weak refs — storage fills as the
       // suite progresses and later queries bench their spill behavior
-      // instead of their plan (observed: a 2 s query timing 15 s late
-      // in the suite, back to 2 s isolated)
+      // instead of their plan (observed: a 2 s query timing 15-40 s
+      // late in the suite, back to 2 s isolated). The sweep drops
+      // anonymous leftovers deterministically (named Dataset caches —
+      // the warmed store views — survive); the gc nudge still covers
+      // broadcast/accumulator debris.
+      graft.core.Checkpoints.sweepAnonymous(spark)
       System.gc()
       val attempts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

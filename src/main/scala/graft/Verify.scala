@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop checkpoint leftovers between queries (127 entries' worth
+      // of orphaned frames otherwise accumulate in executor storage —
+      // see Checkpoints.sweepAnonymous)
+      graft.core.Checkpoints.sweepAnonymous(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -70,12 +70,22 @@ object GraphAnalytics {
       // connectedComponents), so materializing once per round is the
       // same one-job-per-iteration cost the old per-iter action paid,
       // minus the dropped join.
-      var state = nodes.join(outdeg, Seq("id"), "left")
+      val state0 = nodes.join(outdeg, Seq("id"), "left")
         .localCheckpoint(true)
-      val n = state.count() // free: state is materialized
+      val n = state0.count() // free: state is materialized
       val base = scale / n
       val teleport = 15L * base / 100L
-      state = state.withColumn("rank", lit(base)).localCheckpoint(true)
+      // while the rank table is V-bounded, SHIP IT into the E-sized
+      // join and ship the V-sized agg result back — the edge set never
+      // shuffles AND the state table never shuffles; each round's only
+      // exchange is the O(V) partial-agg of incoming shares (same
+      // broadcast-while-small pattern as connectedComponents; integer
+      // sums make the result identical on either path). Past the
+      // threshold the shuffled path takes over, probing the
+      // src-partitioned edge layout.
+      val small = n <= 1000000L
+      var state = state0.withColumn("rank", lit(base)).localCheckpoint(true)
+      graft.core.Checkpoints.drop(state0) // superseded, next frame is live
       for (_ <- 1 to iters) {
         // dangling rank mass as a 1-row broadcast instead of a driver
         // action: the whole iteration stays one lazy plan, and the
@@ -83,17 +93,21 @@ object GraphAnalytics {
         // (floor div by N, all LONG)
         val dang = state.filter(col("outdeg").isNull)
           .agg(expr(s"coalesce(sum(rank), 0L) div ${n}L").as("dsh"))
-        val incoming = state.filter(col("outdeg").isNotNull)
+        val shares = state.filter(col("outdeg").isNotNull)
           .select(col("id").as("src"), expr("rank div outdeg").as("share"))
-          .join(pairs, Seq("src"))
-          .groupBy(col("dst").as("id")).agg(sum("share").as("inc"))
+        val incoming =
+          (if (small) pairs.join(broadcast(shares), Seq("src"))
+           else shares.join(pairs, Seq("src")))
+            .groupBy(col("dst").as("id")).agg(sum("share").as("inc"))
+        val prev = state
         state = state.select("id", "outdeg")
-          .join(incoming, Seq("id"), "left")
+          .join(if (small) broadcast(incoming) else incoming, Seq("id"), "left")
           .crossJoin(broadcast(dang))
           .select(col("id"), col("outdeg"),
             (lit(teleport) +
               expr("85 * (coalesce(inc, 0L) + dsh) div 100")).as("rank"))
           .localCheckpoint(true)
+        graft.core.Checkpoints.drop(prev) // round t's frame: dead now
       }
       state.select("id", "rank")
     } finally if (!parentCached) pairs.unpersist()
@@ -160,7 +174,13 @@ object GraphAnalytics {
     // `undirectedPairs`: caller passes a stored undirected index
     // (CodeGraph.undPairs / the second bucketed edge-table copy) that
     // is already exactly that view — skip the 2|E| union+distinct.
-    var und = (if (undirectedPairs)
+    // an already-persisted undirected index is consumed as-is (the
+    // checkpoint copy is only for derived views — see
+    // connectedComponents); the loop reassigns `und` to shrunk
+    // checkpointed frames from round 1 on either way.
+    val parentCached = undirectedPairs &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val undInit = if (undirectedPairs)
       edges.select(col("src").as("a"), col("dst").as("b"))
     else {
       val und0 =
@@ -169,7 +189,8 @@ object GraphAnalytics {
       und0.select(col("src").as("a"), col("dst").as("b"))
         .union(und0.select(col("dst").as("a"), col("src").as("b")))
         .distinct()
-    }).localCheckpoint(false)
+    }
+    var und = if (parentCached) undInit else undInit.localCheckpoint(false)
     // DELTA peeling (the same trick as the topo loop): degrees are
     // aggregated over the full edge set ONCE; each round subtracts the
     // removed nodes' contributions from their surviving neighbors
@@ -252,7 +273,12 @@ object GraphAnalytics {
     // over duplicate edges (unlike k-core's degree counts), so the 2|E|
     // dedup shuffle would buy nothing — the msgs groupBy folds dupes.
     // `undirectedPairs`: a stored undirected index is consumed as-is.
-    val und0 = (if (undirectedPairs)
+    // an already-persisted undirected index is consumed as-is — the
+    // checkpoint copy is only for derived views (copying the stored
+    // E-sized table per query would double its storage for nothing)
+    val parentCached = undirectedPairs &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0raw = if (undirectedPairs)
       edges.select(col("src").as("a"), col("dst").as("b"))
     else {
       val pairs0 =
@@ -260,7 +286,8 @@ object GraphAnalytics {
         else edges.select(col("src"), col("dst")).distinct()
       pairs0.select(col("src").as("a"), col("dst").as("b"))
         .union(pairs0.select(col("dst").as("a"), col("src").as("b")))
-    }).localCheckpoint(false)
+    }
+    val und0 = if (parentCached) und0raw else und0raw.localCheckpoint(false)
     val init = und0.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(false)
@@ -284,6 +311,11 @@ object GraphAnalytics {
       val jumped = m.join(if (small) broadcast(mSide) else mSide, Seq("lbl"))
         .select(col("id"), col("lbl2").as("lbl"))
         .localCheckpoint(true)
+      // round frames are dead once `jumped` is materialized (each is
+      // consumed only by this round's joins) — release them now instead
+      // of waiting for the ContextCleaner
+      graft.core.Checkpoints.drop(m)
+      graft.core.Checkpoints.drop(labels)
       labels = jumped
     }
     labels.select(col("id"), col("lbl").as("component"))
@@ -398,6 +430,7 @@ object GraphAnalytics {
           val s0 = mapping.select(col("c").as(from), col("c2").as(to))
           if (nChosen <= metaDriverMax) broadcast(s0) else s0
         }
+        val prevLive = live
         live = live
           .join(side("ca", "ma"), Seq("ca"), "left")
           .join(side("cb", "mb"), Seq("cb"), "left")
@@ -413,6 +446,10 @@ object GraphAnalytics {
             col("m.oa").as("oa"), col("m.ob").as("ob"))
           .localCheckpoint(true)
         crossing = live.count()
+        // prev round's live frame is dead (chosen frames stay: forest
+        // is a lazy union over them; round 1's prev is a projection of
+        // canon, where drop() is a strict no-op)
+        graft.core.Checkpoints.drop(prevLive)
       }
     }
     forest.select("a", "b", "w")
@@ -570,6 +607,10 @@ object GraphAnalytics {
       .join(lbl("id", "lbl"), Seq("id"))
       .groupBy("lbl").agg(sum("deg").as("dc"))
       .agg(sum(col("dc") * col("dc"))).first().getLong(0)
+    // every action over labels/canon has run; the returned frame is a
+    // driver-local literal — release the checkpoints now
+    graft.core.Checkpoints.drop(labels)
+    graft.core.Checkpoints.drop(canon)
     val spark = edges.sparkSession
     import spark.implicits._
     // the single double division, rounded with the same round() the
@@ -899,21 +940,28 @@ object GraphAnalytics {
         .withColumn("tele", when(isSeed, lit(tshare)).otherwise(lit(0L)))
         .withColumn("rank", col("tele"))
         .localCheckpoint(true)
+      // same V-bounded broadcast pattern as pagerankFixedPoint: neither
+      // the edge set nor the state table shuffles while V fits
+      val small = state.count() <= 1000000L
       for (_ <- 1 to iters) {
         val dang = state.filter(col("outdeg").isNull)
           .agg(expr(s"coalesce(sum(rank), 0L) div ${nSeeds}L").as("dsh"))
-        val incoming = state.filter(col("outdeg").isNotNull)
+        val shares = state.filter(col("outdeg").isNotNull)
           .select(col("id").as("src"), expr("rank div outdeg").as("share"))
-          .join(pairs, Seq("src"))
-          .groupBy(col("dst").as("id")).agg(sum("share").as("inc"))
+        val incoming =
+          (if (small) pairs.join(broadcast(shares), Seq("src"))
+           else shares.join(pairs, Seq("src")))
+            .groupBy(col("dst").as("id")).agg(sum("share").as("inc"))
+        val prev = state
         state = state.select("id", "outdeg", "tele")
-          .join(incoming, Seq("id"), "left")
+          .join(if (small) broadcast(incoming) else incoming, Seq("id"), "left")
           .crossJoin(broadcast(dang))
           .select(col("id"), col("outdeg"), col("tele"),
             (expr("15 * tele div 100") +
               expr("85 * (coalesce(inc, 0L) + if(tele > 0L, dsh, 0L)) div 100")
               ).as("rank"))
           .localCheckpoint(true)
+        graft.core.Checkpoints.drop(prev) // round t's frame: dead now
       }
       state.select("id", "rank")
     } finally if (!parentCached) pairs.unpersist()
@@ -991,6 +1039,7 @@ object GraphAnalytics {
           .withColumn("h", md5(concat(col("walk_id"), lit(s":$t:"), col("dst"))))
         val w = Window.partitionBy("walk_id")
           .orderBy(col("h").asc_nulls_last, col("dst").asc_nulls_last)
+        val prev = state
         state = cand.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("walk_id"),
@@ -998,6 +1047,7 @@ object GraphAnalytics {
             when(col("dst").isNull, col("path"))
               .otherwise(concat(col("path"), array(col("dst")))).as("path"))
           .localCheckpoint(true)
+        graft.core.Checkpoints.drop(prev) // step t's frame: dead now
       }
       // '->'-joined string, not ARRAY: the driver's comparator (and any
       // hash-based external check) wants sortable scalar cells — same
