@@ -83,6 +83,58 @@ object Sampling {
       .filter(col("tokens_before") < budgetTokens)
   }
 
+  /** Mixture resampling to TARGET proportions, with deterministic
+    * UPSAMPLING — the data-mixing step of a training run (Dolma/LLaMA
+    * style: "the final corpus is w% source A, v% source B, ...", where
+    * small high-quality sources are repeated for several epochs and
+    * large sources are subsampled). [[stratified]] can only thin; this
+    * hits an exact per-source row count from relative weights.
+    *
+    * Per stratum s with weight w_s (sum W) and `have_s` input rows:
+    *   want_s  = (budgetRows * w_s) div W          (exact target)
+    *   full_s  = want_s div have_s                 (whole epochs)
+    *   frac_s  = want_s mod have_s                 (rows getting 1 extra)
+    * Every row is emitted `full_s` times, and the `frac_s` rows ranked
+    * first by the deterministic hash order get one more — so the output
+    * holds EXACTLY want_s rows of stratum s, stable across runs,
+    * clusters, and partitionings. `epoch` (1-based) distinguishes the
+    * copies so a downstream shuffle-by-(id, epoch) spreads repeats.
+    * Strata absent from `targets` get weight 0 and are dropped.
+    *
+    * Scale shape: one histogram-sized count agg broadcast back, one
+    * per-stratum rank window (hash-partitioned by stratum — same
+    * stratum-parallel shape as [[tokenBudget]]; a stratum so large it
+    * skews a single window partition is exactly a stratum whose
+    * fractional epoch can switch to the [[stratified]] hash-threshold
+    * gate, trading exact counts for a map-only plan), and an
+    * output-sized `explode(sequence)` — repeats are generated, never
+    * joined.
+    */
+  def mixture(df: DataFrame, idCol: String, stratumCol: String,
+              targets: Seq[(String, Int)], budgetRows: Long): DataFrame = {
+    val w = targets.map(_._2.toLong).sum
+    require(targets.nonEmpty && targets.forall(_._2 >= 0) && w > 0,
+      "mixture needs non-negative weights summing > 0")
+    val wCol = targets.foldRight(lit(0L): Column) { case ((s, p), e) =>
+      when(col(stratumCol) === s, lit(p.toLong)).otherwise(e)
+    }
+    val have = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("have"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+    df.select(col(idCol), col(stratumCol))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .join(broadcast(have), Seq(stratumCol))
+      .withColumn("__w", wCol)
+      .withColumn("want", expr(s"(${budgetRows}L * __w) div ${w}L"))
+      .withColumn("reps", expr("want div have") +
+        when(col("rk") <= expr("want % have"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("reps") > 0)
+      .select(col(idCol), col(stratumCol),
+        explode(sequence(lit(1L), col("reps"))).as("epoch"))
+  }
+
   /** Stratified deterministic sample: keep a row iff
     * `hashBucket(id) < pct(stratum)`. `rates` maps stratum value to the
     * keep-percentage; strata not listed fall back to `defaultPct`.

@@ -725,6 +725,38 @@ object QueriesPipeline {
         |  FROM documents) ORDER BY doc_id"""
         .stripMargin.replace("\n", " "))),
 
+    // ===== Mixture resampling with upsampling =====
+    // Target mixture 5:3:2 over three sources, 300-row budget: src0
+    // wants 150 rows from 25 inputs (6 full epochs), src1 90 (3 epochs
+    // + 15 rows of a 4th), src2 60 (2 epochs + 10) — exact per-source
+    // counts, deterministic extra-epoch membership, other sources
+    // dropped (weight 0). The oracle replays the identical rank +
+    // integer-div arithmetic.
+    ("sample_mixture",
+      (s, d) => graft.pipeline.Sampling.mixture(
+        graft.core.Tables.documents(s, d), "doc_id", "source",
+        targets = MixtureTargets, budgetRows = 300L)
+        .orderBy("doc_id", "epoch"),
+      Some({
+        val w = MixtureTargets.map(_._2).sum
+        val wCase = MixtureTargets.map { case (src, p) =>
+          s"WHEN source = '$src' THEN $p"
+        }.mkString("CASE ", " ", " ELSE 0 END")
+        s"""WITH t AS (SELECT doc_id, source, CAST(row_number() OVER (
+          |   PARTITION BY source
+          |   ORDER BY ${graft.pipeline.Sampling.hashOrderSql("doc_id")}, doc_id)
+          |  AS BIGINT) AS rk FROM documents),
+          | h AS (SELECT source, COUNT(*) AS have FROM documents GROUP BY 1),
+          | j AS (SELECT t.doc_id, t.source, t.rk, h.have,
+          |   (300 * ($wCase)) // $w AS want FROM t JOIN h USING (source)),
+          | r AS (SELECT doc_id, source, want // have +
+          |   CASE WHEN rk <= want % have THEN 1 ELSE 0 END AS reps FROM j)
+          | SELECT doc_id, source, CAST(unnest(range(1, reps + 1)) AS BIGINT)
+          |  AS epoch
+          | FROM r WHERE reps > 0 ORDER BY doc_id, epoch"""
+          .stripMargin.replace("\n", " ")
+      })),
+
     // ===== Corpus bigram LM quality score =====
     ("text_lm_score",
       (s, d) => TextAnalysis.lmScore(
@@ -890,6 +922,8 @@ object QueriesPipeline {
   private lazy val Bm25Terms = Seq("hash", "join", "filter", "scan")
 
   private lazy val SampleRates = Seq("src0" -> 20, "src1" -> 50, "src2" -> 80)
+
+  private lazy val MixtureTargets = Seq("src0" -> 5, "src1" -> 3, "src2" -> 2)
 
   /** Oracle for [[TextAnalysis.bm25]] — identical expression structure
     * (left-assoc arithmetic, same Scala-computed double literals via

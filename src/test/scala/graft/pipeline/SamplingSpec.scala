@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Mixture resampling: exact per-stratum counts, deterministic epoch
+  * membership, partitioning-independence.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 strata x 10 rows; ids disjoint across strata
+  private lazy val docs = (0 until 40).map { i =>
+    (i.toLong, s"s${i / 10}")
+  }.toDF("id", "src")
+
+  test("mixture hits the exact per-stratum targets, up- and down-sampled") {
+    // weights 6:3:1 over s0..s2, budget 100 -> want 60/30/10 from 10
+    // rows each: s0 = 6 full epochs, s1 = 3, s2 = 1; s3 dropped.
+    val out = Sampling.mixture(docs, "id", "src",
+      targets = Seq("s0" -> 6, "s1" -> 3, "s2" -> 1), budgetRows = 100L)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("s0" -> 60L, "s1" -> 30L, "s2" -> 10L))
+    // every input row of a kept stratum appears exactly `full` times
+    // when want divides evenly
+    val perRow = out.filter(col("src") === "s0").groupBy("id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perRow == Set(6L))
+    // epochs are 1..reps per row
+    val eps = out.filter(col("src") === "s1").groupBy("id")
+      .agg(min("epoch").as("lo"), max("epoch").as("hi"), count(lit(1)).as("n"))
+      .collect()
+    eps.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == r.getLong(3))
+    }
+  }
+
+  test("mixture fractional epoch selects a deterministic subset") {
+    // weight 1, budget 25 over 10+30 rows of two strata: s0 wants
+    // (25*1) div 2 = 12 from 10 rows -> 1 full epoch + 2 extras;
+    // s1 wants 12 from 10 -> same. Extra-epoch rows are the hash-rank
+    // leaders, stable across partitionings.
+    val two = docs.filter(col("src").isin("s0", "s1"))
+    val a = Sampling.mixture(two, "id", "src",
+      targets = Seq("s0" -> 1, "s1" -> 1), budgetRows = 25L)
+      .orderBy("id", "epoch").collect().toSeq
+    val b = Sampling.mixture(two.repartition(7), "id", "src",
+      targets = Seq("s0" -> 1, "s1" -> 1), budgetRows = 25L)
+      .orderBy("id", "epoch").collect().toSeq
+    assert(a == b)
+    assert(a.count(_.getString(1) == "s0") == 12)
+    assert(a.count(_.getString(1) == "s1") == 12)
+    // exactly two s0 rows carry epoch 2, none carry epoch 3
+    val s0eps = a.filter(_.getString(1) == "s0").map(_.getLong(2))
+    assert(s0eps.count(_ == 2L) == 2 && !s0eps.contains(3L))
+  }
+
+  test("mixture rejects empty or all-zero weights") {
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(docs, "id", "src", targets = Seq("s0" -> 0),
+        budgetRows = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(docs, "id", "src", targets = Seq(), budgetRows = 10L)
+    }
+  }
+}
