@@ -35,12 +35,13 @@ object Queries {
     "ann_topk_quant",
     "ann_neardup_lsh", "embedding_kmeans",
     "text_stats", "text_tfidf", "text_bm25", "text_pii_scan",
+    "text_dup_ngrams", "semdedup", "sample_mixture",
     "corpus_prep_pipeline",
     "corpus_top_terms", "corpus_pmi",
     "q1_agg", "q3_top_orders", "events_tumbling",
     "events_asof_join", "events_range_pairs", "events_attribution",
     "events_histogram", "events_kmv_distinct", "events_hist_quantiles",
     "events_funnel", "events_retention", "events_cms_counts",
-    "events_session_windows",
+    "events_session_windows", "events_gapfill", "events_cusum",
   )
 }
