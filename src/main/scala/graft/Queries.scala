@@ -30,7 +30,7 @@ object Queries {
     "ann_knn_join",
     "context_query", "filter_bool_tree",
     "dedup_minhash_bands", "dedup_minhash_bands_fast",
-    "dedup_exact", "dedup_incremental",
+    "dedup_exact", "dedup_incremental", "dedup_prefix_join",
     "ann_topk", "ann_topk_native",
     "ann_topk_quant",
     "ann_neardup_lsh", "embedding_kmeans",

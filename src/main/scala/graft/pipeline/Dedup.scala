@@ -313,6 +313,72 @@ object Dedup {
       verifyN, threshold)
   }
 
+  /** EXACT set-similarity self-join by prefix filtering (SSJoin /
+    * PPJoin candidate scheme): every pair of documents whose n-gram
+    * shingle SETS have Jaccard ≥ tn/td — with zero false negatives,
+    * unlike the MinHash-LSH candidate paths (which trade recall for
+    * fewer candidates). The two coexist deliberately: LSH is the
+    * probabilistic scale default, this is the exact-recall contract
+    * (compliance-grade dedup, eval-set decontamination).
+    *
+    * Prefix principle: order every document's token set by ONE global
+    * total order (corpus frequency asc, token asc — rarest first, the
+    * order that makes prefixes selective), keep only the first
+    * `|x| − ⌈t·|x|⌉ + 1` tokens, and join on those prefix tokens: any
+    * pair with J ≥ t must share a prefix token, so the candidate set is
+    * a superset of the answer, generated from the RARE end of the
+    * vocabulary (frequent tokens never join). Verification computes the
+    * exact Jaccard per candidate and keeps `inter · td ≥ tn · (union)` —
+    * all-integer, so the gate is bit-exact on both engines. The
+    * threshold is a RATIONAL (tn/td) for the same reason.
+    *
+    * Scale shape: one token-frequency agg (vocabulary-sized), one
+    * doc-sized sort-collect window per document (bounded by per-doc set
+    * size, not corpus size), a prefix-token equi-join whose fan-out is
+    * the candidate count (the filter's whole point), and a per-pair
+    * array_intersect verify bounded by document length. Nothing is ever
+    * corpus-quadratic unless the corpus genuinely is near-duplicate-
+    * quadratic (in which case so is the answer).
+    *
+    * Returns (id_a, id_b, inter, na, nb, jaccard) with id_a < id_b.
+    */
+  def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, tn: Int = 1, td: Int = 2): DataFrame = {
+    require(n >= 1 && tn >= 1 && td >= tn,
+      s"prefixFilterJoin needs n >= 1 and a threshold tn/td in (0, 1]; " +
+        s"got n=$n tn=$tn td=$td")
+    val ex = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("tk"))
+    val freq = ex.groupBy("tk").agg(count(lit(1)).as("freq"))
+    // per-doc token array in global (freq, token) order; doc-bounded
+    val arr = ex.join(freq, Seq("tk"))
+      .groupBy("id")
+      .agg(transform(sort_array(collect_list(struct(col("freq"), col("tk")))),
+        s => s.getField("tk")).as("toks"))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      // prefix length |x| − ⌈t·|x|⌉ + 1, all-integer ceil-div
+      .withColumn("pfx", expr(
+        s"slice(toks, 1, cast(nt - ((${tn}L * nt + ${td - 1}L) div ${td}L) + 1 as int))"))
+    val pe = arr.select(col("id"), explode(col("pfx")).as("tk"))
+    val cand = pe.select(col("id").as("id_a"), col("tk"))
+      .join(pe.select(col("id").as("id_b"), col("tk")), Seq("tk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val full = arr.select(col("id"), col("toks"), col("nt"))
+    cand
+      .join(full.select(col("id").as("id_a"), col("toks").as("ta"),
+        col("nt").as("na")), Seq("id_a"))
+      .join(full.select(col("id").as("id_b"), col("toks").as("tb"),
+        col("nt").as("nb")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * lit(td.toLong) >=
+        lit(tn.toLong) * (col("na") + col("nb") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+  }
+
   def jaccardForPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                       textCol: String, n: Int = 2,
                       threshold: Double = 0.05): DataFrame = {

@@ -178,6 +178,36 @@ object QueriesPipeline {
         |   AND a.doc_id < b.doc_id
         | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // EXACT set-similarity self-join by prefix filtering (zero false
+    // negatives, unlike the LSH candidate paths): global rarest-first
+    // token order, |x| − ⌈t·|x|⌉ + 1 prefixes, prefix-token equi-join,
+    // integer cross-multiplied Jaccard gate at 1/2.
+    ("dedup_prefix_join",
+      (s, d) => Dedup.prefixFilterJoin(graft.core.Tables.documents(s, d),
+        "doc_id", "text", n = 3, tn = 1, td = 2).orderBy("id_a", "id_b"),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | s AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh FROM w),
+        | e AS (SELECT doc_id AS id, unnest(sh) AS tk FROM s),
+        | f AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS freq FROM e GROUP BY 1),
+        | a0 AS (SELECT e.id, e.tk, f.freq FROM e JOIN f USING (tk)),
+        | arr AS (SELECT id, list_transform(
+        |    list_sort(list(struct_pack(f := freq, t := tk))), x -> x.t)
+        |   AS toks FROM a0 GROUP BY id),
+        | pre AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS nt,
+        |   toks[1 : CAST(len(toks) - ((1 * len(toks) + 1) // 2) + 1 AS BIGINT)]
+        |    AS pfx FROM arr),
+        | pe AS (SELECT id, unnest(pfx) AS tk FROM pre),
+        | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |   FROM pe a JOIN pe b ON a.tk = b.tk AND a.id < b.id),
+        | v AS (SELECT c.id_a, c.id_b,
+        |   CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS inter,
+        |   CAST(len(x.toks) AS BIGINT) AS na, CAST(len(y.toks) AS BIGINT) AS nb
+        |  FROM cand c JOIN arr x ON x.id = c.id_a JOIN arr y ON y.id = c.id_b)
+        | SELECT id_a, id_b, inter, na, nb,
+        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        | FROM v WHERE inter * 2 >= 1 * (na + nb - inter)
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
     ("dedup_simhash",
       (s, d) => graft.core.Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))

@@ -163,6 +163,53 @@ class DedupSpec extends SparkSpec {
     assert(fused(40).tail.forall(_ == null))
   }
 
+  test("prefixFilterJoin finds EXACTLY the brute-force Jaccard pairs") {
+    // the prefix-filter lemma (prefixes under one global order must
+    // intersect when J >= t) is the load-bearing math — pin it against
+    // brute-force all-pairs on randomized corpora, several thresholds
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = docs.collect().map { r =>
+      val ws = r.getString(1).split("\\s+").filter(_.nonEmpty)
+      r.getLong(0) -> ws.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    for ((tn, td) <- Seq((1, 2), (1, 3), (2, 3))) {
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        uni = sets(a).size + sets(b).size - inter
+        if uni > 0 && inter * td >= tn * uni
+      } yield (a, b)).toSet
+      val got = Dedup.prefixFilterJoin(docs, "doc_id", "text",
+          n = 2, tn = tn, td = td)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"threshold $tn/$td")
+    }
+  }
+
+  test("prefixFilterJoin: jaccard column is exact and short docs drop out") {
+    val docs = Seq(
+      (1L, "x y z w"),        // shingles {x y, y z, z w}
+      (2L, "x y z q"),        // shares {x y, y z}: J = 2/4 = 0.5
+      (3L, "p q"),            // 1 shingle, unrelated
+      (4L, "solo")            // no 2-gram shingles at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(docs, "doc_id", "text",
+        n = 2, tn = 1, td = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 3L, 3L, 0.5)))
+    // determinism across partitionings
+    val a = Dedup.prefixFilterJoin(docs.repartition(5), "doc_id", "text",
+      n = 2, tn = 1, td = 2).orderBy("id_a", "id_b").collect().toSeq
+    assert(a == got.toSeq.map(org.apache.spark.sql.Row.fromTuple))
+  }
+
   test("incrementalDedup flags batch-vs-corpus near-dups only") {
     val rep = "alpha beta gamma delta epsilon zeta eta theta"
     val corpus = Seq(
