@@ -1082,6 +1082,55 @@ object GraphAnalytics {
     } finally if (!parentCached) pairs.unpersist()
   }
 
+  /** Skip-gram training pairs from [[randomWalks]] output — the step
+    * that turns walks into the (center, context) co-occurrence corpus a
+    * DeepWalk/node2vec embedding model trains on: every ordered pair of
+    * nodes within `window` positions of each other on a walk, counted
+    * across walks. Pure higher-order-function expansion per walk row
+    * (no join — the pair universe is generated in place, bounded by
+    * walk_len · 2·window per walk) + one (center, context) partial-agg
+    * count. At 100 TB the walks input is the sampled-seed corpus;
+    * pair volume is walks × window — linear, never graph-quadratic.
+    */
+  def walkSkipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val arr = split(col("path"), "->")
+    val pairs = flatten(transform(sequence(lit(0), size(arr) - 1), i =>
+      transform(
+        filter(sequence(greatest(lit(0), i - window),
+          least(size(arr) - 1, i + window)), j => j =!= i),
+        j => struct(element_at(arr, i + 1).as("center"),
+          element_at(arr, j + 1).as("context")))))
+    walks.select(explode(pairs).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DuckDB oracle for [[walkSkipGramPairs]] over the unrolled
+    * [[randomWalksSql]] chain: the same window expansion as list
+    * comprehensions over each walk's path array.
+    */
+  def walkSkipGramPairsSql(edgesSql: String, steps: Int = 3,
+                           window: Int = 2): String = {
+    val walksCtes = randomWalksSql(edgesSql, steps)
+    val base = walksCtes.substring(0, walksCtes.indexOf(" SELECT walk_id,"))
+    s"""$base, pr AS (
+       |  SELECT unnest(flatten(list_transform(range(0, len(path)),
+       |    i -> list_transform(
+       |      list_filter(range(CASE WHEN i - $window > 0
+       |          THEN i - $window ELSE 0 END,
+       |        CASE WHEN i + $window + 1 < len(path)
+       |          THEN i + $window + 1 ELSE len(path) END),
+       |        j -> j != i),
+       |      j -> struct_pack(center := path[i + 1],
+       |        context := path[j + 1]))))) AS p
+       |  FROM w$steps)
+       | SELECT p.center AS center, p.context AS context,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt
+       | FROM pr GROUP BY 1, 2 ORDER BY center, context"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB oracle for [[randomWalks]]: the same hash-pick unrolled one
     * CTE pair per step (candidates, then per-walk rank-1 survivor).
     */

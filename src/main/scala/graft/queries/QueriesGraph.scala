@@ -464,5 +464,16 @@ object QueriesGraph {
           CodeGraph.edgePairs(s, d), steps = 3, pairsDistinct = true)
         .orderBy("walk_id"),
       Some(GraphAnalytics.randomWalksSql(E, steps = 3))),
+
+    // Walks → skip-gram (center, context) pairs within a ±2 window —
+    // the co-occurrence corpus a DeepWalk/node2vec embedding trains on.
+    // Pure HOF expansion per walk row (no join) + one pair-count agg.
+    ("graph_walk_pairs",
+      (s, d) => GraphAnalytics.walkSkipGramPairs(
+          GraphAnalytics.randomWalks(
+            CodeGraph.edgePairs(s, d), steps = 3, pairsDistinct = true),
+          window = 2)
+        .orderBy("center", "context"),
+      Some(GraphAnalytics.walkSkipGramPairsSql(E, steps = 3, window = 2))),
   )
 }

@@ -216,4 +216,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(m("b") == (("b", 0L)))          // stuck at the start
     assert(m("a") == (("a->b", 1L)))       // one hop, then stuck
   }
+
+  test("walkSkipGramPairs emits the brute-force windowed pairs") {
+    // hand walks: one 4-node path, one singleton (no pairs)
+    val walks = Seq(("w1", "a->b->c->d", 3L), ("w2", "x", 0L))
+      .toDF("walk_id", "path", "hops")
+    val got = GraphAnalytics.walkSkipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // brute force over positions |i-j| <= 2, i != j
+    val path = Seq("a", "b", "c", "d")
+    val want = (for {
+      i <- path.indices; j <- path.indices
+      if i != j && math.abs(i - j) <= 2
+    } yield (path(i), path(j))).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(!got.keys.exists { case (c, x) => c == "x" || x == "x" })
+  }
 }
