@@ -142,6 +142,37 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    // guards the DELTA message optimization: only changed labels vote,
+    // which must still land on the true min-label components (sparse
+    // graphs give multi-round convergence tails; the 6-round budget
+    // covers diameter ~126 via pointer jumping)
+    import graft.graph.GraphAnalytics
+    for (seed <- Seq(7, 8, 9)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val pairs = (1 to 50).map { _ =>
+        (f"n${rnd.nextInt(n)}%02d", f"n${rnd.nextInt(n)}%02d")
+      }.filter { case (a, b) => a != b }
+      val got = GraphAnalytics.connectedComponents(
+          pairs.toDF("src", "dst"), rounds = 6)
+        .as[(String, String)].collect().toMap
+
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = nodes.groupBy(find).values
+        .flatMap(ms => ms.map(_ -> ms.min)).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("pagerank fixed-point: mass bounds and rank ordering on random DAGs") {
     import graft.graph.GraphAnalytics
     val scale = 1000000000000L
