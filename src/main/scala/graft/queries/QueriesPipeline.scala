@@ -255,6 +255,58 @@ object QueriesPipeline {
         |  JOIN rch r ON r.a = n.a
         | GROUP BY n.a ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // The dedup story's last step: pick WHICH copy of each duplicate
+    // group survives — by quality score, not min-id (the curation rule
+    // real pipelines use: keep the best-written copy). Ungrouped docs
+    // are their own group and always keep. One left join of the group
+    // labels onto the quality table + a per-group top-1 window
+    // (WindowGroupLimit heap); group count ≪ corpus.
+    ("dedup_keep_best",
+      (s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        val groups = Dedup.dupGroups(
+          Dedup.minhashPairs(docs, "doc_id", "text", n = 3, k = K,
+            bands = BANDS))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("group_id")
+          .orderBy(col("quality").desc, col("doc_id"))
+        TextAnalysis.analyze(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+          .join(groups, Seq("doc_id"), "left")
+          .withColumn("group_id", coalesce(col("group_id"), col("doc_id")))
+          .withColumn("keep", row_number().over(w) === 1)
+          .orderBy("doc_id")
+      },
+      Some(s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        | lng AS (
+        |  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+        |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |   FROM lng a JOIN lng b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |     AND a.doc_id < b.doc_id),
+        | und AS (SELECT id_a AS a, id_b AS b FROM cand
+        |   UNION SELECT id_b, id_a FROM cand),
+        | rch AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM rch r JOIN und u ON r.b = u.a WHERE r.a <> u.b
+        | ),
+        | grp AS (SELECT n.a AS doc_id, LEAST(n.a, MIN(r.b)) AS group_id
+        |   FROM (SELECT DISTINCT a FROM und) n
+        |    JOIN rch r ON r.a = n.a GROUP BY n.a),
+        | stats AS ($textStatsSql),
+        | g2 AS (SELECT s.doc_id, COALESCE(grp.group_id, s.doc_id)
+        |    AS group_id, s.quality
+        |   FROM stats s LEFT JOIN grp ON grp.doc_id = s.doc_id),
+        | rk AS (SELECT doc_id, group_id, quality, row_number() OVER (
+        |   PARTITION BY group_id ORDER BY quality DESC, doc_id) AS rn
+        |  FROM g2)
+        | SELECT doc_id, group_id, quality, rn = 1 AS keep
+        | FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Jaccard verification wired to the candidate generator it exists to
     // verify: minhash-band candidate pairs → per-pair n-gram Jaccard.
     // Work is linear in |candidates|, never corpus-quadratic.
