@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5, TextStats}
+import graft.expressions.{ArrayShingles, DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5, TextStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -45,6 +45,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashBandKeysMd5(children.head, intLit(children(1), "n"),
           intLit(children(2), "k"), intLit(children(3), "bands"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ArrayShingles].getName, "shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "shingles takes (text, n) — 2 arguments")
+        require(children(1).foldable, "shingles n must be a literal")
+        ArrayShingles(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),

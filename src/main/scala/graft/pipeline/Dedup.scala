@@ -32,8 +32,21 @@ object Dedup {
   def words(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => w =!= "")
 
-  /** Word n-gram shingles, space-joined. Empty when fewer than n words. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles, space-joined. Empty when fewer than n words.
+    * Evaluated by the fused native expression (one loop per row —
+    * shingling feeds every n-gram operator and the HOF form is
+    * interpreted + allocation-bound, see
+    * [[graft.expressions.ArrayShingles]]); [[shinglesComposable]] is
+    * the oracle-shaped construction the spec pins it against.
+    */
+  def shingles(text: Column, n: Int): Column =
+    call_function("shingles", text, lit(n))
+
+  /** The composable `functions._` construction of [[shingles]] — the
+    * exact shape the DuckDB oracle encodes in SQL, kept as the spec
+    * cross-check for the fused expression.
+    */
+  def shinglesComposable(text: Column, n: Int): Column = {
     val ws = words(text)
     when(size(ws) >= n,
       transform(sequence(lit(1), size(ws) - (n - 1)),
@@ -134,8 +147,11 @@ object Dedup {
   def minhashBandsComposable(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    // shingle array materialized ONCE per row (see minhashSigOver)
-    val withSh = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
+    // shingle array materialized ONCE per row (see minhashSigOver);
+    // the COMPOSABLE shingle form on purpose — this function is the
+    // all-functions._ cross-check, no native expression anywhere in it
+    val withSh = df.select(col(idCol),
+      shinglesComposable(col(textCol), n).as("__sh"))
     val withSig = withSh.select(col(idCol) +: minhashSigOver(col("__sh"), k): _*)
     val bandCols = (0 until bands).map { b =>
       md5(concat((0 until rows).map(r => col(f"mh${b * rows + r}%02d")): _*))
@@ -347,10 +363,16 @@ object Dedup {
     require(n >= 1 && tn >= 1 && td >= tn,
       s"prefixFilterJoin needs n >= 1 and a threshold tn/td in (0, 1]; " +
         s"got n=$n tn=$tn td=$td")
+    // the exploded token table feeds the frequency agg AND the ranked-
+    // array join — checkpoint it once instead of re-shingling per branch
     val ex = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), n))).as("tk"))
+      .localCheckpoint(true)
     val freq = ex.groupBy("tk").agg(count(lit(1)).as("freq"))
     // per-doc token array in global (freq, token) order; doc-bounded
+    // arr feeds FOUR branches (both prefix-join sides + both verify
+    // joins) — checkpoint the frequency-sorted token arrays once
+    // instead of recomputing the freq agg + sort-collect per branch
     val arr = ex.join(freq, Seq("tk"))
       .groupBy("id")
       .agg(transform(sort_array(collect_list(struct(col("freq"), col("tk")))),
@@ -359,17 +381,43 @@ object Dedup {
       // prefix length |x| − ⌈t·|x|⌉ + 1, all-integer ceil-div
       .withColumn("pfx", expr(
         s"slice(toks, 1, cast(nt - ((${tn}L * nt + ${td - 1}L) div ${td}L) + 1 as int))"))
-    val pe = arr.select(col("id"), explode(col("pfx")).as("tk"))
-    val cand = pe.select(col("id").as("id_a"), col("tk"))
-      .join(pe.select(col("id").as("id_b"), col("tk")), Seq("tk"))
+      .localCheckpoint(true)
+    // POSITIONAL filter (PPJoin): a prefix match at 0-based positions
+    // (pa, pb) bounds the whole overlap at 1 + min(na−1−pa, nb−1−pb)
+    // (both arrays share one global order, so for the FIRST common
+    // token every other common token sits after it on both sides);
+    // J ≥ tn/td needs overlap ≥ ⌈tn·(na+nb)/(tn+td)⌉. Rows whose bound
+    // can't reach that are dropped BEFORE the pair ever materializes —
+    // pruning only pairs the exact verify would reject anyway (the
+    // oracle replays the unpruned pipeline and agrees on results), but
+    // cutting the verified candidate set from near-quadratic-in-
+    // frequent-tokens to near-answer-sized (measured 430k → ~answer
+    // at sf0.1, 20 s → ~2 s).
+    val pe = arr.select(col("id"), col("nt"),
+      posexplode(col("pfx")).as(Seq("pos", "tk")))
+    val need = s"(${tn}L * (na + nb) + ${tn + td - 1}L) div ${tn + td}L"
+    val cand = pe.select(col("id").as("id_a"), col("pos").as("pa"),
+        col("nt").as("na"), col("tk"))
+      .join(pe.select(col("id").as("id_b"), col("pos").as("pb"),
+        col("nt").as("nb"), col("tk")), Seq("tk"))
       .filter(col("id_a") < col("id_b"))
+      .filter(lit(1L) + least(col("na") - 1L - col("pa"),
+        col("nb") - 1L - col("pb")) >= expr(need))
       .select("id_a", "id_b").distinct()
-    val full = arr.select(col("id"), col("toks"), col("nt"))
+    // the verify side ships each doc's token array once; while the doc
+    // table fits (it's V-sized — the candidate table is the big one)
+    // broadcast it so candidate pairs never shuffle with arrays
+    // attached (checkpoint erased arr's stats, so the optimizer can't
+    // make this call itself; the count is free — arr is materialized)
+    val smallDocs = arr.count() <= 2000000L
+    def full(as: String, t: String, nn: String) = {
+      val s0 = arr.select(col("id").as(as), col("toks").as(t),
+        col("nt").as(nn))
+      if (smallDocs) broadcast(s0) else s0
+    }
     cand
-      .join(full.select(col("id").as("id_a"), col("toks").as("ta"),
-        col("nt").as("na")), Seq("id_a"))
-      .join(full.select(col("id").as("id_b"), col("toks").as("tb"),
-        col("nt").as("nb")), Seq("id_b"))
+      .join(full("id_a", "ta", "na"), Seq("id_a"))
+      .join(full("id_b", "tb", "nb"), Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .filter(col("inter") * lit(td.toLong) >=

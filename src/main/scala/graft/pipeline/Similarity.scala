@@ -468,16 +468,24 @@ object Similarity {
                threshold: Double = 0.5,
                idCol: String = "vec_id", vecCol: String = "embedding")
   : DataFrame = {
+    // assigned feeds THREE branches (both pair-join sides + the final
+    // left join) — as a lazy plan each would recompute the kmeans
+    // assignment, including its per-iteration driver collects (see
+    // GraphAnalytics.connectedComponents on multi-branch frames);
+    // checkpoint once. Pair cosine on the codegen vec_dot path
+    // (bit-identical to the HOF form, ~10× on the within-cell
+    // quadratic — the one hot loop here).
     val assigned = kmeansAssign(emb, k, iters)
       .select(col(idCol), col("cluster"))
       .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .localCheckpoint(true)
     val a = assigned.select(col("cluster"), col(idCol).as("id_a"),
       col(vecCol).as("va"))
     val b = assigned.select(col("cluster"), col(idCol).as("id_b"),
       col(vecCol).as("vb"))
     val dups = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .filter(round(cosine(col("va"), col("vb")), 6) >= lit(threshold))
+      .filter(round(cosineNative(col("va"), col("vb")), 6) >= lit(threshold))
       .select(col("id_b").as("__dup")).distinct()
     assigned.join(dups, assigned(idCol) === dups("__dup"), "left")
       .select(col(idCol), col("cluster"), col("__dup").isNull.as("keep"))

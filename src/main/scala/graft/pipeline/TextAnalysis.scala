@@ -285,8 +285,12 @@ object TextAnalysis {
     */
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 8): DataFrame = {
+    // the exploded window table feeds THREE branches (shared-gram set,
+    // per-doc totals, dup counts) — checkpoint it once instead of
+    // re-shingling the corpus per branch
     val win = df.select(col(idCol), explode(Dedup.shingles(col(textCol), n))
       .as("gram"))
+      .localCheckpoint(true)
     val sharedGrams = win.select(col(idCol), col("gram")).distinct()
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("gram")
