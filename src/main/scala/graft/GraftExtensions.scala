@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayShingles, DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5, TextStats}
+import graft.expressions.{ArrayShingles, DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5, TextStats, TopKBy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -54,6 +54,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children(1).foldable, "shingles n must be a literal")
         ArrayShingles(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          "topk_by takes (item, score, k) — 3 arguments")
+        require(children(2).foldable, "topk_by k must be a literal")
+        // bare AggregateFunction: the analyzer wraps it in an
+        // AggregateExpression at resolution
+        TopKBy(children.head, children(1),
+          children(2).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),

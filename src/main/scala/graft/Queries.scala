@@ -38,7 +38,7 @@ object Queries {
     "text_dup_ngrams", "semdedup", "sample_mixture",
     "corpus_prep_pipeline",
     "corpus_top_terms", "corpus_pmi",
-    "q1_agg", "q3_top_orders", "events_tumbling",
+    "q1_agg", "q3_top_orders", "agg_topk_group", "events_tumbling",
     "events_asof_join", "events_range_pairs", "events_attribution",
     "events_histogram", "events_kmv_distinct", "events_hist_quantiles",
     "events_funnel", "events_retention", "events_cms_counts",

@@ -107,4 +107,26 @@ object Scale {
   def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
                     bits: Int = 16): Unit =
     df.orderBy(zValue(col(a), col(b), bits)).write.mode("overwrite").parquet(path)
+
+  /** Exact per-group top-k via the native bounded-heap aggregate
+    * (`topk_by`, [[graft.expressions.TopKBy]]; requires
+    * `graft.GraftExtensions` on the session): the k best `itemCol`
+    * values per group by `scoreCol` DESC (ties: item ASC), exploded
+    * back to one ranked row per kept item.
+    *
+    * This is the shuffle-bounded alternative to
+    * `row_number() OVER (PARTITION BY group ORDER BY score DESC) <= k`:
+    * the window form exchanges EVERY row and sorts per group
+    * (WindowGroupLimit prunes per map task, but the pruned set still
+    * carries full row payloads through a sort); the aggregate form
+    * ships at most k (score, item) pairs per group per map partition —
+    * at 10⁹ rows per group the exchange is k-sized, not 10⁹-sized.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                   score: Column, k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("topk_by", col(itemCol), score.cast("double"),
+        lit(k)).as("__top"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__top")).as(Seq("pos", itemCol)): _*)
 }

@@ -323,6 +323,24 @@ object QueriesRelational {
         | ${graft.pipeline.Scale.zValueSql("(o_orderkey % 65536)", "(o_custkey % 65536)")} AS z
         | FROM orders ORDER BY z, o_orderkey""".stripMargin.replace("\n", " "))),
 
+    // Bounded per-group top-k through the native TopKBy aggregate
+    // (ObjectHashAggregate with partial heaps: the exchange carries at
+    // most k pairs per group per map partition, vs the window form
+    // shuffling every row — the scale path for "best k docs per
+    // source"). The oracle replays it as the window formulation, so
+    // value parity also proves the two shapes equivalent.
+    ("agg_topk_group",
+      (s, d) => graft.pipeline.Scale.topKPerGroup(
+        Tables.documents(s, d), Seq("source"), "doc_id",
+        col("n_chars"), k = 5)
+        .orderBy("source", "pos"),
+      Some("""WITH r AS (SELECT source, doc_id,
+        | row_number() OVER (PARTITION BY source
+        |   ORDER BY n_chars DESC, doc_id) AS rk FROM documents)
+        | SELECT source, CAST(rk - 1 AS INT) AS pos, doc_id
+        | FROM r WHERE rk <= 5 ORDER BY source, pos"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Distribution statistics =====
     // Exact interpolated percentiles per event type. Spark `percentile`
     // buffers each group's values, so this is the CORRECTNESS surface;
