@@ -11,6 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // declarative similarity API → codegen vec_dot, automatically
+    // (see graft.plans.FuseDotProduct for why this is a Rule)
+    ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "vec_dot"),
