@@ -35,6 +35,7 @@ object Queries {
     "ann_topk_quant",
     "ann_neardup_lsh", "embedding_kmeans",
     "text_stats", "text_tfidf", "text_bm25", "text_pii_scan",
+    "text_chunking", "embedding_score_filter",
     "text_dup_ngrams", "semdedup", "sample_mixture",
     "corpus_prep_pipeline",
     "corpus_top_terms", "corpus_pmi",

@@ -183,6 +183,45 @@ object Similarity {
     Array.fill(nPlanes, dim) { if (((next() >>> 33) & 1L) == 1L) 1 else -1 }
   }
 
+  /** Deterministic integer scoring weights in [-50, 50] from the same
+    * LCG as [[planes]] — integers so the identical literal vector is
+    * EXACT in both engines (no decimal-literal parsing drift).
+    */
+  def qualityWeights(dim: Int, seed: Long = 7L): Array[Int] = {
+    var s = seed
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    Array.fill(dim) { (((next() >>> 33) % 101L) - 50L).toInt }
+  }
+
+  /** Model-based quality gate over embeddings — the "classifier score +
+    * percentile threshold" stage of a corpus build: score every vector
+    * with a fixed linear model (here the deterministic [[qualityWeights]]
+    * standing in for trained classifier weights), compute the corpus
+    * cutoff at `1 − keepFrac`, and keep the top `keepFrac` fraction.
+    *
+    * Shape at 100 TB: scoring is one map-only projection; the cutoff is
+    * ONE global aggregate broadcast back (never a sort of the corpus).
+    * The exact `percentile` here buffers the score column per partition
+    * — it is the oracle-checkable surface, same contract as
+    * `events_quantiles`; swap `percentile` → `approx_percentile`
+    * (mergeable sketch, no buffering) for the production cutoff, the
+    * gate shape is unchanged.
+    */
+  def scoreFilter(emb: DataFrame, keepFrac: Double = 0.3,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  seed: Long = 7L, dim: Int = 64): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac < 1.0,
+      s"scoreFilter needs keepFrac in (0, 1); got $keepFrac")
+    val w = qualityWeights(dim, seed)
+    val wLit = array(w.map(x => lit(x.toDouble)): _*)
+    val scored = emb.select(col(idCol),
+      round(dot(col(vecCol), wLit), 6).as("score"))
+    val cut = scored.agg(
+      round(percentile(col("score"), lit(1.0 - keepFrac)), 4).as("__cut"))
+    scored.crossJoin(broadcast(cut))
+      .select(col(idCol), col("score"), (col("score") >= col("__cut")).as("keep"))
+  }
+
   /** Random-hyperplane LSH bucket key: bit j = (v · plane_j) >= 0.
     * Same-bucket vectors are near-duplicate candidates; expected bucket
     * count 2^nPlanes, so the self-join is per-bucket, not all-pairs —

@@ -154,6 +154,47 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(k)
 
+  /** Token-window chunking with overlap — the context-window prep step
+    * of a retrieval/training pipeline: each document becomes
+    * `ceil((n_tokens − size) / (size − overlap)) + 1` windows of up to
+    * `size` tokens, consecutive windows sharing `overlap` tokens; the
+    * last window may be shorter and no window starts past the tokens it
+    * would merely repeat. Documents with ≤ `size` tokens (including
+    * empty ones) yield exactly one chunk.
+    *
+    * One map-only pass: the window list is built per row by a codegen
+    * `transform(sequence, slice)` projection and exploded — no shuffle,
+    * no join; output is CHUNK-count-sized. (Contrast with
+    * [[packSequences]], which packs chunks ACROSS documents and
+    * needs a window shuffle for the running offsets.)
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize >= 1 && overlap >= 0 && overlap < chunkSize,
+      s"chunkDocs needs chunkSize >= 1 and 0 <= overlap < chunkSize; " +
+        s"got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val ws = Dedup.words(col(textCol))
+    // integer ceil-div: Column./ is double division, so floor it back
+    val nChunks = when(col("__nw") <= chunkSize, lit(1L))
+      .otherwise(lit(1L) +
+        floor((col("__nw") - chunkSize + (step - 1)) / lit(step)))
+    val chunks = transform(sequence(lit(0L), col("__nc") - 1L), i =>
+      struct(
+        i.cast("int").as("chunk_idx"),
+        least(lit(chunkSize).cast("long"), col("__nw") - i * step).cast("int")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("__ws"), (i * step + 1L).cast("int"),
+          lit(chunkSize)))
+          .as("chunk_text")))
+    df.select(col(idCol), ws.as("__ws"))
+      .withColumn("__nw", size(col("__ws")).cast("long"))
+      .withColumn("__nc", nChunks)
+      .select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.n_tokens"),
+        col("__c.chunk_text"))
+  }
+
   /** Composite corpus-filter router: ordered first-match reject rules
     * over the one-scan [[analyze]] metrics → (reason, keep). The shape
     * every corpus build ends with: a single map-only pass that tags

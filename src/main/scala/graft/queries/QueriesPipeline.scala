@@ -561,6 +561,44 @@ object QueriesPipeline {
         .orderBy("vec_id"),
       Some(s"WITH b AS ($lshBucketSql) SELECT vec_id, bucket FROM b ORDER BY vec_id")),
 
+    // Token-window chunking with overlap (context-window prep): one
+    // map-only transform+explode per document, output chunk-sized —
+    // chunkSize=24 / overlap=6 so the ~60-word fixture docs produce
+    // multi-chunk coverage including ragged tails.
+    ("text_chunking",
+      (s, d) => TextAnalysis.chunkDocs(
+        graft.core.Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 24, overlap = 6).orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | p AS (SELECT doc_id, ws, len(ws) AS nw,
+        |  CASE WHEN len(ws) <= 24 THEN 1
+        |   ELSE 1 + (len(ws) - 24 + 17) // 18 END AS c FROM w),
+        | e AS (SELECT doc_id, ws, nw, unnest(range(0, c)) AS i FROM p)
+        | SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(least(24, nw - i * 18) AS INT) AS n_tokens,
+        |  array_to_string(ws[CAST(1 + i * 18 AS INT):CAST(i * 18 + 24 AS INT)], ' ')
+        |    AS chunk_text
+        | FROM e ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "))),
+
+    // Model-based quality gate: linear score (deterministic integer
+    // weights standing in for trained classifier weights) + corpus
+    // percentile cutoff — score is map-only, the cutoff is ONE global
+    // aggregate broadcast back; the corpus is never sorted.
+    ("embedding_score_filter",
+      (s, d) => Similarity.scoreFilter(
+        graft.core.Tables.embeddings(s, d), keepFrac = 0.3)
+        .orderBy("vec_id"),
+      Some {
+        val wLit = Similarity.qualityWeights(64, 7L)
+          .map(x => s"$x.0").mkString("[", ",", "]")
+        s"""WITH s AS (SELECT vec_id,
+          |  round(${dotSql("embedding", wLit)}, 6) AS score FROM embeddings),
+          | c AS (SELECT round(quantile_cont(score, CAST(0.7 AS DOUBLE)), 4)
+          |   AS cut FROM s)
+          | SELECT vec_id, score, score >= cut AS keep
+          | FROM s, c ORDER BY vec_id""".stripMargin.replace("\n", " ")
+      }),
+
     // Deterministic Lloyd k-means (k=4, 2 rounds): seed = 4 lowest-id
     // vectors, argmin assignment with lowest-cid tie-break, element
     // means rounded to 6 dp so both engines' update step is identical

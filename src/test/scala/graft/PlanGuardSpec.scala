@@ -41,6 +41,7 @@ class PlanGuardSpec extends SparkSpec {
     "corpus_pmi" -> "broadcast 1-row corpus-totals frame (t, tb)",
     "text_bm25" -> "broadcast 1-row corpus-stats frame (N, avgdl)",
     "salted_join_agg" -> "broadcast salt-expansion frame (rows = salt factor)",
+    "embedding_score_filter" -> "broadcast 1-row percentile-cutoff frame",
     // exact all-pairs cosine — KEPT deliberately as the small-n recall
     // oracle for ann_neardup_lsh (the registered scale path)
     "embedding_neardup" -> "documented small-n recall oracle (all-pairs by design)"

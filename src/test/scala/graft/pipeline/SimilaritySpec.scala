@@ -206,4 +206,25 @@ class SimilaritySpec extends SparkSpec {
       assert(out(id) == !dominated, s"vec $id keep=${out(id)}")
     }
   }
+
+  test("scoreFilter: keeps the top fraction, threshold is consistent") {
+    val rnd = new scala.util.Random(41)
+    val dim = 16
+    val corpus = (1L to 200L).map { i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding").repartition(5)
+    val got = Similarity.scoreFilter(corpus, keepFrac = 0.25, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.length == 200)
+    val kept = got.filter(_._3).map(_._2)
+    val dropped = got.filterNot(_._3).map(_._2)
+    // every kept score beats every dropped score (the gate is a pure
+    // threshold), and the kept fraction lands on the requested quartile
+    assert(kept.min >= dropped.max)
+    assert(math.abs(kept.length - 50) <= 2, s"kept ${kept.length}")
+    // deterministic: same weights, same result on a second run
+    val again = Similarity.scoreFilter(corpus, keepFrac = 0.25, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

@@ -199,4 +199,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((3L, 2L, 0L, 0.0)))
     assert(got(3) == ((4L, 0L, 0L, 0.0))) // short doc: zero, not missing
   }
+
+  test("chunkDocs: brute-force parity, overlap, and edge docs") {
+    val rnd = new scala.util.Random(31)
+    val docs = ((1L to 30L).map { i =>
+      (i, Seq.fill(rnd.nextInt(40))("w" + rnd.nextInt(9)).mkString(" "))
+    } ++ Seq((31L, ""), (32L, "one"), (33L, ("x " * 8).trim)))
+      .toDF("doc_id", "text")
+    val size = 8; val overlap = 3; val step = size - overlap
+    val got = TextAnalysis.chunkDocs(docs, "doc_id", "text", size, overlap)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+
+    // brute-force reference on the driver
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).flatMap { case (id, text) =>
+        val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val c = if (ws.length <= size) 1
+                else 1 + (ws.length - size + step - 1) / step
+        (0 until c).map { i =>
+          val chunk = ws.slice(i * step, i * step + size)
+          (id, i, chunk.length, chunk.mkString(" "))
+        }
+      }.toSeq
+    assert(got.toSeq == want)
+
+    // consecutive full chunks share exactly `overlap` tokens
+    got.toSeq.groupBy(_._1).foreach { case (_, cs) =>
+      cs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) if a._3 == size =>
+          assert(a._4.split(" ").takeRight(overlap).toSeq ==
+            b._4.split(" ").take(overlap).toSeq)
+        case _ =>
+      }
+    }
+    // edge docs: empty and short docs yield exactly one chunk
+    assert(got.count(_._1 == 31L) == 1 && got.find(_._1 == 31L).get._3 == 0)
+    assert(got.count(_._1 == 32L) == 1)
+    assert(got.count(_._1 == 33L) == 1) // exactly chunkSize tokens
+  }
 }
