@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -363,20 +364,43 @@ object Dedup {
     require(n >= 1 && tn >= 1 && td >= tn,
       s"prefixFilterJoin needs n >= 1 and a threshold tn/td in (0, 1]; " +
         s"got n=$n tn=$tn td=$td")
+    val spark = df.sparkSession
+    import spark.implicits._
     // the exploded token table feeds the frequency agg AND the ranked-
     // array join — checkpoint it once instead of re-shingling per branch
     val ex = df.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), n))).as("tk"))
       .localCheckpoint(true)
     val freq = ex.groupBy("tk").agg(count(lit(1)).as("freq"))
-    // per-doc token array in global (freq, token) order; doc-bounded
+    // Dense integer RANK of every vocabulary token in the (freq asc,
+    // token asc) global order, assigned distributed (range-partition →
+    // per-partition row_number → cumulative offsets; the Mvcc write
+    // path's shape — a vocabulary at 100 TB is billions of shingles, a
+    // global Window.orderBy would funnel it through one task). From
+    // here on the pipeline carries ONLY ints: token strings never
+    // enter the prefix join or the verify. Correctness does not depend
+    // on WHICH total order is used — any consistent order yields the
+    // same verified pairs (the prefix filter is a superset for every
+    // total order, the verify is exact) — so the oracle's (freq, tk)
+    // string replay produces the identical result set.
+    val nPart = spark.sessionState.conf.numShufflePartitions max 1
+    val parted = freq.repartitionByRange(nPart, col("freq"), col("tk"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val pcounts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = pcounts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    val wRank = Window.partitionBy(col("__pid")).orderBy(col("freq"), col("tk"))
+    val ranked = parted.join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn("rk", col("__off") + row_number().over(wRank))
+      .select("tk", "rk")
+    // per-doc INT rank array, ascending = the (freq, token) order;
     // arr feeds FOUR branches (both prefix-join sides + both verify
-    // joins) — checkpoint the frequency-sorted token arrays once
-    // instead of recomputing the freq agg + sort-collect per branch
-    val arr = ex.join(freq, Seq("tk"))
+    // joins) — checkpoint the rank arrays once
+    val arr = ex.join(ranked, Seq("tk"))
       .groupBy("id")
-      .agg(transform(sort_array(collect_list(struct(col("freq"), col("tk")))),
-        s => s.getField("tk")).as("toks"))
+      .agg(sort_array(collect_list(col("rk"))).as("toks"))
       .withColumn("nt", size(col("toks")).cast("long"))
       // prefix length |x| − ⌈t·|x|⌉ + 1, all-integer ceil-div
       .withColumn("pfx", expr(
@@ -386,21 +410,21 @@ object Dedup {
     // (pa, pb) bounds the whole overlap at 1 + min(na−1−pa, nb−1−pb)
     // (both arrays share one global order, so for the FIRST common
     // token every other common token sits after it on both sides);
-    // J ≥ tn/td needs overlap ≥ ⌈tn·(na+nb)/(tn+td)⌉. Rows whose bound
-    // can't reach that are dropped BEFORE the pair ever materializes —
-    // pruning only pairs the exact verify would reject anyway (the
-    // oracle replays the unpruned pipeline and agrees on results), but
-    // cutting the verified candidate set from near-quadratic-in-
-    // frequent-tokens to near-answer-sized (measured 430k → ~answer
-    // at sf0.1, 20 s → ~2 s).
+    // J ≥ tn/td needs overlap ≥ ⌈tn·(na+nb)/(tn+td)⌉. Plus the LENGTH
+    // filter: J ≤ min/max, so td·min(na,nb) < tn·max(na,nb) can never
+    // verify. Both prune only pairs the exact verify would reject
+    // (measured 430k raw → 125k surviving pairs at sf0.1 — the verify
+    // stage's input is what these bounds are buying down).
     val pe = arr.select(col("id"), col("nt"),
-      posexplode(col("pfx")).as(Seq("pos", "tk")))
+      posexplode(col("pfx")).as(Seq("pos", "rk")))
     val need = s"(${tn}L * (na + nb) + ${tn + td - 1}L) div ${tn + td}L"
     val cand = pe.select(col("id").as("id_a"), col("pos").as("pa"),
-        col("nt").as("na"), col("tk"))
+        col("nt").as("na"), col("rk"))
       .join(pe.select(col("id").as("id_b"), col("pos").as("pb"),
-        col("nt").as("nb"), col("tk")), Seq("tk"))
+        col("nt").as("nb"), col("rk")), Seq("rk"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("na"), col("nb")) * td >=
+        greatest(col("na"), col("nb")) * tn)
       .filter(lit(1L) + least(col("na") - 1L - col("pa"),
         col("nb") - 1L - col("pb")) >= expr(need))
       .select("id_a", "id_b").distinct()
