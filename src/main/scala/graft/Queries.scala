@@ -35,8 +35,9 @@ object Queries {
     "ann_topk_quant",
     "ann_neardup_lsh", "embedding_kmeans",
     "text_stats", "text_tfidf", "text_bm25", "text_pii_scan",
-    "text_chunking", "embedding_score_filter",
-    "text_dup_ngrams", "semdedup", "sample_mixture",
+    "text_chunking", "embedding_score_filter", "hybrid_search_rrf",
+    "text_dup_ngrams", "text_dup_spans", "semdedup", "sample_mixture",
+    "sample_weighted",
     "corpus_prep_pipeline",
     "corpus_top_terms", "corpus_pmi",
     "q1_agg", "q3_top_orders", "agg_topk_group", "events_tumbling",

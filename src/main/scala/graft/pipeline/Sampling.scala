@@ -135,6 +135,29 @@ object Sampling {
         explode(sequence(lit(1L), col("reps"))).as("epoch"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement, per stratum
+    * (Efraimidis–Spirakis A-Res): each row gets the key
+    * `ln(u) / w` with `u = (hashOrder(id)+1) / 2^32` a reproducible
+    * uniform in (0, 1] and `w ≥ 1` its weight; the k LARGEST keys per
+    * stratum are the sample — provably equivalent to drawing k items
+    * without replacement with probability proportional to weight (the
+    * classic `u^(1/w)` key, taken through the monotone ln to avoid
+    * `pow`). Selection runs on the native bounded-heap `topk_by`
+    * aggregate ([[Scale.topKPerGroup]]): map-side k-heaps per stratum,
+    * the exchange carries ≤ k rows per stratum per partition — a
+    * weighted sample of a 100-TB corpus moves sample-sized data, and
+    * reruns on any cluster pick the identical rows. Keys rounded to
+    * 10 dp (magnitudes ~1e-5 for document-length weights) so the
+    * oracle's `ln` agrees bit-for-bit.
+    */
+  def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    val u = (hashOrder(col(idCol)) + 1L).cast("double") / 4294967296.0
+    val key = round(log(u) / greatest(weight, lit(1L)).cast("double"), 10)
+    Scale.topKPerGroup(df.withColumn("__key", key),
+      Seq(stratumCol), idCol, col("__key"), k)
+  }
+
   /** Stratified deterministic sample: keep a row iff
     * `hashBucket(id) < pct(stratum)`. `rates` maps stratum value to the
     * keep-percentage; strata not listed fall back to `defaultPct`.

@@ -183,6 +183,49 @@ object Similarity {
     Array.fill(nPlanes, dim) { if (((next() >>> 33) & 1L) == 1L) 1 else -1 }
   }
 
+  /** Hybrid lexical + vector retrieval with reciprocal-rank fusion —
+    * the two-tower search shape every retrieval pipeline converges on:
+    * BM25 top-`kEach` over the documents (TakeOrderedAndProject — no
+    * corpus sort) and cosine top-`kEach` against a stored query vector
+    * (broadcast query, per-partition k-heaps), fused by
+    * `rrf = Σ 1/(rrfK + rank)` over the two lists (docs absent from a
+    * list contribute 0) and re-ranked.
+    *
+    * RRF is rank-only — no score normalization across incomparable
+    * scales — and the fused sum is TWO terms in fixed order, so the
+    * doubles are bit-reproducible and the whole operator oracles
+    * exactly. Scale shape: both candidate lists are k-bounded BEFORE
+    * fusion (each side's plan never globally sorts the corpus); the
+    * fusion frame is ≤ 2·kEach rows, so the rank windows and the
+    * full-outer join are driver-bounded — at 100 TB the corpus cost is
+    * the two top-k scans, unchanged.
+    */
+  def hybridSearchRrf(docs: DataFrame, emb: DataFrame,
+                      queryTerms: Seq[String], queryVecId: Long,
+                      kEach: Int = 50, k: Int = 10, rrfK: Int = 60,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      vecIdCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // single-partition rank windows are FINE here: both inputs are
+    // k-bounded results, not corpus-sized
+    val lex = TextAnalysis.bm25(docs, idCol, textCol, queryTerms,
+      topK = kEach)
+      .withColumn("rl", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("rl"))
+    val vec = bruteForceTopK(emb, queryVecId, kEach, vecIdCol, vecCol)
+      .withColumn("rv", row_number().over(
+        Window.orderBy(col("score").desc, col(vecIdCol))))
+      .select(col(vecIdCol).as(idCol), col("rv"))
+    lex.join(vec, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(coalesce(lit(1.0) / (col("rl") + rrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rv") + rrfK), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic integer scoring weights in [-50, 50] from the same
     * LCG as [[planes]] — integers so the identical literal vector is
     * EXACT in both engines (no decimal-literal parsing drift).

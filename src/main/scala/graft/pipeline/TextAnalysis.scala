@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: token counting,
@@ -347,6 +348,51 @@ object TextAnalysis {
         round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
           greatest(coalesce(col("n_windows"), lit(0L)), lit(1L)), 6)
           .as("dup_frac"))
+  }
+
+  /** Duplicated-SPAN extraction — the removal counterpart of
+    * [[dupNgramStats]] (which only scores): for each document, the
+    * maximal token ranges covered by cross-document-duplicated n-gram
+    * windows, adjacent-or-overlapping windows merged into one span
+    * (windows at positions p, p' belong to one span when
+    * p' − p ≤ n − 1, i.e. their token ranges touch). This is the span
+    * list a C4/RefinedWeb-style pipeline deletes from the document;
+    * emitting spans instead of rewritten text keeps the operator
+    * composable (removal is a trivial map over the span list).
+    *
+    * Shape: the shared-window marking of [[dupNgramStats]] (linear,
+    * keyed on the gram), then ONE per-document window pass for the
+    * gaps-and-islands merge — positions are strictly increasing per
+    * doc, so "touching" reduces to a lag diff, the sessionize pattern.
+    * Output is span-count-sized. Returns (id, span_start, span_end,
+    * n_windows) with token positions 0-based inclusive.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"dupSpans needs n >= 1 and minDocs >= 2; got n=$n minDocs=$minDocs")
+    // windows with their token position; feeds the shared-gram agg AND
+    // the marking join — checkpoint once (same rationale as
+    // dupNgramStats)
+    val win = df.select(col(idCol),
+      posexplode(Dedup.shingles(col(textCol), n)).as(Seq("pos", "gram")))
+      .localCheckpoint(true)
+    val sharedGrams = win.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gram")
+    val marked = win.join(sharedGrams, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val brk = when(lag(col("pos"), 1).over(w).isNull
+      .or(col("pos") - lag(col("pos"), 1).over(w) > n - 1), 1).otherwise(0)
+    marked.withColumn("brk", brk)
+      .withColumn("grp", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
   /** BM25 top-k keyword retrieval over the corpus for a FIXED small

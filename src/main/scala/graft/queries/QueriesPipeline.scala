@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline entries: dedup family, similarity/ANN,
@@ -812,6 +812,32 @@ object QueriesPipeline {
         "doc_id", "text", Bm25Terms),
       Some(bm25Sql)),
 
+    // Hybrid lexical+vector retrieval, reciprocal-rank fusion: BM25
+    // top-50 + cosine top-50 (both k-bounded BEFORE fusion — the
+    // corpus is never globally sorted), rrf = 1/(60+rank_lex) +
+    // 1/(60+rank_vec), two fixed-order terms so the doubles oracle
+    // exactly. Fusion frame ≤ 100 rows — driver-bounded.
+    ("hybrid_search_rrf",
+      (s, d) => Similarity.hybridSearchRrf(
+        graft.core.Tables.documents(s, d),
+        graft.core.Tables.embeddings(s, d), Bm25Terms, queryVecId = 0),
+      Some(s"""WITH lex AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rl
+        |  FROM ($bm25Sql)),
+        | q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        | vs AS (SELECT e.vec_id AS doc_id,
+        |   round(${cosineSql("e.embedding", "q.qe")}, 6) AS vscore
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY vscore DESC, doc_id LIMIT 50),
+        | vec AS (SELECT doc_id,
+        |   row_number() OVER (ORDER BY vscore DESC, doc_id) AS rv FROM vs)
+        | SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |  round(COALESCE(CAST(1.0 AS DOUBLE) / (l.rl + 60), CAST(0 AS DOUBLE))
+        |   + COALESCE(CAST(1.0 AS DOUBLE) / (v.rv + 60), CAST(0 AS DOUBLE)), 6)
+        |   AS rrf
+        | FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        | ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
     // ===== Eval-set contamination (decontamination scan) =====
     // eval = docs 0..9, train = the rest; shared distinct 3-gram
     // shingles per (train, eval) pair. Eval shingles broadcast; the
@@ -877,6 +903,25 @@ object QueriesPipeline {
           .stripMargin.replace("\n", " ")
       })),
 
+    // Weighted sampling without replacement (A-Res keys ln(u)/w on the
+    // deterministic hash uniform) selected by the native topk_by
+    // aggregate — the exchange moves sample-sized data, never the
+    // corpus. The oracle replays the key + a window rank.
+    ("sample_weighted",
+      (s, d) => Sampling.weightedSample(
+        graft.core.Tables.documents(s, d), "doc_id", "source",
+        col("n_chars"), k = 20).orderBy("source", "pos"),
+      Some(s"""WITH s AS (SELECT source, doc_id,
+        |  round(ln(CAST(${Sampling.hashOrderSql("doc_id")} + 1 AS DOUBLE)
+        |     / 4294967296.0)
+        |   / CAST(greatest(n_chars, 1) AS DOUBLE), 10) AS key
+        |  FROM documents),
+        | r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |   ORDER BY key DESC, doc_id) AS rk FROM s)
+        | SELECT source, CAST(rk - 1 AS INT) AS pos, doc_id
+        | FROM r WHERE rk <= 20 ORDER BY source, pos"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Corpus bigram LM quality score =====
     ("text_lm_score",
       (s, d) => TextAnalysis.lmScore(
@@ -936,6 +981,34 @@ object QueriesPipeline {
         | FROM documents d LEFT JOIN tot ON tot.doc_id = d.doc_id
         |  LEFT JOIN dup ON dup.doc_id = d.doc_id
         | ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
+
+    // Duplicated-SPAN extraction (the removal counterpart of the gate
+    // above): maximal token ranges of shared windows, touching windows
+    // merged (gaps-and-islands on strictly-increasing positions = one
+    // lag-diff window pass). n=3 so the fixture corpus yields real
+    // multi-window merged spans.
+    ("text_dup_spans",
+      (s, d) => TextAnalysis.dupSpans(
+        graft.core.Tables.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id", "span_start"),
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | s AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w),
+        | win AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |   sh[CAST(i AS INT)] AS gram
+        |  FROM s, unnest(range(1, len(sh) + 1)) AS t(i)),
+        | dg AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd
+        |   FROM win GROUP BY 1) WHERE nd >= 2),
+        | m AS (SELECT doc_id, pos FROM win WHERE gram IN (SELECT gram FROM dg)),
+        | f AS (SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 2
+        |   THEN 1 ELSE 0 END AS brk FROM m),
+        | g AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
+        |   ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM f)
+        | SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        | FROM g GROUP BY doc_id, grp
+        | ORDER BY doc_id, span_start""".stripMargin.replace("\n", " "))),
 
     // ===== Repetition / degeneracy quality signals =====
     ("text_repetition",

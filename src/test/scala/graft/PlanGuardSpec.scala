@@ -42,6 +42,7 @@ class PlanGuardSpec extends SparkSpec {
     "text_bm25" -> "broadcast 1-row corpus-stats frame (N, avgdl)",
     "salted_join_agg" -> "broadcast salt-expansion frame (rows = salt factor)",
     "embedding_score_filter" -> "broadcast 1-row percentile-cutoff frame",
+    "hybrid_search_rrf" -> "broadcast 1-row query vector + 1-row bm25 stats frame",
     // exact all-pairs cosine — KEPT deliberately as the small-n recall
     // oracle for ann_neardup_lsh (the registered scale path)
     "embedding_neardup" -> "documented small-n recall oracle (all-pairs by design)"

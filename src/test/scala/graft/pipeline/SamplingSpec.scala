@@ -65,4 +65,27 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixture(docs, "id", "src", targets = Seq(), budgetRows = 10L)
     }
   }
+
+  test("weightedSample equals the window formulation; k >= n returns all") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 300L).map { i =>
+      (i, s"s${i % 3}", 1L + rnd.nextInt(400).toLong)
+    }.toDF("doc_id", "src", "w").repartition(7)
+    val got = Sampling.weightedSample(rows, "doc_id", "src", col("w"), 10)
+      .orderBy("src", "pos").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val u = (Sampling.hashOrder(col("doc_id")) + 1L).cast("double") / 4294967296.0
+    val key = round(log(u) / greatest(col("w"), lit(1L)).cast("double"), 10)
+    val win = Window.partitionBy("src").orderBy(col("__key").desc, col("doc_id"))
+    val want = rows.withColumn("__key", key)
+      .withColumn("rk", row_number().over(win)).filter(col("rk") <= 10)
+      .select(col("src"), (col("rk") - 1).cast("int").as("pos"), col("doc_id"))
+      .orderBy("src", "pos").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // k >= group size degenerates to a full weighted ORDERING per stratum
+    val all = Sampling.weightedSample(rows, "doc_id", "src", col("w"), 1000)
+    assert(all.count() == 300)
+  }
 }

@@ -207,6 +207,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hybridSearchRrf: fuses ranks, covers one-list-only docs") {
+    // docs 1..4; term "hash" hits docs 1,2 (doc 2 twice → higher bm25);
+    // vectors: query is vec 0; vec 3 identical (top), vec 4 close,
+    // vec 1 orthogonal (cosine 0 — still ranked), vec 2 absent
+    val docs = Seq(
+      (1L, "hash join x"), (2L, "hash hash y"), (3L, "scan only"),
+      (4L, "no match here")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (3L, Array(1f, 0f)),
+      (4L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Similarity.hybridSearchRrf(docs, vecs, Seq("hash"),
+      queryVecId = 0, kEach = 10, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    // lexical ranks: doc2=1, doc1=2; vector ranks: vec3=1, vec4=2, vec1=3
+    def rrf(rs: Seq[Int]) =
+      BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(1L -> rrf(Seq(2, 3)), 2L -> rrf(Seq(1)),
+      3L -> rrf(Seq(1)), 4L -> rrf(Seq(2)))
+    assert(got.toMap == want)
+    // fused order: doc1 (both lists) first, then the rank-1 singles
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("scoreFilter: keeps the top fraction, threshold is consistent") {
     val rnd = new scala.util.Random(41)
     val dim = 16

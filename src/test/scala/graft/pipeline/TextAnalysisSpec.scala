@@ -200,6 +200,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, 0L, 0.0))) // short doc: zero, not missing
   }
 
+  test("dupSpans: marks shared windows, merges touching spans") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // "a b c" shared with doc 2 at pos 0
+      (2L, "a b c x y z q a b c"),  // two disjoint shared windows: pos 0, 7
+      (3L, "p q r s t"),            // windows 0,1 shared with doc 4 → merge
+      (4L, "p q r s u"),
+      (5L, "m n o w1 w2 w3")        // nothing shared
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0, 2, 1L),
+      (2L, 0, 2, 1L), (2L, 7, 9, 1L),
+      (3L, 0, 3, 2L),
+      (4L, 0, 3, 2L)))
+  }
+
   test("chunkDocs: brute-force parity, overlap, and edge docs") {
     val rnd = new scala.util.Random(31)
     val docs = ((1L to 30L).map { i =>
