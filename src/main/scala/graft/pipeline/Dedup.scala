@@ -39,6 +39,12 @@ object Dedup {
     * interpreted + allocation-bound, see
     * [[graft.expressions.ArrayShingles]]); [[shinglesComposable]] is
     * the oracle-shaped construction the spec pins it against.
+    *
+    * REQUIRES `graft.GraftExtensions` on the session (as does every
+    * operator built on this: minhash, jaccard, contamination,
+    * dup-ngram/dup-span, prefix join). All of the library's entry-point
+    * sessions install it; external callers without the extension should
+    * use [[shinglesComposable]].
     */
   def shingles(text: Column, n: Int): Column =
     call_function("shingles", text, lit(n))
@@ -432,8 +438,14 @@ object Dedup {
     // table fits (it's V-sized — the candidate table is the big one)
     // broadcast it so candidate pairs never shuffle with arrays
     // attached (checkpoint erased arr's stats, so the optimizer can't
-    // make this call itself; the count is free — arr is materialized)
-    val smallDocs = arr.count() <= 2000000L
+    // make this call itself; the aggregate is cheap — arr is
+    // materialized). Gate on BYTES, not just rows: the payload is the
+    // rank arrays, so total elements is the size driver (25M longs
+    // ≈ 200 MB serialized — inside the executor/driver budget; past
+    // either bound the shuffled join takes over).
+    val szRow = arr.agg(count(lit(1)).as("r"), sum("nt").as("e")).head()
+    val smallDocs = szRow.getLong(0) <= 2000000L &&
+      (!szRow.isNullAt(1) && szRow.getLong(1) <= 25000000L)
     def full(as: String, t: String, nn: String) = {
       val s0 = arr.select(col("id").as(as), col("toks").as(t),
         col("nt").as(nn))

@@ -174,12 +174,20 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** The shared deterministic LCG behind [[planes]] and
+    * [[qualityWeights]] (Knuth MMIX constants) — one definition so the
+    * oracle-embedded literals derived from it can never drift.
+    */
+  private def lcg(seed: Long): () => Long = {
+    var s = seed
+    () => { s = s * 6364136223846793005L + 1442695040888963407L; s }
+  }
+
   /** Deterministic ±1 hyperplanes from a tiny LCG — fixed at build time
     * so the identical literal matrix can be embedded in oracle SQL.
     */
   def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Int]] = {
-    var s = seed
-    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    val next = lcg(seed)
     Array.fill(nPlanes, dim) { if (((next() >>> 33) & 1L) == 1L) 1 else -1 }
   }
 
@@ -206,7 +214,6 @@ object Similarity {
                       idCol: String = "doc_id", textCol: String = "text",
                       vecIdCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // single-partition rank windows are FINE here: both inputs are
     // k-bounded results, not corpus-sized
     val lex = TextAnalysis.bm25(docs, idCol, textCol, queryTerms,
@@ -231,8 +238,7 @@ object Similarity {
     * EXACT in both engines (no decimal-literal parsing drift).
     */
   def qualityWeights(dim: Int, seed: Long = 7L): Array[Int] = {
-    var s = seed
-    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); s }
+    val next = lcg(seed)
     Array.fill(dim) { (((next() >>> 33) % 101L) - 50L).toInt }
   }
 
@@ -257,8 +263,11 @@ object Similarity {
       s"scoreFilter needs keepFrac in (0, 1); got $keepFrac")
     val w = qualityWeights(dim, seed)
     val wLit = array(w.map(x => lit(x.toDouble)): _*)
+    // scored feeds the cutoff aggregate AND the final projection —
+    // checkpoint once or the corpus scan + scoring runs twice
     val scored = emb.select(col(idCol),
       round(dot(col(vecCol), wLit), 6).as("score"))
+      .localCheckpoint(true)
     val cut = scored.agg(
       round(percentile(col("score"), lit(1.0 - keepFrac)), 4).as("__cut"))
     scored.crossJoin(broadcast(cut))

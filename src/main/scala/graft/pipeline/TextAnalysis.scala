@@ -353,9 +353,10 @@ object TextAnalysis {
   /** Duplicated-SPAN extraction — the removal counterpart of
     * [[dupNgramStats]] (which only scores): for each document, the
     * maximal token ranges covered by cross-document-duplicated n-gram
-    * windows, adjacent-or-overlapping windows merged into one span
+    * windows, overlapping-or-abutting windows merged into one span
     * (windows at positions p, p' belong to one span when
-    * p' − p ≤ n − 1, i.e. their token ranges touch). This is the span
+    * p' − p ≤ n, i.e. their covered token ranges overlap or are
+    * contiguous — the output ranges are maximal). This is the span
     * list a C4/RefinedWeb-style pipeline deletes from the document;
     * emitting spans instead of rewritten text keeps the operator
     * composable (removal is a trivial map over the span list).
@@ -384,7 +385,7 @@ object TextAnalysis {
       .select(col(idCol), col("pos"))
     val w = Window.partitionBy(idCol).orderBy("pos")
     val brk = when(lag(col("pos"), 1).over(w).isNull
-      .or(col("pos") - lag(col("pos"), 1).over(w) > n - 1), 1).otherwise(0)
+      .or(col("pos") - lag(col("pos"), 1).over(w) > n), 1).otherwise(0)
     marked.withColumn("brk", brk)
       .withColumn("grp", sum(col("brk"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

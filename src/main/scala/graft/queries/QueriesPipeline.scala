@@ -983,10 +983,10 @@ object QueriesPipeline {
         | ORDER BY d.doc_id""".stripMargin.replace("\n", " "))),
 
     // Duplicated-SPAN extraction (the removal counterpart of the gate
-    // above): maximal token ranges of shared windows, touching windows
-    // merged (gaps-and-islands on strictly-increasing positions = one
-    // lag-diff window pass). n=3 so the fixture corpus yields real
-    // multi-window merged spans.
+    // above): maximal token ranges of shared windows,
+    // overlapping-or-abutting windows merged (gaps-and-islands on
+    // strictly-increasing positions = one lag-diff window pass). n=3
+    // so the fixture corpus yields real multi-window merged spans.
     ("text_dup_spans",
       (s, d) => TextAnalysis.dupSpans(
         graft.core.Tables.documents(s, d), "doc_id", "text", n = 3)
@@ -1001,7 +1001,7 @@ object QueriesPipeline {
         | m AS (SELECT doc_id, pos FROM win WHERE gram IN (SELECT gram FROM dg)),
         | f AS (SELECT doc_id, pos,
         |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-        |   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 2
+        |   OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
         |   THEN 1 ELSE 0 END AS brk FROM m),
         | g AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id
         |   ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM f)

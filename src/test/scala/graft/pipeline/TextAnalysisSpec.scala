@@ -200,13 +200,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, 0L, 0.0))) // short doc: zero, not missing
   }
 
-  test("dupSpans: marks shared windows, merges touching spans") {
+  test("dupSpans: marks shared windows, merges overlapping/abutting spans") {
     val docs = Seq(
       (1L, "a b c d e f"),          // "a b c" shared with doc 2 at pos 0
       (2L, "a b c x y z q a b c"),  // two disjoint shared windows: pos 0, 7
       (3L, "p q r s t"),            // windows 0,1 shared with doc 4 → merge
       (4L, "p q r s u"),
-      (5L, "m n o w1 w2 w3")        // nothing shared
+      (5L, "m n o w1 w2 w3"),       // nothing shared
+      // ABUTTING (not overlapping): doc 6 shares "g h i" (tokens 0-2)
+      // and "j k l" (tokens 3-5) with doc 7 but NOT the windows
+      // between — contiguous covered range 0..5 → ONE maximal span;
+      // doc 7's copies sit 6 apart → two separate spans
+      (6L, "g h i j k l"),
+      (7L, "g h i z1 z2 z3 j k l")
     ).toDF("doc_id", "text")
     val got = TextAnalysis.dupSpans(docs, "doc_id", "text", n = 3)
       .orderBy("doc_id", "span_start").collect()
@@ -215,7 +221,9 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 0, 2, 1L),
       (2L, 0, 2, 1L), (2L, 7, 9, 1L),
       (3L, 0, 3, 2L),
-      (4L, 0, 3, 2L)))
+      (4L, 0, 3, 2L),
+      (6L, 0, 5, 2L),
+      (7L, 0, 2, 1L), (7L, 6, 8, 1L)))
   }
 
   test("chunkDocs: brute-force parity, overlap, and edge docs") {
