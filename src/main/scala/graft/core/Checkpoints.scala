@@ -28,9 +28,17 @@ object Checkpoints {
     * a no-op unless the analyzed plan is exactly the bare `LogicalRDD`
     * a `localCheckpoint` call produces, so passing a derived/cached/
     * arbitrary DataFrame can never unpersist something still needed.
+    *
+    * BLOCKING unpersist: a localCheckpoint block is unrecoverable once
+    * removed (truncated lineage), so an async removal racing a job that
+    * still holds a reference is a silent-corruption hazard — the r5
+    * driver run recorded a hash mismatch on exactly the two entries
+    * that dropped frames asynchronously mid-loop. Blocking costs
+    * microseconds per V-sized frame and makes the release point a
+    * happens-before edge instead of a race.
     */
   def drop(df: DataFrame): Unit = df.queryExecution.analyzed match {
-    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = true)
     case _ => ()
   }
 

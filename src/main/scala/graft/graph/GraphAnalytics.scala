@@ -34,12 +34,25 @@ object GraphAnalytics {
     *
     * Scale shape: one groupBy(src) for out-degrees (once), then per
     * iteration one equi-join rank⋈edges on src (probes a
-    * src-partitioned/bucketed edge layout with no re-exchange), one
-    * partial-agg shuffle for the incoming sums, and one driver-collected
-    * LONG for the dangling mass (the same one-action-per-round pattern
-    * as the topo/SSSP loops; localCheckpoint keeps lineage flat). No
-    * all-pairs anything; per-iteration cost is O(|E|) map-side + one
-    * shuffle of O(|V|).
+    * src-partitioned/bucketed edge layout with no re-exchange — or
+    * ships the V-sized share table as a broadcast while V fits) and ONE
+    * O(V) partial-agg shuffle that folds the incoming sums INTO the
+    * state rebuild: the old-state rows ride the same union as the
+    * contribution rows, so there is no second V⋈V join and no
+    * broadcast of the aggregated result. No all-pairs anything;
+    * per-iteration cost is O(|E|) map-side + one shuffle of O(|V|).
+    *
+    * LIFECYCLE (the r5 driver run hash-flaked on this entry, so the
+    * loop is deliberately boring): exactly ONE eager localCheckpoint
+    * frame per iteration, each depending only on the previous frame and
+    * the cached edge set; the previous frame is released with a
+    * BLOCKING unpersist only after the successor's materialization
+    * returned. One driver action per iteration reads the materialized
+    * state and doubles as a SELF-CHECK: row count must equal |V| and
+    * total rank mass must stay within floor-loss distance of `scale`
+    * (integer PageRank conserves mass up to ≤1/row flooring) — a lost
+    * or duplicated storage block fails loudly here instead of
+    * surfacing as a silent hash mismatch downstream.
     */
   def pagerankFixedPoint(edges: DataFrame, iters: Int = 5,
                          scale: Long = 1000000000000L,
@@ -52,63 +65,82 @@ object GraphAnalytics {
     val pairs0 =
       if (pairsDistinct) edges.select(col("src"), col("dst"))
       else edges.select(col("src"), col("dst")).distinct()
+    // self-persisted pairs are laid out by src like the stored edge
+    // index (CodeGraph.edgePairs), so per-iteration probes on src
+    // exchange ONLY the O(V) state side — never the edge set
     val pairs = if (parentCached) pairs0
-      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs0.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nodes = pairs.select(col("src").as("id"))
         .union(pairs.select(col("dst").as("id"))).distinct()
       val outdeg = pairs.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("outdeg"))
-      // state carries (id, outdeg, rank) — outdeg is topology, fixed
-      // across iterations, and carrying it in the state removes a
-      // per-iteration V-sized join (outdeg NULL marks the dangling set,
-      // which the reference formulation computed as a separate anti-join
-      // table). EAGER checkpoint: each round's state feeds THREE
-      // branches of the next round (dangling agg, share projection,
-      // rebuild join) — a lazy checkpoint read from several branches
-      // recomputes its ancestor chain per branch (see
-      // connectedComponents), so materializing once per round is the
-      // same one-job-per-iteration cost the old per-iter action paid,
-      // minus the dropped join.
-      val state0 = nodes.join(outdeg, Seq("id"), "left")
-        .localCheckpoint(true)
-      val n = state0.count() // free: state is materialized
+      // topology frame (id, outdeg): fixed across iterations; outdeg
+      // NULL marks the dangling set (the reference formulation computed
+      // it as a separate anti-join table). Iteration 0's rank is a lazy
+      // literal over this frame — no second checkpoint just to attach
+      // a constant column.
+      val topo = nodes.join(outdeg, Seq("id"), "left").localCheckpoint(true)
+      val n = topo.count() // free: topo is materialized
       val base = scale / n
       val teleport = 15L * base / 100L
-      // while the rank table is V-bounded, SHIP IT into the E-sized
-      // join and ship the V-sized agg result back — the edge set never
-      // shuffles AND the state table never shuffles; each round's only
-      // exchange is the O(V) partial-agg of incoming shares (same
-      // broadcast-while-small pattern as connectedComponents; integer
-      // sums make the result identical on either path). Past the
-      // threshold the shuffled path takes over, probing the
-      // src-partitioned edge layout.
+      // while the share table is V-bounded, SHIP IT into the E-sized
+      // join — the edge set never shuffles; past the threshold the
+      // shuffled path takes over, probing the src-partitioned edge
+      // layout (only the O(V) share table moves). Integer sums make the
+      // result identical on either path.
       val small = n <= 1000000L
-      var state = state0.withColumn("rank", lit(base)).localCheckpoint(true)
-      graft.core.Checkpoints.drop(state0) // superseded, next frame is live
-      for (_ <- 1 to iters) {
-        // dangling rank mass as a 1-row broadcast instead of a driver
-        // action: the whole iteration stays one lazy plan, and the
-        // cross-joined scalar replays the reference arithmetic exactly
-        // (floor div by N, all LONG)
-        val dang = state.filter(col("outdeg").isNull)
-          .agg(expr(s"coalesce(sum(rank), 0L) div ${n}L").as("dsh"))
+      var state = topo.withColumn("rank", lit(base))
+      var frame: DataFrame = null // checkpointed frame backing `state`
+      for (it <- 1 to iters) {
+        // the iteration's single driver action, over the materialized
+        // previous frame: dangling mass + the conservation self-check
+        val r = state.agg(
+          count(lit(1)).as("cnt"),
+          sum("rank").as("total"),
+          coalesce(sum(when(col("outdeg").isNull, col("rank"))), lit(0L))
+            .as("dang")).first()
+        val (cnt, total, dangSum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (cnt != n || total <= 0L || total > scale ||
+            total < scale - scale / 100L)
+          throw new IllegalStateException(
+            s"pagerank invariant broken before iter $it: rows=$cnt " +
+              s"(expected $n), mass=$total (expected ~$scale) — " +
+              "a state frame lost or duplicated storage blocks")
+        val dsh = dangSum / n // floor div, non-negative — oracle's `// n`
         val shares = state.filter(col("outdeg").isNotNull)
           .select(col("id").as("src"), expr("rank div outdeg").as("share"))
-        val incoming =
-          (if (small) pairs.join(broadcast(shares), Seq("src"))
-           else shares.join(pairs, Seq("src")))
-            .groupBy(col("dst").as("id")).agg(sum("share").as("inc"))
-        val prev = state
-        state = state.select("id", "outdeg")
-          .join(if (small) broadcast(incoming) else incoming, Seq("id"), "left")
-          .crossJoin(broadcast(dang))
+        val contrib =
+          shares.join(pairs, Seq("src"))
+            .select(col("dst").as("id"),
+              lit(null).cast("long").as("outdeg"), col("share").as("inc"))
+        // state rebuild as ONE partial-agg shuffle: old-state rows (inc
+        // 0, real outdeg) union contribution rows (inc share, null
+        // outdeg); max(outdeg) recovers the topology, sum(inc) the
+        // incoming mass. Every contribution dst is a node, and every
+        // node has a state row, so the groupBy is total over V.
+        val next = state.select(col("id"), col("outdeg"), lit(0L).as("inc"))
+          .unionByName(contrib)
+          .groupBy("id")
+          .agg(max("outdeg").as("outdeg"), sum("inc").as("inc"))
           .select(col("id"), col("outdeg"),
             (lit(teleport) +
-              expr("85 * (coalesce(inc, 0L) + dsh) div 100")).as("rank"))
+              expr(s"85 * (inc + ${dsh}L) div 100")).as("rank"))
           .localCheckpoint(true)
-        graft.core.Checkpoints.drop(prev) // round t's frame: dead now
+        if (frame != null) graft.core.Checkpoints.drop(frame)
+        else graft.core.Checkpoints.drop(topo) // iter 1 consumed it
+        frame = next
+        state = next
       }
+      // validate the FINAL frame too — it is what the caller writes
+      val fin = state.agg(count(lit(1)).as("cnt"), sum("rank").as("total"))
+        .first()
+      if (fin.getLong(0) != n || fin.getLong(1) <= 0L ||
+          fin.getLong(1) > scale || fin.getLong(1) < scale - scale / 100L)
+        throw new IllegalStateException(
+          s"pagerank invariant broken on final state: rows=${fin.getLong(0)} " +
+            s"(expected $n), mass=${fin.getLong(1)} (expected ~$scale)")
       state.select("id", "rank")
     } finally if (!parentCached) pairs.unpersist()
   }
@@ -311,36 +343,47 @@ object GraphAnalytics {
     // free instead of re-shuffling E-sized votes. A round with zero
     // changes IS the fixpoint — every later round is a no-op, so the
     // loop exits early with the oracle-identical state.
+    // FUSED round frames (r6): the old round materialized THREE eager
+    // checkpoints (min-agg m, jumped, nextChanged) — 3 persist jobs +
+    // a count per round, and the round's fixed job overhead, not its
+    // shuffles, dominated the bench. Now the previous label rides the
+    // min-agg union as a third column (label rows carry prev = own lbl,
+    // message rows carry prev = NULL; max(prev) recovers it since every
+    // node has exactly one label row), so the pointer jump + changed
+    // filter become ONE cheap join over the min-agg frame. m is still
+    // checkpointed — the jump reads it from BOTH sides, and feeding a
+    // lazy m into a broadcast build + the main pass would run the
+    // E-sized message aggregation twice per round (measured: the two
+    // copies were 0.5 s + 0.8 s of a 1.6 s round).
+    // Lifecycle is a strict chain: m_t ← nf_{t-1}, nf_t ← m_t; after
+    // nf_t materializes, m_t and nf_{t-1} have no live consumers and
+    // are released with a blocking unpersist.
+    val lblType = init.schema("lbl").dataType
     var labels = init
     var changed = init // round 1: every node is fresh
+    var frame: DataFrame = null // checkpointed frame backing labels/changed
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val chA = changed.withColumnRenamed("id", "a")
       val msgs = und.join(if (small) broadcast(chA) else chA, Seq("a"))
         .select(col("b").as("id"), col("lbl"))
-      val m = labels.union(msgs).groupBy("id").agg(min("lbl").as("lbl"))
+      val m = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
+        .unionByName(msgs.withColumn("prev", lit(null).cast(lblType)))
+        .groupBy("id").agg(min("lbl").as("lbl"), max("prev").as("prev"))
         .localCheckpoint(true)
       // every label value is a node id with its own row in m → inner
       // join is total; l'(v) = l(l(v))
       val mSide = m.select(col("id").as("lbl"), col("lbl").as("lbl2"))
-      val jumped = m.join(if (small) broadcast(mSide) else mSide, Seq("lbl"))
-        .select(col("id"), col("lbl2").as("lbl"))
+      val nf = m.join(if (small) broadcast(mSide) else mSide, Seq("lbl"))
+        .select(col("id"), col("lbl2").as("lbl"), col("prev"))
         .localCheckpoint(true)
-      val prevSide = labels.select(col("id"), col("lbl").as("__prev"))
-      val nextChanged = jumped
-        .join(if (small) broadcast(prevSide) else prevSide, Seq("id"))
-        .filter(col("lbl") =!= col("__prev"))
-        .select("id", "lbl")
-        .localCheckpoint(true)
-      converged = nextChanged.count() == 0L // frame is materialized: cheap
-      // round frames are dead once jumped/nextChanged are materialized
-      // (each is consumed only by this round's joins) — release them now
-      // instead of waiting for the ContextCleaner
-      graft.core.Checkpoints.drop(m)
-      graft.core.Checkpoints.drop(labels)
-      graft.core.Checkpoints.drop(changed)
-      labels = jumped
-      changed = nextChanged
+      converged = nf.filter(col("lbl") =!= col("prev")).count() == 0L
+      graft.core.Checkpoints.drop(m) // both jump sides have read it
+      if (frame != null) graft.core.Checkpoints.drop(frame)
+      else graft.core.Checkpoints.drop(init) // round 1 consumed it
+      frame = nf
+      labels = nf.select("id", "lbl")
+      changed = nf.filter(col("lbl") =!= col("prev")).select("id", "lbl")
     }
     labels.select(col("id"), col("lbl").as("component"))
   }
@@ -951,8 +994,12 @@ object GraphAnalytics {
     val pairs0 =
       if (pairsDistinct) edges.select(col("src"), col("dst"))
       else edges.select(col("src"), col("dst")).distinct()
+    // self-persisted pairs are laid out by src like the stored edge
+    // index (CodeGraph.edgePairs), so per-iteration probes on src
+    // exchange ONLY the O(V) state side — never the edge set
     val pairs = if (parentCached) pairs0
-      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs0.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nodes = pairs.select(col("src").as("id"))
         .union(pairs.select(col("dst").as("id"))).distinct()
@@ -960,33 +1007,61 @@ object GraphAnalytics {
         .agg(count(lit(1)).as("outdeg"))
       val tshare = scale / nSeeds
       val isSeed = col("id").isin(seeds: _*)
-      var state = nodes.join(outdeg, Seq("id"), "left")
+      // same single-frame-per-iteration lifecycle + conservation
+      // self-check as [[pagerankFixedPoint]] (the r5 flake pair); the
+      // state additionally carries the fixed teleport column. Iteration
+      // 0's rank is a lazy copy of tele over the materialized topology.
+      val topo = nodes.join(outdeg, Seq("id"), "left")
         .withColumn("tele", when(isSeed, lit(tshare)).otherwise(lit(0L)))
-        .withColumn("rank", col("tele"))
         .localCheckpoint(true)
-      // same V-bounded broadcast pattern as pagerankFixedPoint: neither
-      // the edge set nor the state table shuffles while V fits
-      val small = state.count() <= 1000000L
-      for (_ <- 1 to iters) {
-        val dang = state.filter(col("outdeg").isNull)
-          .agg(expr(s"coalesce(sum(rank), 0L) div ${nSeeds}L").as("dsh"))
+      val n = topo.count() // free: topo is materialized
+      val small = n <= 1000000L
+      var state = topo.withColumn("rank", col("tele"))
+      var frame: DataFrame = null
+      for (it <- 1 to iters) {
+        val r = state.agg(
+          count(lit(1)).as("cnt"),
+          sum("rank").as("total"),
+          coalesce(sum(when(col("outdeg").isNull, col("rank"))), lit(0L))
+            .as("dang")).first()
+        val (cnt, total, dangSum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (cnt != n || total <= 0L || total > scale ||
+            total < scale - scale / 100L)
+          throw new IllegalStateException(
+            s"ppr invariant broken before iter $it: rows=$cnt " +
+              s"(expected $n), mass=$total (expected ~$scale) — " +
+              "a state frame lost or duplicated storage blocks")
+        val dsh = dangSum / nSeeds // floor div — oracle's `// nSeeds`
         val shares = state.filter(col("outdeg").isNotNull)
           .select(col("id").as("src"), expr("rank div outdeg").as("share"))
-        val incoming =
-          (if (small) pairs.join(broadcast(shares), Seq("src"))
-           else shares.join(pairs, Seq("src")))
-            .groupBy(col("dst").as("id")).agg(sum("share").as("inc"))
-        val prev = state
-        state = state.select("id", "outdeg", "tele")
-          .join(if (small) broadcast(incoming) else incoming, Seq("id"), "left")
-          .crossJoin(broadcast(dang))
+        val contrib =
+          shares.join(pairs, Seq("src"))
+            .select(col("dst").as("id"),
+              lit(null).cast("long").as("outdeg"),
+              lit(null).cast("long").as("tele"), col("share").as("inc"))
+        val next = state
+          .select(col("id"), col("outdeg"), col("tele"), lit(0L).as("inc"))
+          .unionByName(contrib)
+          .groupBy("id")
+          .agg(max("outdeg").as("outdeg"), max("tele").as("tele"),
+            sum("inc").as("inc"))
           .select(col("id"), col("outdeg"), col("tele"),
             (expr("15 * tele div 100") +
-              expr("85 * (coalesce(inc, 0L) + if(tele > 0L, dsh, 0L)) div 100")
-              ).as("rank"))
+              expr(s"85 * (inc + if(tele > 0L, ${dsh}L, 0L)) div 100"))
+              .as("rank"))
           .localCheckpoint(true)
-        graft.core.Checkpoints.drop(prev) // round t's frame: dead now
+        if (frame != null) graft.core.Checkpoints.drop(frame)
+        else graft.core.Checkpoints.drop(topo) // iter 1 consumed it
+        frame = next
+        state = next
       }
+      val fin = state.agg(count(lit(1)).as("cnt"), sum("rank").as("total"))
+        .first()
+      if (fin.getLong(0) != n || fin.getLong(1) <= 0L ||
+          fin.getLong(1) > scale || fin.getLong(1) < scale - scale / 100L)
+        throw new IllegalStateException(
+          s"ppr invariant broken on final state: rows=${fin.getLong(0)} " +
+            s"(expected $n), mass=${fin.getLong(1)} (expected ~$scale)")
       state.select("id", "rank")
     } finally if (!parentCached) pairs.unpersist()
   }
@@ -1051,8 +1126,12 @@ object GraphAnalytics {
     val pairs0 =
       if (pairsDistinct) edges.select(col("src"), col("dst"))
       else edges.select(col("src"), col("dst")).distinct()
+    // self-persisted pairs are laid out by src like the stored edge
+    // index (CodeGraph.edgePairs), so per-iteration probes on src
+    // exchange ONLY the O(V) state side — never the edge set
     val pairs = if (parentCached) pairs0
-      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairs0.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nodes = pairs.select(col("src").as("id"))
         .union(pairs.select(col("dst").as("id"))).distinct()

@@ -20,10 +20,29 @@ object BenchProbe {
     graft.graph.CodeGraph.edgePairs(spark, dir).count()
     graft.graph.CodeGraph.undPairs(spark, dir).count()
     graft.graph.CodeGraph.coPairs(spark, dir).count()
+    // job/stage/task counters: wall-clock on a loaded box is noisy, the
+    // scheduling shape (jobs × stages) is what the loop rewrites change
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+        }
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet(); ()
+        }
+      })
     for (it <- 1 to 3; name <- args) {
+      // mirror Bench: untimed storage reset between queries
+      graft.core.Checkpoints.sweepAnonymous(spark)
+      System.gc()
+      jobs.set(0); stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       run(name)
-      println(f"iter$it $name%-28s ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"iter$it $name%-28s ${(System.nanoTime()-t0)/1e9}%.2f s" +
+        f"  jobs=${jobs.get()}%3d stages=${stages.get()}%3d tasks=${tasks.get()}%5d")
     }
     spark.stop()
   }
