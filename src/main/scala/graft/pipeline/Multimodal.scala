@@ -1,20 +1,28 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media as opaque BINARY payloads plus a
-  * typed metadata struct, with decode / feature-extraction / frame
-  * sampling as per-partition batch operators.
+/** Multimodal-column pipeline: media as opaque BINARY payloads plus
+  * typed metadata, with decode / feature-extraction / frame sampling as
+  * per-partition batch operators.
   *
-  * The actual codec step is a STUB (this container has no image/audio
-  * libraries): `decodeFeatures` computes a deterministic fake —
-  * per-chunk byte aggregates — behind the same Dataset API a real
-  * decoder would use. Everything *around* the stub is real Spark
-  * surface: the schema, the binary column handling, the
-  * mapPartitions batching (one decoder init per partition, the shape a
-  * JNI/FFI codec needs), and the partitioning story (payloads never
-  * shuffle — features are extracted before any wide operation).
+  * r6: the decode step is REAL. [[toMedia]] synthesizes genuine
+  * containers (canonical PCM WAV, 24-bit BMP with stride padding,
+  * binary PPM) from each document's bytes — the deterministic stand-in
+  * for an ingest that read image/audio files — and
+  * [[decodeFeatures]] parses those containers back with
+  * [[MediaCodec]]: RIFF chunk walk, BITMAPINFOHEADER + bottom-up
+  * stride rows, P6 header grammar. Dispatch is by CONTENT (magic
+  * bytes), mirroring the reference's ingest content-type dispatch
+  * (`src/ingestion/ingest_file.zig:44-49`); the mime column is
+  * verified against the sniff, not trusted.
+  *
+  * Scale shape: payload synthesis and decode are both map-only
+  * (mapPartitions — one codec init per partition, the batch shape a
+  * JNI/FFI codec needs); payloads never shuffle. Features are
+  * extracted before any wide operation, so the only thing that ever
+  * moves is the small feature schema.
   */
 object Multimodal {
 
@@ -24,44 +32,96 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, mime: String, n_bytes: Long,
                             payload: Array[Byte])
 
+  /** Decoded per-payload features. For audio: dim1 = sample count,
+    * dim2 = sample rate, n_units = sample count, sum_abs = Σ|sample|.
+    * For images: dim1 = width, dim2 = height, n_units = channel-byte
+    * count (w·h·3), sum_abs = Σ channel bytes. All integer — the
+    * oracle replays them exactly; means are rounded downstream.
+    */
   final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
-                                 n_chunks: Int, checksum: Long,
-                                 features: Array[Float])
+                                 dim1: Long, dim2: Long,
+                                 n_units: Long, sum_abs: Long)
 
-  /** Derive a media table from `documents`: payload = UTF-8 bytes of the
-    * text (a stand-in for image/audio bytes), mime dispatched
-    * deterministically. Mirrors the reference's content-type dispatch at
-    * ingest (`src/ingestion/ingest_file.zig:44-49`).
+  /** Image geometry for the synthesized fixtures: 15 px wide so the
+    * BMP row stride (45 → 48 bytes) actually exercises padding.
     */
-  def toMedia(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      // pmod: `%` follows the dividend's sign, so a negative doc_id
-      // would hit element_at(0) (always an error) or index from the end
-      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
-      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
-      encode(col("text"), "UTF-8").as("payload"))
+  val ImgWidth = 15
+  private val RowBytes = ImgWidth * 3
 
-  /** ===== STUB decode =====
-    * A real implementation would initialize a codec once per partition
-    * (`mapPartitions` — NOT per row) and decode each payload to pixels /
-    * samples. The deterministic fake: split the payload into 256-byte
-    * chunks and emit per-chunk mean bytes as the "feature vector" plus a
-    * simple additive checksum. Batch shape, schema, and per-partition
-    * init cost are exactly what the real codec path would have.
+  private def imgHeight(nBytes: Int): Int =
+    math.max(1, (nBytes + RowBytes - 1) / RowBytes)
+
+  private def rgbFromBytes(bytes: Array[Byte]): MediaCodec.RgbImage = {
+    val h = imgHeight(bytes.length)
+    val rgb = new Array[Byte](ImgWidth * h * 3) // zero-padded tail
+    System.arraycopy(bytes, 0, rgb, 0, bytes.length)
+    MediaCodec.RgbImage(ImgWidth, h, rgb)
+  }
+
+  /** Derive a media table from `documents`: payload = a REAL container
+    * built from the text's UTF-8 bytes, mime dispatched
+    * deterministically by doc_id. Audio: 16-bit mono 8000 Hz PCM with
+    * sample i = (byte_i − 128)·256. Images: bytes laid row-major into a
+    * 15-px-wide RGB raster, zero-padded to full rows.
     */
-  def decodeFeatures(media: DataFrame, chunkSize: Int = 256): Dataset[MediaFeatures] = {
+  def toMedia(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (docId, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val payload = (docId % 3) match {
+            case 0 => MediaCodec.encodeBmp(rgbFromBytes(bytes))
+            case 1 =>
+              MediaCodec.encodeWav(bytes.map(b => ((b & 0xff) - 128) * 256))
+            case _ => MediaCodec.encodePpm(rgbFromBytes(bytes))
+          }
+          val mime = (docId % 3) match {
+            case 0 => "image/bmp"
+            case 1 => "audio/wav"
+            case _ => "image/x-portable-pixmap"
+          }
+          MediaRow(docId, mime, payload.length.toLong, payload)
+        }
+      }.toDF()
+  }
+
+  /** Decode every payload with the real [[MediaCodec]] parsers and
+    * emit integer feature aggregates. Dispatch is content-sniffed; a
+    * payload whose magic disagrees with its mime column fails loudly
+    * (corrupt ingest should never pass silently).
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "mime", "n_bytes", "payload").as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition "codec init" happens here in a real decoder
+        // per-partition codec init would happen here (JNI/FFI shape)
         rows.map { r =>
-          val chunks = r.payload.grouped(chunkSize).toArray
-          val feats = chunks.map(c => c.map(b => (b & 0xff).toFloat).sum / c.length)
-          val checksum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
-          MediaFeatures(r.doc_id, r.mime, r.n_bytes, chunks.length, checksum, feats)
+          val kind = MediaCodec.sniff(r.payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: unrecognized payload magic"))
+          require(kind == r.mime,
+            s"doc ${r.doc_id}: mime '${r.mime}' but content is '$kind'")
+          kind match {
+            case "audio/wav" =>
+              val wav = MediaCodec.decodeWav(r.payload)
+              var sum = 0L
+              wav.samples.foreach(s => sum += math.abs(s.toLong))
+              MediaFeatures(r.doc_id, r.mime, r.n_bytes,
+                wav.samples.length.toLong, wav.sampleRate.toLong,
+                wav.samples.length.toLong, sum)
+            case _ =>
+              val img =
+                if (kind == "image/bmp") MediaCodec.decodeBmp(r.payload)
+                else MediaCodec.decodePpm(r.payload)
+              var sum = 0L
+              img.rgb.foreach(b => sum += (b & 0xff).toLong)
+              MediaFeatures(r.doc_id, r.mime, r.n_bytes,
+                img.width.toLong, img.height.toLong,
+                img.rgb.length.toLong, sum)
+          }
         }
       }
   }
@@ -77,9 +137,7 @@ object Multimodal {
         ceil(col("n_bytes").cast("double") / chunkSize).cast("int"))
       .select(col("doc_id"), col("mime"),
         // zero chunks -> NO frames (explode of an empty array emits no
-        // rows), matching decodeFeatures' n_chunks = 0 and the oracle's
-        // empty range — not a phantom frame 0 over a payload with no
-        // bytes (greatest(-1, 0) would fabricate one)
+        // rows) — not a phantom frame 0 over a payload with no bytes
         explode(when(col("n_chunks") > 0,
           sequence(lit(0), col("n_chunks") - 1, lit(stride)))
           .otherwise(array().cast("array<int>")))

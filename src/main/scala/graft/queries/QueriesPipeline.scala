@@ -21,6 +21,26 @@ object QueriesPipeline {
       s"i -> array_to_string(ws[i:i+${n - 1}], ' ')) " +
       "ELSE CAST([] AS VARCHAR[]) END"
 
+  /** Shared multimodal oracle CTEs: per-document mime dispatch
+    * (doc_id mod 3), text byte list `bs` (ASCII corpus: ord == byte,
+    * same idiom as the fingerprint oracles), image height `h` of the
+    * 15-px-wide raster, and the exact encoded container size
+    * `n_bytes` (44-byte WAV header + 2 bytes/sample; 54-byte BMP
+    * header + 48-byte padded rows; PPM ASCII header + 45-byte rows).
+    */
+  private val MediaCtes: String =
+    """m AS (SELECT doc_id,
+      |  (['image/bmp','audio/wav','image/x-portable-pixmap'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS len,
+      |  GREATEST(1, CAST(ceil(octet_length(encode(text)) / 45.0) AS BIGINT)) AS h,
+      |  list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS bs
+      | FROM documents),
+      | mm AS (SELECT doc_id, mime, len, h, bs,
+      |  CASE mime WHEN 'audio/wav' THEN 44 + 2 * len
+      |            WHEN 'image/bmp' THEN 54 + 48 * h
+      |            ELSE 11 + length(CAST(h AS VARCHAR)) + 45 * h END AS n_bytes
+      | FROM m)""".stripMargin.replace("\n", " ")
+
   /** DuckDB double-precision dot product of two list expressions (strict
     * left-to-right order, mirroring Spark aggregate/zip_with).
     */
@@ -769,39 +789,57 @@ object QueriesPipeline {
         | FROM n ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // ===== Multimodal plumbing =====
+    // r6: payloads are REAL containers (PCM WAV / 24-bit BMP with
+    // stride padding / binary P6) synthesized from each document's
+    // bytes, and decodeFeatures actually parses them (RIFF chunk walk,
+    // DIB header + bottom-up rows, P6 grammar; content-sniffed
+    // dispatch). The oracle replays the expected geometry and sample
+    // aggregates from `text` directly — a decoder that mis-reads a
+    // header, the row stride, or the sample width hash-mismatches.
+    // Shared CTE: mime dispatch, text byte length, image height
+    // (15-px-wide raster), and per-container encoded size.
     ("multimodal_meta",
       (s, d) => Multimodal.toMedia(graft.core.Tables.documents(s, d))
         .select("doc_id", "mime", "n_bytes").orderBy("doc_id"),
-      Some("""SELECT doc_id,
-        | (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+      Some(s"""WITH $MediaCtes
+        | SELECT doc_id, mime, n_bytes FROM mm
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     ("multimodal_frames",
       (s, d) => Multimodal.frameSample(
         Multimodal.toMedia(graft.core.Tables.documents(s, d)))
         .orderBy("doc_id", "frame_idx"),
-      Some("""WITH m AS (SELECT doc_id,
-        |  (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
+      Some(s"""WITH $MediaCtes
         | SELECT doc_id, mime, frame_idx, CAST(frame_idx AS BIGINT) * 256 AS offset
         | FROM (SELECT doc_id, mime,
         |   CAST(unnest(range(0, CAST(ceil(n_bytes / 256.0) AS INT), 4)) AS INT)
-        |     AS frame_idx FROM m)
+        |     AS frame_idx FROM mm)
         | ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " "))),
 
     ("multimodal_features",
       (s, d) => Multimodal.decodeFeatures(
         Multimodal.toMedia(graft.core.Tables.documents(s, d)))
-        .toDF().select("doc_id", "mime", "n_bytes", "n_chunks", "checksum")
+        .toDF()
+        .withColumn("mean_val",
+          when(col("n_units") > 0,
+            round(col("sum_abs") / col("n_units"), 6)).otherwise(lit(0.0)))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-        | (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks,
-        | CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |   i -> ord(substr(text, i, 1)))) AS BIGINT) AS checksum
-        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+      Some(s"""WITH $MediaCtes
+        | SELECT doc_id, mime, n_bytes,
+        |  CASE WHEN mime = 'audio/wav' THEN len ELSE 15 END AS dim1,
+        |  CASE WHEN mime = 'audio/wav' THEN 8000 ELSE h END AS dim2,
+        |  CASE WHEN mime = 'audio/wav' THEN len ELSE 15 * h * 3 END AS n_units,
+        |  CASE WHEN mime = 'audio/wav'
+        |   THEN COALESCE(list_sum(list_transform(bs, x -> abs(x - 128) * 256)), 0)
+        |   ELSE COALESCE(list_sum(bs), 0) END AS sum_abs,
+        |  CASE WHEN (CASE WHEN mime = 'audio/wav' THEN len ELSE 15 * h * 3 END) = 0
+        |   THEN 0.0
+        |   ELSE round((CASE WHEN mime = 'audio/wav'
+        |     THEN COALESCE(list_sum(list_transform(bs, x -> abs(x - 128) * 256)), 0)
+        |     ELSE COALESCE(list_sum(bs), 0) END)
+        |    / (CASE WHEN mime = 'audio/wav' THEN len ELSE 15 * h * 3 END), 6)
+        |   END AS mean_val
+        | FROM mm ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // ===== BM25 retrieval =====
     // Deterministic columnar BM25 (no explode/groupBy for tf; integer

@@ -7,40 +7,61 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs = Seq(
-    (0L, "a" * 600, "en", "s", 600L),
-    (1L, "xyz", "en", "s", 3L),
-    (2L, "b" * 256, "en", "s", 256L),
+    (0L, "a" * 600, "en", "s", 600L), // bmp: 600 bytes -> h = ceil(600/45) = 14
+    (1L, "xyz", "en", "s", 3L),       // wav: 3 samples
+    (2L, "b" * 256, "en", "s", 256L), // ppm: h = ceil(256/45) = 6
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  test("toMedia produces binary payloads with dispatched mime") {
+  test("toMedia builds real containers with dispatched mime and true sizes") {
     val m = Multimodal.toMedia(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[String]("mime"), r.getAs[Long]("n_bytes"))).toMap
-    assert(m(0L) == ("image/png", 600L))
-    assert(m(1L) == ("audio/wav", 3L))
-    assert(m(2L) == ("video/mp4", 256L))
+        (r.getAs[String]("mime"), r.getAs[Long]("n_bytes"),
+          r.getAs[Array[Byte]]("payload"))).toMap
+    assert(m(0L)._1 == "image/bmp")
+    assert(m(0L)._2 == 54L + 48L * 14) // 54-byte header + padded rows
+    assert(m(1L)._1 == "audio/wav")
+    assert(m(1L)._2 == 44L + 2L * 3)
+    assert(m(2L)._1 == "image/x-portable-pixmap")
+    assert(m(2L)._2 == 11L + 1 + 45L * 6) // "P6\n15 6\n255\n" + data
+    // container magics are real
+    assert(MediaCodec.sniff(m(0L)._3).contains("image/bmp"))
+    assert(MediaCodec.sniff(m(1L)._3).contains("audio/wav"))
+    assert(MediaCodec.sniff(m(2L)._3).contains("image/x-portable-pixmap"))
   }
 
-  test("decodeFeatures is deterministic and chunk-correct") {
+  test("decodeFeatures parses real containers back to exact aggregates") {
     val f = Multimodal.decodeFeatures(Multimodal.toMedia(docs)).collect()
       .map(x => x.doc_id -> x).toMap
-    assert(f(0L).n_chunks == 3)          // 600 bytes / 256
-    assert(f(1L).n_chunks == 1)
-    assert(f(2L).n_chunks == 1)
-    assert(f(1L).checksum == 'x'.toLong + 'y'.toLong + 'z'.toLong)
-    assert(f(0L).features.length == 3)
-    assert(f(0L).features.forall(_ == 'a'.toFloat))
-    val again = Multimodal.decodeFeatures(Multimodal.toMedia(docs)).collect()
-      .map(x => x.doc_id -> x.checksum).toMap
-    assert(again == f.view.mapValues(_.checksum).toMap)
+    // bmp: 15 wide, 14 rows, sum of channel bytes = 600 * 'a' (pad = 0)
+    assert(f(0L).dim1 == 15L && f(0L).dim2 == 14L)
+    assert(f(0L).n_units == 15L * 14 * 3)
+    assert(f(0L).sum_abs == 600L * 'a'.toLong)
+    // wav: 3 samples at 8000 Hz, |(b-128)*256| each
+    assert(f(1L).dim1 == 3L && f(1L).dim2 == 8000L)
+    assert(f(1L).sum_abs ==
+      (math.abs('x' - 128) + math.abs('y' - 128) + math.abs('z' - 128)).toLong * 256)
+    // ppm: 15 x 6, sum = 256 * 'b'
+    assert(f(2L).dim1 == 15L && f(2L).dim2 == 6L)
+    assert(f(2L).sum_abs == 256L * 'b'.toLong)
   }
 
-  test("frameSample strides over chunks") {
+  test("decodeFeatures rejects a payload whose magic disagrees with its mime") {
+    val media = Multimodal.toMedia(docs)
+      .withColumn("mime", lit("audio/wav")) // lie about the image rows
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(media).collect()
+    }
+    assert(e.getMessage.contains("content is") ||
+      Option(e.getCause).exists(_.getMessage.contains("content is")))
+  }
+
+  test("frameSample strides over container chunks") {
     val fr = Multimodal.frameSample(Multimodal.toMedia(docs),
       chunkSize = 256, stride = 2)
       .groupBy("doc_id").agg(collect_list("frame_idx").as("idx"))
       .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]]("idx").sorted).toMap
-    assert(fr(0L) == Seq(0, 2))   // chunks 0,1,2 -> stride 2 keeps 0,2
-    assert(fr(1L) == Seq(0))
+    // bmp payload = 54 + 48*14 = 726 bytes -> chunks 0,1,2 -> stride keeps 0,2
+    assert(fr(0L) == Seq(0, 2))
+    assert(fr(1L) == Seq(0)) // 50-byte wav -> 1 chunk
   }
 }
