@@ -73,11 +73,47 @@ object Ingest {
     included && !excluded
   }
 
+  /** Driver-side `git ls-files -z` enumeration, the reference's
+    * FIRST-choice source listing (`ingest_directory.zig:208-253`):
+    * tracked paths when `root` is a git work tree, `None` — meaning
+    * fall back to the filesystem walk, exactly like the reference —
+    * when git is absent, exits non-zero, or lists nothing. Enumeration
+    * is metadata-scale (the same listing the fs-walk holds on the
+    * driver); missing-on-disk index entries are skipped.
+    */
+  private[ingest] def gitTrackedFiles(rootAbs: String): Option[Seq[String]] =
+    try {
+      if (!new java.io.File(rootAbs, ".git").exists()) None
+      else {
+        val proc = new ProcessBuilder("git", "ls-files", "-z")
+          .directory(new java.io.File(rootAbs))
+          .redirectErrorStream(false)
+          .start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        val code = proc.waitFor()
+        if (code != 0) None
+        else {
+          val rels = out.split('\u0000').iterator.map(_.trim).filter(_.nonEmpty)
+            .filter(r => new java.io.File(s"$rootAbs/$r").isFile)
+            .toSeq
+          if (rels.isEmpty) None else Some(rels)
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Hadoop path-glob escape for literal file paths handed to a
+    * reader's `load(paths*)` (which glob-expands each path).
+    */
+  private def escapeGlob(p: String): String =
+    p.flatMap(c => if ("*?{}[]\\".indexOf(c) >= 0) s"\\$c" else c.toString)
+
   /** The real directory source, reference `ingest_directory_to_blocks`
-    * enumeration (`ingest_directory.zig:37-253`: walk the tree, apply
-    * include/exclude globs, skip oversized files): a recursive
-    * `binaryFile` scan — files are listed and read BY EXECUTORS in
-    * parallel, and the size cap is a pushed-down filter on the file
+    * enumeration (`ingest_directory.zig:37-253`): git-tracked files
+    * first when the root is a work tree (ignored + untracked files
+    * never enter the scan), recursive tree walk as the fallback;
+    * include/exclude globs and the size cap apply on either path. The
+    * scan itself is a `binaryFile` read — files are read BY EXECUTORS
+    * in parallel, and the size cap is a pushed-down filter on the file
     * `length` metadata column (oversized payloads are never read).
     * Paths are returned RELATIVE to `root` so unit ids / block ids are
     * stable across hosts and tmp dirs. UTF-8 decode via binary→string
@@ -89,12 +125,18 @@ object Ingest {
                     maxBytes: Long = MaxFileBytes): Dataset[FileDoc] = {
     import spark.implicits._
     val rootAbs = new java.io.File(root).getAbsolutePath.stripSuffix("/")
-    val raw = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(rootAbs)
-      .filter(col("length") > 0 && col("length") <= maxBytes)
+    val raw = gitTrackedFiles(rootAbs) match {
+      case Some(rels) =>
+        spark.read.format("binaryFile")
+          .load(rels.map(r => escapeGlob(s"$rootAbs/$r")): _*)
+      case None =>
+        spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "true")
+          .load(rootAbs)
+    }
+    val sized = raw.filter(col("length") > 0 && col("length") <= maxBytes)
     val rel = relPathCol(col("path"), rootAbs)
-    raw.filter(globFilterCol(rel, include, exclude))
+    sized.filter(globFilterCol(rel, include, exclude))
       .select(rel.as("path"), col("content").cast("string").as("content"))
       .as[FileDoc]
   }

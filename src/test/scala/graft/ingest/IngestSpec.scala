@@ -180,6 +180,46 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("readDirectory: git work trees enumerate tracked files only") {
+    // reference behavior (ingest_directory.zig:208-253): `git ls-files`
+    // first — untracked and .gitignore'd files never enter the scan —
+    // with the fs-walk as fallback for non-repos / git failures
+    val root = java.nio.file.Files.createTempDirectory("graft-git").toFile
+    def write(rel: String, content: String): Unit = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+    }
+    def git(args: String*): Unit = {
+      val pb = new ProcessBuilder(("git" +: args): _*)
+        .directory(root).redirectErrorStream(true).start()
+      pb.getInputStream.readAllBytes()
+      assert(pb.waitFor() == 0, s"git ${args.mkString(" ")} failed")
+    }
+    try {
+      write("tracked.zig", "fn t() {\n}\n")
+      write("sub/also tracked.zig", "fn s() {\n}\n") // space: -z parsing
+      write("untracked.zig", "fn u() {\n}\n")
+      write("ignored.zig", "fn i() {\n}\n")
+      write(".gitignore", "ignored.zig\n")
+      git("init", "-q")
+      git("add", "tracked.zig", "sub/also tracked.zig", ".gitignore")
+      val got = Ingest.readDirectory(spark, root.getAbsolutePath,
+        include = Seq("**/*.zig")).collect().map(_.path).toSet
+      assert(got == Set("tracked.zig", "sub/also tracked.zig"))
+      // deleted-but-indexed entries are skipped, not errors
+      new java.io.File(root, "tracked.zig").delete()
+      val after = Ingest.readDirectory(spark, root.getAbsolutePath,
+        include = Seq("**/*.zig")).collect().map(_.path).toSet
+      assert(after == Set("sub/also tracked.zig"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
   test("readDirectory: roots and files with spaces keep clean relative paths") {
     // file-source URIs %XX-encode special characters; the reader must
     // decode them or the root-prefix strip fails and globs see %20s
