@@ -184,6 +184,31 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Candidate pairs from the SCALE-path banding
+    * ([[minhashBandsFast]], xxhash64): identical join geometry to
+    * [[minhashPairs]]. Exists so the fast path's OUTPUT — not just its
+    * row count — is driver-verifiable: the `dedup_minhash_fast_agree`
+    * entry full-outer joins these pairs against the md5 path's and the
+    * oracle asserts both indicator columns are TRUE on exactly the
+    * md5-oracle pair set. The two hash families differ, but at these
+    * parameters both detect the same near-dup pairs (a fixture-scale
+    * property the entry PROVES per run rather than assumes; real
+    * non-dup collisions are filtered by the verify step downstream in
+    * either path).
+    */
+  def minhashPairsFast(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = minhashBandsFast(df, idCol, textCol, n, k, bands)
+    val long = banded.select(col(idCol),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = long.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = long.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** 16-bit SimHash. Per word: v = first 4 hex digits of md5 parsed as an
     * int (portable hex parse via instr on the digit alphabet); per bit j:
     * sum over words (duplicates = natural frequency weighting) of

@@ -183,6 +183,38 @@ object QueriesPipeline {
         "doc_id", "text", n = 3, k = K, bands = BANDS).orderBy("doc_id"),
       None),
 
+    // Fast-path OUTPUT verification (closes the r5 no_oracle gap from
+    // the value side): full-outer join of the xxhash64 banding's
+    // candidate pairs against the md5 banding's. The oracle is the md5
+    // pair set with both indicators TRUE — a fast-path pair the md5
+    // path lacks adds a row (rows mismatch), a missed pair flips an
+    // indicator (hash mismatch). No xxhash64 port to DuckDB needed.
+    ("dedup_minhash_fast_agree",
+      (s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        val md5P = Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, k = K, bands = BANDS).withColumn("in_md5", lit(true))
+        val fastP = Dedup.minhashPairsFast(docs, "doc_id", "text",
+          n = 3, k = K, bands = BANDS).withColumn("in_fast", lit(true))
+        md5P.join(fastP, Seq("id_a", "id_b"), "full_outer")
+          .select(col("id_a"), col("id_b"),
+            coalesce(col("in_md5"), lit(false)).as("in_md5"),
+            coalesce(col("in_fast"), lit(false)).as("in_fast"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$minhashCte,
+        | lng AS (
+        |  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+        |  UNION ALL SELECT doc_id, 3, band3 FROM bands)
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  TRUE AS in_md5, TRUE AS in_fast
+        | FROM lng a JOIN lng b
+        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id
+        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
     ("dedup_minhash_pairs",
       (s, d) => Dedup.minhashPairs(graft.core.Tables.documents(s, d),
         "doc_id", "text", n = 3, k = K, bands = BANDS).orderBy("id_a", "id_b"),
