@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayShingles, DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5, TextStats, TopKBy}
+import graft.expressions.{ArrayShingles, DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5, MinKgramHash, RepetitionStats, SimHash16, TextStats, TopKBy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -10,6 +10,26 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Validated integer-literal argument: foldable, non-null, numeric —
+    * so SQL like `shingles(text, NULL)` or `shingles(text, 'x')` gets
+    * a targeted resolution error naming the function and argument
+    * instead of a NullPointerException/ClassCastException out of the
+    * builder.
+    */
+  private def intLit(fn: String)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      name: String): Int = {
+    require(e.foldable, s"$fn $name must be a literal")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case null => throw new IllegalArgumentException(
+        s"$fn $name must be a non-null integer literal")
+      case other => throw new IllegalArgumentException(
+        s"$fn $name must be an integer literal, got ${other.getClass.getSimpleName}")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // declarative similarity API → codegen vec_dot, automatically
     // (see graft.plans.FuseDotProduct for why this is a Rule)
@@ -27,13 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 4,
           "minhash_bands takes (text, n, k, bands) — 4 arguments")
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                   name: String): Int = {
-          require(e.foldable, s"minhash_bands $name must be a literal")
-          e.eval().asInstanceOf[Number].intValue()
-        }
-        MinHashBandKeys(children.head, intLit(children(1), "n"),
-          intLit(children(2), "k"), intLit(children(3), "bands"))
+        val lit = intLit("minhash_bands") _
+        MinHashBandKeys(children.head, lit(children(1), "n"),
+          lit(children(2), "k"), lit(children(3), "bands"))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands_md5"),
@@ -41,22 +57,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 4,
           "minhash_bands_md5 takes (text, n, k, bands) — 4 arguments")
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                   name: String): Int = {
-          require(e.foldable, s"minhash_bands_md5 $name must be a literal")
-          e.eval().asInstanceOf[Number].intValue()
-        }
-        MinHashBandKeysMd5(children.head, intLit(children(1), "n"),
-          intLit(children(2), "k"), intLit(children(3), "bands"))
+        val lit = intLit("minhash_bands_md5") _
+        MinHashBandKeysMd5(children.head, lit(children(1), "n"),
+          lit(children(2), "k"), lit(children(3), "bands"))
       }))
     ext.injectFunction((
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ArrayShingles].getName, "shingles"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "shingles takes (text, n) — 2 arguments")
-        require(children(1).foldable, "shingles n must be a literal")
-        ArrayShingles(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
+        ArrayShingles(children.head, intLit("shingles")(children(1), "n"))
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_by"),
@@ -64,11 +74,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 3,
           "topk_by takes (item, score, k) — 3 arguments")
-        require(children(2).foldable, "topk_by k must be a literal")
         // bare AggregateFunction: the analyzer wraps it in an
         // AggregateExpression at resolution
         TopKBy(children.head, children(1),
-          children(2).eval().asInstanceOf[Number].intValue())
+          intLit("topk_by")(children(2), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "simhash16 takes exactly 1 argument")
+        SimHash16(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("min_kgram"),
+      new ExpressionInfo(classOf[MinKgramHash].getName, "min_kgram"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "min_kgram takes (text, k) — 2 arguments")
+        MinKgramHash(children.head, intLit("min_kgram")(children(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rep_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "rep_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "rep_stats takes exactly 1 argument")
+        RepetitionStats(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),

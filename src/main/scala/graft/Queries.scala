@@ -16,34 +16,13 @@ object Queries {
   lazy val oracles: Map[String, String] =
     entries.flatMap(e => e._3.map(sql => e._1 -> sql)).toMap
 
-  /** Headline bench subset: the reference's own bench shapes
-    * (BFS depth 3/5, edge filter, keyword/semantic search, batch
-    * lookup — `/root/reference/src/bench/query.zig:47-143`) plus the
-    * scale-relevant pipeline operators.
+  /** Bench coverage policy (r6): EVERY registered entry, in registry
+    * order — n_ok == n_entries by construction, no silent omissions,
+    * and a new entry is benched the moment it is registered. (Through
+    * r5 this was a hand-curated 61-entry headline subset mirroring the
+    * reference's own bench shapes, `/root/reference/src/bench/
+    * query.zig:47-143`; the implicit policy for what got benched was
+    * itself a verdict finding.)
     */
-  val benchNames: Seq[String] = Seq(
-    "bfs_out_depth3", "bfs_out_depth5", "traverse_dfs_set",
-    "bfs_edge_filter", "bfs_in_depth2", "bfs_in_depth5",
-    "keyword_search", "find_blocks_batch", "mvcc_current", "topo_levels",
-    "sssp_weighted", "graph_pagerank", "graph_kcore",
-    "graph_components", "graph_triangles", "graph_degrees", "graph_lpa",
-    "ann_knn_join",
-    "context_query", "filter_bool_tree",
-    "dedup_minhash_bands", "dedup_minhash_bands_fast",
-    "dedup_exact", "dedup_incremental", "dedup_prefix_join",
-    "ann_topk", "ann_topk_native",
-    "ann_topk_quant",
-    "ann_neardup_lsh", "embedding_kmeans",
-    "text_stats", "text_tfidf", "text_bm25", "text_pii_scan",
-    "text_chunking", "embedding_score_filter", "hybrid_search_rrf",
-    "text_dup_ngrams", "text_dup_spans", "semdedup", "sample_mixture",
-    "sample_weighted",
-    "corpus_prep_pipeline",
-    "corpus_top_terms", "corpus_pmi",
-    "q1_agg", "q3_top_orders", "agg_topk_group", "events_tumbling",
-    "events_asof_join", "events_range_pairs", "events_attribution",
-    "events_histogram", "events_kmv_distinct", "events_hist_quantiles",
-    "events_funnel", "events_retention", "events_cms_counts",
-    "events_session_windows", "events_gapfill", "events_cusum",
-  )
+  val benchNames: Seq[String] = entries.map(_._1)
 }

@@ -95,6 +95,61 @@ object Traversal {
     bfsLoop(edges, seeds, spec.direction, spec.maxDepth, spec.maxResults.toLong,
       spec.edgeFilter, spec.trackPaths)
 
+  /** Compat-mode DFS: the reference's exact stack machine
+    * (`traversal.zig:458-563` — pop last, skip visited, record, push
+    * unvisited neighbors; depth-capped expansion; stop at
+    * `max_results`), with one necessary determinization: the reference
+    * pushes neighbors in its edge index's APPEND order
+    * (`graph_edge_index.zig:put_edge` keeps insertion-ordered lists),
+    * which is an ingest-history artifact no re-implementation can
+    * reproduce; this engine's stored edge index is sorted, so compat
+    * mode defines push order as ascending neighbor id (exploration
+    * therefore pops descending — the stack reversal is preserved).
+    *
+    * Returns (id, depth, visit_rank): depth as first visited (stack
+    * depth, NOT minimum depth), visit_rank the preorder position —
+    * the ordering [[bfs]]'s canonical (depth, id) set deliberately
+    * does not reproduce. Only the order under `maxResults` truncation
+    * differs from [[bfs]]; untruncated, the visited SET is identical
+    * (spec-pinned).
+    *
+    * Scale shape: the reachable universe comes from the distributed
+    * [[bfs]] (a superset of any visit order's result); only the
+    * cap-bounded reachable SUBGRAPH is collected for the sequential
+    * replay — ≤ the reference's own 10k-result cap, metadata-scale
+    * like the Borůvka driver union-find. Visit order is inherently
+    * sequential; the reference pays the same single-threaded walk.
+    */
+  def dfsStackOrder(edges: DataFrame, seedId: String,
+                    spec: TraversalSpec): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val reach = bfs(edges, Seq(seedId).toDF("id"),
+      spec.copy(maxResults = 10000, trackPaths = false)).select("id")
+    val adj = hops(filterEdges(edges, spec.edgeFilter), spec.direction)
+      .join(reach.withColumnRenamed("id", "from"), Seq("from"), "left_semi")
+      .join(reach.withColumnRenamed("id", "to"), Seq("to"), "left_semi")
+      .select("from", "to") // joins move their key first — pin the order
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val visited = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val stack = scala.collection.mutable.ArrayBuffer((seedId, 0))
+    while (stack.nonEmpty && out.size < spec.maxResults) {
+      val (id, depth) = stack.remove(stack.size - 1)
+      if (!visited.contains(id)) {
+        visited += id
+        out += ((id, depth.toLong, out.size.toLong))
+        if (depth < spec.maxDepth)
+          adj.getOrElse(id, Array.empty[String]).foreach { nb =>
+            if (!visited.contains(nb)) stack += ((nb, depth + 1))
+          }
+      }
+    }
+    out.toSeq.toDF("id", "depth", "visit_rank")
+  }
+
   /** The loop behind [[bfs]], with the result cap widened to Long so
     * internal callers (the bidirectional-search legs, which must NOT
     * truncate their frontiers — a dropped meeting candidate silently

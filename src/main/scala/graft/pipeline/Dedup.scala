@@ -40,14 +40,19 @@ object Dedup {
     * [[graft.expressions.ArrayShingles]]); [[shinglesComposable]] is
     * the oracle-shaped construction the spec pins it against.
     *
-    * REQUIRES `graft.GraftExtensions` on the session (as does every
-    * operator built on this: minhash, jaccard, contamination,
-    * dup-ngram/dup-span, prefix join). All of the library's entry-point
-    * sessions install it; external callers without the extension should
-    * use [[shinglesComposable]].
+    * Uses the fused expression when `graft.GraftExtensions` is on the
+    * active session (every library entry-point session installs it)
+    * and DEGRADES to [[shinglesComposable]] otherwise: the two are
+    * spec-pinned identical, so an external caller without the
+    * extension gets correct — merely slower — results instead of an
+    * undefined-function AnalysisException at runtime from every
+    * operator built on shingling (minhash, jaccard, contamination,
+    * dup-ngram/dup-span, prefix join).
     */
   def shingles(text: Column, n: Int): Column =
-    call_function("shingles", text, lit(n))
+    if (graft.expressions.Fused.available("shingles"))
+      call_function("shingles", text, lit(n))
+    else shinglesComposable(text, n)
 
   /** The composable `functions._` construction of [[shingles]] — the
     * exact shape the DuckDB oracle encodes in SQL, kept as the spec
@@ -214,7 +219,19 @@ object Dedup {
     * sum over words (duplicates = natural frequency weighting) of
     * ±1 by bit j of v; simhash bit j = (sum > 0).
     */
-  def simhash16(text: Column): Column = {
+  def simhash16(text: Column): Column =
+    if (graft.expressions.Fused.available("simhash16"))
+      call_function("simhash16", text)
+    else simhash16Composable(text)
+
+  /** The composable `functions._` construction of [[simhash16]] — the
+    * oracle-shaped form and the fused expression's spec cross-check.
+    * 16 separate `aggregate` trees re-evaluate the md5 value array per
+    * bit in interpreted eval, which is why entries dispatch to the
+    * fused [[graft.expressions.SimHash16]] (22 s → sub-second on the
+    * sf0.1 corpus).
+    */
+  def simhash16Composable(text: Column): Column = {
     // portable hex parse: position of each hex digit in the alphabet
     // (Spark array_position ≡ DuckDB list_position, both 1-based)
     val alphabet = array("0123456789abcdef".map(c => lit(c.toString)): _*)

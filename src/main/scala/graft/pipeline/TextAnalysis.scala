@@ -106,7 +106,17 @@ object TextAnalysis {
 
   def contentHash(text: Column): Column = md5(normalized(text))
 
-  def minKgramHash(text: Column, kk: Int = 8): Column = {
+  def minKgramHash(text: Column, kk: Int = 8): Column =
+    if (graft.expressions.Fused.available("min_kgram"))
+      call_function("min_kgram", text, lit(kk))
+    else minKgramHashComposable(text, kk)
+
+  /** The composable form of [[minKgramHash]] — oracle-shaped, and the
+    * fused [[graft.expressions.MinKgramHash]]'s spec cross-check. One
+    * interpreted md5 Column eval per window makes it ~25× slower than
+    * the fused loop on the sf0.1 corpus.
+    */
+  def minKgramHashComposable(text: Column, kk: Int = 8): Column = {
     val norm = normalized(text)
     when(length(norm) < kk, md5(norm)).otherwise(
       array_min(transform(sequence(lit(1), length(norm) - (kk - 1)),
@@ -287,19 +297,53 @@ object TextAnalysis {
     * inside whole-stage codegen — far cheaper at scale than any
     * explode + groupBy formulation, which would shuffle the corpus.
     */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    if (graft.expressions.Fused.available("rep_stats")) {
+      val r = call_function("rep_stats", col(textCol))
+      df.select(col(idCol), r.as("__r"))
+        .select(col(idCol),
+          col("__r.n_tokens").as("n_tokens"),
+          col("__r.uniq_frac").as("uniq_frac"),
+          col("__r.top_token_count").as("top_token_count"),
+          col("__r.top_bigram_count").as("top_bigram_count"),
+          col("__r.top_bigram_frac").as("top_bigram_frac"))
+    } else repetitionStatsComposable(df, idCol, textCol)
+
+  /** The composable form of [[repetitionStats]] — oracle-shaped, and
+    * the fused [[graft.expressions.RepetitionStats]]'s spec
+    * cross-check. Even linearized, five interpreted HOF passes per row
+    * cost ~5 ms/doc, so entries dispatch to the fused loop.
+    */
+  def repetitionStatsComposable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = tokens(col(textCol))
     val n = size(ws)
     val uniqFrac = when(n === 0, lit(0.0))
       .otherwise(size(array_distinct(ws)).cast("double") / n)
-    val topToken = when(n === 0, lit(0)).otherwise(
-      array_max(transform(array_distinct(ws), x => size(filter(ws, y => y === x)))))
+    // max multiplicity = longest equal-adjacent run of the SORTED array
+    // — O(n log n) per row. The obvious per-distinct-token
+    // `size(filter(...))` is O(n²) in interpreted HOF eval and turned
+    // the first full-surface bench into a 10-minute straggler task on
+    // sf0.1's longest documents (found r6; the curated r5 bench never
+    // timed this entry).
+    def maxRun(arr: Column): Column = {
+      val scan = aggregate(array_sort(arr),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(acc.getField("prev").isNotNull &&
+            acc.getField("prev") === x, acc.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        })
+      scan.getField("best")
+    }
+    val topToken = when(n === 0, lit(0)).otherwise(maxRun(ws))
     val bg = when(n >= 2,
       transform(sequence(lit(1), n - 1),
         i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val topBigram = when(n < 2, lit(0)).otherwise(
-      array_max(transform(array_distinct(bg), x => size(filter(bg, y => y === x)))))
+    val topBigram = when(n < 2, lit(0)).otherwise(maxRun(bg))
     df.select(col(idCol), n.as("n_tokens"),
       round(uniqFrac, 6).as("uniq_frac"),
       topToken.as("top_token_count"),

@@ -34,6 +34,33 @@ class ArrayShinglesSpec extends SparkSpec {
     }
   }
 
+  test("shingles degrades to the composable form without GraftExtensions") {
+    // a session whose registry lacks the fused function must still get
+    // correct shingles (ADVICE r5: external callers without the
+    // extension were getting an undefined-function AnalysisException)
+    val bare = spark.newSession()
+    bare.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingles"))
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(bare)
+    try {
+      val got = bare.createDataFrame(Seq(Tuple1("a b c d"))).toDF("text")
+        .select(Dedup.shingles(col("text"), 2).as("sh"))
+        .collect().head.getSeq[String](0)
+      assert(got == Seq("a b", "b c", "c d"))
+    } finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+  }
+
+  test("fused-function builders reject null / non-numeric literal args") {
+    val e1 = intercept[Exception](spark.sql("SELECT shingles('a b', NULL)"))
+    assert(e1.getMessage.contains("shingles n"))
+    val e2 = intercept[Exception](spark.sql("SELECT shingles('a b', 'x')"))
+    assert(e2.getMessage.contains("shingles n"))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT minhash_bands('a', NULL, 16, 4)"))
+    assert(e3.getMessage.contains("minhash_bands n"))
+  }
+
   test("null text yields null, short text yields empty") {
     val df = Seq((1L, Option("a b")), (2L, None), (3L, Option("a")))
       .toDF("id", "text")

@@ -142,4 +142,42 @@ class TraversalEngineSpec extends SparkSpec {
       TraversalSpec(Direction.Outgoing, maxDepth = 20))
     assert(r.count() == 21) // seed + 20 hops
   }
+  test("dfsStackOrder replays the reference stack machine under truncation") {
+    // a -> b, a -> c, b -> d, c -> e; ascending push => descending pops:
+    // visit a, c, e, b, d — truncation at 3 keeps {a, c, e}, which the
+    // canonical (depth, id) BFS cap ({a, b, c}) cannot reproduce
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "e"))
+      .map { case (s0, d0) => (s0, d0, "calls") }
+      .toDF("src", "dst", "edge_type")
+    val full = Traversal.dfsStackOrder(edges, "a",
+      TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 100))
+      .orderBy("visit_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq == Seq(("a", 0L, 0L), ("c", 1L, 1L), ("e", 2L, 2L),
+      ("b", 1L, 3L), ("d", 2L, 4L)))
+    val truncated = Traversal.dfsStackOrder(edges, "a",
+      TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 3))
+      .orderBy("visit_rank").collect().map(_.getString(0))
+    assert(truncated.toSeq == Seq("a", "c", "e"))
+    // untruncated, the visited SET equals the canonical BFS set
+    val bfsSet = Traversal.bfs(edges, Seq("a").toDF("id"),
+      TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 100))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(full.map(_._1).toSet == bfsSet)
+  }
+
+  test("dfsStackOrder records stack depth and honors the depth cap") {
+    // diamond a->b->d, a->c->d plus tail d->f: first-visit depth is the
+    // STACK depth (c branch reaches d at depth 2 before b is popped)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "f"))
+      .map { case (s0, d0) => (s0, d0, "calls") }
+      .toDF("src", "dst", "edge_type")
+    val got = Traversal.dfsStackOrder(edges, "a",
+      TraversalSpec(Direction.Outgoing, maxDepth = 2, maxResults = 100))
+      .orderBy("visit_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // visits: a(0), c(1), d(2) [depth cap: f not expanded], b(1)
+    assert(got.toSeq == Seq(("a", 0L), ("c", 1L), ("d", 2L), ("b", 1L)))
+  }
+
 }

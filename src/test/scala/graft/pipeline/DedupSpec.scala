@@ -34,6 +34,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
   }
 
+  test("fused simhash16 ≡ composable on a messy corpus") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("alpha", "Beta", "GAMMA", "d", "epsilon", "ze ta", "x")
+    val docs = ((1L to 50L).map { i =>
+      (i, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } ++ Seq((51L, ""), (52L, " "), (53L, "one"))).toDF("doc_id", "text")
+    val a = docs.select(col("doc_id"),
+      Dedup.simhash16(col("text")).as("h")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = docs.select(col("doc_id"),
+      Dedup.simhash16Composable(col("text")).as("h")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+    assert(graft.expressions.Fused.available("simhash16"))
+  }
+
   test("simhash is deterministic and equal for identical text") {
     val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -81,6 +81,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fused == composable)
   }
 
+  test("fused min_kgram / rep_stats ≡ composable on a messy corpus") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "Beta", "GAMMA", "d", "epsilon", "ze",
+      "tab\there", "x", "!!", "a.b")
+    val docs = ((1L to 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+        .mkString("  "))
+    } ++ Seq((61L, ""), (62L, "   "), (63L, "one"), (64L, "one one one"),
+      (65L, " Mixed   CASE\twords here words here "))).toDF("doc_id", "text")
+    for (k <- Seq(3, 8)) {
+      val a = docs.select(col("doc_id"),
+        TextAnalysis.minKgramHash(col("text"), k).as("h")).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val b = docs.select(col("doc_id"),
+        TextAnalysis.minKgramHashComposable(col("text"), k).as("h"))
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(a == b, s"k=$k")
+    }
+    val fr = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val cr = TextAnalysis.repetitionStatsComposable(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fr == cr)
+    // and the fused path is actually in play on this session
+    assert(graft.expressions.Fused.available("rep_stats"))
+  }
+
   test("analyze emits one row per document with all columns") {
     val df = TextAnalysis.analyze(
       Seq((1L, "the quick brown fox"), (2L, "")).toDF("doc_id", "text"),
