@@ -14,8 +14,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * loader is the only thing that changes on a real cluster.
   */
 object Tables {
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+  /** Load one fixture table, normalizing any TIMESTAMP_NTZ column to
+    * session-local TIMESTAMP. Parquet `timestamp[us]` with no timezone
+    * annotation infers as NTZ in Spark 4; every entry point in this
+    * repo pins `spark.sql.session.timeZone=UTC`, so the cast is a
+    * deterministic relabeling (DuckDB likewise reads the column as a
+    * plain TIMESTAMP), and downstream comparisons against
+    * `to_timestamp(...)` literals keep working unchanged.
+    */
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case TimestampNTZType => df.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => df
+      }
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
@@ -24,12 +42,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** Raw events. The fixture's `ts` is parquet TIMESTAMP(NANOS), which
-    * Spark rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` is
-    * set on the session (all entry points in this repo set it) — `ts`
-    * then reads as epoch-nanoseconds LONG.
+  /** Raw events with `ts` normalized to epoch-NANOSECONDS LONG — the
+    * library-wide contract every events consumer is written against.
+    * Fixture generations have shipped `ts` both as parquet
+    * TIMESTAMP(NANOS) (reads as LONG under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which all entry
+    * points set) and as TIMESTAMP(MICROS) (reads as a timestamp; the
+    * r6 regeneration); both land on the same ns-long column here.
+    * `unix_micros` is exact integer µs — no double rounding — and
+    * `* 1000` stays far below Long overflow for any realistic epoch.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+    }
+  }
 
   /** Events with both the raw epoch-ns (`ts_ns`) and a proper TIMESTAMP
     * (`ts`, truncated to microseconds — Spark's native resolution).
