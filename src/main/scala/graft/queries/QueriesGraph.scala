@@ -102,6 +102,59 @@ object QueriesGraph {
         .orderBy("depth", "id"),
       Some(bfsSql("SELECT 'C1' AS id, 0 AS depth", 5, "e.dst", "e.src = r.id"))),
 
+    // Compat-mode DFS (`--compat` visit-ORDER parity, the last
+    // documented traversal deviation): the reference's exact stack
+    // machine — pop last, skip visited, record with stack depth and
+    // preorder rank, push unvisited neighbors ascending, stop at
+    // max_results (`traversal.zig:458-563`). maxResults=6 TRUNCATES
+    // mid-walk on this seed (untruncated reach is larger), so the
+    // entry pins exactly what the canonical (depth, id) set cannot:
+    // which nodes survive the cap, in which order. The oracle replays
+    // the SAME stack machine in DuckDB — a recursive CTE whose single
+    // in-flight row carries the stack and output as STRUCT lists, one
+    // pop per recursion step; the terminal state is the row with the
+    // longest output then shortest stack (output length is monotone,
+    // and after the last record only skip-pops remain).
+    ("traverse_dfs_compat",
+      (s, d) => Traversal.dfsStackOrder(CodeGraph.edges(s, d), "O1",
+          TraversalSpec(Direction.Outgoing, maxDepth = 4, maxResults = 6))
+        .select(col("id"), col("depth"), col("visit_rank"))
+        .orderBy("visit_rank"),
+      Some(s"""WITH RECURSIVE e AS ($E),
+        | r AS (SELECT 'O1' AS id, 0 AS d UNION ALL
+        |   SELECT e.dst, r.d+1 FROM r JOIN e ON e.src=r.id WHERE r.d<4),
+        | reach AS (SELECT DISTINCT id FROM r),
+        | adj AS (SELECT e.src AS id, list_sort(list(DISTINCT e.dst)) AS nbs
+        |   FROM e JOIN reach a ON a.id=e.src JOIN reach b ON b.id=e.dst
+        |   GROUP BY e.src),
+        | sim AS (
+        |  SELECT [{'id': 'O1', 'd': 0}] AS stack,
+        |    CAST([] AS STRUCT(id VARCHAR, d INTEGER)[]) AS outl
+        |  UNION ALL
+        |  SELECT
+        |   CASE WHEN list_contains(list_transform(s.outl, o -> o.id), (s.stack[-1]).id)
+        |    THEN list_slice(s.stack, 1, len(s.stack)-1)
+        |    ELSE list_concat(list_slice(s.stack, 1, len(s.stack)-1),
+        |     CASE WHEN (s.stack[-1]).d < 4 THEN
+        |      list_transform(
+        |       list_filter(coalesce(a.nbs, CAST([] AS VARCHAR[])),
+        |        x -> NOT list_contains(
+        |         list_append(list_transform(s.outl, o -> o.id), (s.stack[-1]).id), x)),
+        |       x -> {'id': x, 'd': (s.stack[-1]).d + 1})
+        |     ELSE CAST([] AS STRUCT(id VARCHAR, d INTEGER)[]) END) END AS stack,
+        |   CASE WHEN list_contains(list_transform(s.outl, o -> o.id), (s.stack[-1]).id)
+        |    THEN s.outl ELSE list_append(s.outl, s.stack[-1]) END AS outl
+        |  FROM sim s LEFT JOIN adj a ON a.id = (s.stack[-1]).id
+        |  WHERE len(s.stack) > 0 AND len(s.outl) < 6
+        | ),
+        | fin AS (SELECT outl FROM sim
+        |   ORDER BY len(outl) DESC, len(stack) ASC LIMIT 1)
+        | SELECT u.id AS id, CAST(u.d AS BIGINT) AS depth,
+        |  CAST(u.rk AS BIGINT) AS visit_rank FROM
+        |  (SELECT unnest(list_transform(outl,
+        |    (x, i) -> {'id': x.id, 'd': x.d, 'rk': i-1})) AS u FROM fin)
+        | ORDER BY visit_rank""".stripMargin.replace("\n", " "))),
+
     // Unmasked reference parity: ALL simple paths up to the cap, in
     // increasing length (shortest first) — not just the first-hit depth.
     // The '->'-delimited contains() is the per-path cycle guard (never
