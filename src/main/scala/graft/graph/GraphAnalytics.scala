@@ -418,14 +418,30 @@ object GraphAnalytics {
     * Returns forest edges (a, b, w) with a < b.
     */
   def minimumSpanningForest(edges: DataFrame, rounds: Int = 8,
-                            metaDriverMax: Long = 1000000L): DataFrame = {
-    // canonical undirected edge list: a < b, min weight per pair
-    val canon = edges
+                            metaDriverMax: Long = 1000000L,
+                            canonicalInput: Boolean = false,
+                            probe: Boolean = false): DataFrame = {
+    def timed[T](label: String)(f: => T): T =
+      if (!probe) f else {
+        val t0 = System.nanoTime(); val res = f
+        println(f"    [msf] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        res
+      }
+    // canonical undirected edge list: a < b, min weight per pair.
+    // `canonicalInput` lets a caller that KNOWS its pairs are already
+    // unique per undirected pair (e.g. a stored distinct edge index of
+    // a DAG with no reverse edges) skip the one dedup groupBy + its
+    // checkpoint — on such input the agg is row-preserving, a pure
+    // E-scale shuffle for nothing.
+    val canonRaw = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .filter(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(min("w").as("w"))
-      .localCheckpoint(true)
+    val canon = timed("canon") {
+      if (canonicalInput) canonRaw
+      else canonRaw.groupBy("a", "b").agg(min("w").as("w"))
+        .localCheckpoint(true)
+    }
     // TRUE Borůvka contraction: after each round the graph is
     // re-expressed over component labels — (ca, cb) meta-endpoints with
     // the original endpoints (oa, ob) carried so forest edges stay
@@ -442,19 +458,22 @@ object GraphAnalytics {
     while (r < rounds && crossing != 0) {
       r += 1
       // each component's minimal incident edge under the (w, oa, ob)
-      // total order — seen from both endpoints; identical struct from
-      // both sides → distinct dedups the doubly-chosen
+      // total order — seen from both endpoints. An edge chosen by BOTH
+      // its components appears twice; that duplicate is deliberately
+      // NOT dropped here (a per-round distinct is an extra shuffle
+      // stage inside every materialization) — union-find and the
+      // contraction are duplicate-insensitive, and the forest dedups
+      // ONCE at assembly.
       val e = struct(col("w"), col("oa"), col("ob"), col("ca"), col("cb"))
-      val chosen = live.select(col("ca").as("comp"), e.as("e"))
+      val chosen = timed(s"r$r chosen") { live.select(col("ca").as("comp"), e.as("e"))
         .union(live.select(col("cb").as("comp"), e.as("e")))
         .groupBy("comp").agg(min("e").as("e"))
         .select(col("e.w").as("w"), col("e.oa").as("oa"),
           col("e.ob").as("ob"), col("e.ca").as("ca"), col("e.cb").as("cb"))
-        .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true) }
       forest = forest.unionByName(
         chosen.select(col("oa").as("a"), col("ob").as("b"), col("w")))
-      val nChosen = chosen.count() // materialized: free
+      val nChosen = timed(s"r$r count") { chosen.count() } // materialized: free
       if (nChosen == 0) crossing = 0
       else {
         // merged-set relabeling (set -> its MIN member, the same
@@ -464,7 +483,7 @@ object GraphAnalytics {
         // — a dozen distributed jobs to merge a few thousand labels is
         // pure overhead); past metaDriverMax the distributed
         // pointer-jumping CC takes over.
-        val mapping =
+        val mapping = timed(s"r$r mapping") {
           if (nChosen <= metaDriverMax) {
             val es = chosen.select("ca", "cb")
               .collect().map(x => (x.getString(0), x.getString(1)))
@@ -482,12 +501,23 @@ object GraphAnalytics {
             }
             val spark = edges.sparkSession
             import spark.implicits._
-            members.map(m => (m, minOfRoot(find(m)))).toSeq.toDF("c", "c2")
+            // RDD-backed, NOT .toSeq.toDF: a round-1 mapping is
+            // V-sized (every node picks an edge in round 1), and a
+            // LocalRelation that size would be embedded in the plan
+            // LITERALLY — re-analyzed and re-serialized by every
+            // downstream job that touches either join side.
+            // Parallelized, the mapping is task data like any other
+            // frame and the broadcast below ships it once.
+            spark.sparkContext
+              .parallelize(members.map(m => (m, minOfRoot(find(m)))).toSeq,
+                math.max(1, members.length / 50000))
+              .toDF("c", "c2")
           } else
             connectedComponents(
               chosen.select(col("ca").as("src"), col("cb").as("dst")),
               rounds = 6, pairsDistinct = false)
               .select(col("id").as("c"), col("component").as("c2"))
+        }
         // contract: relabel endpoints, drop intra-component edges, keep
         // the lightest (w, oa, ob) edge per component pair. The
         // broadcast hint only applies to the driver-sized mapping; the
@@ -498,7 +528,7 @@ object GraphAnalytics {
           if (nChosen <= metaDriverMax) broadcast(s0) else s0
         }
         val prevLive = live
-        live = live
+        live = timed(s"r$r contract") { live
           .join(side("ca", "ma"), Seq("ca"), "left")
           .join(side("cb", "mb"), Seq("cb"), "left")
           .select(coalesce(col("ma"), col("ca")).as("na"),
@@ -511,15 +541,17 @@ object GraphAnalytics {
           .groupBy("ca", "cb").agg(min(m).as("m"))
           .select(col("ca"), col("cb"), col("m.w").as("w"),
             col("m.oa").as("oa"), col("m.ob").as("ob"))
-          .localCheckpoint(true)
-        crossing = live.count()
+          .localCheckpoint(true) }
+        crossing = timed(s"r$r crossing") { live.count() }
         // prev round's live frame is dead (chosen frames stay: forest
         // is a lazy union over them; round 1's prev is a projection of
         // canon, where drop() is a strict no-op)
         graft.core.Checkpoints.drop(prevLive)
       }
     }
-    forest.select("a", "b", "w")
+    // ONE forest-sized dedup replaces the per-round distinct: the only
+    // duplicates possible are the doubly-chosen (both-endpoint) edges
+    forest.select("a", "b", "w").distinct()
   }
 
   /** Community detection by synchronous label propagation (LPA):

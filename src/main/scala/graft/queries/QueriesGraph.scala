@@ -467,7 +467,12 @@ object QueriesGraph {
       (s, d) => GraphAnalytics.minimumSpanningForest(
         CodeGraph.edgePairs(s, d).withColumn("w",
           lit(1L) + (expr("CAST(substring(src, 2, 100) AS BIGINT)")
-            + expr("CAST(substring(dst, 2, 100) AS BIGINT)")) % 7))
+            + expr("CAST(substring(dst, 2, 100) AS BIGINT)")) % 7),
+        // the stored pair index is distinct and the FK graph has no
+        // reverse edges (every edge type crosses prefix classes one
+        // way), so rows are already unique per undirected pair — skip
+        // the canon dedup shuffle; w is symmetric in (src, dst)
+        canonicalInput = true)
         .orderBy("a", "b"),
       None),
 
