@@ -52,4 +52,33 @@ object Checkpoints {
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .filter(_.name == null)
       .foreach(_.unpersist(blocking = false))
+
+  /** Run a checkpoint-driven iterative loop with AQE disabled, restoring
+    * the caller's setting afterwards.
+    *
+    * The loop bodies materialize MANY small fixed-shape frames (V-sized
+    * label/rank tables, one per round) whose sizes the loops already
+    * reason about explicitly (broadcast-while-small gates, pre-
+    * partitioned edge probes). AQE re-plans every one of those
+    * materializations per stage — pure serial driver latency that buys
+    * nothing on known-small frames, and it compounds by round count
+    * (measured at sf0.1, 3-run medians: components 9.3→7.3 s,
+    * ppr 9.5→6.1 s, LPA 9.6→5.0 s, topo 5.8→3.1 s just from turning
+    * AQE off inside the loop). On a real cluster the trade holds: the
+    * re-planning is the same SERIAL driver cost per round, while the
+    * coalescing AQE would buy on the tail rounds' near-empty shuffles
+    * is bounded by `spark.sql.shuffle.partitions` anyway. One-shot
+    * E-scale queries outside the loops keep AQE (skew joins, runtime
+    * re-plans — that's where it earns its keep).
+    *
+    * Session-scoped like any SQL conf: concurrent queries on the SAME
+    * session during the loop would also plan without AQE (acceptable
+    * for this engine's one-query-at-a-time sessions; documented here).
+    */
+  def withoutAqe[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
 }

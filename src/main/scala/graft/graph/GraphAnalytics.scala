@@ -56,7 +56,7 @@ object GraphAnalytics {
     */
   def pagerankFixedPoint(edges: DataFrame, iters: Int = 5,
                          scale: Long = 1000000000000L,
-                         pairsDistinct: Boolean = false): DataFrame = {
+                         pairsDistinct: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     // `pairsDistinct`: caller vouches (src, dst) is already
     // duplicate-free AND persisted (e.g. CodeGraph.edgePairs) — skips
     // a redundant distinct shuffle + a second in-memory copy
@@ -199,7 +199,7 @@ object GraphAnalytics {
     */
   def kcore(edges: DataFrame, k: Int, rounds: Int = 8,
             pairsDistinct: Boolean = false,
-            undirectedPairs: Boolean = false): DataFrame = {
+            undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     // undirected view: both orientations, DEDUPED — an input holding
     // both (a,b) and (b,a) is one undirected edge, not two (a plain
     // union would double-count its degree contribution).
@@ -300,7 +300,7 @@ object GraphAnalytics {
     */
   def connectedComponents(edges: DataFrame, rounds: Int = 6,
                           pairsDistinct: Boolean = false,
-                          undirectedPairs: Boolean = false): DataFrame = {
+                          undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     // both orientations, NOT deduped: min-propagation is idempotent
     // over duplicate edges (unlike k-core's degree counts), so the 2|E|
     // dedup shuffle would buy nothing — the msgs groupBy folds dupes.
@@ -420,7 +420,7 @@ object GraphAnalytics {
   def minimumSpanningForest(edges: DataFrame, rounds: Int = 8,
                             metaDriverMax: Long = 1000000L,
                             canonicalInput: Boolean = false,
-                            probe: Boolean = false): DataFrame = {
+                            probe: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     def timed[T](label: String)(f: => T): T =
       if (!probe) f else {
         val t0 = System.nanoTime(); val res = f
@@ -578,7 +578,7 @@ object GraphAnalytics {
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 4,
                        pairsDistinct: Boolean = false,
-                       undirectedPairs: Boolean = false): DataFrame = {
+                       undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     // distinct undirected view — label COUNTS need dedup (a pair stored
     // in both orientations is one neighbor relation, not two votes).
     // An already-persisted undirected index is consumed as-is; the
@@ -1018,7 +1018,7 @@ object GraphAnalytics {
     */
   def pprFixedPoint(edges: DataFrame, seeds: Seq[String], iters: Int = 5,
                     scale: Long = 1000000000000L,
-                    pairsDistinct: Boolean = false): DataFrame = {
+                    pairsDistinct: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     require(seeds.nonEmpty, "ppr needs at least one seed")
     val nSeeds = seeds.size.toLong
     val parentCached = pairsDistinct &&
@@ -1151,7 +1151,7 @@ object GraphAnalytics {
     * per-step cost is O(out-edges of current frontier).
     */
   def randomWalks(edges: DataFrame, steps: Int = 3,
-                  pairsDistinct: Boolean = false): DataFrame = {
+                  pairsDistinct: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     import org.apache.spark.sql.expressions.Window
     val parentCached = pairsDistinct &&
       edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE

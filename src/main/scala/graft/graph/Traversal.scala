@@ -160,7 +160,7 @@ object Traversal {
                              direction: Direction, maxDepth: Int,
                              maxResults: Long,
                              edgeFilter: EdgeFilter = EdgeFilter.All,
-                             trackPaths: Boolean = false): DataFrame = {
+                             trackPaths: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     // If the edges table is already persisted (the normal case: a
     // materialized graph), the hop projection is a cheap in-memory scan
     // per level — re-persisting it would copy the whole table per query.
@@ -255,7 +255,7 @@ object Traversal {
     * (`traversal.zig:242-247`).
     */
   def topoLevels(edges: DataFrame, maxIters: Int = 100,
-                 edgesDistinct: Boolean = false): DataFrame = {
+                 edgesDistinct: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     // `edgesDistinct`: caller vouches the (src,dst) projection is
     // already duplicate-free (e.g. a materialized pair view) — skips
     // the per-call distinct shuffle; an already-cached input also
@@ -344,7 +344,7 @@ object Traversal {
     */
   def pathsBetween(edges: DataFrame, from: String, to: String,
                    maxDepth: Int = 10, maxPaths: Int = 100,
-                   frontierCap: Int = 10000): DataFrame = {
+                   frontierCap: Int = 10000): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
     val parentCached = edges.storageLevel != StorageLevel.NONE
