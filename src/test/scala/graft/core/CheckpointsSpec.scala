@@ -62,4 +62,21 @@ class CheckpointsSpec extends SparkSpec {
       assert(ck.count() == 3) // parent blocks intact
     } finally Checkpoints.drop(ck)
   }
+
+  test("withoutAqe scopes the conf, restores on exit and exception, nests") {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key)
+    Checkpoints.withoutAqe(spark) {
+      assert(spark.conf.get(key) == "false")
+      Checkpoints.withoutAqe(spark) { // loops call loops (MSF -> CC)
+        assert(spark.conf.get(key) == "false")
+      }
+      assert(spark.conf.get(key) == "false")
+    }
+    assert(spark.conf.get(key) == before)
+    intercept[RuntimeException] {
+      Checkpoints.withoutAqe(spark) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(key) == before)
+  }
 }
