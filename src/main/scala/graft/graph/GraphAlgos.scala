@@ -23,7 +23,7 @@ object GraphAlgos {
     * point of the algorithm at scale.
     */
   def bidirectionalSearch(edges: DataFrame, from: String, to: String,
-                          maxDepth: Int = 10): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+                          maxDepth: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val fwdDepth = (maxDepth + 1) / 2
@@ -160,7 +160,7 @@ object GraphAlgos {
     * the delta materializes it — one job per round.
     */
   def ssspWeighted(edges: DataFrame, sourceId: String,
-                   maxIters: Int = 50): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+                   maxIters: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("w"))

@@ -160,7 +160,7 @@ object Traversal {
                              direction: Direction, maxDepth: Int,
                              maxResults: Long,
                              edgeFilter: EdgeFilter = EdgeFilter.All,
-                             trackPaths: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+                             trackPaths: Boolean = false): DataFrame = {
     // If the edges table is already persisted (the normal case: a
     // materialized graph), the hop projection is a cheap in-memory scan
     // per level — re-persisting it would copy the whole table per query.
@@ -344,7 +344,7 @@ object Traversal {
     */
   def pathsBetween(edges: DataFrame, from: String, to: String,
                    maxDepth: Int = 10, maxPaths: Int = 100,
-                   frontierCap: Int = 10000): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+                   frontierCap: Int = 10000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val parentCached = edges.storageLevel != StorageLevel.NONE
