@@ -1151,7 +1151,7 @@ object GraphAnalytics {
     * per-step cost is O(out-edges of current frontier).
     */
   def randomWalks(edges: DataFrame, steps: Int = 3,
-                  pairsDistinct: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+                  pairsDistinct: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parentCached = pairsDistinct &&
       edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
