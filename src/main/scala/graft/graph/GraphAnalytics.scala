@@ -485,10 +485,16 @@ object GraphAnalytics {
         // pointer-jumping CC takes over.
         val mapping = timed(s"r$r mapping") {
           if (nChosen <= metaDriverMax) {
+            // id-type-generic (String ids OR a caller's packed LONG
+            // encoding — narrow integer keys make every loop shuffle
+            // cheaper, see graph_msf's entry): rows collect as Any,
+            // the representative choice just needs a DETERMINISTIC
+            // order, and the mapping frame is rebuilt with the input's
+            // own id type.
             val es = chosen.select("ca", "cb")
-              .collect().map(x => (x.getString(0), x.getString(1)))
-            val parent = scala.collection.mutable.Map.empty[String, String]
-            def find(x: String): String = {
+              .collect().map(x => (x.get(0), x.get(1)))
+            val parent = scala.collection.mutable.Map.empty[Any, Any]
+            def find(x: Any): Any = {
               val p = parent.getOrElse(x, x)
               if (p == x) x else { val r0 = find(p); parent(x) = r0; r0 }
             }
@@ -496,11 +502,16 @@ object GraphAnalytics {
               val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(rx) = ry
             }
             val members = (es.map(_._1) ++ es.map(_._2)).distinct
+            val anyOrd: Ordering[Any] = {
+              case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+              case (x: Int, y: Int) => Integer.compare(x, y)
+              case (x: String, y: String) => x.compareTo(y)
+              case (x, y) => x.toString.compareTo(y.toString)
+            }
             val minOfRoot = members.groupBy(find).map { case (root, ms) =>
-              root -> ms.min
+              root -> ms.min(anyOrd)
             }
             val spark = edges.sparkSession
-            import spark.implicits._
             // RDD-backed, NOT .toSeq.toDF: a round-1 mapping is
             // V-sized (every node picks an edge in round 1), and a
             // LocalRelation that size would be embedded in the plan
@@ -508,10 +519,15 @@ object GraphAnalytics {
             // downstream job that touches either join side.
             // Parallelized, the mapping is task data like any other
             // frame and the broadcast below ships it once.
-            spark.sparkContext
-              .parallelize(members.map(m => (m, minOfRoot(find(m)))).toSeq,
-                math.max(1, members.length / 50000))
-              .toDF("c", "c2")
+            val idType = chosen.schema("ca").dataType
+            val rows = members.map(m =>
+              org.apache.spark.sql.Row(m, minOfRoot(find(m))))
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(rows.toIndexedSeq,
+                math.max(1, members.length / 50000)),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("c", idType),
+                org.apache.spark.sql.types.StructField("c2", idType))))
           } else
             connectedComponents(
               chosen.select(col("ca").as("src"), col("cb").as("dst")),

@@ -464,16 +464,36 @@ object QueriesGraph {
     // DuckDB SQL — rows-only driver check, Kruskal equivalence is the
     // value gate. Weights derived like sssp_weighted's.
     ("graph_msf",
-      (s, d) => GraphAnalytics.minimumSpanningForest(
-        CodeGraph.edgePairs(s, d).withColumn("w",
-          lit(1L) + (expr("CAST(substring(src, 2, 100) AS BIGINT)")
-            + expr("CAST(substring(dst, 2, 100) AS BIGINT)")) % 7),
-        // the stored pair index is distinct and the FK graph has no
-        // reverse edges (every edge type crosses prefix classes one
-        // way), so rows are already unique per undirected pair — skip
-        // the canon dedup shuffle; w is symmetric in (src, dst)
-        canonicalInput = true)
-        .orderBy("a", "b"),
+      (s, d) => {
+        // pack the fixture's `<letter><digits>` ids into LONGs (pure
+        // projection both ways — ascii(prefix)·10^14 + number, exact
+        // decimal roundtrip): every loop shuffle then moves fixed
+        // 8-byte keys instead of five string columns, the "know your
+        // key domain" encoding a 100-TB deployment would bake into the
+        // stored edge index (generically: dictionary-encode once at
+        // rest). The forest is unique per TOTAL ORDER, so packing
+        // changes which equal-weight edges win ties versus the string
+        // order — but never the edge COUNT (V − #components) nor the
+        // spec-pinned Kruskal equivalence, which runs on unpacked ids.
+        def pack(c: String) = expr(
+          s"ascii(substring($c, 1, 1)) * 100000000000000L + CAST(substring($c, 2, 100) AS BIGINT)")
+        def unpack(c: String) = expr(s"concat(char(CAST($c div 100000000000000L AS INT)), " +
+          s"CAST($c % 100000000000000L AS STRING))")
+        GraphAnalytics.minimumSpanningForest(
+          CodeGraph.edgePairs(s, d).select(
+            pack("src").as("src"), pack("dst").as("dst"))
+            // identical w to the pre-packing entry: packed % 10^14
+            // recovers the numeric id part exactly
+            .withColumn("w", lit(1L) +
+              (col("src") % 100000000000000L + col("dst") % 100000000000000L) % 7),
+          // the stored pair index is distinct and the FK graph has no
+          // reverse edges (every edge type crosses prefix classes one
+          // way), so rows are already unique per undirected pair — skip
+          // the canon dedup shuffle; w is symmetric in (src, dst)
+          canonicalInput = true)
+          .select(unpack("a").as("a"), unpack("b").as("b"), col("w"))
+          .orderBy("a", "b")
+      },
       None),
 
     // Degree distribution — the first profiling query against any new
