@@ -473,6 +473,11 @@ object GraphAnalytics {
         .localCheckpoint(true) }
       forest = forest.unionByName(
         chosen.select(col("oa").as("a"), col("ob").as("b"), col("w")))
+      // nChosen counts CHOOSING components (a doubly-chosen edge rides
+      // twice since the per-round distinct was dropped), so it is up to
+      // 2x the distinct chosen edges; using it for the metaDriverMax
+      // gate is therefore CONSERVATIVE — overcounting can only push the
+      // merge to the distributed path early, never collect too much.
       val nChosen = timed(s"r$r count") { chosen.count() } // materialized: free
       if (nChosen == 0) crossing = 0
       else {

@@ -2,10 +2,15 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratch probe — A/B the iterative graph entries with AQE on vs
-  * off. The iterative loops materialize many SMALL (V-sized) frames;
-  * AQE re-plans every materialization per stage, which is pure driver
-  * latency when the frames are known-small and the plans are fixed.
+/** Dev scratch probe — A/B entries with the SESSION AQE flag on vs
+  * off. CAVEAT: the label-table loops (pagerank/ppr, components,
+  * k-core, LPA, MSF, topo) self-scope AQE off via
+  * `Checkpoints.withoutAqe`, so for those entries both arms measure
+  * the same loop-internal setting and any aqe=true/false delta is
+  * suite-position noise, not AQE — the A/B is only meaningful for
+  * entries OUTSIDE the withoutAqe set (frontier loops, one-shot
+  * queries), or after temporarily unwrapping the loop under test
+  * (how the r6 decision matrix was produced).
   */
 object AqeProbe {
   def main(args: Array[String]): Unit = {
