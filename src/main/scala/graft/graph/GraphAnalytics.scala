@@ -93,6 +93,9 @@ object GraphAnalytics {
       val small = n <= 1000000L
       var state = topo.withColumn("rank", lit(base))
       var frame: DataFrame = null // checkpointed frame backing `state`
+      // per-iteration shuffles are V-sized; size their partition count
+      // from n (what AQE coalescing would compute, known up front)
+      graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, n) {
       for (it <- 1 to iters) {
         // the iteration's single driver action, over the materialized
         // previous frame: dangling mass + the conservation self-check
@@ -133,6 +136,7 @@ object GraphAnalytics {
         frame = next
         state = next
       }
+      } // withLoopShuffle
       // validate the FINAL frame too — it is what the caller writes
       val fin = state.agg(count(lit(1)).as("cnt"), sum("rank").as("total"))
         .first()
@@ -325,7 +329,8 @@ object GraphAnalytics {
       .localCheckpoint(false)
     // the single up-front action: sizes the broadcast decision (and
     // materializes und/init)
-    val small = init.count() <= 1000000L
+    val nV = init.count()
+    val small = nV <= 1000000L
     // non-broadcast path: hash-partition the edge set by the probe side
     // once, so per-round joins exchange only the O(V) label table
     val und = if (small) und0
@@ -363,6 +368,8 @@ object GraphAnalytics {
     var changed = init // round 1: every node is fresh
     var frame: DataFrame = null // checkpointed frame backing labels/changed
     var converged = false
+    // per-round m/nf frames are V-sized; size the shuffles from nV
+    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nV) {
     for (_ <- 1 to rounds if !converged) {
       val chA = changed.withColumnRenamed("id", "a")
       val msgs = und.join(if (small) broadcast(chA) else chA, Seq("a"))
@@ -385,6 +392,7 @@ object GraphAnalytics {
       labels = nf.select("id", "lbl")
       changed = nf.filter(col("lbl") =!= col("prev")).select("id", "lbl")
     }
+    } // withLoopShuffle
     labels.select(col("id"), col("lbl").as("component"))
   }
 
@@ -629,9 +637,13 @@ object GraphAnalytics {
     // threshold, re-lay the edge set out by `b` ONCE so every round's
     // shuffled join exchanges only the O(V) label table — never E per
     // round. The one up-front count also materializes und/labels.
-    val small = labels.count() <= 1000000L
+    val nV = labels.count()
+    val small = nV <= 1000000L
     val und = if (small) undRaw
       else undRaw.repartition(col("b")).localCheckpoint(false)
+    // the vote agg keys on (id, lbl) and the winner table on id — both
+    // V-scale; size the round shuffles from nV
+    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nV) {
     for (_ <- 1 to rounds) {
       // vote of neighbor b's label to node a (every node of und has ≥1
       // neighbor, so the synchronous update is total)
@@ -646,6 +658,7 @@ object GraphAnalytics {
         .select(col("id"), col("w.l").as("lbl"))
         .localCheckpoint(false)
     }
+    } // withLoopShuffle
     labels.select(col("id"), col("lbl").as("community"))
   }
 
@@ -1071,6 +1084,8 @@ object GraphAnalytics {
       val small = n <= 1000000L
       var state = topo.withColumn("rank", col("tele"))
       var frame: DataFrame = null
+      // V-sized per-iteration shuffles, same sizing as pagerank
+      graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, n) {
       for (it <- 1 to iters) {
         val r = state.agg(
           count(lit(1)).as("cnt"),
@@ -1108,6 +1123,7 @@ object GraphAnalytics {
         frame = next
         state = next
       }
+      } // withLoopShuffle
       val fin = state.agg(count(lit(1)).as("cnt"), sum("rank").as("total"))
         .first()
       if (fin.getLong(0) != n || fin.getLong(1) <= 0L ||
