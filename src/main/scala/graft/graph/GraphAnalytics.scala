@@ -463,6 +463,15 @@ object GraphAnalytics {
     var forest = canon.limit(0)
     var r = 0
     var crossing = -1L // unknown before the first materialization
+    // every round's shuffle output is bounded by the chosen table
+    // (≤ V rows — one minimal edge per component) and the live set
+    // shrinks geometrically, so V sizes the round shuffles; one O(E)
+    // distinct up front buys right-sized partitions for every round
+    val nNodes = timed("node count") {
+      canon.select(col("a").as("id"))
+        .union(canon.select(col("b").as("id"))).distinct().count()
+    }
+    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nNodes) {
     while (r < rounds && crossing != 0) {
       r += 1
       // each component's minimal incident edge under the (w, oa, ob)
@@ -578,6 +587,7 @@ object GraphAnalytics {
         graft.core.Checkpoints.drop(prevLive)
       }
     }
+    } // withLoopShuffle
     // ONE forest-sized dedup replaces the per-round distinct: the only
     // duplicates possible are the doubly-chosen (both-endpoint) edges
     forest.select("a", "b", "w").distinct()
