@@ -83,24 +83,37 @@ object Checkpoints {
   }
 
   /** Run the ROUND portion of a label-table loop with the shuffle
-    * partition count sized from the loop's own state-table row count,
-    * restoring the session value afterwards.
+    * partition count sized from the loop's own table sizes, restoring
+    * the session value afterwards.
     *
     * With AQE scoped off ([[withoutAqe]]) the loops lost runtime
     * partition coalescing, and their per-round V-sized shuffles then
     * run at the session's corpus-tuned partition count — mostly-empty
     * tasks whose fixed overhead compounds with round count. Sizing
-    * from V recovers exactly what coalescing would have computed, from
-    * a number the loop already materialized (measured at sf0.1,
-    * V=186k → 8 partitions: components 7.8→5.0 s, pagerank
-    * 5.4→3.9 s, MSF 11→7.9 s medians). The session value stays the
-    * UPPER bound — a billion-node graph on a real cluster keeps the
-    * corpus-tuned width; this only shrinks, never grows, the count.
+    * from V recovers what coalescing would have computed, from numbers
+    * the loop already materialized (measured at sf0.1, V=186k →
+    * 7–10 partitions: components 7.8→5.0 s, pagerank 5.4→3.9 s,
+    * MSF 11→6 s medians).
+    *
+    * TWO inputs, because two shuffle shapes live in these loops: the
+    * per-round STATE aggregations are V-bounded (sized at ~25k
+    * rows/partition), but each loop's heaviest round also shuffles an
+    * edge-scale input (round-1 messages/votes/contraction) that
+    * map-side combine only shrinks toward V on SPARSE graphs — on a
+    * dense graph a V-only width would funnel an E-scale shuffle
+    * through a handful of tasks. `edgeRows` floors the width at
+    * ~250k edge-rows/partition (combine earns the 10× allowance), so
+    * density scales the width back up. The session value stays the
+    * UPPER bound either way — a dense or billion-node graph on a real
+    * cluster keeps the corpus-tuned width; this only shrinks, never
+    * grows, the count.
     */
-  def withLoopShuffle[T](spark: SparkSession, stateRows: Long)(f: => T): T = {
+  def withLoopShuffle[T](spark: SparkSession, stateRows: Long,
+                         edgeRows: Long = 0L)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    val tuned = math.min(prev.toLong, math.max(4L, stateRows / 25000L))
+    val tuned = math.min(prev.toLong,
+      math.max(4L, math.max(stateRows / 25000L, edgeRows / 250000L)))
     spark.conf.set(key, tuned.toString)
     try f finally spark.conf.set(key, prev)
   }

@@ -93,9 +93,11 @@ object GraphAnalytics {
       val small = n <= 1000000L
       var state = topo.withColumn("rank", lit(base))
       var frame: DataFrame = null // checkpointed frame backing `state`
-      // per-iteration shuffles are V-sized; size their partition count
-      // from n (what AQE coalescing would compute, known up front)
-      graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, n) {
+      // per-iteration state shuffles are V-sized; the contribution
+      // shuffle's input is E-scale — size from both (pairs is
+      // materialized, its count is a cache scan)
+      graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, n,
+        pairs.count()) {
       for (it <- 1 to iters) {
         // the iteration's single driver action, over the materialized
         // previous frame: dangling mass + the conservation self-check
@@ -368,8 +370,10 @@ object GraphAnalytics {
     var changed = init // round 1: every node is fresh
     var frame: DataFrame = null // checkpointed frame backing labels/changed
     var converged = false
-    // per-round m/nf frames are V-sized; size the shuffles from nV
-    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nV) {
+    // per-round m/nf frames are V-sized, the round-1 message shuffle
+    // is E-scale — size from both (und is materialized by init's count)
+    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nV,
+      und.count()) {
     for (_ <- 1 to rounds if !converged) {
       val chA = changed.withColumnRenamed("id", "a")
       val msgs = und.join(if (small) broadcast(chA) else chA, Seq("a"))
@@ -463,15 +467,18 @@ object GraphAnalytics {
     var forest = canon.limit(0)
     var r = 0
     var crossing = -1L // unknown before the first materialization
-    // every round's shuffle output is bounded by the chosen table
-    // (≤ V rows — one minimal edge per component) and the live set
-    // shrinks geometrically, so V sizes the round shuffles; one O(E)
-    // distinct up front buys right-sized partitions for every round
+    // the chosen table is ≤ V rows (one minimal edge per component)
+    // but round-1 chooseMin and the contraction groupBy shuffle
+    // edge-scale inputs whose combine only pays off on sparse graphs —
+    // size from both V and E. The exact V count is one O(E) distinct
+    // (~0.7 s at sf0.1) and buys right-sized partitions for every
+    // round (~3 s); E is a scan of the materialized canon/pair index.
     val nNodes = timed("node count") {
       canon.select(col("a").as("id"))
         .union(canon.select(col("b").as("id"))).distinct().count()
     }
-    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nNodes) {
+    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nNodes,
+      canon.count()) {
     while (r < rounds && crossing != 0) {
       r += 1
       // each component's minimal incident edge under the (w, oa, ob)
@@ -651,9 +658,11 @@ object GraphAnalytics {
     val small = nV <= 1000000L
     val und = if (small) undRaw
       else undRaw.repartition(col("b")).localCheckpoint(false)
-    // the vote agg keys on (id, lbl) and the winner table on id — both
-    // V-scale; size the round shuffles from nV
-    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nV) {
+    // the winner table keys on id (V-scale) but the vote agg's input
+    // is E-scale with weak map-side combining on dense graphs — size
+    // from both (und is materialized by labels' count)
+    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nV,
+      und.count()) {
     for (_ <- 1 to rounds) {
       // vote of neighbor b's label to node a (every node of und has ≥1
       // neighbor, so the synchronous update is total)
@@ -1094,8 +1103,9 @@ object GraphAnalytics {
       val small = n <= 1000000L
       var state = topo.withColumn("rank", col("tele"))
       var frame: DataFrame = null
-      // V-sized per-iteration shuffles, same sizing as pagerank
-      graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, n) {
+      // same two-input sizing as pagerank
+      graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, n,
+        pairs.count()) {
       for (it <- 1 to iters) {
         val r = state.agg(
           count(lit(1)).as("cnt"),

@@ -6,6 +6,14 @@ import org.apache.spark.sql.SparkSession
   * label-table loops (AQE is self-scoped off there, so the loops lost
   * runtime partition coalescing; their per-round shuffles are V-sized
   * and may prefer fewer, fuller partitions at local[32]).
+  *
+  * CAVEAT (post-r6): the label-table loops now self-size via
+  * `Checkpoints.withLoopShuffle` — the effective loop width is
+  * min(sweep value, max(4, V/25k, E/250k)), so sweep arms ABOVE that
+  * ceiling measure the same configuration and differ only by noise.
+  * The sweep is meaningful below the ceiling, for non-loop entries, or
+  * after temporarily unwrapping the loop (how the r6 sizing constants
+  * were chosen).
   */
 object PartProbe {
   def main(args: Array[String]): Unit = {
