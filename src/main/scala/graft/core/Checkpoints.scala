@@ -107,6 +107,14 @@ object Checkpoints {
     * UPPER bound either way — a dense or billion-node graph on a real
     * cluster keeps the corpus-tuned width; this only shrinks, never
     * grows, the count.
+    *
+    * Session-scoped like any SQL conf (same caveat as [[withoutAqe]]):
+    * concurrent queries on the SAME session during the loop would also
+    * plan at the tuned width — acceptable for this engine's
+    * one-query-at-a-time sessions. Nests (MSF's distributed-CC
+    * fallback): the inner scope's `prev` is the outer TUNED value, so
+    * nesting can only shrink further and each exit restores its own
+    * previous value.
     */
   def withLoopShuffle[T](spark: SparkSession, stateRows: Long,
                          edgeRows: Long = 0L)(f: => T): T = {

@@ -182,7 +182,11 @@ object GraphAnalytics {
         s"(85 * (COALESCE(s.inc, 0) + (SELECT dsh FROM d$t))) // 100 AS rank " +
         s"FROM nodes n LEFT JOIN s$t s ON s.id = n.id)"
     }
-    sb ++= s" SELECT id, rank FROM r$iters ORDER BY rank DESC, id"
+    // CAST: DuckDB widens the SUM-derived rank to HUGEINT (int128);
+    // the driver's arrow-path harness normalizes HUGEINT differently
+    // than int64, so the hash diverges even when values are identical
+    // (the r5/r6 red-row root cause). Spark's side is LongType.
+    sb ++= s" SELECT id, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY rank DESC, id"
     sb.result()
   }
 
@@ -1184,7 +1188,9 @@ object GraphAnalytics {
         s"THEN (SELECT dsh FROM d$t) ELSE 0 END)) // 100 AS rank " +
         s"FROM nodes n LEFT JOIN s$t s ON s.id = n.id)"
     }
-    sb ++= s" SELECT id, rank FROM r$iters ORDER BY rank DESC, id"
+    // CAST to BIGINT for the same HUGEINT-normalization reason as
+    // [[pagerankSql]] — SUM-derived rank widens to int128 in DuckDB.
+    sb ++= s" SELECT id, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY rank DESC, id"
     sb.result()
   }
 

@@ -126,6 +126,16 @@ object Traversal {
     import spark.implicits._
     val reach = bfs(edges, Seq(seedId).toDF("id"),
       spec.copy(maxResults = 10000, trackPaths = false)).select("id")
+      .localCheckpoint(true)
+    // The replay's adjacency is only correct if the reachable universe
+    // was NOT truncated by the 10k cap (the cap equals the reference's
+    // own max_results ceiling, so a legal query can't exceed it — but a
+    // caller with a deeper spec could). A capped reach would silently
+    // reorder the walk; fail loudly instead.
+    val reachN = reach.count()
+    require(reachN < 10000,
+      s"dfsStackOrder: reachable set hit the 10k cap ($reachN) — " +
+        "visit order would be computed over a truncated adjacency")
     val adj = hops(filterEdges(edges, spec.edgeFilter), spec.direction)
       .join(reach.withColumnRenamed("id", "from"), Seq("from"), "left_semi")
       .join(reach.withColumnRenamed("id", "to"), Seq("to"), "left_semi")

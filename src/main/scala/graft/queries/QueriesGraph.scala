@@ -328,6 +328,36 @@ object QueriesGraph {
         | FROM m JOIN nb ON m.id = nb.id
         | ORDER BY m.depth, m.id""".stripMargin.replace("\n", " "))),
 
+    // `trace --direction callees --target O1 --max-depth 3`: the
+    // reference's headline call-graph command (tests/e2e/query.zig:86
+    // "trace callees command shows actual call graph";
+    // cli/parser.zig:123-135) — min-depth BFS with the canonical
+    // (lexicographically smallest) shortest path per node rendered as
+    // a->b->c. The oracle enumerates ALL depth-bounded walks then takes
+    // MIN(path) per node at its min depth: the engine only extends each
+    // node's canonical path, but lexicographic min factorizes over
+    // prefix extension (all shortest paths to a node route through
+    // some predecessor's shortest path), so both sides agree exactly.
+    ("cli_trace",
+      (s, d) => Cli.execute(CodeGraph.nodeBlocks(s, d), CodeGraph.edges(s, d),
+        Cli.TraceCmd("callees", "O1", maxDepth = 3)),
+      Some(s"""WITH RECURSIVE e AS ($E), nb AS ($NB),
+        | seeds AS (SELECT DISTINCT id FROM nb
+        |   WHERE (string_split(unit_id, ':'))[-1] = 'O1' OR id = 'O1'),
+        | r AS (
+        |  SELECT id, 0 AS depth, [id] AS path FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1, list_append(r.path, e.dst)
+        |  FROM r JOIN e ON e.src = r.id
+        |   WHERE r.depth < 3),
+        | m AS (SELECT id, MIN(depth) AS depth FROM r GROUP BY id
+        |   ORDER BY depth, id LIMIT 1000),
+        | p AS (SELECT r.id, m.depth, MIN(r.path) AS path
+        |   FROM r JOIN m ON r.id = m.id AND r.depth = m.depth
+        |   GROUP BY r.id, m.depth)
+        | SELECT id, depth, array_to_string(path, '->') AS path FROM p
+        | ORDER BY depth, id""".stripMargin.replace("\n", " "))),
+
     ("callers_depth2",
       (s, d) => Lookups.findCallers(CodeGraph.edges(s, d),
           CodeGraph.nodeBlocks(s, d), "N3", maxDepth = 2, workspace = "tpch")
@@ -475,8 +505,23 @@ object QueriesGraph {
         // changes which equal-weight edges win ties versus the string
         // order — but never the edge COUNT (V − #components) nor the
         // spec-pinned Kruskal equivalence, which runs on unpacked ids.
-        def pack(c: String) = expr(
-          s"ascii(substring($c, 1, 1)) * 100000000000000L + CAST(substring($c, 2, 100) AS BIGINT)")
+        // CHECKED packing (r7): the encoding assumes `<single ASCII
+        // letter><decimal digits, < 10^14, no leading zeros>`. That
+        // holds for every CodeGraph key, but a malformed id would
+        // silently collide or unpack to a different id — so the pack
+        // expression verifies its own roundtrip per row and
+        // raise_error()s on any id outside the domain (runs once at
+        // graph build, two string ops per edge row; the loop only ever
+        // sees the packed longs).
+        def pack(c: String) = {
+          val packed =
+            s"ascii(substring($c, 1, 1)) * 100000000000000L + CAST(substring($c, 2, 100) AS BIGINT)"
+          val roundtrip = s"concat(substring($c, 1, 1), " +
+            s"CAST(CAST(substring($c, 2, 100) AS BIGINT) AS STRING))"
+          expr(s"CASE WHEN length($c) BETWEEN 2 AND 15 AND $roundtrip = $c " +
+            s"THEN $packed ELSE CAST(raise_error(concat(" +
+            s"'graph_msf: id outside the <letter><digits> packing domain: ', $c)) AS BIGINT) END")
+        }
         def unpack(c: String) = expr(s"concat(char(CAST($c div 100000000000000L AS INT)), " +
           s"CAST($c % 100000000000000L AS STRING))")
         GraphAnalytics.minimumSpanningForest(

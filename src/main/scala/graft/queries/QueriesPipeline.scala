@@ -28,18 +28,29 @@ object QueriesPipeline {
     * `n_bytes` (44-byte WAV header + 2 bytes/sample; 54-byte BMP
     * header + 48-byte padded rows; PPM ASCII header + 45-byte rows).
     */
-  private val MediaCtes: String =
-    """m AS (SELECT doc_id,
+  private val MediaCtes: String = {
+    // UTF-8 BYTE list, not characters: the engine feeds
+    // text.getBytes(UTF_8) to the codecs (Multimodal.scala:73), so the
+    // oracle must index octets. hex(encode(text)) is parsed two nibbles
+    // per byte — invariant under non-ASCII fixtures, unlike the old
+    // ord(substr(text, i, 1)) idiom which walked CHARACTERS and only
+    // agreed because the generated corpus happened to be pure ASCII.
+    val hexAlpha =
+      "['0','1','2','3','4','5','6','7','8','9','A','B','C','D','E','F']"
+    s"""m AS (SELECT doc_id,
       |  (['image/bmp','audio/wav','image/x-portable-pixmap'])[CAST(doc_id % 3 + 1 AS INT)] AS mime,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS len,
       |  GREATEST(1, CAST(ceil(octet_length(encode(text)) / 45.0) AS BIGINT)) AS h,
-      |  list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS bs
+      |  list_transform(range(1, octet_length(encode(text)) + 1), i ->
+      |    (list_position($hexAlpha, substr(hex(encode(text)), CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+      |    (list_position($hexAlpha, substr(hex(encode(text)), CAST(2*i AS INT), 1)) - 1)) AS bs
       | FROM documents),
       | mm AS (SELECT doc_id, mime, len, h, bs,
       |  CASE mime WHEN 'audio/wav' THEN 44 + 2 * len
       |            WHEN 'image/bmp' THEN 54 + 48 * h
       |            ELSE 11 + length(CAST(h AS VARCHAR)) + 45 * h END AS n_bytes
       | FROM m)""".stripMargin.replace("\n", " ")
+  }
 
   /** DuckDB double-precision dot product of two list expressions (strict
     * left-to-right order, mirroring Spark aggregate/zip_with).
@@ -861,9 +872,9 @@ object QueriesPipeline {
         |  CASE WHEN mime = 'audio/wav' THEN len ELSE 15 END AS dim1,
         |  CASE WHEN mime = 'audio/wav' THEN 8000 ELSE h END AS dim2,
         |  CASE WHEN mime = 'audio/wav' THEN len ELSE 15 * h * 3 END AS n_units,
-        |  CASE WHEN mime = 'audio/wav'
+        |  CAST(CASE WHEN mime = 'audio/wav'
         |   THEN COALESCE(list_sum(list_transform(bs, x -> abs(x - 128) * 256)), 0)
-        |   ELSE COALESCE(list_sum(bs), 0) END AS sum_abs,
+        |   ELSE COALESCE(list_sum(bs), 0) END AS BIGINT) AS sum_abs,
         |  CASE WHEN (CASE WHEN mime = 'audio/wav' THEN len ELSE 15 * h * 3 END) = 0
         |   THEN 0.0
         |   ELSE round((CASE WHEN mime = 'audio/wav'

@@ -79,4 +79,46 @@ class CheckpointsSpec extends SparkSpec {
     }
     assert(spark.conf.get(key) == before)
   }
+
+  test("withLoopShuffle sizes from state AND edge rows, restores, nests") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, "32")
+    try {
+      // floor: tiny tables clamp to 4
+      Checkpoints.withLoopShuffle(spark, stateRows = 100L) {
+        assert(spark.conf.get(key) == "4")
+      }
+      assert(spark.conf.get(key) == "32")
+      // state-dominated: 186k/25k = 7
+      Checkpoints.withLoopShuffle(spark, 186000L, 500000L) {
+        assert(spark.conf.get(key) == "7")
+      }
+      // edge-dominated (dense graph): 5M/250k = 20 > V/25k
+      Checkpoints.withLoopShuffle(spark, 100000L, 5000000L) {
+        assert(spark.conf.get(key) == "20")
+      }
+      // session value is the upper bound — never grows the count
+      Checkpoints.withLoopShuffle(spark, 10000000L, 100000000L) {
+        assert(spark.conf.get(key) == "32")
+      }
+      // nesting (MSF -> distributed-CC fallback): inner prev is the
+      // OUTER tuned value, so the inner scope can only shrink further
+      // and the outer value is restored on inner exit
+      Checkpoints.withLoopShuffle(spark, 186000L) { // tunes to 7
+        Checkpoints.withLoopShuffle(spark, 50000L) { // min(7, 4) = 4
+          assert(spark.conf.get(key) == "4")
+        }
+        assert(spark.conf.get(key) == "7")
+      }
+      assert(spark.conf.get(key) == "32")
+      // restore on exception
+      intercept[RuntimeException] {
+        Checkpoints.withLoopShuffle(spark, 100L) {
+          throw new RuntimeException("boom")
+        }
+      }
+      assert(spark.conf.get(key) == "32")
+    } finally spark.conf.set(key, before)
+  }
 }

@@ -5,9 +5,20 @@ Usage: compare_oracle.py <sfDir> <verifyOutDir> [entry ...]
 Reads <verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB
 against the parquet tables in <sfDir>, and compares row count, sorted
 column names, and value-hash against the Spark parquet dump.
+
+r7: the oracle result is fetched via ARROW (not fetchall) to replicate
+the driver's harness — DuckDB widens SUM/list_sum to HUGEINT, which
+arrow materializes as decimal128 and normalizes differently than int64
+(the r5/r6 red-row root cause; plain fetchall masked it). Additionally
+every oracle's result schema is type-gated: any column whose DuckDB
+type is outside the SAFE set (the types whose arrow/pandas/fetchall
+normalizations all agree) fails the entry even when the hash matches,
+so the next HUGEINT/DECIMAL leak is caught locally before the driver
+sees it.
 """
 import sys, json, glob, hashlib
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 sf, out = sys.argv[1], sys.argv[2]
@@ -19,12 +30,20 @@ with open(f"{out}/oracle_sql.json") as f:
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB result types whose normalization is identical across
+# fetchall / arrow / pandas. Anything else (HUGEINT, DECIMAL, UHUGEINT,
+# intervals...) is a latent driver-hash divergence even if values match.
+SAFE_DUCK_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                   "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+
+
 def norm(v):
     if isinstance(v, float):
         return f"{v:.6f}"
     if v is None:
         return "\\N"
     return str(v)
+
 
 def table_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -34,6 +53,11 @@ def table_hash(cols, rows):
         h.update(ln.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+
+def arrow_rows(tb: pa.Table):
+    return [tuple(r.values()) for r in tb.to_pylist()]
+
 
 con = duckdb.connect()
 for t in TABLES:
@@ -51,23 +75,32 @@ for name, sql in sorted(oracles.items()):
         continue
     tb = pq.read_table(files[0])
     scols = list(tb.column_names)
-    srows = [tuple(r.values()) for r in tb.to_pylist()]
+    srows = arrow_rows(tb)
     try:
-        cur = con.execute(sql)
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        # DESCRIBE gives DuckDB-native type names (arrow schema would
+        # already have lossily mapped HUGEINT -> decimal128).
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        otypes = {r[0]: r[1] for r in desc}
+        # Arrow fetch replicates the driver's normalization path.
+        otb = con.execute(sql).fetch_arrow_table()
+        ocols = list(otb.column_names)
+        orows = arrow_rows(otb)
     except Exception as e:
         print(f"{name}: ORACLE ERR {e}")
         fails += 1
         continue
+    bad_types = {c: t for c, t in otypes.items()
+                 if t.split("(")[0] not in SAFE_DUCK_TYPES}
     rm = len(srows) == len(orows)
     cm = sorted(scols) == sorted(ocols)
     hm = cm and table_hash(scols, srows) == table_hash(ocols, orows)
-    if rm and cm and hm:
-        print(f"{name}: OK ({len(srows)} rows)")
+    if rm and cm and hm and not bad_types:
+        print(f"{name}: OK ({len(srows)} rows) "
+              f"types={{{', '.join(f'{c}:{t}' for c, t in otypes.items())}}}")
     else:
         fails += 1
-        print(f"{name}: FAIL rows={len(srows)}/{len(orows)} cols={cm} hash={hm}")
+        print(f"{name}: FAIL rows={len(srows)}/{len(orows)} cols={cm} "
+              f"hash={hm} badtypes={bad_types or '{}'}")
         if rm and cm and not hm:
             so = sorted(range(len(scols)), key=lambda i: scols[i])
             oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
