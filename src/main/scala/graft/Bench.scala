@@ -97,8 +97,42 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // Per-entry regression gate (r7): compare each median against the
+    // COMMITTED per-entry baseline (BENCH_BASELINE.json, a flat
+    // {"entry": seconds} map refreshed when a round's full bench is
+    // archived). Entries >1.5x their baseline are named in the output
+    // so a real regression can't hide behind suite-position noise in
+    // the aggregate total. Only entries >=1 s at baseline are gated:
+    // sub-second entries jitter past 1.5x on scheduler noise alone.
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File("BENCH_BASELINE.json")
+      if (!f.exists()) Map.empty
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val regressions = results.flatMap { case (k, v) =>
+      baseline.get(k).filter(b => b >= 1.0 && v > b * 1.5)
+        .map(b => k -> (b, v))
+    }
+    val regs = regressions.map { case (k, (b, v)) =>
+      jstr(k) + ":[" + b + "," + v + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + failedTime
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regs,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
+    println(line)
+    // self-archive: the driver's BENCH artifact truncates to the last
+    // 2000 chars of stdout, which cuts most per-entry timings — write
+    // the full line to the working tree so it can be committed as the
+    // round's auditable artifact.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

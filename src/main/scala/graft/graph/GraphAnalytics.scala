@@ -431,11 +431,25 @@ object GraphAnalytics {
     * equivalence on random graphs (same strategy a native engine
     * would use).
     *
+    * Driver tail (r7): once the contracted meta-graph has ≤
+    * `driverTailMax` crossing edges it is COLLECTED and finished with
+    * one driver-side Kruskal — the same metadata-scale argument as the
+    * `metaDriverMax` union-find gate (≤1M five-field rows ≈ tens of MB, the same order as the `metaDriverMax` pair collect;
+    * a geometric tail of 4+ distributed rounds at ~5 jobs each to
+    * merge that is pure scheduling overhead). The MSF is UNIQUE under
+    * the (w, a, b) total order, so finishing with a different
+    * algorithm (Kruskal vs more Borůvka rounds) cannot change the
+    * result. At 100 TB the early E-scale rounds still run distributed;
+    * Borůvka's ≥2× per-round component shrink guarantees the tail is
+    * reached in O(log V) rounds. Pass `driverTailMax = 0` to force the
+    * all-rounds distributed path (specs exercise both).
+    *
     * Returns forest edges (a, b, w) with a < b.
     */
   def minimumSpanningForest(edges: DataFrame, rounds: Int = 8,
                             metaDriverMax: Long = 1000000L,
                             canonicalInput: Boolean = false,
+                            driverTailMax: Long = 1000000L,
                             probe: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     def timed[T](label: String)(f: => T): T =
       if (!probe) f else {
@@ -474,15 +488,71 @@ object GraphAnalytics {
     // the chosen table is ≤ V rows (one minimal edge per component)
     // but round-1 chooseMin and the contraction groupBy shuffle
     // edge-scale inputs whose combine only pays off on sparse graphs —
-    // size from both V and E. The exact V count is one O(E) distinct
-    // (~0.7 s at sf0.1) and buys right-sized partitions for every
-    // round (~3 s); E is a scan of the materialized canon/pair index.
-    val nNodes = timed("node count") {
-      canon.select(col("a").as("id"))
-        .union(canon.select(col("b").as("id"))).distinct().count()
+    // size from both V and E. Both sizes come from ONE fused scan
+    // (r7; was a count + an O(E) distinct+count = two jobs, ~3 s cold
+    // at sf0.1): count is exact; V is bounded by the sum of per-side
+    // approx distincts (≤2× over when most nodes appear on both
+    // sides) — sizing only needs the magnitude, and withLoopShuffle
+    // rounds to a partition count anyway.
+    val sizeRow = timed("size scan") {
+      canon.agg(count(lit(1)), approx_count_distinct(col("a")),
+        approx_count_distinct(col("b"))).head()
+    }
+    val nEdges = sizeRow.getLong(0)
+    val nNodes = math.min(sizeRow.getLong(1) + sizeRow.getLong(2),
+      2 * nEdges)
+    // shared by the driver-tail and the total-order forest assembly:
+    // deterministic cross-type compare for the generic id column
+    val anyOrd: Ordering[Any] = {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int) => Integer.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x, y) => x.toString.compareTo(y.toString)
+    }
+    // Kruskal over a collected meta-graph under the global (w, oa, ob)
+    // total order — the driver tail's finisher. Returns the chosen
+    // (oa, ob, w) rows as a frame in the live schema's id/w types.
+    def kruskalTail(rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+      val parent = scala.collection.mutable.Map.empty[Any, Any]
+      def find(x: Any): Any = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r0 = find(p); parent(x) = r0; r0 }
+      }
+      val ordered = rows.sortWith { (x, y) =>
+        val c = anyOrd.compare(x.get(2), y.get(2)) // w at ordinal 2
+        if (c != 0) c < 0
+        else {
+          val c2 = anyOrd.compare(x.get(3), y.get(3)) // oa
+          if (c2 != 0) c2 < 0 else anyOrd.compare(x.get(4), y.get(4)) < 0
+        }
+      }
+      val picked = ordered.flatMap { row =>
+        val (ca, cb) = (row.get(0), row.get(1))
+        val (ra, rb) = (find(ca), find(cb))
+        if (ra == rb) None
+        else { parent(ra) = rb
+          Some(org.apache.spark.sql.Row(row.get(3), row.get(4), row.get(2))) }
+      }
+      val spark = edges.sparkSession
+      val lt = live.schema
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(picked.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", lt("oa").dataType),
+          org.apache.spark.sql.types.StructField("b", lt("ob").dataType),
+          org.apache.spark.sql.types.StructField("w", lt("w").dataType))))
+    }
+    // metadata-scale input: no distributed rounds at all, one Kruskal
+    if (driverTailMax > 0 && nEdges <= driverTailMax) {
+      val rows = timed("driver tail (whole graph)") {
+        live.select("ca", "cb", "w", "oa", "ob").collect()
+      }
+      forest = forest.unionByName(kruskalTail(rows))
+      crossing = 0
     }
     graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nNodes,
-      canon.count()) {
+      nEdges) {
     while (r < rounds && crossing != 0) {
       r += 1
       // each component's minimal incident edge under the (w, oa, ob)
@@ -535,12 +605,6 @@ object GraphAnalytics {
               val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(rx) = ry
             }
             val members = (es.map(_._1) ++ es.map(_._2)).distinct
-            val anyOrd: Ordering[Any] = {
-              case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-              case (x: Int, y: Int) => Integer.compare(x, y)
-              case (x: String, y: String) => x.compareTo(y)
-              case (x, y) => x.toString.compareTo(y.toString)
-            }
             val minOfRoot = members.groupBy(find).map { case (root, ms) =>
               root -> ms.min(anyOrd)
             }
@@ -596,6 +660,17 @@ object GraphAnalytics {
         // is a lazy union over them; round 1's prev is a projection of
         // canon, where drop() is a strict no-op)
         graft.core.Checkpoints.drop(prevLive)
+        // driver tail: the meta-graph is metadata-scale — collect the
+        // (already materialized) live frame and finish with Kruskal
+        // instead of paying ~5 more jobs per geometric-tail round
+        if (crossing > 0 && crossing <= driverTailMax) {
+          val rows = timed(s"r$r driver tail") {
+            live.select("ca", "cb", "w", "oa", "ob").collect()
+          }
+          forest = forest.unionByName(kruskalTail(rows))
+          graft.core.Checkpoints.drop(live)
+          crossing = 0
+        }
       }
     }
     } // withLoopShuffle

@@ -160,6 +160,107 @@ object Traversal {
     out.toSeq.toDF("id", "depth", "visit_rank")
   }
 
+  /** Compat-mode A*: the reference's exact priority-queue machine
+    * (`traversal.zig:685-798` — pop min f_cost, record, enqueue
+    * unvisited neighbors with visited marked AT ENQUEUE,
+    * `traversal.zig:1157-1177`), with the same determinization as
+    * [[dfsStackOrder]]: neighbors enqueue in ascending-id order (the
+    * reference's edge-index append order is an ingest-history
+    * artifact).
+    *
+    * The reference heuristic is a uniform stub
+    * (`traversal.zig:1282-1290`: h = 1.0), so f = g + h = depth + 1 —
+    * every queue entry's priority is monotone in its depth and the
+    * visited-at-enqueue rule makes each node's depth its BFS depth.
+    * Pop order is therefore nondecreasing in depth, and the visited
+    * SET and depths equal canonical [[bfs]] (spec-pinned); what this
+    * twin adds is the exact WITHIN-DEPTH pop order under
+    * `max_results` truncation, which is determined by the binary-heap
+    * mechanics of Zig's `std.PriorityQueue`: add = append + sift-up
+    * (strict less-than, so an equal-priority add stays a leaf — and
+    * since a new entry's f is always the max in the queue, adds never
+    * sift here); remove = pop root, move LAST element to the root,
+    * sift-down choosing the left child on ties and swapping on
+    * equality (strict less-than both ways). That sift profile is what
+    * makes the tie order non-FIFO — replayed verbatim below.
+    *
+    * Scale shape: identical to [[dfsStackOrder]] — distributed BFS
+    * computes the reachable universe, only the cap-bounded reachable
+    * SUBGRAPH is collected for the sequential replay (visit order is
+    * inherently sequential; the reference pays the same walk).
+    *
+    * Returns (id, depth, visit_rank) in pop order.
+    */
+  def astarHeapOrder(edges: DataFrame, seedId: String,
+                     spec: TraversalSpec): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val reach = bfs(edges, Seq(seedId).toDF("id"),
+      spec.copy(maxResults = 10000, trackPaths = false)).select("id")
+      .localCheckpoint(true)
+    val reachN = reach.count()
+    require(reachN < 10000,
+      s"astarHeapOrder: reachable set hit the 10k cap ($reachN) — " +
+        "visit order would be computed over a truncated adjacency")
+    val adj = hops(filterEdges(edges, spec.edgeFilter), spec.direction)
+      .join(reach.withColumnRenamed("id", "from"), Seq("from"), "left_semi")
+      .join(reach.withColumnRenamed("id", "to"), Seq("to"), "left_semi")
+      .select("from", "to")
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    // Zig std.PriorityQueue replay. Priorities compare by f = d + 1
+    // (monotone in d; the seed's f = 0 is never compared — it pops
+    // alone). Swap-in-place sifts are compare-equivalent to the
+    // reference's copy-chain form: same comparisons, same final array.
+    val heap = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    def less(x: (String, Int), y: (String, Int)): Boolean = x._2 < y._2
+    def add(e: (String, Int)): Unit = {
+      heap += e
+      var i = heap.size - 1
+      while (i > 0 && less(heap(i), heap((i - 1) >> 1))) {
+        val p = (i - 1) >> 1
+        val t = heap(i); heap(i) = heap(p); heap(p) = t
+        i = p
+      }
+    }
+    def removeMin(): (String, Int) = {
+      val item = heap(0)
+      val last = heap.remove(heap.size - 1)
+      if (heap.nonEmpty) {
+        heap(0) = last
+        var idx = 0
+        var done = false
+        while (!done) {
+          val l = idx * 2 + 1
+          if (l >= heap.size) done = true
+          else {
+            val r = l + 1
+            val lesser = if (r < heap.size && less(heap(r), heap(l))) r else l
+            if (less(heap(idx), heap(lesser))) done = true
+            else {
+              val t = heap(idx); heap(idx) = heap(lesser); heap(lesser) = t
+              idx = lesser
+            }
+          }
+        }
+      }
+      item
+    }
+    val visited = scala.collection.mutable.Set(seedId)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    add((seedId, 0))
+    while (heap.nonEmpty && out.size < spec.maxResults) {
+      val (id, depth) = removeMin()
+      out += ((id, depth.toLong, out.size.toLong))
+      if (depth < spec.maxDepth)
+        adj.getOrElse(id, Array.empty[String]).foreach { nb =>
+          if (!visited.contains(nb)) { add((nb, depth + 1)); visited += nb }
+        }
+    }
+    out.toSeq.toDF("id", "depth", "visit_rank")
+  }
+
   /** The loop behind [[bfs]], with the result cap widened to Long so
     * internal callers (the bidirectional-search legs, which must NOT
     * truncate their frontiers — a dropped meeting candidate silently

@@ -155,6 +155,98 @@ object QueriesGraph {
         |    (x, i) -> {'id': x.id, 'd': x.d, 'rk': i-1})) AS u FROM fin)
         | ORDER BY visit_rank""".stripMargin.replace("\n", " "))),
 
+    // Compat-mode A* (r7 — the last documented ordering deviation
+    // retired): the reference's priority-queue machine with its
+    // uniform-stub heuristic (h = 1, traversal.zig:1282-1290), so
+    // f = depth + 1 and pop order is nondecreasing in depth; the
+    // WITHIN-depth tie order under max_results truncation is fixed by
+    // the binary-heap mechanics of Zig's std.PriorityQueue (pop root,
+    // move LAST entry to the root, sift down with strict compares —
+    // left child on ties, swap on equality; adds never sift here
+    // because a new entry's f is the queue max). The oracle replays
+    // that heap machine in DuckDB: the recursive CTE's single
+    // in-flight row carries (heap, output, visited, pending-children)
+    // as STRUCT lists plus a phase flag — one POP or one SIFT-SWAP per
+    // recursion step; children append only when the sift lands
+    // (matching the reference's remove-then-add order). Terminal state
+    // = the max-step row.
+    ("traverse_astar_compat",
+      (s, d) => Traversal.astarHeapOrder(CodeGraph.edges(s, d), "O1",
+          TraversalSpec(Direction.Outgoing, maxDepth = 4, maxResults = 6))
+        .select(col("id"), col("depth"), col("visit_rank"))
+        .orderBy("visit_rank"),
+      Some(s"""WITH RECURSIVE e AS ($E),
+        | r AS (SELECT 'O1' AS id, 0 AS d UNION ALL
+        |   SELECT e.dst, r.d+1 FROM r JOIN e ON e.src=r.id WHERE r.d<4),
+        | reach AS (SELECT DISTINCT id FROM r),
+        | adj AS (SELECT e.src AS id, list_sort(list(DISTINCT e.dst)) AS nbs
+        |   FROM e JOIN reach a ON a.id=e.src JOIN reach b ON b.id=e.dst
+        |   GROUP BY e.src),
+        | sim AS (
+        |  SELECT 0 AS stp, 'pop' AS ph,
+        |    [{'id': 'O1', 'd': 0}] AS heap,
+        |    CAST([] AS STRUCT(id VARCHAR, d INTEGER)[]) AS outl,
+        |    ['O1'] AS vis,
+        |    CAST([] AS STRUCT(id VARCHAR, d INTEGER)[]) AS pend,
+        |    0 AS idx
+        |  UNION ALL
+        |  SELECT t.stp + 1,
+        |   CASE WHEN t.ph='pop' THEN
+        |     (CASE WHEN len(t.heap)<=1 THEN 'pop' ELSE 'sift' END)
+        |    WHEN t.sdone THEN 'pop' ELSE 'sift' END,
+        |   CASE WHEN t.ph='pop' THEN
+        |     (CASE WHEN len(t.heap)<=1 THEN t.kids ELSE t.arr0 END)
+        |    WHEN t.sdone THEN list_concat(t.heap, t.pend)
+        |    ELSE list_transform(t.heap, (x, i) ->
+        |     CASE WHEN i=t.idx THEN t.heap[t.lesser]
+        |          WHEN i=t.lesser THEN t.heap[t.idx] ELSE x END) END,
+        |   CASE WHEN t.ph='pop' THEN list_append(t.outl, t.heap[1])
+        |    ELSE t.outl END,
+        |   CASE WHEN t.ph='pop' THEN
+        |     list_concat(t.vis, list_transform(t.kids, y -> y.id))
+        |    ELSE t.vis END,
+        |   CASE WHEN t.ph='pop' THEN
+        |     (CASE WHEN len(t.heap)<=1 THEN t.none ELSE t.kids END)
+        |    WHEN t.sdone THEN t.none ELSE t.pend END,
+        |   CASE WHEN t.ph='pop' THEN 1 WHEN t.sdone THEN 0
+        |    ELSE t.lesser END
+        |  FROM (
+        |   SELECT u.*,
+        |    (u.lc > len(u.heap)) OR ((u.heap[u.idx]).d <
+        |      (u.heap[CASE WHEN u.lc+1 <= len(u.heap)
+        |        AND (u.heap[u.lc+1]).d < (u.heap[u.lc]).d
+        |        THEN u.lc+1 ELSE u.lc END]).d) AS sdone,
+        |    CASE WHEN u.lc+1 <= len(u.heap)
+        |      AND (u.heap[u.lc+1]).d < (u.heap[u.lc]).d
+        |      THEN u.lc+1 ELSE u.lc END AS lesser
+        |   FROM (
+        |    SELECT s.stp, s.ph, s.heap, s.outl, s.vis, s.pend, s.idx,
+        |     CAST([] AS STRUCT(id VARCHAR, d INTEGER)[]) AS none,
+        |     CASE WHEN s.ph='pop' AND (s.heap[1]).d < 4
+        |      THEN list_transform(
+        |        list_filter(coalesce(a.nbs, CAST([] AS VARCHAR[])),
+        |          y -> NOT list_contains(s.vis, y)),
+        |        y -> {'id': y, 'd': (s.heap[1]).d + 1})
+        |      ELSE CAST([] AS STRUCT(id VARCHAR, d INTEGER)[]) END AS kids,
+        |     CASE WHEN s.ph='pop' AND len(s.heap)>1
+        |      THEN list_concat([s.heap[len(s.heap)]],
+        |        list_slice(s.heap, 2, len(s.heap)-1))
+        |      ELSE NULL END AS arr0,
+        |     s.idx * 2 AS lc
+        |    FROM sim s LEFT JOIN adj a
+        |      ON s.ph='pop' AND a.id=(s.heap[1]).id
+        |    WHERE NOT (s.ph='pop'
+        |      AND (len(s.heap)=0 OR len(s.outl)>=6))
+        |   ) u
+        |  ) t
+        | ),
+        | fin AS (SELECT outl FROM sim ORDER BY stp DESC LIMIT 1)
+        | SELECT u.id AS id, CAST(u.d AS BIGINT) AS depth,
+        |  CAST(u.rk AS BIGINT) AS visit_rank FROM
+        |  (SELECT unnest(list_transform(outl,
+        |    (x, i) -> {'id': x.id, 'd': x.d, 'rk': i-1})) AS u FROM fin)
+        | ORDER BY visit_rank""".stripMargin.replace("\n", " "))),
+
     // Unmasked reference parity: ALL simple paths up to the cap, in
     // increasing length (shortest first) — not just the first-hit depth.
     // The '->'-delimited contains() is the per-path cycle guard (never

@@ -208,9 +208,21 @@ class RandomizedInvariantsSpec extends SparkSpec {
         (f"n${rnd.nextInt(n)}%02d", f"n${rnd.nextInt(n)}%02d",
           (1 + rnd.nextInt(9)).toLong)
       }.distinct
-      val got = GraphAnalytics.minimumSpanningForest(
-          raw.toDF("src", "dst", "w"))
+      // both execution paths must agree with Kruskal: tail=0 forces
+      // every round distributed (Borůvka contraction all the way);
+      // the default takes the whole-graph driver tail on this size
+      val gotPerPath = Seq(0L, 200000L).map { tail =>
+        GraphAnalytics.minimumSpanningForest(
+            raw.toDF("src", "dst", "w"), driverTailMax = tail)
+          .as[(String, String, Long)].collect().toSet
+      }
+      // and a mid-size threshold exercises distributed-rounds-then-tail
+      val gotMixed = GraphAnalytics.minimumSpanningForest(
+          raw.toDF("src", "dst", "w"), driverTailMax = 20L)
         .as[(String, String, Long)].collect().toSet
+      val got = gotPerPath.head
+      assert(gotPerPath(1) === got, s"seed=$seed (driver tail path)")
+      assert(gotMixed === got, s"seed=$seed (mixed path)")
       // reference Kruskal over the canonical (a, b, min w) edges with
       // the (w, a, b) total order — the unique MSF under that order
       val canon = raw.filter(e => e._1 != e._2)

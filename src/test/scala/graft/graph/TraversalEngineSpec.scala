@@ -166,6 +166,49 @@ class TraversalEngineSpec extends SparkSpec {
     assert(full.map(_._1).toSet == bfsSet)
   }
 
+  test("astarHeapOrder replays the reference priority-queue machine") {
+    // star a -> {b,c,d,e}, each child -> one grandchild. Hand-traced
+    // Zig-heap replay (pop root, move LAST to root, sift down with
+    // strict compares — equal-priority entries swap downward, left
+    // child wins ties): depth-1 pops come out b, c, e, d — neither
+    // FIFO nor sorted, exactly the heap-mechanical order.
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+      ("b", "f"), ("c", "g"), ("d", "h"), ("e", "i"))
+      .map { case (s0, d0) => (s0, d0, "calls") }
+      .toDF("src", "dst", "edge_type")
+    val full = Traversal.astarHeapOrder(edges, "a",
+      TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 100))
+      .orderBy("visit_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq == Seq(("a", 0L, 0L), ("b", 1L, 1L), ("c", 1L, 2L),
+      ("e", 1L, 3L), ("d", 1L, 4L), ("f", 2L, 5L), ("i", 2L, 6L),
+      ("h", 2L, 7L), ("g", 2L, 8L)))
+    // truncation keeps the heap-pop prefix {a,b,c,e} — the canonical
+    // (depth, id) BFS cap would keep {a,b,c,d}
+    val truncated = Traversal.astarHeapOrder(edges, "a",
+      TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 4))
+      .orderBy("visit_rank").collect().map(_.getString(0))
+    assert(truncated.toSeq == Seq("a", "b", "c", "e"))
+    // untruncated: visited SET and depths equal canonical BFS
+    val bfsRows = Traversal.bfs(edges, Seq("a").toDF("id"),
+      TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 100))
+      .select("id", "depth").collect()
+      .map(r => (r.getString(0), r.getAs[Number]("depth").longValue)).toMap
+    assert(full.map(f => (f._1, f._2)).toMap == bfsRows)
+  }
+
+  test("astarHeapOrder honors the depth cap") {
+    // chain with branches: depth cap stops expansion, not recording
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+      .map { case (s0, d0) => (s0, d0, "calls") }
+      .toDF("src", "dst", "edge_type")
+    val got = Traversal.astarHeapOrder(edges, "a",
+      TraversalSpec(Direction.Outgoing, maxDepth = 2, maxResults = 100))
+      .orderBy("visit_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L)))
+  }
+
   test("dfsStackOrder records stack depth and honors the depth cap") {
     // diamond a->b->d, a->c->d plus tail d->f: first-visit depth is the
     // STACK depth (c branch reaches d at depth 2 before b is popped)
