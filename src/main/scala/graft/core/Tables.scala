@@ -73,6 +73,27 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts_ns div 1000")))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** Spread an under-parallelized scan across the cluster before
+    * compute-heavy per-row work (shingling, minhash, simhash, vector
+    * math). Parquet splits files at `maxPartitionBytes` boundaries but
+    * never below one split per file, so a table stored as few small
+    * files scans into fewer partitions than cores and every downstream
+    * narrow stage runs on a fraction of the cluster — the per-row cost
+    * of the text/embedding operators is exactly where that hurts
+    * (measured: ngram_jaccard's fused-md5 minhash banding ran 1 task
+    * wide at sf0.1). At 100 TB the table has thousands of splits and
+    * this is a no-op; the condition is the scan's actual partition
+    * count, not a size guess. The round-robin exchange it inserts
+    * moves each row once — trivially cheaper than serializing the
+    * per-row compute above it.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= cores) df else df.repartition(cores)
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "embeddings"))
 }

@@ -1281,16 +1281,19 @@ object GraphAnalytics {
     * put (truncated walk, like the reference traversal hitting a leaf).
     *
     * Returns (walk_id, path ARRAY, hops). Scale shape: per step, one
-    * equi-join state⋈edges on the current node + one per-walk top-1
-    * (window row_number — WindowGroupLimit pushes the rank-1 filter
-    * into a per-partition heap, so the shuffle carries candidates, the
-    * sort is per-walk top-1). Walk count is a parameter of the caller's
-    * seed set at 100 TB — start from a node SAMPLE, not all of V; the
-    * per-step cost is O(out-edges of current frontier).
+    * equi-join state⋈edges on the current node, then the per-walk
+    * winner via min(struct(h, dst)) — a PARTIAL-AGGREGATABLE min (each
+    * map task emits at most one candidate per walk, so the shuffle is
+    * walk-bounded, never edge-bounded; r7 — previously a window
+    * row_number whose exchange carried every E-scale candidate row
+    * with the walk's path attached), and one walk_id-keyed V⋈V join
+    * folding the winner back into the path state. Walk count is a
+    * parameter of the caller's seed set at 100 TB — start from a node
+    * SAMPLE, not all of V; the per-step cost is O(out-edges of current
+    * frontier).
     */
   def randomWalks(edges: DataFrame, steps: Int = 3,
                   pairsDistinct: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parentCached = pairsDistinct &&
       edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val pairs0 =
@@ -1308,17 +1311,25 @@ object GraphAnalytics {
       var state = nodes.select(col("id").as("walk_id"), col("id").as("cur"),
         array(col("id")).as("path")).localCheckpoint(true)
       for (t <- 1 to steps) {
-        val cand = state.join(pairs, state("cur") === pairs("src"), "left")
-          .withColumn("h", md5(concat(col("walk_id"), lit(s":$t:"), col("dst"))))
-        val w = Window.partitionBy("walk_id")
-          .orderBy(col("h").asc_nulls_last, col("dst").asc_nulls_last)
+        // INNER join: a walk at a sink simply has no candidate row and
+        // the left join below keeps it in place. min(struct(h, dst)) is
+        // the lexicographic (h, dst) minimum — the same winner the
+        // former row_number(ORDER BY h, dst) picked, but map-side
+        // combinable: the exchange carries at most one candidate per
+        // (map partition, walk) instead of every out-edge with the
+        // walk's whole path attached.
+        val cand = state.select(col("walk_id"), col("cur"))
+          .join(pairs, col("cur") === col("src"))
+          .select(col("walk_id"), struct(
+            md5(concat(col("walk_id"), lit(s":$t:"), col("dst"))).as("h"),
+            col("dst").as("d")).as("e"))
+        val win = cand.groupBy("walk_id").agg(min("e").as("e"))
         val prev = state
-        state = cand.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        state = state.join(win, Seq("walk_id"), "left")
           .select(col("walk_id"),
-            coalesce(col("dst"), col("cur")).as("cur"),
-            when(col("dst").isNull, col("path"))
-              .otherwise(concat(col("path"), array(col("dst")))).as("path"))
+            coalesce(col("e.d"), col("cur")).as("cur"),
+            when(col("e.d").isNull, col("path"))
+              .otherwise(concat(col("path"), array(col("e.d")))).as("path"))
           .localCheckpoint(true)
         graft.core.Checkpoints.drop(prev) // step t's frame: dead now
       }
