@@ -100,10 +100,21 @@ object Bench {
     // Per-entry regression gate (r7): compare each median against the
     // COMMITTED per-entry baseline (BENCH_BASELINE.json, a flat
     // {"entry": seconds} map refreshed when a round's full bench is
-    // archived). Entries >1.5x their baseline are named in the output
-    // so a real regression can't hide behind suite-position noise in
-    // the aggregate total. Only entries >=1 s at baseline are gated:
-    // sub-second entries jitter past 1.5x on scheduler noise alone.
+    // archived). Only entries >=1 s at baseline are gated: sub-second
+    // entries jitter past 1.5x on scheduler noise alone.
+    //
+    // The gate is BOX-SPEED NORMALIZED (r7b): same-code reruns on this
+    // VM class vary up to ~3x on the driver-latency-bound iterative
+    // entries (many tiny stages — CPU scheduling sensitive) even when
+    // the suite median moves ~10% (measured: two same-day full runs,
+    // topo_levels 2.6 s vs 7.6 s, identical jobs/stages/tasks; bisected
+    // to environment, not code). A raw 1.5x-vs-baseline gate turns that
+    // variance into a wall of false positives. Instead: speed_factor =
+    // median over gated entries of (median / baseline) — code changes
+    // move individual entries, the box moves the whole distribution —
+    // and an entry regresses only when it exceeds 1.5x its
+    // speed-adjusted baseline. A genuinely regressed entry sticks out
+    // of the distribution regardless of how fast the box is that day.
     val baseline: Map[String, Double] = {
       val f = new java.io.File("BENCH_BASELINE.json")
       if (!f.exists()) Map.empty
@@ -115,15 +126,35 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
-    val regressions = results.flatMap { case (k, v) =>
-      baseline.get(k).filter(b => b >= 1.0 && v > b * 1.5)
-        .map(b => k -> (b, v))
+    // the baseline is recorded at one scale factor (the "__sf" pseudo
+    // entry); timings at any other sf are incomparable to it — fixed
+    // per-entry overhead dominates small fixtures — so the gate only
+    // arms when the benched sf matches the baseline's.
+    val baseSf = {
+      val f = new java.io.File("BENCH_BASELINE.json")
+      if (!f.exists()) None
+      else """"__sf"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .map(_.group(1))
+    }
+    val gateArmed = baseSf.forall(b => sfDir.endsWith(b) || b.endsWith(sfDir))
+    val ratios = (if (gateArmed) results else Nil).flatMap { case (k, v) =>
+      baseline.get(k).filter(_ >= 0.5).map(b => v / b)
+    }.sorted
+    val speedFactor =
+      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    val regressions = (if (gateArmed) results else Nil).flatMap {
+      case (k, v) =>
+        baseline.get(k)
+          .filter(b => b >= 1.0 && v > b * speedFactor * 1.5)
+          .map(b => k -> (b, v))
     }
     val regs = regressions.map { case (k, (b, v)) =>
       jstr(k) + ":[" + b + "," + v + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + failedTime
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regs,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"regressions":$regs,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
     println(line)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write
