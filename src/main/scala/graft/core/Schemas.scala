@@ -61,13 +61,37 @@ object Schemas {
   def currentView(versioned: DataFrame,
                   idCol: String = "id",
                   seqCol: String = "sequence",
-                  deletedCol: String = "is_deleted"): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol).desc)
+                  deletedCol: String = "is_deleted"): DataFrame =
+    currentViewKeyed(versioned, Seq(idCol), seqCol, deletedCol)
+
+  /** [[currentView]] for composite version keys — the EDGE analogue:
+    * the reference dedups edges on (source, target, type)
+    * (`src/storage/engine.zig:1209-1247`), so a versioned edge table's
+    * current view partitions the window by all three. Same
+    * latest-sequence-wins + tombstone-shadow semantics, same single
+    * shuffle on the key columns.
+    */
+  def currentViewKeyed(versioned: DataFrame, keyCols: Seq[String],
+                       seqCol: String = "sequence",
+                       deletedCol: String = "is_deleted"): DataFrame = {
+    require(keyCols.nonEmpty, "currentViewKeyed needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
     versioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col(deletedCol))
       .drop("__rn")
   }
+
+  /** Time-travel [[currentViewKeyed]]: the composite-key current view
+    * AS OF a sequence horizon (pushed-down range filter before the
+    * window, like [[currentViewAsOf]]).
+    */
+  def currentViewKeyedAsOf(versioned: DataFrame, seq: Long,
+                           keyCols: Seq[String],
+                           seqCol: String = "sequence",
+                           deletedCol: String = "is_deleted"): DataFrame =
+    currentViewKeyed(versioned.filter(col(seqCol) <= seq), keyCols,
+      seqCol, deletedCol)
 
   /** Time-travel read: the current view AS OF a sequence — exactly what
     * the reference's LSM read path computes against any historical

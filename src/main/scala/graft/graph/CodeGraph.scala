@@ -244,4 +244,32 @@ object CodeGraph {
       | event_type AS unit_type, value,
       | event_type = 'error' AS is_deleted FROM events"""
       .stripMargin.replace("\n", " ")
+
+  /** A VERSIONED edge table derived from the events stream — the edge
+    * analogue of [[versionedBlocks]]: each event is one version of the
+    * (user → tag) edge `U<user_id> --tagged--> K<props.k>` at sequence
+    * `event_id`, and an `error` event is that edge's tombstone. The
+    * reference keeps exactly this shape in its LSM: edges dedup on
+    * (source, target, type) with latest-sequence-wins and tombstone
+    * shadowing (`src/storage/engine.zig:1209-1247`), and any read "as
+    * of" a sequence horizon sees the historical edge set. Composing
+    * [[graft.core.Schemas.currentViewKeyedAsOf]] over this table with
+    * [[Traversal.bfs]] is the engine's time-travel traversal.
+    */
+  def versionedEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      concat(lit("U"), col("user_id")).as("src"),
+      concat(lit("K"),
+        regexp_extract(col("props"), "\"k\": *([0-9]+)", 1)).as("dst"),
+      lit("tagged").as("edge_type"),
+      col("event_id").as("sequence"),
+      (col("event_type") === "error").as("is_deleted"))
+
+  /** DuckDB view body for [[versionedEdges]]. */
+  val versionedEdgesSql: String =
+    """SELECT 'U' || user_id AS src,
+      | 'K' || regexp_extract(props, '"k": *([0-9]+)', 1) AS dst,
+      | 'tagged' AS edge_type, event_id AS sequence,
+      | event_type = 'error' AS is_deleted FROM events"""
+      .stripMargin.replace("\n", " ")
 }

@@ -1416,4 +1416,115 @@ object GraphAnalytics {
       s"FROM w$steps ORDER BY walk_id"
     sb.result()
   }
+
+  /** Harmonic centrality from a seed sample — the sampled-source
+    * estimator every centrality pipeline uses at scale (exact
+    * all-pairs closeness is O(V·E); the standard approximation runs
+    * BFS from k sampled sources and sums 1/d, e.g. Eppstein–Wang's
+    * centrality estimator). Harmonic (Σ 1/d) rather than classic
+    * closeness because it is well-defined on disconnected graphs.
+    *
+    * Implementation: ONE multi-source labeled BFS — the frontier is
+    * keyed by (seed, id) so all seeds advance in the same per-level
+    * job, instead of |seeds| sequential BFS runs. Per level: one
+    * frontier⋈edges equi-join + one distinct + one anti-join against
+    * the visited set (the [[Traversal.bfsLoop]] shape with a composite
+    * key). Frontier loops keep AQE on (the probe side shrinks
+    * unpredictably — the same A/B reasoning as BFS/SSSP, SURVEY §6).
+    *
+    * DETERMINISM: the per-depth reach counts n_d are integers (exact
+    * on any partitioning); the single float expression
+    * Σ n_d / d is evaluated in one fixed left-to-right order on both
+    * engines, so round(·, 6) is hash-stable — no distributed double
+    * sum anywhere.
+    *
+    * Returns (id, n1..n_maxDepth, n_reach, harmonic) for every node
+    * reached by ≥1 seed at depth ≥ 1; d(seed, seed) = 0 is excluded
+    * per the definition. At 100 TB: seeds is a parameter-sized sample,
+    * state is O(seeds · V) worst case but in practice bounded by the
+    * reached neighborhoods; the edge set is probed in place.
+    */
+  def harmonicFromSeeds(edges: DataFrame, seeds: Seq[String],
+                        maxDepth: Int = 3,
+                        undirectedPairs: Boolean = false): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 30, "maxDepth must be 1..30")
+    require(seeds.nonEmpty, "harmonicFromSeeds needs at least one seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parentCached = undirectedPairs &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0 =
+      if (undirectedPairs) edges.select(col("src"), col("dst"))
+      else {
+        val p = edges.select(col("src"), col("dst")).distinct()
+        p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      }
+    val und = if (parentCached) und0
+      else und0.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed0 = seeds.toDF("seed")
+        .select(col("seed"), col("seed").as("id")).distinct()
+        .localCheckpoint(false)
+      var visited = seed0.withColumn("depth", lit(0))
+      var frontier = seed0
+      var frontierN = frontier.count()
+      val bcastRows = 100000L
+      for (d <- 1 to maxDepth if frontierN > 0) {
+        val from = if (frontierN <= bcastRows) broadcast(frontier) else frontier
+        val expanded = from.join(und, from("id") === und("src"))
+          .select(col("seed"), col("dst").as("id")).distinct()
+        val seen0 = visited.select(col("seed").as("vs"), col("id").as("vid"))
+        val seen = if (frontierN <= bcastRows) broadcast(seen0) else seen0
+        val next = expanded
+          .join(seen, col("seed") === col("vs") && col("id") === col("vid"),
+            "left_anti")
+          .localCheckpoint(false)
+        visited = visited.union(next.withColumn("depth", lit(d)))
+        frontier = next
+        frontierN = next.count()
+      }
+      val counts = (1 to maxDepth).map(d =>
+        sum(when(col("depth") === d, 1L).otherwise(0L)).as(s"n$d"))
+      val harmonic = (1 to maxDepth)
+        .map(d => col(s"n$d").cast("double") / lit(d.toDouble))
+        .reduce(_ + _)
+      visited.filter(col("depth") > 0)
+        .groupBy("id")
+        .agg(counts.head, counts.tail: _*)
+        .withColumn("n_reach",
+          (1 to maxDepth).map(d => col(s"n$d")).reduce(_ + _))
+        .withColumn("harmonic", round(harmonic, 6))
+    } finally if (!parentCached) und.unpersist()
+  }
+
+  /** DuckDB oracle for [[harmonicFromSeeds]]: recursive multi-source
+    * expansion (UNION ALL + min-depth fold, the [[QueriesGraph]] BFS
+    * oracle shape with a seed label), then the identical per-depth
+    * count + single fixed-order float expression.
+    */
+  def harmonicSql(edgesSql: String, seeds: Seq[String],
+                  maxDepth: Int = 3): String = {
+    val seedRows = seeds.map(s => s"('$s')").mkString(", ")
+    val counts = (1 to maxDepth).map(d =>
+      s"CAST(SUM(CASE WHEN d = $d THEN 1 ELSE 0 END) AS BIGINT) AS n$d")
+      .mkString(", ")
+    val reach = (1 to maxDepth).map(d => s"n$d").mkString(" + ")
+    val harm = (1 to maxDepth)
+      .map(d => s"CAST(n$d AS DOUBLE) / CAST($d AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE e AS ($edgesSql),
+       | p AS (SELECT DISTINCT src, dst FROM e),
+       | u AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+       | r AS (
+       |  SELECT seed, seed AS id, 0 AS depth FROM (VALUES $seedRows) s(seed)
+       |  UNION ALL
+       |  SELECT r.seed, u.dst AS id, r.depth + 1 FROM r JOIN u ON u.src = r.id
+       |   WHERE r.depth < $maxDepth),
+       | md AS (SELECT seed, id, MIN(depth) AS d FROM r GROUP BY 1, 2),
+       | agg AS (SELECT id, $counts FROM md WHERE d > 0 GROUP BY id)
+       | SELECT id, ${(1 to maxDepth).map(d => s"n$d").mkString(", ")},
+       |  CAST($reach AS BIGINT) AS n_reach, round($harm, 6) AS harmonic
+       | FROM agg ORDER BY id""".stripMargin.replace("\n", " ")
+  }
 }

@@ -690,5 +690,53 @@ object QueriesGraph {
           window = 2)
         .orderBy("center", "context"),
       Some(GraphAnalytics.walkSkipGramPairsSql(E, steps = 3, window = 2))),
+
+    // Sampled-source harmonic centrality (r7): ONE multi-source labeled
+    // BFS over the stored undirected index — the frontier is keyed by
+    // (seed, id) so k seeds cost the same per-level jobs as one. The
+    // per-depth reach counts are exact integers; the only float is a
+    // single fixed-order expression over them, so the hash compare is
+    // bit-stable (no distributed double sum).
+    ("graph_harmonic",
+      (s, d) => GraphAnalytics.harmonicFromSeeds(
+          CodeGraph.undPairs(s, d), seeds = Seq("C1", "S1", "N3", "R1"),
+          maxDepth = 3, undirectedPairs = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.harmonicSql(E,
+        seeds = Seq("C1", "S1", "N3", "R1"), maxDepth = 3))),
+
+    // Time-travel traversal (r7): BFS over the MVCC edge set AS OF a
+    // sequence horizon — the composition the reference's LSM engine
+    // performs on every historical read (read-at-sequence semantics,
+    // docs/DESIGN.md:31-33, composed with the traversal engine,
+    // src/query/traversal.zig). Edges version on (src, dst, edge_type)
+    // with latest-sequence-wins and tombstone shadowing
+    // (src/storage/engine.zig:1209-1247): an edge whose latest version
+    // at/below the horizon is a tombstone does NOT traverse; an edge
+    // created above the horizon does not exist yet. The horizon filter
+    // is pushed into the parquet scan before the version window.
+    ("traverse_asof",
+      (s, d) => Traversal.bfs(
+          graft.core.Schemas.currentViewKeyedAsOf(
+            CodeGraph.versionedEdges(s, d), 500L,
+            Seq("src", "dst", "edge_type")),
+          seeds(s, "U5"),
+          TraversalSpec(Direction.Both, maxDepth = 2, maxResults = 10000))
+        .orderBy("depth", "id"),
+      Some(s"""WITH RECURSIVE ve AS (${CodeGraph.versionedEdgesSql}),
+        | h AS (SELECT * FROM ve WHERE sequence <= 500),
+        | cur AS (SELECT src, dst FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY src, dst, edge_type
+        |     ORDER BY sequence DESC) AS rn FROM h)
+        |  WHERE rn = 1 AND NOT is_deleted),
+        | e2 AS (SELECT src, dst FROM cur
+        |   UNION ALL SELECT dst, src FROM cur),
+        | r AS (
+        |  SELECT 'U5' AS id, 0 AS depth
+        |  UNION ALL
+        |  SELECT e2.dst AS id, r.depth + 1 FROM r JOIN e2 ON e2.src = r.id
+        |   WHERE r.depth < 2)
+        | SELECT id, MIN(depth) AS depth FROM r GROUP BY id
+        | ORDER BY depth, id LIMIT 10000""".stripMargin.replace("\n", " "))),
   )
 }

@@ -114,6 +114,38 @@ class MvccSpec extends SparkSpec {
     assert(full.filter($"is_deleted").count() == 0)
   }
 
+  test("currentViewKeyedAsOf: composite-key edge versions, tombstones, horizon") {
+    // versioned edges keyed (src, dst, edge_type):
+    //  x->y: created @1, tombstoned @5
+    //  y->z: created @6 (after the horizon)
+    //  x->z: upserted @2 then @3 (latest wins, one row)
+    val ve = Seq(
+      ("x", "y", "t", 1L, false),
+      ("x", "y", "t", 5L, true),
+      ("y", "z", "t", 6L, false),
+      ("x", "z", "u", 2L, false),
+      ("x", "z", "u", 3L, false),
+    ).toDF("src", "dst", "edge_type", "sequence", "is_deleted")
+    val key = Seq("src", "dst", "edge_type")
+    def rows(df: DataFrame) = df.select("src", "dst", "edge_type", "sequence")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    // as of 4: x->y alive (tombstone not yet written), y->z absent,
+    // x->z at its latest-at-horizon version (seq 3)
+    assert(rows(Schemas.currentViewKeyedAsOf(ve, 4L, key)) ==
+      Set(("x", "y", "t", 1L), ("x", "z", "u", 3L)))
+    // as of 5: the tombstone shadows x->y
+    assert(rows(Schemas.currentViewKeyedAsOf(ve, 5L, key)) ==
+      Set(("x", "z", "u", 3L)))
+    // current (no horizon): y->z now exists, x->y stays deleted
+    assert(rows(Schemas.currentViewKeyed(ve, key)) ==
+      Set(("y", "z", "t", 6L), ("x", "z", "u", 3L)))
+    // single-col currentView delegates to the keyed variant unchanged
+    val single = Schemas.currentView(base).select("id").collect()
+      .map(_.getString(0)).toSet
+    assert(single == Set("x", "y"))
+  }
+
   test("deterministic blockId is stable and distinct") {
     import org.apache.spark.sql.functions._
     val df = Seq(("ws", "f:a"), ("ws", "f:b"), ("ws2", "f:a"))

@@ -234,4 +234,33 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got == want)
     assert(!got.keys.exists { case (c, x) => c == "x" || x == "x" })
   }
+
+  test("harmonicFromSeeds: per-depth counts and Σ1/d on a known graph") {
+    // path a-b-c-d (undirected) plus a separate pair e-f
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"))
+      .toDF("src", "dst")
+    val got = GraphAnalytics.harmonicFromSeeds(
+        g, seeds = Seq("a", "d", "e"), maxDepth = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getLong(4),
+          r.getDouble(5)))
+      .toMap
+    // from a: b@1 c@2 d@3; from d: c@1 b@2 a@3; from e: f@1.
+    // d(seed,seed)=0 rows are excluded by definition.
+    assert(got.keySet == Set("a", "b", "c", "d", "f"))
+    assert(got("b") == (((1L, 1L, 0L), 2L, 1.5)))   // 1/1 (a) + 1/2 (d)
+    assert(got("c") == (((1L, 1L, 0L), 2L, 1.5)))   // 1/1 (d) + 1/2 (a)
+    assert(got("a") == (((0L, 0L, 1L), 1L, 0.333333))) // 1/3 (d)
+    assert(got("d") == (((0L, 0L, 1L), 1L, 0.333333))) // 1/3 (a)
+    assert(got("f") == (((1L, 0L, 0L), 1L, 1.0)))      // 1/1 (e)
+    // deterministic across partitionings
+    val b5 = GraphAnalytics.harmonicFromSeeds(
+        g.repartition(5), seeds = Seq("a", "d", "e"), maxDepth = 3)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b1 = GraphAnalytics.harmonicFromSeeds(
+        g.repartition(1), seeds = Seq("a", "d", "e"), maxDepth = 3)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(b5 == b1)
+  }
 }
