@@ -827,12 +827,19 @@ object GraphAnalytics {
       val s0 = labels.select(col("id").as(as), col("lbl").as(out))
       if (smallV) broadcast(s0) else s0
     }
-    val m = canon.count()
-    val intra = canon
+    // ONE pass over canon computes both m and the intra-community edge
+    // count (r7 — previously two separate E-scale count jobs): the
+    // label joins are total (every endpoint has exactly one LPA label),
+    // so count(*) over the joined frame IS |canon|, and the intra count
+    // rides the same aggregate as a conditional sum.
+    val mRow = canon
       .join(lbl("a", "la"), Seq("a"))
       .join(lbl("b", "lb"), Seq("b"))
-      .filter(col("la") === col("lb"))
-      .count()
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra"))
+      .first()
+    val m = mRow.getLong(0)
+    val intra = mRow.getLong(1)
     // degree per node over the undirected view; D_c = Σ degrees, B = Σ D_c²
     val b = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
       .join(lbl("id", "lbl"), Seq("id"))

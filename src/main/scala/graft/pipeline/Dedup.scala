@@ -214,6 +214,34 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Per-band bucket COLLISIONS against the bucket's canonical doc —
+    * the "attach every near-dup to its cluster head" view a streaming
+    * ingest wants (vs [[minhashPairs]]' symmetric pair set): for each
+    * (band_idx, band_key) bucket the winner is the minimum doc id, and
+    * every other member emits (doc_id, dup_of = winner, band_idx).
+    *
+    * Scale shape: one map-side-combinable min per bucket + one bucket
+    * equi-join — candidate-bounded like every banding path, no
+    * all-pairs anywhere. The streaming twin
+    * ([[graft.streaming.DedupStream.bandCollisions]]) keeps the winner
+    * as per-bucket state and agrees with this batch view whenever docs
+    * arrive in id order (spec-pinned); at 100 TB this is the dedup an
+    * ingest pipeline runs continuously while the batch view is the
+    * backfill/repair job over the corpus at rest.
+    */
+  def bandCollisions(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = minhashBands(df, idCol, textCol, n, k, bands)
+    val long = banded.select(col(idCol),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val winners = long.groupBy("band_idx", "band_key")
+      .agg(min(col(idCol)).as("dup_of"))
+    long.join(winners, Seq("band_idx", "band_key"))
+      .filter(col(idCol) =!= col("dup_of"))
+      .select(col(idCol).as("doc_id"), col("dup_of"), col("band_idx"))
+  }
+
   /** 16-bit SimHash. Per word: v = first 4 hex digits of md5 parsed as an
     * int (portable hex parse via instr on the digit alphabet); per bit j:
     * sum over words (duplicates = natural frequency weighting) of

@@ -226,6 +226,31 @@ object QueriesPipeline {
         |   AND a.doc_id < b.doc_id
         | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // Bucket-head collisions (r7): for every occupied LSH bucket the
+    // minimum doc id is the canonical head, every other member emits
+    // (doc_id, dup_of = head, band_idx) — the "attach to cluster head"
+    // view a continuous ingest maintains. The stateful streaming twin
+    // (DedupStream.bandCollisions, flatMapGroupsWithState with one
+    // claimed id per bucket as state) is spec-pinned to agree with
+    // this batch view under id-ordered arrival (DedupStreamSpec).
+    ("dedup_band_collisions",
+      (s, d) => Dedup.bandCollisions(graft.core.Tables.documents(s, d),
+        "doc_id", "text", n = 3, k = K, bands = BANDS)
+        .orderBy("doc_id", "band_idx"),
+      Some(s"""$minhashCte,
+        | lng AS (
+        |  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+        |  UNION ALL SELECT doc_id, 3, band3 FROM bands),
+        | win AS (SELECT band_idx, band_key, MIN(doc_id) AS dup_of
+        |  FROM lng GROUP BY 1, 2)
+        | SELECT l.doc_id, n.dup_of, l.band_idx AS band_idx
+        | FROM lng l JOIN win n
+        |  ON l.band_idx = n.band_idx AND l.band_key = n.band_key
+        | WHERE l.doc_id <> n.dup_of
+        | ORDER BY l.doc_id, l.band_idx""".stripMargin.replace("\n", " "))),
+
     ("dedup_minhash_pairs",
       (s, d) => Dedup.minhashPairs(graft.core.Tables.documents(s, d),
         "doc_id", "text", n = 3, k = K, bands = BANDS).orderBy("id_a", "id_b"),
