@@ -1111,6 +1111,158 @@ object GraphAnalytics {
        | SELECT id, COUNT(*) AS triangles FROM x GROUP BY id ORDER BY id"""
       .stripMargin.replace("\n", " ")
 
+  /** k-truss: iterative triangle-support peeling — the edge-level
+    * dense-subgraph primitive complementing node-level [[kcore]]: the
+    * k-truss is the maximal subgraph in which every edge closes at
+    * least k−2 triangles WITHIN the subgraph (Cohen's trussness; a
+    * k-truss is always inside the (k−1)-core but strictly denser).
+    *
+    * Fixed-round semantics like [[kcore]]: e_0 = canonical a<b edges;
+    * per round, support(a,b) = |adj(a) ∩ adj(b)| over the SURVIVING
+    * edge set (sorted-adjacency intersect — the [[triangleCountsAdj]]
+    * machinery; a common neighbor c means edges a–c and b–c survive,
+    * so the count is exactly the in-subgraph triangle support), then
+    * edges below k−2 peel. After `rounds` peels (early exit at the
+    * fixpoint — later rounds are no-ops, so a generous `rounds` is
+    * never wrong) ONE final support pass emits (a, b, support) for the
+    * surviving set, unfiltered — the oracle unrolls the identical
+    * chain.
+    *
+    * Scale shape — DELTA-DECREMENT peeling (the published distributed
+    * truss-decomposition scheme): ONLY round 1 pays the full support
+    * pass (one E-scale adjacency groupBy + two V-sized probe joins,
+    * broadcast while V ≤ 2M, like the triangle count). Every later
+    * round is peel-bounded: the triangles lost this round are
+    * enumerated from the PEELED edges' common-neighbor lists (peeled ×
+    * degree rows, deduplicated per (surviving edge, triangle) so a
+    * triangle with two peeled co-edges decrements its survivor ONCE),
+    * supports update by subtraction, and the adjacency arrays shrink
+    * by `array_except` against the peeled neighbor lists instead of
+    * rebuilding. The maintained support is by construction the exact
+    * in-subgraph triangle count after every round — identical to the
+    * recompute chain the oracle replays (and to what the naive
+    * 4-full-pass variant produced: measured 21.6 s → delta cuts the
+    * three post-first passes to peel-bounded work).
+    */
+  def ktruss(edges: DataFrame, k: Int = 4, rounds: Int = 3,
+             canonical: Boolean = false): DataFrame = {
+    require(k >= 3, "ktruss needs k >= 3")
+    require(rounds >= 1, "ktruss needs rounds >= 1")
+    val need = (k - 2).toLong
+    val p0 =
+      if (canonical) edges.select(col("src").as("a"), col("dst").as("b"))
+      else edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    val canon = p0.localCheckpoint(true)
+    // the broadcast gate is V-bounded; V only shrinks as edges peel,
+    // so deciding it once up front stays valid for every round
+    val smallV = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id"))).distinct().count() <= 2000000L
+    def bcastIf(cond: Boolean, df: DataFrame) =
+      if (cond) broadcast(df) else df
+    def side(nb: DataFrame, kk: String, out: String) =
+      bcastIf(smallV, nb.select(col("id").as(kk), col("adj").as(out)))
+    // round 1: the one full support pass
+    var nbrs = canon.select(col("a").as("id"), col("b").as("nb"))
+      .union(canon.select(col("b").as("id"), col("a").as("nb")))
+      .groupBy("id").agg(sort_array(collect_set(col("nb"))).as("adj"))
+      .localCheckpoint(true)
+    var sup = canon
+      .join(side(nbrs, "a", "adjA"), Seq("a"))
+      .join(side(nbrs, "b", "adjB"), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("adjA"), col("adjB")))
+          .cast("long").as("support"))
+      .localCheckpoint(true)
+    graft.core.Checkpoints.drop(canon)
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val peeled = sup.filter(col("support") < need)
+        .select("a", "b").localCheckpoint(true)
+      val nPeeled = peeled.count()
+      if (nPeeled == 0L) {
+        converged = true
+        graft.core.Checkpoints.drop(peeled)
+      } else {
+        val alive = sup.filter(col("support") >= need)
+        // triangles this peel destroys, from the peeled edges' own
+        // common-neighbor lists (adjacency = round-start graph)
+        val tri = bcastIf(nPeeled <= 2000000L, peeled)
+          .join(side(nbrs, "a", "adjA"), Seq("a"))
+          .join(side(nbrs, "b", "adjB"), Seq("b"))
+          .select(col("a"), col("b"),
+            explode(array_intersect(col("adjA"), col("adjB"))).as("w"))
+          .withColumn("t", sort_array(array(col("a"), col("b"), col("w"))))
+        // each destroyed triangle decrements its (up to two) surviving
+        // co-edges once — dedup on (edge, triangle) so a triangle with
+        // TWO peeled edges doesn't double-hit the third
+        val dec = tri.select(explode(array(
+            struct(least(col("a"), col("w")).as("u"),
+              greatest(col("a"), col("w")).as("v"), col("t")),
+            struct(least(col("b"), col("w")).as("u"),
+              greatest(col("b"), col("w")).as("v"), col("t")))).as("e"))
+          .select(col("e.u").as("a"), col("e.v").as("b"), col("e.t").as("t"))
+          .distinct()
+          .groupBy("a", "b").agg(count(lit(1)).as("dec"))
+        val supNext = alive
+          .join(bcastIf(nPeeled <= 2000000L, dec), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
+          .localCheckpoint(true)
+        // shrink the adjacency arrays by the peeled neighbor lists —
+        // no rebuild: V-sized join against a peel-bounded side
+        val gone = peeled.select(col("a").as("id"), col("b").as("nb"))
+          .union(peeled.select(col("b").as("id"), col("a").as("nb")))
+          .groupBy("id").agg(collect_set(col("nb")).as("gone"))
+        val nbrsNext = nbrs
+          .join(bcastIf(nPeeled <= 2000000L, gone), Seq("id"), "left")
+          .select(col("id"), when(col("gone").isNull, col("adj"))
+            .otherwise(array_except(col("adj"), col("gone"))).as("adj"))
+          .localCheckpoint(true)
+        graft.core.Checkpoints.drop(sup)
+        graft.core.Checkpoints.drop(nbrs)
+        graft.core.Checkpoints.drop(peeled)
+        sup = supNext
+        nbrs = nbrsNext
+      }
+    }
+    graft.core.Checkpoints.drop(nbrs)
+    sup
+  }
+
+  /** DuckDB oracle for [[ktruss]]: `rounds` unrolled (adjacency →
+    * intersect-support → peel) steps over MATERIALIZED per-round CTEs,
+    * then the same final unfiltered support pass.
+    */
+  def ktrussSql(edgesSql: String, k: Int = 4, rounds: Int = 3): String = {
+    val need = k - 2
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e), "
+    sb ++= "g0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, " +
+      "greatest(src, dst) AS b FROM pairs WHERE src <> dst)"
+    def adj(r: Int, src: String) =
+      s", n$r AS MATERIALIZED (SELECT id, list_sort(list(nb)) AS adj FROM (" +
+        s"SELECT a AS id, b AS nb FROM $src " +
+        s"UNION ALL SELECT b, a FROM $src) GROUP BY id)"
+    def sup(r: Int, src: String) =
+      s", s$r AS MATERIALIZED (SELECT g.a, g.b, " +
+        s"CAST(len(list_intersect(na.adj, nb.adj)) AS BIGINT) AS support " +
+        s"FROM $src g JOIN n$r na ON na.id = g.a JOIN n$r nb ON nb.id = g.b)"
+    for (r <- 1 to rounds) {
+      sb ++= adj(r, s"g${r - 1}")
+      sb ++= sup(r, s"g${r - 1}")
+      sb ++= s", g$r AS MATERIALIZED (SELECT a, b FROM s$r WHERE support >= $need)"
+    }
+    sb ++= adj(rounds + 1, s"g$rounds")
+    sb ++= sup(rounds + 1, s"g$rounds")
+    sb ++= s" SELECT a, b, support FROM s${rounds + 1} ORDER BY a, b"
+    sb.result()
+  }
+
   /** DuckDB oracle for [[kcore]]: `rounds` unrolled peels. Every
     * per-round CTE is `AS MATERIALIZED`: each g_t is referenced three
     * times by round t+1, so letting the planner inline them would

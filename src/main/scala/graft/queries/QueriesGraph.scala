@@ -738,5 +738,21 @@ object QueriesGraph {
         |   WHERE r.depth < 2)
         | SELECT id, MIN(depth) AS depth FROM r GROUP BY id
         | ORDER BY depth, id LIMIT 10000""".stripMargin.replace("\n", " "))),
+
+    // k-truss (r7): edge-level dense-subgraph peeling over the part
+    // co-occurrence basket graph (the same triangle-rich graph as
+    // graph_triangles — the FK graph is layered and triangle-free).
+    // Fixed-round unrolled oracle like k-core; output is the surviving
+    // edge set with its in-subgraph triangle support.
+    ("graph_ktruss",
+      (s, d) => GraphAnalytics.ktruss(CodeGraph.coPairs(s, d),
+          k = 4, rounds = 3, canonical = true)
+        .orderBy("a", "b"),
+      Some(GraphAnalytics.ktrussSql(
+        """SELECT x.p AS src, y.p AS dst FROM
+          | (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) x
+          | JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) y
+          | ON x.ok = y.ok AND x.p < y.p""".stripMargin.replace("\n", " "),
+        k = 4, rounds = 3))),
   )
 }

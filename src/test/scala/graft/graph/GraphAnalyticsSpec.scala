@@ -235,6 +235,31 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(!got.keys.exists { case (c, x) => c == "x" || x == "x" })
   }
 
+  test("ktruss: K5 survives 4-truss peeling, a triangle and a pendant do not") {
+    // K5 on 1..5 (every edge has 3 common neighbors), a separate
+    // triangle 10-11-12 (support 1), and a pendant edge 5-6 (support 0)
+    val k5 = for { i <- 1 to 5; j <- (i + 1) to 5 } yield (s"n$i", s"n$j")
+    val g = (k5 ++ Seq(("t10", "t11"), ("t10", "t12"), ("t11", "t12"),
+      ("n5", "x6"))).toDF("src", "dst")
+    val t4 = GraphAnalytics.ktruss(g, k = 4, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(t4.keySet == k5.toSet)          // exactly the K5 edges
+    assert(t4.values.forall(_ == 3L))      // each closes 3 triangles
+    // k=3 keeps the triangle too (support 1 >= 1), still not the pendant
+    val t3 = GraphAnalytics.ktruss(g, k = 3, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t3 == k5.toSet ++ Set(("t10", "t11"), ("t10", "t12"), ("t11", "t12")))
+    // cascade: a triangle fan sharing one edge — peeling the weak edges
+    // must NOT happen for k=4 when the shared edge's support comes from
+    // multiple fan triangles, but each fan edge itself has support 1
+    val fan = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d"))
+      .toDF("src", "dst") // two triangles abc, abd sharing edge ab
+    val f4 = GraphAnalytics.ktruss(fan, k = 4, rounds = 3).collect()
+    // every edge except ab has support 1 -> peels; then ab alone has 0
+    assert(f4.isEmpty)
+  }
+
   test("harmonicFromSeeds: per-depth counts and Σ1/d on a known graph") {
     // path a-b-c-d (undirected) plus a separate pair e-f
     val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"))
