@@ -93,6 +93,43 @@ object Schemas {
     currentViewKeyed(versioned.filter(col(seqCol) <= seq), keyCols,
       seqCol, deletedCol)
 
+  /** Change-data view between two sequence horizons — what a consumer
+    * that last read at `seqLo` must apply to catch up to `seqHi`
+    * (the CDC shape: Delta Lake's table_changes / the reference's
+    * WAL-replay delta between two read snapshots). Per key present in
+    * either horizon's current view: `added` (visible only at hi),
+    * `removed` (visible only at lo — a tombstone or shadowing write
+    * landed in between), `updated` (visible in both with a different
+    * winning sequence). Unchanged keys are dropped — the output is
+    * delta-sized, never snapshot-sized.
+    *
+    * Scale shape: the two horizon views share one scan (the hi-horizon
+    * range filter is pushed down; lo's view is a second window over
+    * the SAME shuffled layout — Catalyst reuses the exchange since
+    * both windows partition by the key columns), then ONE key-keyed
+    * full-outer join of two snapshot-sized sides.
+    */
+  def asOfDiffKeyed(versioned: DataFrame, seqLo: Long, seqHi: Long,
+                    keyCols: Seq[String],
+                    seqCol: String = "sequence",
+                    deletedCol: String = "is_deleted"): DataFrame = {
+    require(seqLo <= seqHi, s"asOfDiffKeyed needs seqLo <= seqHi " +
+      s"(got $seqLo > $seqHi)")
+    val lo = currentViewKeyedAsOf(versioned, seqLo, keyCols, seqCol,
+      deletedCol).select((keyCols.map(col) :+
+        col(seqCol).as("seq_before")): _*)
+    val hi = currentViewKeyedAsOf(versioned, seqHi, keyCols, seqCol,
+      deletedCol).select((keyCols.map(col) :+
+        col(seqCol).as("seq_after")): _*)
+    lo.join(hi, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("seq_before").isNull, lit("added"))
+          .when(col("seq_after").isNull, lit("removed"))
+          .when(col("seq_before") =!= col("seq_after"), lit("updated"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+  }
+
   /** Time-travel read: the current view AS OF a sequence — exactly what
     * the reference's LSM read path computes against any historical
     * sequence horizon (versions above `seq` don't exist yet; tombstones

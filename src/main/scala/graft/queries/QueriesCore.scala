@@ -49,6 +49,38 @@ object QueriesCore {
         |   FROM h) WHERE rn = 1 AND NOT is_deleted ORDER BY id"""
         .stripMargin.replace("\n", " "))),
 
+    // CDC between two snapshots (r7): what a reader that last saw
+    // horizon 300 must apply to catch up to horizon 700 — per edge key,
+    // added / removed / updated with the winning sequences on each
+    // side; unchanged keys dropped (delta-sized output). The edge
+    // analogue of the reference's WAL replay between two read points.
+    ("mvcc_edge_diff",
+      (s, d) => graft.core.Schemas.asOfDiffKeyed(
+          graft.graph.CodeGraph.versionedEdges(s, d), 300L, 700L,
+          Seq("src", "dst", "edge_type"))
+        .orderBy("src", "dst"),
+      Some(s"""WITH ve AS (${graft.graph.CodeGraph.versionedEdgesSql}),
+        | lo AS (SELECT src, dst, edge_type, sequence AS seq_before FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY src, dst, edge_type
+        |     ORDER BY sequence DESC) AS rn FROM ve WHERE sequence <= 300)
+        |  WHERE rn = 1 AND NOT is_deleted),
+        | hi AS (SELECT src, dst, edge_type, sequence AS seq_after FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY src, dst, edge_type
+        |     ORDER BY sequence DESC) AS rn FROM ve WHERE sequence <= 700)
+        |  WHERE rn = 1 AND NOT is_deleted),
+        | j AS (SELECT COALESCE(l.src, h.src) AS src,
+        |   COALESCE(l.dst, h.dst) AS dst,
+        |   COALESCE(l.edge_type, h.edge_type) AS edge_type,
+        |   l.seq_before, h.seq_after,
+        |   CASE WHEN l.seq_before IS NULL THEN 'added'
+        |    WHEN h.seq_after IS NULL THEN 'removed'
+        |    WHEN l.seq_before <> h.seq_after THEN 'updated'
+        |    ELSE 'unchanged' END AS change
+        |  FROM lo l FULL OUTER JOIN hi h
+        |   ON l.src = h.src AND l.dst = h.dst AND l.edge_type = h.edge_type)
+        | SELECT * FROM j WHERE change <> 'unchanged'
+        | ORDER BY src, dst""".stripMargin.replace("\n", " "))),
+
     ("mvcc_roundtrip",
       (s, d) => {
         import s.implicits._

@@ -142,6 +142,42 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ktruss delta-decrement equals in-memory recompute peeling on random graphs") {
+    // guards the delta machinery: per-(survivor, triangle) dedup (a
+    // triangle losing TWO edges must decrement its survivor once),
+    // adjacency shrink via array_except, maintained-support == the
+    // recompute the oracle replays
+    import graft.graph.GraphAnalytics
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25
+      val pairs = (1 to 140).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+      val k = 4
+      val rounds = 4
+      val got = GraphAnalytics.ktruss(pairs.toDF("src", "dst"), k, rounds)
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, s) => (a, b) -> s }.toMap
+
+      // reference: `rounds` full recompute peels + one final support pass
+      def support(es: Set[(String, String)]): Map[(String, String), Long] = {
+        val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+        es.map { case (a, b) =>
+          (a, b) -> (adj(a) & adj(b)).size.toLong
+        }.toMap
+      }
+      var es = pairs.toSet
+      for (_ <- 1 to rounds) {
+        val s = support(es)
+        es = es.filter(e => s(e) >= (k - 2).toLong)
+      }
+      assert(got === support(es), s"seed=$seed")
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     // guards the DELTA message optimization: only changed labels vote,
     // which must still land on the true min-label components (sparse

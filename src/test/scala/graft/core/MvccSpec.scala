@@ -146,6 +146,27 @@ class MvccSpec extends SparkSpec {
     assert(single == Set("x", "y"))
   }
 
+  test("asOfDiffKeyed: added / removed / updated between two horizons") {
+    val ve = Seq(
+      ("a", "b", "t", 1L, false),   // unchanged across 3..8 -> dropped
+      ("c", "d", "t", 2L, false),   // updated: rewritten @7
+      ("c", "d", "t", 7L, false),
+      ("e", "f", "t", 4L, false),   // added after lo=3
+      ("g", "h", "t", 2L, false),   // removed: tombstoned @6
+      ("g", "h", "t", 6L, true),
+      ("i", "j", "t", 9L, false),   // beyond hi=8 -> invisible entirely
+    ).toDF("src", "dst", "edge_type", "sequence", "is_deleted")
+    val got = Schemas.asOfDiffKeyed(ve, 3L, 8L, Seq("src", "dst", "edge_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)), r.getString(5)))
+      .toMap
+    assert(got == Map(
+      ("c", "d") -> ((2L, 7L), "updated"),
+      ("e", "f") -> ((-1L, 4L), "added"),
+      ("g", "h") -> ((2L, -1L), "removed")))
+  }
+
   test("deterministic blockId is stable and distinct") {
     import org.apache.spark.sql.functions._
     val df = Seq(("ws", "f:a"), ("ws", "f:b"), ("ws2", "f:a"))
