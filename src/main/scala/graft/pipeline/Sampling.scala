@@ -64,6 +64,41 @@ object Sampling {
   def hashOrderSql(idExpr: String): String =
     s"((abs($idExpr % 1000003) * 2654435761) % 4294967296)"
 
+  /** Deterministic GLOBAL corpus shuffle — the training-order
+    * permutation every run must reproduce exactly: position =
+    * contiguous 1..N rank in ([[hashOrder]], id) order (the hash is the
+    * pseudo-random key, the id breaks hash ties totally). Assigned
+    * DISTRIBUTED — range-repartition on the order key, per-partition
+    * row_number in parallel, cumulative per-partition offsets (≈
+    * shuffle-width counts, metadata not data) broadcast back — the
+    * same two-job shape as the MVCC write path's id rank; a global
+    * `Window.orderBy` would funnel 100 TB through one task for the
+    * identical assignment. Emitting (id, pos) instead of sorted rows
+    * keeps the output a metadata-sized permutation table: the trainer
+    * (or a bucketed write) joins it back and range-partitions on pos.
+    */
+  def globalShuffle(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions max 1
+    val keyed = df.select(col(idCol),
+      hashOrder(col(idCol)).as("__h"))
+    // localCheckpoint freezes the range partitioning so the counts job
+    // and the final plan see the same partition ids
+    val parted = keyed.repartitionByRange(n, col("__h"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
+    parted.join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn("pos", col("__off") + row_number().over(w))
+      .select(col(idCol), col("pos"))
+  }
+
   /** Token-budget mixture sampling — the corpus-mixing shape ("take ~N
     * tokens per domain"): within each stratum, documents are ordered by
     * the deterministic hash (a reproducible uniform shuffle) and kept

@@ -1146,6 +1146,19 @@ object QueriesPipeline {
         |  round(bf, 6) AS top_bigram_frac
         | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Deterministic global corpus shuffle (r7): the training-order
+    // permutation as a metadata-sized (id, pos) table — contiguous
+    // 1..N rank in (hash, id) order assigned DISTRIBUTED (range
+    // repartition + per-partition row_number + offsets, the MVCC
+    // write-path shape); the oracle is the single global window the
+    // distributed assignment provably equals.
+    ("corpus_shuffle",
+      (s, d) => graft.pipeline.Sampling.globalShuffle(
+        graft.core.Tables.documents(s, d), "doc_id").orderBy("pos"),
+      Some(s"""SELECT doc_id, row_number() OVER (ORDER BY
+        | ${graft.pipeline.Sampling.hashOrderSql("doc_id")}, doc_id) AS pos
+        | FROM documents ORDER BY pos""".stripMargin.replace("\n", " "))),
+
     // ===== Deterministic stratified sampling =====
     ("sample_stratified",
       (s, d) => graft.pipeline.Sampling.stratified(

@@ -88,4 +88,20 @@ class SamplingSpec extends SparkSpec {
     val all = Sampling.weightedSample(rows, "doc_id", "src", col("w"), 1000)
     assert(all.count() == 300)
   }
+
+  test("globalShuffle is a contiguous 1..N permutation, stable across partitionings") {
+    val ids = (0L until 200L).map(i => Tuple1(i * 7 % 1009)).toDF("id")
+    val a = Sampling.globalShuffle(ids, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.values.toSeq.sorted == (1L to 200L))       // contiguous ranks
+    assert(a.keySet == ids.collect().map(_.getLong(0)).toSet)
+    // equals the single global window it replaces, on any partitioning
+    val b = Sampling.globalShuffle(ids.repartition(7), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val want = ids.collect().map(_.getLong(0))
+      .sortBy(id => ((Math.abs(id % 1000003L) * 2654435761L) % 4294967296L, id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(a == want)
+  }
 }
