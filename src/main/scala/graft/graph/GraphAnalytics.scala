@@ -1576,6 +1576,74 @@ object GraphAnalytics {
     sb.result()
   }
 
+  /** Diameter lower bound + eccentricity sample by the classic
+    * DOUBLE-SWEEP heuristic (Magnien–Latapy–Habib): BFS from a seed,
+    * then BFS again from the farthest node found — sweep 2's
+    * eccentricity is a lower bound on the diameter that is exact on
+    * trees and empirically tight on real graphs, at the cost of TWO
+    * BFS runs instead of V. Ties at the farthest node break (depth
+    * desc, id asc) — deterministic, and the oracle replays the same
+    * order.
+    *
+    * Scale shape: two uncapped frontier BFS loops over the stored
+    * undirected index (each O(diameter) rounds of frontier⋈edges
+    * probes — the [[Traversal.bfsLoop]] machinery with its
+    * size-hinted broadcasts) + one 1-row collect per sweep for the
+    * next seed (seed selection, like a context query's anchors).
+    * Returns two rows: (sweep, seed, far_id, ecc).
+    */
+  def doubleSweep(edges: DataFrame, seedId: String,
+                  maxDepth: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // cost note: ~2×(ecc+1) BFS levels of per-level scheduling latency
+    // — the intrinsic double-sweep price (the alternative is V BFS
+    // runs for the exact diameter). A/B'd AQE off for the loop (47
+    // jobs/184 stages vs 97/444) — wall-clock identical, so the
+    // frontier-loop policy (keep AQE, SURVEY §6) stands.
+    def sweep(seed: String): (String, Int) = {
+      val r = Traversal.bfsLoop(edges, Seq(seed).toDF("id"),
+        Direction.Outgoing, maxDepth, Long.MaxValue)
+      val far = r.orderBy(desc("depth"), col("id")).limit(1).collect().head
+      (far.getString(0), far.getInt(1))
+    }
+    val (far1, ecc1) = sweep(seedId)
+    val (far2, ecc2) = sweep(far1)
+    Seq((1, seedId, far1, ecc1.toLong), (2, far1, far2, ecc2.toLong))
+      .toDF("sweep", "seed", "far_id", "ecc")
+  }
+
+  /** DuckDB oracle for [[doubleSweep]]: two set-semantics (UNION)
+    * recursive expansions — the deduped working set keeps the row
+    * volume at V×depth instead of the path-counting blowup UNION ALL
+    * would hit on an undirected graph — with the same min-depth fold
+    * and (depth desc, id) farthest tie-break.
+    */
+  def doubleSweepSql(edgesSql: String, seedId: String,
+                     maxDepth: Int = 12): String =
+    s"""WITH RECURSIVE e AS ($edgesSql),
+       | p AS (SELECT DISTINCT src, dst FROM e),
+       | u AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+       | r1 AS (
+       |  SELECT '$seedId' AS id, 0 AS depth
+       |  UNION
+       |  SELECT u.dst AS id, r1.depth + 1 FROM r1 JOIN u ON u.src = r1.id
+       |   WHERE r1.depth < $maxDepth),
+       | m1 AS (SELECT id, MIN(depth) AS depth FROM r1 GROUP BY id),
+       | f1 AS (SELECT id, depth FROM m1 ORDER BY depth DESC, id LIMIT 1),
+       | r2 AS (
+       |  SELECT id, 0 AS depth FROM f1
+       |  UNION
+       |  SELECT u.dst AS id, r2.depth + 1 FROM r2 JOIN u ON u.src = r2.id
+       |   WHERE r2.depth < $maxDepth),
+       | m2 AS (SELECT id, MIN(depth) AS depth FROM r2 GROUP BY id),
+       | f2 AS (SELECT id, depth FROM m2 ORDER BY depth DESC, id LIMIT 1)
+       | SELECT 1 AS sweep, '$seedId' AS seed, id AS far_id,
+       |  CAST(depth AS BIGINT) AS ecc FROM f1
+       | UNION ALL
+       | SELECT 2, (SELECT id FROM f1), id, CAST(depth AS BIGINT) FROM f2
+       | ORDER BY sweep""".stripMargin.replace("\n", " ")
+
   /** Harmonic centrality from a seed sample — the sampled-source
     * estimator every centrality pipeline uses at scale (exact
     * all-pairs closeness is O(V·E); the standard approximation runs

@@ -739,6 +739,15 @@ object QueriesGraph {
         | SELECT id, MIN(depth) AS depth FROM r GROUP BY id
         | ORDER BY depth, id LIMIT 10000""".stripMargin.replace("\n", " "))),
 
+    // Double-sweep diameter estimate (r7): BFS from a seed, BFS again
+    // from the farthest node — sweep 2's eccentricity lower-bounds the
+    // diameter (exact on trees, tight on real graphs) at the cost of
+    // two BFS runs instead of V. Over the stored undirected index.
+    ("graph_diameter",
+      (s, d) => GraphAnalytics.doubleSweep(
+        CodeGraph.undPairs(s, d), seedId = "O0").orderBy("sweep"),
+      Some(GraphAnalytics.doubleSweepSql(E, seedId = "O0"))),
+
     // k-truss (r7): edge-level dense-subgraph peeling over the part
     // co-occurrence basket graph (the same triangle-rich graph as
     // graph_triangles — the FK graph is layered and triangle-free).
