@@ -37,6 +37,25 @@ object Mvcc {
   private def withIdRank(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // METADATA-SIZED batches (a driver-built LocalRelation: registry
+    // link/unlink rows, a CLI mutation, a unit test) skip the
+    // distributed dance entirely — a global window over a few local
+    // rows is one task and ZERO extra jobs, where the range-partition +
+    // counts-collect path costs two jobs of pure scheduling latency per
+    // put. The assignment is identical (same (id, content-hash) total
+    // order); real ingest batches arrive as distributed plans and take
+    // the ranked path below.
+    val localRows = df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(lr.data.length)
+      case _ => None
+    }
+    if (localRows.exists(_ <= 10000)) {
+      val w = Window.orderBy(col(idCol),
+        xxhash64(df.columns.map(col).toSeq: _*))
+      return df.withColumn("__rk",
+        row_number().over(w).cast("long"))
+    }
     val n = spark.sessionState.conf.numShufflePartitions max 1
     // localCheckpoint freezes the range partitioning so the counts job
     // and the final plan see the same partition ids

@@ -67,21 +67,33 @@ class MvccSpec extends SparkSpec {
     // maxSeq + rank-by-id, and the plan's row_number window must be
     // partitioned (per-partition rank + offsets), not a global sort.
     val n = 1000
-    val puts = scala.util.Random.shuffle((1 to n).toList)
-      .map(i => (f"id$i%05d", s"c$i")).toDF("id", "content")
+    val putRows = scala.util.Random.shuffle((1 to n).toList)
+      .map(i => (f"id$i%05d", s"c$i"))
+    // a DISTRIBUTED batch (repartitioned: not a LocalRelation) must take
+    // the range-partitioned rank path — no global window anywhere
+    val puts = putRows.toDF("id", "content").repartition(4)
     val v2 = Mvcc.putBlocks(base, puts)
     val plan = v2.queryExecution.executedPlan.toString
     assert(plan.contains("windowspecdefinition(__pid"),
       "row_number must be partitioned by __pid, not a global window")
-    val seqs = Schemas.currentView(v2)
+    def seqMap(df: org.apache.spark.sql.DataFrame) = Schemas.currentView(df)
       .filter(org.apache.spark.sql.functions.col("id").startsWith("id"))
       .select("id", "sequence").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seqs = seqMap(v2)
     val maxBase = 2L // base table's max sequence
     (1 to n).foreach { i =>
       assert(seqs(f"id$i%05d") == maxBase + i,
         s"id$i should get sequence ${maxBase + i}")
     }
+    // a DRIVER-BUILT metadata-sized batch (LocalRelation) skips the
+    // distributed dance (no __pid machinery) yet assigns the identical
+    // sequences
+    val v2l = Mvcc.putBlocks(base, putRows.toDF("id", "content"))
+    assert(!v2l.queryExecution.executedPlan.toString
+      .contains("windowspecdefinition(__pid"),
+      "local batches must take the single-window shortcut")
+    assert(seqMap(v2l) == seqs)
   }
 
   test("compact keeps only latest versions; tombstones survive unless full") {
