@@ -1593,16 +1593,25 @@ object GraphAnalytics {
     * Returns two rows: (sweep, seed, far_id, ecc).
     */
   def doubleSweep(edges: DataFrame, seedId: String,
-                  maxDepth: Int = 12): DataFrame = {
+                  maxDepth: Int = 12,
+                  undirectedPairs: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // eccentricity is an undirected notion: expand a directed edge list
+    // to both orientations; a stored undirected index is consumed as-is
+    val und =
+      if (undirectedPairs) edges
+      else {
+        val p = edges.select(col("src"), col("dst")).distinct()
+        p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      }
     // cost note: ~2×(ecc+1) BFS levels of per-level scheduling latency
     // — the intrinsic double-sweep price (the alternative is V BFS
     // runs for the exact diameter). A/B'd AQE off for the loop (47
     // jobs/184 stages vs 97/444) — wall-clock identical, so the
     // frontier-loop policy (keep AQE, SURVEY §6) stands.
     def sweep(seed: String): (String, Int) = {
-      val r = Traversal.bfsLoop(edges, Seq(seed).toDF("id"),
+      val r = Traversal.bfsLoop(und, Seq(seed).toDF("id"),
         Direction.Outgoing, maxDepth, Long.MaxValue)
       val far = r.orderBy(desc("depth"), col("id")).limit(1).collect().head
       (far.getString(0), far.getInt(1))

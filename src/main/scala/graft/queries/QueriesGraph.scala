@@ -745,7 +745,8 @@ object QueriesGraph {
     // two BFS runs instead of V. Over the stored undirected index.
     ("graph_diameter",
       (s, d) => GraphAnalytics.doubleSweep(
-        CodeGraph.undPairs(s, d), seedId = "O0").orderBy("sweep"),
+        CodeGraph.undPairs(s, d), seedId = "O0",
+        undirectedPairs = true).orderBy("sweep"),
       Some(GraphAnalytics.doubleSweepSql(E, seedId = "O0"))),
 
     // k-truss (r7): edge-level dense-subgraph peeling over the part

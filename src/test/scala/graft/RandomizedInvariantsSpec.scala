@@ -142,6 +142,79 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("harmonicFromSeeds equals in-memory multi-source BFS on random graphs") {
+    import graft.graph.GraphAnalytics
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val pairs = (1 to 90).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter { case (a, b) => a != b }.distinct
+      val seeds = Seq("n0", "n1", "n2")
+      val d = 3
+      val got = GraphAnalytics.harmonicFromSeeds(
+          pairs.toDF("src", "dst"), seeds, maxDepth = d)
+        .collect().map(r => r.getString(0) ->
+          ((1 to d).map(i => r.getLong(i)), r.getLong(d + 1),
+            r.getDouble(d + 2))).toMap
+
+      // reference: per-seed BFS over the undirected adjacency
+      val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val dist = seeds.flatMap { s =>
+        var frontier = Set(s); var seen = Map(s -> 0); var depth = 0
+        while (depth < d && frontier.nonEmpty) {
+          depth += 1
+          val next = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+            .filterNot(seen.contains)
+          seen ++= next.map(_ -> depth); frontier = next
+        }
+        seen.collect { case (id, dd) if dd > 0 => (id, dd) }
+      }
+      val want = dist.groupBy(_._1).map { case (id, ds) =>
+        val counts = (1 to d).map(dd => ds.count(_._2 == dd).toLong)
+        val h = counts.zipWithIndex
+          .map { case (c, i) => c.toDouble / (i + 1).toDouble }.sum
+        id -> ((counts, counts.sum,
+          BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("doubleSweep eccentricities match in-memory BFS farthest-node picks") {
+    import graft.graph.GraphAnalytics
+    for (seed <- Seq(31, 32)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val pairs = (1 to 70).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter { case (a, b) => a != b }.distinct
+      val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      def sweep(s: String): (String, Int) = {
+        var frontier = Set(s); var seen = Map(s -> 0); var depth = 0
+        while (depth < 12 && frontier.nonEmpty) {
+          depth += 1
+          val next = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+            .filterNot(seen.contains)
+          seen ++= next.map(_ -> depth); frontier = next
+        }
+        // (depth desc, id asc) tie-break, matching the operator
+        seen.toSeq.sortBy { case (id, dd) => (-dd, id) }.head match {
+          case (id, dd) => (id, dd)
+        }
+      }
+      val (f1, e1) = sweep("n0")
+      val (f2, e2) = sweep(f1)
+      val got = GraphAnalytics.doubleSweep(pairs.toDF("src", "dst"), "n0")
+        .orderBy("sweep").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.toSeq == Seq((1, "n0", f1, e1.toLong), (2, f1, f2, e2.toLong)),
+        s"seed=$seed")
+    }
+  }
+
   test("ktruss delta-decrement equals in-memory recompute peeling on random graphs") {
     // guards the delta machinery: per-(survivor, triangle) dedup (a
     // triangle losing TWO edges must decrement its survivor once),
