@@ -274,6 +274,45 @@ object Similarity {
       .select(col(idCol), col("score"), (col("score") >= col("__cut")).as("keep"))
   }
 
+  /** Quality-tier assignment — the curation step after scoring: every
+    * vector lands in one of `buckets` equal-population tiers by its
+    * score's GLOBAL rank (decile 1 = best), the binning a mixture
+    * recipe weights by ("3 epochs of tier 1, 1 of tier 5, drop tier
+    * 10"). The global rank is assigned DISTRIBUTED (range-repartition
+    * on (score desc, id) + per-partition row_number + broadcast
+    * offsets — the corpus-shuffle/MVCC shape; a global window would
+    * one-task the corpus), and the corpus size the tier formula needs
+    * falls out of the same offsets fold — no extra count job.
+    */
+  def scoreDeciles(emb: DataFrame, buckets: Int = 10,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   seed: Long = 7L, dim: Int = 64): DataFrame = {
+    require(buckets >= 2, s"scoreDeciles needs buckets >= 2; got $buckets")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val w = qualityWeights(dim, seed)
+    val wLit = array(w.map(x => lit(x.toDouble)): _*)
+    val scored = emb.select(col(idCol),
+      round(dot(col(vecCol), wLit), 6).as("score"))
+    val n = spark.sessionState.conf.numShufflePartitions max 1
+    val parted = scored
+      .repartitionByRange(n, col("score").desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    val total = acc max 1L
+    val wRank = Window.partitionBy(col("__pid"))
+      .orderBy(col("score").desc, col(idCol))
+    parted.join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn("pos", col("__off") + row_number().over(wRank))
+      .select(col(idCol), col("score"), col("pos"),
+        (expr(s"((pos - 1) * $buckets) div ${total}L") + 1L)
+          .cast("int").as("tier"))
+  }
+
   /** Random-hyperplane LSH bucket key: bit j = (v · plane_j) >= 0.
     * Same-bucket vectors are near-duplicate candidates; expected bucket
     * count 2^nPlanes, so the self-join is per-bucket, not all-pairs —

@@ -687,6 +687,27 @@ object QueriesPipeline {
           | FROM s, c ORDER BY vec_id""".stripMargin.replace("\n", " ")
       }),
 
+    // Quality TIERS (r7): equal-population decile binning by global
+    // score rank (tier 1 = best) — the binning a mixture recipe
+    // weights by. Rank assigned distributed (range repartition +
+    // per-partition row_number + offsets); the oracle is the single
+    // global window the assignment provably equals.
+    ("embedding_score_tiers",
+      (s, d) => Similarity.scoreDeciles(
+        graft.core.Tables.embeddings(s, d)).orderBy("pos"),
+      Some {
+        val wLit = Similarity.qualityWeights(64, 7L)
+          .map(x => s"$x.0").mkString("[", ",", "]")
+        s"""WITH sc AS (SELECT vec_id,
+          |  round(${dotSql("embedding", wLit)}, 6) AS score FROM embeddings),
+          | r AS (SELECT vec_id, score,
+          |   row_number() OVER (ORDER BY score DESC, vec_id) AS pos,
+          |   COUNT(*) OVER () AS n FROM sc)
+          | SELECT vec_id, score, pos,
+          |  CAST((pos - 1) * 10 // n + 1 AS INT) AS tier
+          | FROM r ORDER BY pos""".stripMargin.replace("\n", " ")
+      }),
+
     // Deterministic Lloyd k-means (k=4, 2 rounds): seed = 4 lowest-id
     // vectors, argmin assignment with lowest-cid tie-break, element
     // means rounded to 6 dp so both engines' update step is identical
