@@ -77,15 +77,36 @@ object Sampling {
     * keeps the output a metadata-sized permutation table: the trainer
     * (or a bucketed write) joins it back and range-partitions on pos.
     */
-  def globalShuffle(df: DataFrame, idCol: String): DataFrame = {
+  def globalShuffle(df: DataFrame, idCol: String): DataFrame =
+    globalRankBy(df.select(col(idCol), hashOrder(col(idCol)).as("__h")),
+      Seq(col("__h"), col(idCol)))._1
+      .select(col(idCol), col("pos"))
+
+  /** Global contiguous 1..N rank (`pos`) in `orderCols` order, assigned
+    * DISTRIBUTED — range-repartition on the order key, per-partition
+    * row_number in parallel, cumulative per-partition offsets (≈
+    * shuffle-width counts: metadata, not data) broadcast back. The
+    * assignment provably equals the single global `Window.orderBy`
+    * that would funnel the corpus through one task; the total row
+    * count falls out of the offsets fold for free (second tuple
+    * element), so tier/percentile formulas downstream need no extra
+    * count job. Shared by [[globalShuffle]], the quality-tier binning
+    * ([[graft.pipeline.Similarity.scoreDeciles]] and the text twin),
+    * and mirrored by the MVCC write path's id rank.
+    *
+    * `orderCols` may carry sort directions (`col.desc`); the order
+    * must be TOTAL (append a unique id as the last column) or equal
+    * rows get an arbitrary-but-stable relative rank.
+    */
+  def globalRankBy(df: DataFrame,
+                   orderCols: Seq[org.apache.spark.sql.Column])
+      : (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions max 1
-    val keyed = df.select(col(idCol),
-      hashOrder(col(idCol)).as("__h"))
     // localCheckpoint freezes the range partitioning so the counts job
     // and the final plan see the same partition ids
-    val parted = keyed.repartitionByRange(n, col("__h"), col(idCol))
+    val parted = df.repartitionByRange(n, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
@@ -93,10 +114,12 @@ object Sampling {
     var acc = 0L
     val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
-    parted.join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+      .partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val ranked = parted
+      .join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
       .withColumn("pos", col("__off") + row_number().over(w))
-      .select(col(idCol), col("pos"))
+      .drop("__pid", "__off")
+    (ranked, acc)
   }
 
   /** Token-budget mixture sampling — the corpus-mixing shape ("take ~N

@@ -294,23 +294,12 @@ object Similarity {
     val wLit = array(w.map(x => lit(x.toDouble)): _*)
     val scored = emb.select(col(idCol),
       round(dot(col(vecCol), wLit), 6).as("score"))
-    val n = spark.sessionState.conf.numShufflePartitions max 1
-    val parted = scored
-      .repartitionByRange(n, col("score").desc, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
-    val total = acc max 1L
-    val wRank = Window.partitionBy(col("__pid"))
-      .orderBy(col("score").desc, col(idCol))
-    parted.join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
-      .withColumn("pos", col("__off") + row_number().over(wRank))
-      .select(col(idCol), col("score"), col("pos"),
-        (expr(s"((pos - 1) * $buckets) div ${total}L") + 1L)
-          .cast("int").as("tier"))
+    val (ranked, n) = Sampling.globalRankBy(scored,
+      Seq(col("score").desc, col(idCol)))
+    val total = n max 1L
+    ranked.select(col(idCol), col("score"), col("pos"),
+      (expr(s"((pos - 1) * $buckets) div ${total}L") + 1L)
+        .cast("int").as("tier"))
   }
 
   /** Random-hyperplane LSH bucket key: bit j = (v · plane_j) >= 0.

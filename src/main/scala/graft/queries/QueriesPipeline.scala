@@ -749,6 +749,33 @@ object QueriesPipeline {
         graft.core.Tables.documents(s, d), "doc_id", "text").orderBy("doc_id"),
       Some(textStatsSql)),
 
+    // Quality tiers on the TEXT side (r7): equal-population deciles of
+    // the text-stats quality score by distributed global rank — the
+    // concrete binning a mixture recipe weights by ("3 epochs of tier
+    // 1, drop tier 10"), same rank machinery as corpus_shuffle /
+    // embedding_score_tiers, the fused text_stats expression doing the
+    // scoring map-side.
+    ("text_quality_tiers",
+      (s, d) => {
+        val q = TextAnalysis.analyze(
+            graft.core.Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        val (ranked, n) = graft.pipeline.Sampling.globalRankBy(q,
+          Seq(col("quality").desc, col("doc_id")))
+        val total = n max 1L
+        ranked.select(col("doc_id"), col("quality"), col("pos"),
+          (expr(s"((pos - 1) * 10) div ${total}L") + 1L)
+            .cast("int").as("tier"))
+          .orderBy("pos")
+      },
+      Some(s"""WITH t AS ($textStatsSql),
+        | r AS (SELECT doc_id, quality,
+        |   row_number() OVER (ORDER BY quality DESC, doc_id) AS pos,
+        |   COUNT(*) OVER () AS n FROM t)
+        | SELECT doc_id, quality, pos,
+        |  CAST((pos - 1) * 10 // n + 1 AS INT) AS tier
+        | FROM r ORDER BY pos""".stripMargin.replace("\n", " "))),
+
     ("text_tfidf",
       (s, d) => TextAnalysis.tfidf(
         graft.core.Tables.documents(s, d), "doc_id", "text")
