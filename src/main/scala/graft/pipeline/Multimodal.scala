@@ -126,6 +126,80 @@ object Multimodal {
       }
   }
 
+  /** One row of [[resizeFeatures]]: input geometry + integer checksum
+    * of the fixed-shape output (sum of resized channel bytes / resampled
+    * absolute amplitudes) — all integer, oracle-replayable.
+    */
+  final case class MediaResize(doc_id: Long, mime: String,
+                               in_dim1: Long, in_dim2: Long,
+                               out_units: Long, sum_out: Long)
+
+  /** The PREPROCESS step of a multimodal training pipeline: decode with
+    * the real [[MediaCodec]] parsers, then normalize every payload to a
+    * fixed output shape — images resize to `outW`×`outH` RGB by
+    * nearest-neighbor (source pixel (x·w div outW, y·h div outH) — the
+    * integer sampling grid every resize kernel starts from), audio
+    * resamples to `outW`·`outH` samples by the same nearest index rule.
+    * Emits the input geometry and the integer checksum of the resized
+    * output rather than the payload itself (the real pipeline writes
+    * the tensor; the checksum is what an oracle can verify
+    * bit-for-bit). Map-only over the media table — embarrassingly
+    * parallel, no shuffle anywhere.
+    */
+  def resizeFeatures(media: DataFrame, outW: Int = 8,
+                     outH: Int = 8): Dataset[MediaResize] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "mime", "n_bytes", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val kind = MediaCodec.sniff(r.payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"doc ${r.doc_id}: unrecognized payload magic"))
+          require(kind == r.mime,
+            s"doc ${r.doc_id}: mime '${r.mime}' but content is '$kind'")
+          kind match {
+            case "audio/wav" =>
+              val wav = MediaCodec.decodeWav(r.payload)
+              val n = wav.samples.length
+              val outN = outW * outH
+              var sum = 0L
+              if (n > 0) {
+                var i = 0
+                while (i < outN) {
+                  sum += math.abs(
+                    wav.samples((i.toLong * n / outN).toInt).toLong)
+                  i += 1
+                }
+              }
+              MediaResize(r.doc_id, r.mime, n.toLong, wav.sampleRate.toLong,
+                outN.toLong, sum)
+            case _ =>
+              val img =
+                if (kind == "image/bmp") MediaCodec.decodeBmp(r.payload)
+                else MediaCodec.decodePpm(r.payload)
+              var sum = 0L
+              var y = 0
+              while (y < outH) {
+                val sy = (y.toLong * img.height / outH).toInt
+                var x = 0
+                while (x < outW) {
+                  val sx = (x.toLong * img.width / outW).toInt
+                  val base = (sy * img.width + sx) * 3
+                  sum += (img.rgb(base) & 0xff).toLong
+                  sum += (img.rgb(base + 1) & 0xff).toLong
+                  sum += (img.rgb(base + 2) & 0xff).toLong
+                  x += 1
+                }
+                y += 1
+              }
+              MediaResize(r.doc_id, r.mime, img.width.toLong,
+                img.height.toLong, (outW * outH * 3).toLong, sum)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: every `stride`-th chunk index, as (doc_id,
     * frame_idx, offset) — the explode-shaped half of a video pipeline;
     * the decode of each frame would go through [[decodeFeatures]]'s

@@ -932,6 +932,34 @@ object QueriesPipeline {
         |     AS frame_idx FROM mm)
         | ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " "))),
 
+    // Fixed-shape preprocess (r7): nearest-neighbor resize of images
+    // to 8×8 RGB / nearest resample of audio to 64 samples — the
+    // normalize-to-tensor step of a multimodal training pipeline,
+    // map-only over the media table. The oracle replays the identical
+    // integer sampling grid over the construction bytes (zero-padded
+    // image tail = COALESCE 0 past len).
+    ("multimodal_resize",
+      (s, d) => Multimodal.resizeFeatures(
+        Multimodal.toMedia(graft.core.Tables.documents(s, d)))
+        .toDF().orderBy("doc_id"),
+      Some(s"""WITH $MediaCtes
+        | SELECT doc_id, mime,
+        |  CASE WHEN mime = 'audio/wav' THEN len ELSE 15 END AS in_dim1,
+        |  CASE WHEN mime = 'audio/wav' THEN 8000 ELSE h END AS in_dim2,
+        |  CAST(CASE WHEN mime = 'audio/wav' THEN 64 ELSE 192 END
+        |    AS BIGINT) AS out_units,
+        |  CAST(CASE WHEN mime = 'audio/wav' THEN
+        |    CASE WHEN len = 0 THEN 0
+        |     ELSE COALESCE(list_sum(list_transform(range(0, 64), i ->
+        |       abs((COALESCE(bs[CAST(i * len // 64 + 1 AS INT)], 128) - 128)
+        |         * 256))), 0) END
+        |   ELSE COALESCE(list_sum(flatten(list_transform(range(0, 8), y ->
+        |     flatten(list_transform(range(0, 8), x ->
+        |       list_transform(range(0, 3), c ->
+        |         COALESCE(bs[CAST(((y * h // 8) * 15 + (x * 15 // 8)) * 3
+        |           + c + 1 AS INT)], 0))))))), 0) END AS BIGINT) AS sum_out
+        | FROM mm ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     ("multimodal_features",
       (s, d) => Multimodal.decodeFeatures(
         Multimodal.toMedia(graft.core.Tables.documents(s, d)))

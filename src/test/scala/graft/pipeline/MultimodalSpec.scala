@@ -55,6 +55,27 @@ class MultimodalSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("content is")))
   }
 
+  test("resizeFeatures: nearest-neighbor grid sums match brute force") {
+    val f = Multimodal.resizeFeatures(Multimodal.toMedia(docs))
+      .collect().map(x => x.doc_id -> x).toMap
+    // bmp doc 0: 15×14 all-'a' pixels except the zero-padded tail;
+    // brute-force the same integer grid
+    val bytes0 = ("a" * 600).getBytes("UTF-8")
+    val h0 = 14
+    var want0 = 0L
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3) {
+      val idx = ((y * h0 / 8) * 15 + (x * 15 / 8)) * 3 + c
+      want0 += (if (idx < bytes0.length) bytes0(idx) & 0xff else 0)
+    }
+    assert(f(0L).in_dim1 == 15L && f(0L).in_dim2 == 14L)
+    assert(f(0L).out_units == 192L && f(0L).sum_out == want0)
+    // wav doc 1: 3 samples resampled to 64 by i*3/64 -> indexes 0,0,...,1,...,2
+    val s1 = "xyz".getBytes("UTF-8").map(b => ((b & 0xff) - 128) * 256)
+    val want1 = (0 until 64).map(i => math.abs(s1(i * 3 / 64).toLong)).sum
+    assert(f(1L).in_dim1 == 3L && f(1L).out_units == 64L)
+    assert(f(1L).sum_out == want1)
+  }
+
   test("frameSample strides over container chunks") {
     val fr = Multimodal.frameSample(Multimodal.toMedia(docs),
       chunkSize = 256, stride = 2)
