@@ -739,6 +739,55 @@ object QueriesGraph {
         | SELECT id, MIN(depth) AS depth FROM r GROUP BY id
         | ORDER BY depth, id LIMIT 10000""".stripMargin.replace("\n", " "))),
 
+    // Degree assortativity (r7): Newman's coefficient as ONE exact
+    // integer quadruple (m, Σdadb, Σ(da+db), Σ(da²+db²)) — one V-sized
+    // degree agg over the stored undirected index + one edge⋈degree
+    // join + one partial agg; the only float is the single final
+    // division, identical operand order on both engines.
+    ("graph_assortativity",
+      (s, d) => {
+        val und = CodeGraph.undPairs(s, d)
+        val deg = und.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg"))
+        val canon = und.filter(col("src") < col("dst"))
+        val r = canon
+          .join(deg.select(col("id").as("src"), col("deg").as("da")),
+            Seq("src"))
+          .join(deg.select(col("id").as("dst"), col("deg").as("db")),
+            Seq("dst"))
+          .agg(count(lit(1)).as("m"),
+            sum(col("da") * col("db")).as("sp"),
+            sum(col("da") + col("db")).as("ss"),
+            sum(col("da") * col("da") + col("db") * col("db")).as("sq"))
+          .first()
+        val (m, sp, ss, sq) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val num = 4L * m * sp - ss * ss
+        val den = 2L * m * sq - ss * ss
+        val coef = if (den == 0L) 0.0
+          else BigDecimal(num.toDouble / den.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((m, num, den, coef)).toDF("m", "num", "den", "assortativity")
+      },
+      Some(s"""WITH e AS ($E), p AS (SELECT DISTINCT src, dst FROM e),
+        | u AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        | deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        |   FROM u GROUP BY 1),
+        | c AS (SELECT src, dst FROM u WHERE src < dst),
+        | j AS (SELECT da.deg AS da, db.deg AS db FROM c
+        |   JOIN deg da ON da.id = c.src JOIN deg db ON db.id = c.dst),
+        | s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |   CAST(SUM(da * db) AS BIGINT) AS sp,
+        |   CAST(SUM(da + db) AS BIGINT) AS ss,
+        |   CAST(SUM(da * da + db * db) AS BIGINT) AS sq FROM j)
+        | SELECT m, 4 * m * sp - ss * ss AS num,
+        |  2 * m * sq - ss * ss AS den,
+        |  CASE WHEN 2 * m * sq - ss * ss = 0 THEN 0.0
+        |   ELSE round(CAST(4 * m * sp - ss * ss AS DOUBLE)
+        |     / CAST(2 * m * sq - ss * ss AS DOUBLE), 6) END AS assortativity
+        | FROM s""".stripMargin.replace("\n", " "))),
+
     // Double-sweep diameter estimate (r7): BFS from a seed, BFS again
     // from the farthest node — sweep 2's eccentricity lower-bounds the
     // diameter (exact on trees, tight on real graphs) at the cost of

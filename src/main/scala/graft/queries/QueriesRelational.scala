@@ -270,6 +270,33 @@ object QueriesRelational {
         | FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " "))),
 
+    // Event-type transition matrix (r7): per-user consecutive-event
+    // bigram counts in (event_id) order — the Markov/sequence-model
+    // statistic (next-action prediction, funnel discovery). One
+    // user-partitioned lag window + one pair-count partial agg;
+    // event_id is the fixture's arrival order, so no timestamp-type
+    // pitfalls enter the oracle.
+    ("events_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH t AS (SELECT user_id, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS prev_type FROM events)
+        | SELECT prev_type, event_type AS next_type,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM t WHERE prev_type IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY prev_type, next_type"""
+        .stripMargin.replace("\n", " "))),
+
     ("events_sessions",
       (s, d) => EventStreams.sessionCounts(
         EventStreams.withEventTime(Tables.events(s, d)))
