@@ -150,11 +150,33 @@ object Bench {
           .filter(b => b >= 1.0 && v > b * speedFactor * 1.5)
           .map(b => k -> (b, v))
     }
-    val regs = regressions.map { case (k, (b, v)) =>
-      jstr(k) + ":[" + b + "," + v + "]"
+    // RECHECK pass (r7): box contention concentrates in the
+    // driver-latency-bound iterative family — a whole cohort can blow
+    // past 1.5× while the suite median barely moves (observed: 13
+    // flags in one run, every one clean on an isolated rerun minutes
+    // later). So each flagged entry is re-timed ONCE after the suite;
+    // a flag whose recheck also exceeds the threshold is CONFIRMED, a
+    // flag whose recheck comes back under it was transient scheduling
+    // noise. Cost is one extra iteration for flagged entries only.
+    val rechecks = regressions.map { case (k, (b, v)) =>
+      graft.core.Checkpoints.sweepAnonymous(spark)
+      System.gc()
+      val t0 = System.nanoTime()
+      val rv = try { run(k, sfDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => v }
+      k -> (b, v, rv)
+    }
+    val confirmed = rechecks.filter { case (_, (b, _, rv)) =>
+      rv > b * speedFactor * 1.5
+    }
+    val regs = rechecks.map { case (k, (b, v, rv)) =>
+      jstr(k) + ":[" + b + "," + v + "," + rv + "]"
+    }.mkString("{", ",", "}")
+    val conf = confirmed.map { case (k, (b, _, rv)) =>
+      jstr(k) + ":[" + b + "," + rv + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + failedTime
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"regressions":$regs,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
     println(line)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write
