@@ -190,6 +190,108 @@ object GraphAnalytics {
     sb.result()
   }
 
+  /** Edge-WEIGHTED PageRank in the same fixed-point LONG arithmetic as
+    * [[pagerankFixedPoint]]: a node's rank splits over its out-edges
+    * proportionally to weight — share(u→v) = rank(u)·w(u,v) div W(u),
+    * W(u) = Σ out-weights — the variant real graphs need when edges
+    * carry multiplicity (call counts, co-occurrence counts,
+    * interaction strength). Same geometry per iteration: ONE
+    * state⋈edges equi-join probing the src-partitioned weighted edge
+    * set + ONE O(V) partial-agg state rebuild; dangling mass and the
+    * conservation self-check ride the same single driver action.
+    * Integer floor-divs lose < 1 unit per edge per iteration —
+    * well inside the scale/100 invariant tolerance. Caller contract:
+    * `w ≥ 1` and `max(rank)·max(w) < 2^63` (at the default scale,
+    * any w ≤ ~10^5 is safe); ANSI mode fails loudly otherwise.
+    *
+    * `edgesW` columns: src, dst, w (one row per weighted edge).
+    */
+  def pagerankWeighted(edgesW: DataFrame, iters: Int = 5,
+                       scale: Long = 1000000000000L): DataFrame = graft.core.Checkpoints.withoutAqe(edgesW.sparkSession) {
+    val ew = edgesW.select(col("src"), col("dst"),
+        col("w").cast("long").as("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = ew.select(col("src").as("id"))
+        .union(ew.select(col("dst").as("id"))).distinct()
+      val wout = ew.groupBy(col("src").as("id")).agg(sum("w").as("wout"))
+      val topo = nodes.join(wout, Seq("id"), "left").localCheckpoint(true)
+      val n = topo.count()
+      val base = scale / n
+      val teleport = 15L * base / 100L
+      var state = topo.withColumn("rank", lit(base))
+      var frame: DataFrame = null
+      graft.core.Checkpoints.withLoopShuffle(edgesW.sparkSession, n,
+        ew.count()) {
+        for (it <- 1 to iters) {
+          val r = state.agg(
+            count(lit(1)).as("cnt"),
+            sum("rank").as("total"),
+            coalesce(sum(when(col("wout").isNull, col("rank"))), lit(0L))
+              .as("dang")).first()
+          val (cnt, total, dangSum) =
+            (r.getLong(0), r.getLong(1), r.getLong(2))
+          if (cnt != n || total <= 0L || total > scale ||
+              total < scale - scale / 100L)
+            throw new IllegalStateException(
+              s"weighted pagerank invariant broken before iter $it: " +
+                s"rows=$cnt (expected $n), mass=$total (expected ~$scale)")
+          val dsh = dangSum / n
+          val contrib = state.filter(col("wout").isNotNull)
+            .select(col("id").as("src"), col("rank"), col("wout"))
+            .join(ew, Seq("src"))
+            .select(col("dst").as("id"),
+              lit(null).cast("long").as("wout"),
+              expr("(rank * w) div wout").as("inc"))
+          val next = state.select(col("id"), col("wout"), lit(0L).as("inc"))
+            .unionByName(contrib)
+            .groupBy("id")
+            .agg(max("wout").as("wout"), sum("inc").as("inc"))
+            .select(col("id"), col("wout"),
+              (lit(teleport) +
+                expr(s"85 * (inc + ${dsh}L) div 100")).as("rank"))
+            .localCheckpoint(true)
+          if (frame != null) graft.core.Checkpoints.drop(frame)
+          else graft.core.Checkpoints.drop(topo)
+          frame = next
+          state = next
+        }
+      }
+      state.select("id", "rank")
+    } finally ew.unpersist()
+  }
+
+  /** DuckDB oracle for [[pagerankWeighted]] — the identical iteration
+    * unrolled over the weighted edge CTE (`weightedSql` must yield
+    * src, dst, w).
+    */
+  def pagerankWeightedSql(weightedSql: String, iters: Int = 5,
+                          scale: Long = 1000000000000L): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH we AS MATERIALIZED ($weightedSql), "
+    sb ++= "nodes AS MATERIALIZED (SELECT src AS id FROM we UNION SELECT dst FROM we), "
+    sb ++= "c AS MATERIALIZED (SELECT COUNT(*) AS n, " + scale +
+      " // COUNT(*) AS base FROM nodes), "
+    sb ++= "wg AS MATERIALIZED (SELECT src AS id, SUM(w) AS wout FROM we GROUP BY 1), "
+    sb ++= "r0 AS MATERIALIZED (SELECT id, (SELECT base FROM c) AS rank FROM nodes)"
+    for (t <- 1 to iters) {
+      val p = s"r${t - 1}"
+      sb ++= s", d$t AS MATERIALIZED " +
+        s"(SELECT COALESCE(SUM(rank), 0) // (SELECT n FROM c) AS dsh " +
+        s"FROM $p WHERE NOT EXISTS (SELECT 1 FROM wg WHERE wg.id = $p.id))"
+      sb ++= s", s$t AS MATERIALIZED " +
+        s"(SELECT p.dst AS id, SUM((r.rank * p.w) // g.wout) AS inc " +
+        s"FROM $p r JOIN wg g ON g.id = r.id JOIN we p ON p.src = r.id GROUP BY 1)"
+      sb ++= s", r$t AS MATERIALIZED " +
+        s"(SELECT n.id, (SELECT (15 * base) // 100 FROM c) + " +
+        s"(85 * (COALESCE(s.inc, 0) + (SELECT dsh FROM d$t))) // 100 AS rank " +
+        s"FROM nodes n LEFT JOIN s$t s ON s.id = n.id)"
+    }
+    sb ++= s" SELECT id, CAST(rank AS BIGINT) AS rank FROM r$iters ORDER BY rank DESC, id"
+    sb.result()
+  }
+
   /** k-core: iteratively peel nodes of (undirected) degree < k; what
     * remains after `rounds` peels is the k-core (training-data use: the
     * dense cluster of a near-dup graph; code-graph use: the load-bearing

@@ -739,6 +739,24 @@ object QueriesGraph {
         | SELECT id, MIN(depth) AS depth FROM r GROUP BY id
         | ORDER BY depth, id LIMIT 10000""".stripMargin.replace("\n", " "))),
 
+    // Edge-WEIGHTED PageRank (r7): rank splits over out-edges by
+    // weight — here the order→part multigraph with w = lineitem
+    // multiplicity (the co-purchase strength), the variant real
+    // pipelines need when edges carry counts. Same fixed-point LONG
+    // arithmetic and unrolled-CTE oracle as graph_pagerank.
+    ("graph_pagerank_weighted",
+      (s, d) => GraphAnalytics.pagerankWeighted(
+          graft.core.Tables.lineitem(s, d).select(
+            concat(lit("O"), col("l_orderkey")).as("src"),
+            concat(lit("P"), col("l_partkey")).as("dst"))
+            .groupBy("src", "dst").agg(count(lit(1)).as("w")),
+          iters = 5)
+        .orderBy(desc("rank"), col("id")),
+      Some(GraphAnalytics.pagerankWeightedSql(
+        """SELECT 'O' || l_orderkey AS src, 'P' || l_partkey AS dst,
+          | CAST(COUNT(*) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2"""
+          .stripMargin.replace("\n", " "), iters = 5))),
+
     // Degree assortativity (r7): Newman's coefficient as ONE exact
     // integer quadruple (m, Σdadb, Σ(da+db), Σ(da²+db²)) — one V-sized
     // degree agg over the stored undirected index + one edge⋈degree

@@ -235,6 +235,25 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(!got.keys.exists { case (c, x) => c == "x" || x == "x" })
   }
 
+  test("pagerankWeighted: weight-proportional shares; w=1 reduces to unweighted") {
+    // a splits rank 3:1 between b and c
+    val g = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val pr = GraphAnalytics.pagerankWeighted(g, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("b") > pr("c"))
+    assert(pr.values.sum > 900000000000L && pr.values.sum <= 1000000000000L)
+    // all-ones weights must match the unweighted operator exactly
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    val w1 = GraphAnalytics.pagerankWeighted(
+        pairs.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val u = GraphAnalytics.pagerankFixedPoint(
+        pairs.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 == u)
+  }
+
   test("ktruss: K5 survives 4-truss peeling, a triangle and a pendant do not") {
     // K5 on 1..5 (every edge has 3 common neighbors), a separate
     // triangle 10-11-12 (support 1), and a pendant edge 5-6 (support 0)
