@@ -292,6 +292,122 @@ object GraphAnalytics {
     sb.result()
   }
 
+  /** HITS (Kleinberg hubs & authorities) in overflow-safe integer
+    * arithmetic — PageRank's link-analysis sibling: authority(v) =
+    * Σ hub over in-neighbors, hub(u) = Σ authority over out-neighbors
+    * (computed from the CURRENT iteration's authorities, the standard
+    * sequencing), each renormalized per step. Instead of the float L2
+    * norm, normalization is integer: d = max(1, Σraw div scale), then
+    * score = raw div d — total mass returns to ~scale each step with
+    * bounded floor loss, every operand stays far inside 64 bits, and
+    * the DuckDB oracle replays it exactly (a float norm could never
+    * hash-match across engines).
+    *
+    * Scale shape per iteration: TWO E-scale equi-joins probing the
+    * src-partitioned pair view (one per direction) + two O(V)
+    * partial-agg folds; the normalization scalar rides each fold's
+    * materializing action. Returns (id, hub, authority).
+    */
+  def hitsFixedPoint(edges: DataFrame, iters: Int = 5,
+                     scale: Long = 1000000000000L,
+                     pairsDistinct: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+    val parentCached = pairsDistinct &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pairs0 =
+      if (pairsDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+    val pairs = if (parentCached) pairs0
+      else pairs0.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = pairs.select(col("src").as("id"))
+        .union(pairs.select(col("dst").as("id"))).distinct()
+        .localCheckpoint(true)
+      val n = nodes.count()
+      val init = scale / n
+      var state = nodes.select(col("id"), lit(init).as("hub"),
+        lit(init).as("authority"))
+      var frame: DataFrame = null
+      graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, n,
+        pairs.count()) {
+        for (_ <- 1 to iters) {
+          // authorities from the previous hubs
+          // LAZY checkpoints: the normalization aggregate is the
+          // materializing action (the bfsLoop pattern) — one job per
+          // frame instead of an eager-persist job plus the agg
+          val aRaw = state.select(col("id").as("src"), col("hub"))
+            .join(pairs, Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum("hub").as("raw"))
+            .localCheckpoint(false)
+          val sumA = aRaw.agg(coalesce(sum("raw"), lit(0L))).first().getLong(0)
+          val dA = math.max(1L, sumA / scale)
+          val aNew = aRaw.select(col("id"),
+            expr(s"raw div ${dA}L").as("authority"))
+          // hubs from the NEW authorities (standard HITS sequencing)
+          val hRaw = aNew.select(col("id").as("dst"), col("authority"))
+            .join(pairs, Seq("dst"))
+            .groupBy(col("src").as("id")).agg(sum("authority").as("raw"))
+            .localCheckpoint(false)
+          val sumH = hRaw.agg(coalesce(sum("raw"), lit(0L))).first().getLong(0)
+          val dH = math.max(1L, sumH / scale)
+          val hNew = hRaw.select(col("id"),
+            expr(s"raw div ${dH}L").as("hub"))
+          val next = nodes
+            .join(hNew, Seq("id"), "left")
+            .join(aNew.withColumnRenamed("id", "id2"),
+              col("id") === col("id2"), "left")
+            .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+              coalesce(col("authority"), lit(0L)).as("authority"))
+            .localCheckpoint(true)
+          graft.core.Checkpoints.drop(aRaw)
+          graft.core.Checkpoints.drop(hRaw)
+          if (frame != null) graft.core.Checkpoints.drop(frame)
+          frame = next
+          state = next
+        }
+      }
+      state
+    } finally if (!parentCached) pairs.unpersist()
+  }
+
+  /** DuckDB oracle for [[hitsFixedPoint]] — the identical iteration
+    * (integer renormalization included) unrolled as MATERIALIZED CTEs.
+    */
+  def hitsSql(edgesSql: String, iters: Int = 5,
+              scale: Long = 1000000000000L): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e), "
+    sb ++= "nodes AS MATERIALIZED (SELECT src AS id FROM pairs UNION SELECT dst FROM pairs), "
+    sb ++= "c AS MATERIALIZED (SELECT " + scale + " // COUNT(*) AS init FROM nodes), "
+    sb ++= "st0 AS MATERIALIZED (SELECT id, (SELECT init FROM c) AS hub, " +
+      "(SELECT init FROM c) AS authority FROM nodes)"
+    for (t <- 1 to iters) {
+      val p = s"st${t - 1}"
+      sb ++= s", ar$t AS MATERIALIZED (SELECT p.dst AS id, SUM(s.hub) AS raw " +
+        s"FROM $p s JOIN pairs p ON p.src = s.id GROUP BY 1)"
+      sb ++= s", da$t AS MATERIALIZED (SELECT GREATEST(1, " +
+        s"COALESCE(SUM(raw), 0) // $scale) AS d FROM ar$t)"
+      sb ++= s", an$t AS MATERIALIZED (SELECT id, " +
+        s"raw // (SELECT d FROM da$t) AS authority FROM ar$t)"
+      sb ++= s", hr$t AS MATERIALIZED (SELECT p.src AS id, " +
+        s"SUM(a.authority) AS raw " +
+        s"FROM an$t a JOIN pairs p ON p.dst = a.id GROUP BY 1)"
+      sb ++= s", dh$t AS MATERIALIZED (SELECT GREATEST(1, " +
+        s"COALESCE(SUM(raw), 0) // $scale) AS d FROM hr$t)"
+      sb ++= s", hn$t AS MATERIALIZED (SELECT id, " +
+        s"raw // (SELECT d FROM dh$t) AS hub FROM hr$t)"
+      sb ++= s", st$t AS MATERIALIZED (SELECT n.id, " +
+        s"COALESCE(h.hub, 0) AS hub, COALESCE(a.authority, 0) AS authority " +
+        s"FROM nodes n LEFT JOIN hn$t h ON h.id = n.id " +
+        s"LEFT JOIN an$t a ON a.id = n.id)"
+    }
+    sb ++= s" SELECT id, CAST(hub AS BIGINT) AS hub, " +
+      s"CAST(authority AS BIGINT) AS authority FROM st$iters " +
+      "ORDER BY hub DESC, id"
+    sb.result()
+  }
+
   /** k-core: iteratively peel nodes of (undirected) degree < k; what
     * remains after `rounds` peels is the k-core (training-data use: the
     * dense cluster of a near-dup graph; code-graph use: the load-bearing

@@ -739,6 +739,16 @@ object QueriesGraph {
         | SELECT id, MIN(depth) AS depth FROM r GROUP BY id
         | ORDER BY depth, id LIMIT 10000""".stripMargin.replace("\n", " "))),
 
+    // HITS hubs & authorities (r7): PageRank's link-analysis sibling
+    // over the same stored pair view — integer per-step
+    // renormalization (d = max(1, Σraw div scale); score = raw div d)
+    // replaces the float L2 norm so the oracle hash-matches exactly.
+    ("graph_hits",
+      (s, d) => GraphAnalytics.hitsFixedPoint(
+          CodeGraph.edgePairs(s, d), iters = 5, pairsDistinct = true)
+        .orderBy(desc("hub"), col("id")),
+      Some(GraphAnalytics.hitsSql(E, iters = 5))),
+
     // Edge-WEIGHTED PageRank (r7): rank splits over out-edges by
     // weight — here the order→part multigraph with w = lineitem
     // multiplicity (the co-purchase strength), the variant real

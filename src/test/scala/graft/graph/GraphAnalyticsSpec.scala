@@ -235,6 +235,31 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(!got.keys.exists { case (c, x) => c == "x" || x == "x" })
   }
 
+  test("hitsFixedPoint: bipartite hubs/authorities separate; deterministic") {
+    // h1,h2 point at a1..a3: h-side must score as pure hubs, a-side as
+    // pure authorities; h3 points only at h1 (a weaker hub whose
+    // target is not an authority hub-side)
+    val g = (for { h <- Seq("h1", "h2"); a <- Seq("a1", "a2", "a3") }
+      yield (h, a)) :+ (("h3", "h1"))
+    val df = g.toDF("src", "dst")
+    val r = GraphAnalytics.hitsFixedPoint(df, iters = 4)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    // a-side: zero hub score (no out-edges), symmetric authority
+    assert(Seq("a1", "a2", "a3").forall(a => r(a)._1 == 0L))
+    assert(r("a1")._2 == r("a2")._2 && r("a2")._2 == r("a3")._2)
+    assert(r("a1")._2 > 0L)
+    // h1/h2: equal dominant hubs; h3's hub rides only h1's authority,
+    // which is tiny -> strictly smaller
+    assert(r("h1")._1 == r("h2")._1 && r("h1")._1 > r("h3")._1)
+    // deterministic across partitionings
+    val b = GraphAnalytics.hitsFixedPoint(df.repartition(5), iters = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val a = GraphAnalytics.hitsFixedPoint(df.repartition(1), iters = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("pagerankWeighted: weight-proportional shares; w=1 reduces to unweighted") {
     // a splits rank 3:1 between b and c
     val g = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
