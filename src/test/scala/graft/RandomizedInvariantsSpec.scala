@@ -142,6 +142,41 @@ class RandomizedInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("hitsFixedPoint equals the in-memory integer-renormalized replay") {
+    import graft.graph.GraphAnalytics
+    for (seed <- Seq(51, 52)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val pairs = (1 to 100).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter { case (a, b) => a != b }.distinct
+      val iters = 4
+      val scale = 1000000000000L
+      val got = GraphAnalytics.hitsFixedPoint(
+          pairs.toDF("src", "dst"), iters)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+
+      // in-memory replay of the exact integer iteration
+      val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val init = scale / nodes.size
+      var hub = nodes.map(_ -> init).toMap
+      var auth = Map.empty[String, Long]
+      for (_ <- 1 to iters) {
+        val aRaw = pairs.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => hub(e._1)).sum }
+        val dA = math.max(1L, aRaw.values.sum / scale)
+        auth = nodes.map(v => v -> (aRaw.getOrElse(v, 0L) / dA)).toMap
+        val hRaw = pairs.groupBy(_._1).map { case (u, es) =>
+          u -> es.map(e => auth(e._2)).sum }
+        val dH = math.max(1L, hRaw.values.sum / scale)
+        hub = nodes.map(v => v -> (hRaw.getOrElse(v, 0L) / dH)).toMap
+      }
+      val want = nodes.map(v => v -> (hub(v), auth(v))).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("harmonicFromSeeds equals in-memory multi-source BFS on random graphs") {
     import graft.graph.GraphAnalytics
     for (seed <- Seq(21, 22)) {
