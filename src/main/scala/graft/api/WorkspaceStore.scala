@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.core.{Mvcc, Schemas}
-import graft.ingest.{Ingest, SemanticResolver, SimpleParser, SourceParser}
+import graft.ingest.{DispatchParser, Ingest, SemanticResolver, SourceParser}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -135,7 +135,7 @@ object WorkspaceStore {
     */
   def link(spark: SparkSession, stateDir: String, name: String, rootPath: String,
            include: Seq[String] = Seq("**"), exclude: Seq[String] = Nil,
-           parser: SourceParser = SimpleParser,
+           parser: SourceParser = DispatchParser,
            nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = {
     import spark.implicits._
     val st = load(spark, stateDir)
@@ -189,7 +189,7 @@ object WorkspaceStore {
     * edge table is a current-state index, like the reference's).
     */
   def sync(spark: SparkSession, stateDir: String, names: Seq[String],
-           parser: SourceParser = SimpleParser,
+           parser: SourceParser = DispatchParser,
            nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = {
     import spark.implicits._
     val st = load(spark, stateDir)

@@ -21,7 +21,7 @@ object Workspace {
   /** `link_codebase`: register + ingest → (registry', blocks, edges). */
   def link(registry: DataFrame, name: String, rootPath: String,
            files: org.apache.spark.sql.Dataset[Ingest.FileDoc],
-           parser: SourceParser = SimpleParser): (DataFrame, DataFrame, DataFrame) = {
+           parser: SourceParser = DispatchParser): (DataFrame, DataFrame, DataFrame) = {
     val spark = registry.sparkSession
     import spark.implicits._
     val reg2 = Mvcc.putBlocks(registry,
@@ -40,7 +40,7 @@ object Workspace {
   def linkDirectory(registry: DataFrame, name: String, rootPath: String,
                     include: Seq[String] = Seq("**"),
                     exclude: Seq[String] = Nil,
-                    parser: SourceParser = SimpleParser)
+                    parser: SourceParser = DispatchParser)
       : (DataFrame, DataFrame, DataFrame) =
     link(registry, name, rootPath,
       Ingest.readDirectory(registry.sparkSession, rootPath, include, exclude),
@@ -58,7 +58,7 @@ object Workspace {
     */
   def sync(blocks: DataFrame, edges: DataFrame, name: String,
            files: org.apache.spark.sql.Dataset[Ingest.FileDoc],
-           parser: SourceParser = SimpleParser): (DataFrame, DataFrame) = {
+           parser: SourceParser = DispatchParser): (DataFrame, DataFrame) = {
     val units = Ingest.parseFiles(files, parser)
     val freshBlocks = Ingest.unitsToBlocks(units, name)
     val freshEdges = SemanticResolver.edgesAsBlocks(units, name)

@@ -1,0 +1,292 @@
+package graft.ingest
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Line/regex-grade Zig source extractor — the real-codebase counterpart
+  * of the reference's AST walker
+  * (`/root/reference/src/ingestion/parsers/zig_parser.zig:23-135`).
+  * The reference parses with the official compiler AST; a JVM build has
+  * no Zig AST, so this is a single-pass lexical scan that recovers the
+  * same unit/edge surface the walker extracts:
+  *
+  *   - `fn name(...)` declarations (`zig_parser.zig:317-380`): function
+  *     units; inside a container the unit gets `parentContainer` and a
+  *     `method_of` edge (`:350-357`); `calls` edges from identifier
+  *     call-sites and `calls_method` from `.field(...)` call-sites in
+  *     the body/signature (`:382-441`), attached to the innermost
+  *     enclosing function like the walker's `current_function`.
+  *   - `const X = struct|enum|union|opaque` (`:465-494,:600-644`,
+  *     incl. the `union(enum) {...}` call form `:556-570`): type units
+  *     that open a container scope for nested declarations.
+  *   - `const x = @import("...")` (`:575-598`): import units, plus an
+  *     `imports` edge targeting the imported module's basename (the
+  *     reference's parser emits the unit only; the edge is this engine's
+  *     resolver food — unresolvable targets like `std` drop, exactly as
+  *     unresolved names drop in `SemanticResolver`).
+  *   - `test "..."` declarations (`:646-680`): test units with the
+  *     reference's `test_<line>` fallback id; call-sites inside test
+  *     bodies attach to the test unit (the reference drops them because
+  *     `current_function` stays null in a test — keeping them is what
+  *     makes `show --relation callers` find test coverage, the same
+  *     contract the toy-language parser already ships).
+  *   - top-level / container-level `const` / `var` declarations
+  *     (`:443-524`). Deviation, documented: the reference emits units
+  *     for LOCAL variables inside function bodies too ("filtering by
+  *     scope should happen at a higher level"); this extractor scopes
+  *     declarations to file/container level — locals are graph noise no
+  *     downstream reference query consumes.
+  *
+  * Lexical honesty comes from a cleaning pre-pass: `//` comments,
+  * string/char literals, and `\\` multiline-string lines are blanked
+  * (structure preserved) so brace depth, declaration regexes, and
+  * call-site scans never fire inside text. What a line-grade scan gives
+  * up vs the AST: exotic shapes like an inline container literal in a
+  * return type. What it gains: zero native dependencies and
+  * per-partition parallelism over the files DataFrame.
+  */
+object ZigParser extends SourceParser {
+
+  private val FnRe =
+    """^\s*(?:pub\s+)?(?:(?:export|extern|inline|noinline|threadlocal)\s+)*fn\s+([A-Za-z_]\w*)\s*\(""".r
+  private val ContainerRe =
+    """^\s*(?:pub\s+)?const\s+([A-Za-z_]\w*)\s*=\s*(?:packed\s+|extern\s+)?(?:struct|enum|union|opaque)\b""".r
+  private val ImportRe =
+    """^\s*(?:pub\s+)?const\s+([A-Za-z_]\w*)\s*=\s*@import\s*\(""".r
+  private val ImportPathRe = """@import\s*\(\s*"([^"]+)"""".r
+  private val ConstVarRe =
+    """^\s*(?:pub\s+)?(?:threadlocal\s+)?(const|var)\s+([A-Za-z_]\w*)""".r
+  // cleaned lines have string literals blanked, so `test "name" {`
+  // scans as `test        {`; an identifier like `test_decl,` (an enum
+  // variant) must NOT match — the body brace is required
+  private val TestRe = """^\s*test(?:\s+[A-Za-z_]\w*)?\s*\{""".r
+  private val TestNameRe = """^\s*test\s+"([^"]*)"""".r
+  private val CallRe = """([A-Za-z_]\w*)\s*\(""".r
+
+  /** Identifiers that look like calls lexically but are syntax:
+    * `if (..)`, `switch (..)`, `align(..)`, `callconv(..)`, the
+    * container keywords in `union(enum)` form, etc.
+    */
+  private val Keywords = Set(
+    "if", "while", "for", "switch", "catch", "return", "defer", "errdefer",
+    "orelse", "try", "and", "or", "break", "continue", "comptime", "inline",
+    "asm", "align", "callconv", "linksection", "addrspace", "test", "fn",
+    "struct", "enum", "union", "opaque", "error", "unreachable",
+    "usingnamespace", "packed", "extern", "pub", "const", "var", "suspend",
+    "resume", "nosuspend", "anyframe", "anytype", "noalias", "volatile",
+    "allowzero", "export", "threadlocal")
+
+  private final case class UnitBuilder(
+      unitType: String, name: String, parent: String, lineStart: Int,
+      var lineEnd: Int, edges: ArrayBuffer[ParsedEdge] = ArrayBuffer.empty)
+
+  /** One open scope: a container (`type`) body or a function/test body.
+    * `openDepth` = brace depth just BEFORE the body's `{`; the scope
+    * closes when depth falls back to it.
+    */
+  private final case class Frame(kind: String, ub: UnitBuilder, openDepth: Int)
+
+  def parse(filePath: String, content: String): Seq[ParsedUnit] = {
+    val cleanedLines = clean(content)
+    val origLines = content.split("\n", -1)
+    val builders = ArrayBuffer.empty[UnitBuilder]
+    val stack = ArrayBuffer.empty[Frame]
+
+    def parentContainer: String =
+      stack.reverseIterator.collectFirst { case Frame("type", ub, _) => ub.name }
+        .getOrElse("")
+    def currentCallTarget: Option[UnitBuilder] =
+      stack.reverseIterator.collectFirst {
+        case Frame(k, ub, _) if k == "function" || k == "test" => ub
+      }
+    def insideFunction: Boolean = currentCallTarget.isDefined
+
+    def addCalls(text: String, to: UnitBuilder): Unit =
+      for (m <- CallRe.findAllMatchIn(text)) {
+        val callee = m.group(1)
+        val before = text.take(m.start).reverse.dropWhile(_ == ' ')
+        val prev = before.headOption.getOrElse(' ')
+        // the reference distinguishes identifier calls (`calls`) from
+        // field-access calls (`calls_method`), zig_parser.zig:404-414;
+        // `@...(` builtins and keyword-parens are not calls at all
+        val edgeType = if (prev == '.') "calls_method" else "calls"
+        if (prev != '@' && !Keywords(callee))
+          to.edges += ParsedEdge(edgeType, callee)
+      }
+
+    var depth = 0
+    var i = 0
+    while (i < cleanedLines.length) {
+      val line = cleanedLines(i)
+      val lineNo = i + 1
+      var consumedTo = i // last line index consumed by a joined declaration
+      // a body-opening declaration's scope starts AFTER its consumed
+      // lines are depth-accounted (a multi-line signature must not
+      // trip the close check before its `{` is seen)
+      var pending: Option[Frame] = None
+
+      if (ImportRe.findFirstMatchIn(line).isDefined) {
+        val binding = ImportRe.findFirstMatchIn(line).get.group(1)
+        val path = ImportPathRe.findFirstMatchIn(origLines(i)).map(_.group(1))
+        val module = path.map(p =>
+          p.split('/').last.stripSuffix(".zig")).getOrElse(binding)
+        builders += UnitBuilder("import", binding, "", lineNo, lineNo,
+          ArrayBuffer(ParsedEdge("imports", module)))
+      } else if (ContainerRe.findFirstMatchIn(line).isDefined) {
+        val name = ContainerRe.findFirstMatchIn(line).get.group(1)
+        val ub = UnitBuilder("type", name, parentContainer, lineNo, lineNo)
+        builders += ub
+        val (_, end, opened, _) = joinDecl(cleanedLines, i)
+        if (opened) pending = Some(Frame("type", ub, depth))
+        consumedTo = end
+      } else if (FnRe.findFirstMatchIn(line).isDefined) {
+        val name = FnRe.findFirstMatchIn(line).get.group(1)
+        val parent = parentContainer
+        val ub = UnitBuilder("function", name, parent, lineNo, lineNo)
+        if (parent.nonEmpty) ub.edges += ParsedEdge("method_of", parent)
+        builders += ub
+        val (sig, end, opened, rest) = joinDecl(cleanedLines, i)
+        // param/return-type call-sites (`std.ArrayList(u8)`) belong to
+        // the fn itself, as in the walker's pre-order visit; `rest`
+        // covers a one-line body (`fn f() void { g(); }`)
+        addCalls(sig.replaceFirst("""fn\s+[A-Za-z_]\w*\s*\(""", " ( "), ub)
+        addCalls(rest, ub)
+        if (opened) pending = Some(Frame("function", ub, depth))
+        else ub.lineEnd = end + 1
+        consumedTo = end
+      } else if (TestRe.findFirstMatchIn(line).isDefined) {
+        val name = TestNameRe.findFirstMatchIn(origLines(i)).map(_.group(1))
+          .getOrElse(s"test_$lineNo")
+        val ub = UnitBuilder("test", name, parentContainer, lineNo, lineNo)
+        builders += ub
+        val (_, end, opened, rest) = joinDecl(cleanedLines, i)
+        addCalls(rest, ub)
+        if (opened) pending = Some(Frame("test", ub, depth))
+        consumedTo = end
+      } else if (!insideFunction &&
+          ConstVarRe.findFirstMatchIn(line).isDefined) {
+        val m = ConstVarRe.findFirstMatchIn(line).get
+        builders += UnitBuilder(m.group(1), m.group(2), parentContainer,
+          lineNo, lineNo)
+      } else {
+        currentCallTarget.foreach(t => addCalls(line, t))
+      }
+
+      // apply brace-depth deltas for every consumed line and close any
+      // scopes whose body ended on one of them
+      var j = i
+      while (j <= consumedTo) {
+        depth += cleanedLines(j).count(_ == '{') - cleanedLines(j).count(_ == '}')
+        while (stack.nonEmpty && depth <= stack.last.openDepth) {
+          stack.last.ub.lineEnd = j + 1
+          stack.remove(stack.length - 1)
+        }
+        j += 1
+      }
+      pending.foreach { f =>
+        if (depth > f.openDepth) stack += f
+        else f.ub.lineEnd = consumedTo + 1 // body opened and closed inline
+      }
+      i = consumedTo + 1
+    }
+    for (f <- stack) f.ub.lineEnd = origLines.length // unclosed at EOF
+
+    val units = builders.map { ub =>
+      val unitId = ub.unitType match {
+        case "import" => s"$filePath:import:${ub.name}"
+        case "test" => s"$filePath:test:${ub.lineStart}"
+        case _ if ub.parent.nonEmpty => s"$filePath:${ub.parent}:${ub.name}"
+        case _ => s"$filePath:${ub.name}"
+      }
+      val body = origLines.slice(ub.lineStart - 1, ub.lineEnd)
+        .mkString("\n").trim
+      ParsedUnit(unitId, ub.unitType, ub.name, ub.parent, filePath,
+        ub.lineStart, ub.lineEnd, body,
+        ub.edges.distinct.toSeq)
+    }
+    if (units.isEmpty && content.trim.nonEmpty)
+      Seq(ParsedUnit(s"$filePath:document", "document",
+        filePath.split('/').last, "", filePath, 1, origLines.length,
+        content, Seq.empty))
+    else units.toSeq
+  }
+
+  /** Join cleaned lines from `start` until the declaration's body `{`
+    * or terminating `;` at paren-depth 0 (multi-line fn signatures,
+    * `union(enum)` arg lists). Returns (joined text, last line index,
+    * bodyOpened, remainder-of-last-line-after-the-brace — the one-line
+    * body case). Lookahead bounded — a pathological file degrades to
+    * per-line handling, never an infinite scan.
+    */
+  private def joinDecl(lines: Array[String], start: Int)
+      : (String, Int, Boolean, String) = {
+    val sb = new StringBuilder
+    var paren = 0
+    var j = start
+    while (j < lines.length && j < start + 60) {
+      val l = lines(j)
+      var k = 0
+      while (k < l.length) {
+        l(k) match {
+          case '(' => paren += 1
+          case ')' => paren -= 1
+          case '{' if paren == 0 =>
+            sb ++= l.take(k + 1); return (sb.toString, j, true, l.drop(k + 1))
+          case ';' if paren == 0 =>
+            sb ++= l.take(k + 1); return (sb.toString, j, false, "")
+          case _ => ()
+        }
+        k += 1
+      }
+      sb ++= l; sb += '\n'
+      j += 1
+    }
+    (sb.toString, start, false, "")
+  }
+
+  /** Blank comments, string/char literals, and `\\` multiline-string
+    * text with spaces, preserving line structure, so the structural scan
+    * never reads inside text. Single pass, O(n).
+    */
+  private[ingest] def clean(content: String): Array[String] = {
+    val out = new Array[Char](content.length)
+    var i = 0
+    var state = 0 // 0 normal, 1 string, 2 char, 3 line comment/multiline str
+    while (i < content.length) {
+      val c = content(i)
+      if (c == '\n') { out(i) = '\n'; state = 0 }
+      else state match {
+        case 0 =>
+          if (c == '/' && i + 1 < content.length && content(i + 1) == '/') {
+            out(i) = ' '; state = 3
+          } else if (c == '\\' && i + 1 < content.length && content(i + 1) == '\\') {
+            out(i) = ' '; state = 3 // multiline string literal line
+          } else if (c == '"') { out(i) = ' '; state = 1 }
+          else if (c == '\'') { out(i) = ' '; state = 2 }
+          else out(i) = c
+        case 1 =>
+          out(i) = ' '
+          if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
+          else if (c == '"') state = 0
+        case 2 =>
+          out(i) = ' '
+          if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
+          else if (c == '\'') state = 0
+        case _ => out(i) = ' '
+      }
+      i += 1
+    }
+    new String(out).split("\n", -1)
+  }
+}
+
+/** `parse_file_to_blocks` content dispatch
+  * (`/root/reference/src/ingestion/ingest_file.zig:44-58`): route by
+  * file extension — real Zig sources to [[ZigParser]], everything else
+  * to [[SimpleParser]] (whose no-declarations fallback yields one
+  * `document` unit per file, the reference's non-code path).
+  */
+object DispatchParser extends SourceParser {
+  def parse(filePath: String, content: String): Seq[ParsedUnit] =
+    if (filePath.endsWith(".zig")) ZigParser.parse(filePath, content)
+    else SimpleParser.parse(filePath, content)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.graph.{CodeGraph, GraphAlgos}
-import graft.ingest.{Ingest, SemanticResolver, SimpleParser, Workspace}
+import graft.ingest.{DispatchParser, Ingest, SemanticResolver, SimpleParser, Workspace}
 import org.apache.spark.sql.functions._
 
 /** Entries for the ingestion pipeline and the heavier graph algorithms.
@@ -110,6 +110,66 @@ object QueriesIngest {
       },
       Some("""SELECT * FROM (VALUES ('alpha', '/data/alpha2'),
         | ('beta', '/data/beta')) t(id, root_path) ORDER BY id"""
+        .stripMargin.replace("\n", " "))),
+
+    // REAL-CODEBASE ingestion (r8): the reference's own source tree is
+    // the fixture — "Code is a graph. Query it." on kausaldb itself.
+    // Golden-count oracle over the pinned read-only `src/query` subtree:
+    // unit counts per type from the ZigParser walk and resolved-edge
+    // counts per type from the scoped-then-global SemanticResolver
+    // (reference zig_parser.zig:317-380,575-598,646-680 +
+    // semantic_resolver.zig:110-162). Any extractor/resolver drift
+    // breaks the hash.
+    ("ingest_zig_reference",
+      (s, d) => {
+        val files = Ingest.readDirectory(s, "/root/reference/src/query",
+          include = Seq("**/*.zig"))
+        val units = Ingest.parseFiles(files, DispatchParser)
+        val unitCounts = units.toDF().groupBy(col("unitType").as("name"))
+          .agg(count(lit(1)).as("n")).withColumn("kind", lit("unit"))
+        val edgeCounts = SemanticResolver.resolveEdges(units)
+          .groupBy(col("edge_type").as("name"))
+          .agg(count(lit(1)).as("n")).withColumn("kind", lit("edge"))
+        unitCounts.unionByName(edgeCounts)
+          .select("kind", "name", "n").orderBy("kind", "name")
+      },
+      Some("""SELECT * FROM (VALUES
+        | ('edge', 'calls', CAST(63 AS BIGINT)),
+        | ('edge', 'calls_method', 341),
+        | ('edge', 'imports', 28),
+        | ('edge', 'method_of', 144),
+        | ('unit', 'const', 96),
+        | ('unit', 'function', 182),
+        | ('unit', 'import', 53),
+        | ('unit', 'test', 46),
+        | ('unit', 'type', 51)
+        |) t(kind, name, n) ORDER BY kind, name"""
+        .stripMargin.replace("\n", " "))),
+
+    // The README demo on the reference's own code
+    // (/root/reference/README.md:28-38): link the full src tree, then
+    // `show --relation callers --target find_callers` — the engine
+    // function plus the CLI-protocol handlers that call it, through the
+    // real BFS traversal. Golden output pins parser + resolver +
+    // traversal end-to-end on a real codebase.
+    ("ingest_zig_callers",
+      (s, d) => {
+        import graft.api.Cli
+        val files = Ingest.readDirectory(s, "/root/reference/src",
+          include = Seq("**/*.zig"))
+        val units = Ingest.parseFiles(files, DispatchParser)
+        val blocks = Ingest.unitsToBlocks(units, "kausaldb")
+        val edges = SemanticResolver.edgesAsBlocks(units, "kausaldb")
+        Cli.execute(blocks, edges,
+          Cli.ShowCmd("callers", "find_callers", "kausaldb", maxDepth = 2))
+          .select("depth", "unit_id").orderBy("depth", "unit_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        | (0, 'query/engine.zig:QueryEngine:find_callers'),
+        | (1, 'server/cli_protocol.zig:handle_show_callers_request'),
+        | (1, 'server/cli_protocol.zig:handle_trace_request'),
+        | (2, 'server/cli_protocol.zig:handle_cli_message')
+        |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),
 
     ("ingest_units",
