@@ -150,20 +150,27 @@ object Bench {
           .filter(b => b >= 1.0 && v > b * speedFactor * 1.5)
           .map(b => k -> (b, v))
     }
-    // RECHECK pass (r7): box contention concentrates in the
+    // RECHECK pass (r8): box contention concentrates in the
     // driver-latency-bound iterative family — a whole cohort can blow
     // past 1.5× while the suite median barely moves (observed: 13
     // flags in one run, every one clean on an isolated rerun minutes
-    // later). So each flagged entry is re-timed ONCE after the suite;
-    // a flag whose recheck also exceeds the threshold is CONFIRMED, a
-    // flag whose recheck comes back under it was transient scheduling
-    // noise. Cost is one extra iteration for flagged entries only.
+    // later). A SINGLE post-suite timing cannot adjudicate that (r7:
+    // 5 of 7 "confirmed" flags refuted by independent 3-iter isolated
+    // medians) — one more sample on a noisy box is still noise. So
+    // each flagged entry is re-timed as a 3-iter ISOLATED MEDIAN
+    // (storage sweep + GC before each iteration, matching how the
+    // committed baselines were taken); only that median exceeding the
+    // speed-adjusted threshold lands in regressions_confirmed. Cost:
+    // three extra iterations for flagged entries only.
     val rechecks = regressions.map { case (k, (b, v)) =>
-      graft.core.Checkpoints.sweepAnonymous(spark)
-      System.gc()
-      val t0 = System.nanoTime()
-      val rv = try { run(k, sfDir); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => v }
+      val times = (1 to 3).flatMap { _ =>
+        graft.core.Checkpoints.sweepAnonymous(spark)
+        System.gc()
+        val t0 = System.nanoTime()
+        try { run(k, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }.sorted
+      val rv = if (times.isEmpty) v else times(times.size / 2)
       k -> (b, v, rv)
     }
     val confirmed = rechecks.filter { case (_, (b, _, rv)) =>
@@ -176,7 +183,15 @@ object Bench {
       jstr(k) + ":[" + b + "," + rv + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + failedTime
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
+    // Normalizing by speed_factor absorbs a genuinely distribution-wide
+    // slowdown (e.g. an accidental global config change slows MOST
+    // entries uniformly) into "the box is slow today" — surface it:
+    // a speed_factor outside sane box-variance bounds is its own alert,
+    // reported instead of silently normalized away.
+    val sfAlert =
+      if (ratios.nonEmpty && (speedFactor > 2.0 || speedFactor < 0.5)) "true"
+      else "false"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
     println(line)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write

@@ -213,6 +213,14 @@ object GraphAnalytics {
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // enforce the caller contract UP FRONT: w = 0 silently leaks rank
+      // mass (rank·0 div wout) and w < 0 corrupts the distribution until
+      // the conservation invariant trips iterations later with a
+      // confusing message — one O(E) partial agg on the just-persisted
+      // edge set (also its materializing action) fails at the input
+      val minW = ew.agg(coalesce(min("w"), lit(1L))).first().getLong(0)
+      require(minW >= 1L,
+        s"pagerankWeighted requires every edge weight >= 1, got min(w)=$minW")
       val nodes = ew.select(col("src").as("id"))
         .union(ew.select(col("dst").as("id"))).distinct()
       val wout = ew.groupBy(col("src").as("id")).agg(sum("w").as("wout"))
@@ -297,11 +305,14 @@ object GraphAnalytics {
     * Σ hub over in-neighbors, hub(u) = Σ authority over out-neighbors
     * (computed from the CURRENT iteration's authorities, the standard
     * sequencing), each renormalized per step. Instead of the float L2
-    * norm, normalization is integer: d = max(1, Σraw div scale), then
-    * score = raw div d — total mass returns to ~scale each step with
-    * bounded floor loss, every operand stays far inside 64 bits, and
-    * the DuckDB oracle replays it exactly (a float norm could never
-    * hash-match across engines).
+    * norm, normalization is integer and PROPORTIONAL in both
+    * directions: score = raw·scale div max(1, Σraw), computed in
+    * DECIMAL(38,0) (HUGEINT on the DuckDB side) so raw·scale never
+    * wraps — total mass returns to ~scale each step with bounded floor
+    * loss whether Σraw is above OR below scale (a down-only divisor
+    * would let sparse graphs with avg out-degree < 1 floor-divide all
+    * ranking signal to zero), and the oracle replays it exactly (a
+    * float norm could never hash-match across engines).
     *
     * Scale shape per iteration: TWO E-scale equi-joins probing the
     * src-partitioned pair view (one per direction) + two O(V)
@@ -340,18 +351,18 @@ object GraphAnalytics {
             .groupBy(col("dst").as("id")).agg(sum("hub").as("raw"))
             .localCheckpoint(false)
           val sumA = aRaw.agg(coalesce(sum("raw"), lit(0L))).first().getLong(0)
-          val dA = math.max(1L, sumA / scale)
           val aNew = aRaw.select(col("id"),
-            expr(s"raw div ${dA}L").as("authority"))
+            expr(s"CAST(raw AS DECIMAL(38,0)) * ${scale}L" +
+              s" div ${math.max(1L, sumA)}L").as("authority"))
           // hubs from the NEW authorities (standard HITS sequencing)
           val hRaw = aNew.select(col("id").as("dst"), col("authority"))
             .join(pairs, Seq("dst"))
             .groupBy(col("src").as("id")).agg(sum("authority").as("raw"))
             .localCheckpoint(false)
           val sumH = hRaw.agg(coalesce(sum("raw"), lit(0L))).first().getLong(0)
-          val dH = math.max(1L, sumH / scale)
           val hNew = hRaw.select(col("id"),
-            expr(s"raw div ${dH}L").as("hub"))
+            expr(s"CAST(raw AS DECIMAL(38,0)) * ${scale}L" +
+              s" div ${math.max(1L, sumH)}L").as("hub"))
           val next = nodes
             .join(hNew, Seq("id"), "left")
             .join(aNew.withColumnRenamed("id", "id2"),
@@ -386,17 +397,19 @@ object GraphAnalytics {
       val p = s"st${t - 1}"
       sb ++= s", ar$t AS MATERIALIZED (SELECT p.dst AS id, SUM(s.hub) AS raw " +
         s"FROM $p s JOIN pairs p ON p.src = s.id GROUP BY 1)"
-      sb ++= s", da$t AS MATERIALIZED (SELECT GREATEST(1, " +
-        s"COALESCE(SUM(raw), 0) // $scale) AS d FROM ar$t)"
-      sb ++= s", an$t AS MATERIALIZED (SELECT id, " +
-        s"raw // (SELECT d FROM da$t) AS authority FROM ar$t)"
+      sb ++= s", sa$t AS MATERIALIZED (SELECT GREATEST(1, " +
+        s"COALESCE(SUM(raw), 0)) AS s FROM ar$t)"
+      sb ++= s", an$t AS MATERIALIZED (SELECT id, CAST(raw * " +
+        s"CAST($scale AS HUGEINT) // (SELECT s FROM sa$t) AS BIGINT) " +
+        s"AS authority FROM ar$t)"
       sb ++= s", hr$t AS MATERIALIZED (SELECT p.src AS id, " +
         s"SUM(a.authority) AS raw " +
         s"FROM an$t a JOIN pairs p ON p.dst = a.id GROUP BY 1)"
-      sb ++= s", dh$t AS MATERIALIZED (SELECT GREATEST(1, " +
-        s"COALESCE(SUM(raw), 0) // $scale) AS d FROM hr$t)"
-      sb ++= s", hn$t AS MATERIALIZED (SELECT id, " +
-        s"raw // (SELECT d FROM dh$t) AS hub FROM hr$t)"
+      sb ++= s", sh$t AS MATERIALIZED (SELECT GREATEST(1, " +
+        s"COALESCE(SUM(raw), 0)) AS s FROM hr$t)"
+      sb ++= s", hn$t AS MATERIALIZED (SELECT id, CAST(raw * " +
+        s"CAST($scale AS HUGEINT) // (SELECT s FROM sh$t) AS BIGINT) " +
+        s"AS hub FROM hr$t)"
       sb ++= s", st$t AS MATERIALIZED (SELECT n.id, " +
         s"COALESCE(h.hub, 0) AS hub, COALESCE(a.authority, 0) AS authority " +
         s"FROM nodes n LEFT JOIN hn$t h ON h.id = n.id " +

@@ -790,8 +790,17 @@ object QueriesGraph {
           .first()
         val (m, sp, ss, sq) =
           (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-        val num = 4L * m * sp - ss * ss
-        val den = 2L * m * sq - ss * ss
+        // BigInt arithmetic: ss = Σdeg², sq = Σdeg³-scale terms, so
+        // 2·m·sq exceeds 2^63 on hub-heavy graphs at sf≥1 — silent
+        // Long wrap would emit a wrong coefficient while the ANSI
+        // aggregates and the DuckDB oracle fail loudly. Fail the same
+        // way: overflow-safe compute, loud require on the emit.
+        val numB = 4 * BigInt(m) * BigInt(sp) - BigInt(ss) * BigInt(ss)
+        val denB = 2 * BigInt(m) * BigInt(sq) - BigInt(ss) * BigInt(ss)
+        require(numB.isValidLong && denB.isValidLong,
+          s"assortativity terms overflow 64-bit (num=$numB den=$denB); " +
+            "the BIGINT oracle would error here too")
+        val (num, den) = (numB.toLong, denB.toLong)
         val coef = if (den == 0L) 0.0
           else BigDecimal(num.toDouble / den.toDouble)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -33,7 +33,14 @@ object DedupStream {
     * claims it (no output); every later doc in the bucket emits one
     * (docId, dupOf = claimant, bandIdx) row. Within a micro-batch the
     * claimant of an unclaimed bucket is the batch-minimum doc id, so a
-    * replay of the same batches is deterministic.
+    * replay of the same batches is deterministic, and duplicate docIds
+    * WITHIN one micro-batch collapse to a single collision row (`ids`
+    * is distinct-ed before emitting). Output caveat, inherent to
+    * `flatMapGroupsWithState` + append sinks: a doc REDELIVERED in a
+    * later micro-batch (at-least-once sources, restart replay) emits
+    * its collision row again — an exactly-once consumer should treat
+    * (docId, bandIdx) as the output key, same as every at-least-once
+    * streaming contract in this library.
     *
     * `docs` must be a STREAMING DataFrame with `idCol` (LONG) and
     * `textCol`; banding runs map-only on the stream (the fused
@@ -56,7 +63,7 @@ object DedupStream {
       .flatMapGroupsWithState[Long, Collision](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((bandIdx, _), rows, state: GroupState[Long]) =>
-          val ids = rows.map(_.docId).toArray.sorted
+          val ids = rows.map(_.docId).toArray.distinct.sorted
           val winner = state.getOption.getOrElse(ids.head)
           if (!state.exists) state.update(winner)
           ids.iterator.filter(_ != winner)

@@ -163,14 +163,18 @@ class RandomizedInvariantsSpec extends SparkSpec {
       var hub = nodes.map(_ -> init).toMap
       var auth = Map.empty[String, Long]
       for (_ <- 1 to iters) {
+        // proportional integer renormalization (r8): raw·scale div Σraw
+        // in 128-bit — rescales up on sparse graphs too, no mass decay
         val aRaw = pairs.groupBy(_._2).map { case (v, es) =>
           v -> es.map(e => hub(e._1)).sum }
-        val dA = math.max(1L, aRaw.values.sum / scale)
-        auth = nodes.map(v => v -> (aRaw.getOrElse(v, 0L) / dA)).toMap
+        val sA = math.max(1L, aRaw.values.sum)
+        auth = nodes.map(v => v ->
+          (BigInt(aRaw.getOrElse(v, 0L)) * scale / sA).toLong).toMap
         val hRaw = pairs.groupBy(_._1).map { case (u, es) =>
           u -> es.map(e => auth(e._2)).sum }
-        val dH = math.max(1L, hRaw.values.sum / scale)
-        hub = nodes.map(v => v -> (hRaw.getOrElse(v, 0L) / dH)).toMap
+        val sH = math.max(1L, hRaw.values.sum)
+        hub = nodes.map(v => v ->
+          (BigInt(hRaw.getOrElse(v, 0L)) * scale / sH).toLong).toMap
       }
       val want = nodes.map(v => v -> (hub(v), auth(v))).toMap
       assert(got === want, s"seed=$seed")
