@@ -40,6 +40,13 @@ object Cli {
   case object PingCmd extends Command
   case object VersionCmd extends Command
   final case class HelpCmd(topic: Option[String]) extends Command
+  /** `server [start|stop|restart|status] [--host H] [--port P]
+    * [--data-dir D]` — the daemon verbs (reference `parser.zig:274-314`;
+    * default mode `start`, like `ServerCommand{}`'s zero value).
+    */
+  final case class ServerCmd(mode: String, host: String = "127.0.0.1",
+                             port: Int = 0,
+                             dataDir: Option[String] = None) extends Command
 
   private val EntityTypes = Set("function", "struct_type", "constant", "variable",
     "type", "struct", "const", "var", "document", "customer", "supplier",
@@ -75,7 +82,11 @@ object Cli {
     */
   def parse(args: Seq[String]): Either[String, Command] = {
     if (args.isEmpty)
-      return Left("no command; expected find|show|trace|link|unlink|sync|status|ping|version|help")
+      return Left("no command; expected find|show|trace|link|unlink|sync|status|ping|version|help|server")
+    // `server` takes an optional leading BARE mode token
+    // (parser.zig:278-292) — every other command is flags-only, so it
+    // parses before the generic flag loop
+    if (args.head == "server") return parseServer(args.tail)
     val toks = args.tail
     var flags = Map.empty[String, String]
     var i = 0
@@ -146,6 +157,32 @@ object Cli {
       case "help" => Right(HelpCmd(flags.get("topic")))
       case other => Left(s"unknown command: $other")
     }
+  }
+
+  private def parseServer(toks: Seq[String]): Either[String, Command] = {
+    val (mode, rest) = toks.headOption match {
+      case Some(m) if !m.startsWith("--") =>
+        if (Set("start", "stop", "restart", "status")(m)) (m, toks.tail)
+        else return Left(s"unknown server mode: $m")
+      case _ => ("start", toks)
+    }
+    var host = "127.0.0.1"
+    var port = 0
+    var dataDir = Option.empty[String]
+    var i = 0
+    while (i < rest.length) {
+      rest(i) match {
+        case "--host" | "--port" | "--data-dir" if i + 1 >= rest.length =>
+          return Left(s"flag ${rest(i)} is missing a value")
+        case "--host" => host = rest(i + 1); i += 2
+        case "--port" =>
+          port = rest(i + 1).toIntOption
+            .getOrElse(return Left("--port must be an integer")); i += 2
+        case "--data-dir" => dataDir = Some(rest(i + 1)); i += 2
+        case other => return Left(s"unknown flag: $other")
+      }
+    }
+    Right(ServerCmd(mode, host, port, dataDir))
   }
 
   /** Map the CLI's entity-type vocabulary to stored unit types
@@ -239,7 +276,8 @@ object Cli {
           ("unlink", "unlink --name N"),
           ("sync", "sync --name N | --all"),
           ("status", "status [--verbose]"),
-          ("ping", "ping"), ("version", "version"))
+          ("ping", "ping"), ("version", "version"),
+          ("server", "server [start|stop|restart|status] [--host H] [--port P] [--data-dir D]"))
         topic.fold(all)(t => all.filter(_._1 == t)).toDF("command", "usage")
       case other =>
         throw new IllegalArgumentException(s"not a workspace command: $other")
@@ -294,6 +332,22 @@ object Cli {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     parse(args.drop(1).toSeq) match {
       case Left(err) => System.err.println(err); sys.exit(2)
+      case Right(ServerCmd(mode, host, port, dataDir)) =>
+        val stateDir = dataDir.getOrElse(dir)
+        mode match {
+          case "start" =>
+            val srv = new CliServer(spark, stateDir, port).start()
+            println(s"""{"listening":${srv.boundPort}}""")
+            srv.awaitTermination()
+          case "restart" =>
+            try CliServer.request(host, port, "stop")
+            catch { case _: java.io.IOException => () } // not running: fine
+            val srv = new CliServer(spark, stateDir, port).start()
+            println(s"""{"listening":${srv.boundPort}}""")
+            srv.awaitTermination()
+          case "stop" => println(CliServer.request(host, port, "stop"))
+          case _ => println(CliServer.request(host, port, "ping"))
+        }
       case Right(cmd) =>
         val fmt = cmd match {
           case c: FindCmd => c.format

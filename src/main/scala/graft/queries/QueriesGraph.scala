@@ -41,7 +41,7 @@ object QueriesGraph {
        |ORDER BY depth, id LIMIT 10000"""
       .stripMargin.replace("\n", " ")
 
-  val entries: Seq[Entry] = Seq(
+  private val entriesA: Seq[Entry] = Seq(
 
     ("bfs_out_depth3",
       (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "O0"),
@@ -586,7 +586,54 @@ object QueriesGraph {
     // DuckDB SQL — rows-only driver check, Kruskal equivalence is the
     // value gate. Weights derived like sssp_weighted's.
     ("graph_msf",
+      (s, d) => msfUnpacked(s, d).orderBy("a", "b"),
+      None),
+
+    // Oracled invariants companion to graph_msf (r8): the forest itself
+    // is not SQL-expressible (iterated contraction), but its defining
+    // invariants ARE — any correct spanning forest has exactly
+    // size−1 edges inside EVERY connected component (acyclicity +
+    // spanning in one per-component count), V−C edges in total. The
+    // engine computes real counts from the chosen forest joined to the
+    // min-label components; DuckDB derives the expected values from
+    // the components alone (componentsSql, same fixed 4 rounds as
+    // graph_components). Kruskal equivalence of the edge CHOICE stays
+    // spec-pinned; this closes the value gap on the driver side.
+    ("graph_msf_invariants",
       (s, d) => {
+        import s.implicits._
+        val comps = GraphAnalytics.connectedComponents(
+          CodeGraph.undPairs(s, d), rounds = 4, undirectedPairs = true)
+        val forest = msfUnpacked(s, d)
+        val sizes = comps.groupBy("component")
+          .agg(count(lit(1)).as("size"))
+        val perComp = forest
+          .join(comps.withColumnRenamed("id", "a"), Seq("a"))
+          .groupBy("component").agg(count(lit(1)).as("n_edges"))
+        val mism = sizes.join(perComp, Seq("component"), "left")
+          .filter(coalesce(col("n_edges"), lit(0L)) =!= col("size") - 1)
+          .count()
+        val nNodes = comps.count()
+        val nComponents =
+          sizes.count()
+        val nForestEdges = forest.count()
+        Seq((nNodes, nComponents, nForestEdges, mism))
+          .toDF("n_nodes", "n_components", "n_forest_edges",
+            "n_component_mismatches")
+      },
+      Some(s"""WITH comp AS (${GraphAnalytics.componentsSql(E, rounds = 4)})
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+        |  CAST(COUNT(*) - COUNT(DISTINCT component) AS BIGINT)
+        |    AS n_forest_edges,
+        |  CAST(0 AS BIGINT) AS n_component_mismatches FROM comp"""
+        .stripMargin.replace("\n", " "))),
+  )
+
+  /** The packed-key Borůvka forest shared by `graph_msf` and
+    * `graph_msf_invariants`, unpacked back to fixture ids: */
+  private def msfUnpacked(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
         // pack the fixture's `<letter><digits>` ids into LONGs (pure
         // projection both ways — ascii(prefix)·10^14 + number, exact
         // decimal roundtrip): every loop shuffle then moves fixed
@@ -629,9 +676,9 @@ object QueriesGraph {
           // the canon dedup shuffle; w is symmetric in (src, dst)
           canonicalInput = true)
           .select(unpack("a").as("a"), unpack("b").as("b"), col("w"))
-          .orderBy("a", "b")
-      },
-      None),
+  }
+
+  private val entriesB: Seq[Entry] = Seq(
 
     // Degree distribution — the first profiling query against any new
     // graph: joint (out_deg, in_deg) histogram. Two partial-agg
@@ -851,4 +898,6 @@ object QueriesGraph {
           | ON x.ok = y.ok AND x.p < y.p""".stripMargin.replace("\n", " "),
         k = 4, rounds = 3))),
   )
+
+  val entries: Seq[Entry] = entriesA ++ entriesB
 }
