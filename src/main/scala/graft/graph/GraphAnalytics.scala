@@ -1058,28 +1058,42 @@ object GraphAnalytics {
       val s0 = labels.select(col("id").as(as), col("lbl").as(out))
       if (smallV) broadcast(s0) else s0
     }
-    // ONE pass over canon computes both m and the intra-community edge
-    // count (r7 — previously two separate E-scale count jobs): the
-    // label joins are total (every endpoint has exactly one LPA label),
-    // so count(*) over the joined frame IS |canon|, and the intra count
-    // rides the same aggregate as a conditional sum.
-    val mRow = canon
+    // The labels table joins canon ONCE, and the labeled frame is
+    // checkpointed so both metric aggregates read it (r8 — previously
+    // the labels table went through THREE separate broadcast builds:
+    // two for m+intra, one more for a V-scale degree agg + join.
+    // Driver-side broadcast construction of a near-threshold label
+    // table is exactly the GC-pressure amplifier behind this entry's
+    // in-suite heavy tail; see SURVEY §6).
+    val labeled = canon
       .join(lbl("a", "la"), Seq("a"))
       .join(lbl("b", "lb"), Seq("b"))
+      .select("la", "lb")
+      .localCheckpoint(true)
+    // the label joins are total (every endpoint has exactly one LPA
+    // label), so count(*) over the labeled frame IS |canon|, and the
+    // intra count rides the same aggregate as a conditional sum
+    val mRow = labeled
       .agg(count(lit(1)).as("m"),
         sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra"))
       .first()
     val m = mRow.getLong(0)
     val intra = mRow.getLong(1)
-    // degree per node over the undirected view; D_c = Σ degrees, B = Σ D_c²
-    val b = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
-      .join(lbl("id", "lbl"), Seq("id"))
-      .groupBy("lbl").agg(sum("deg").as("dc"))
-      .agg(sum(col("dc") * col("dc"))).first().getLong(0)
-    // every action over labels/canon has run; the returned frame is a
-    // driver-local literal — release the checkpoints now
+    // D_c = Σ_{v∈c} deg(v), but over the canonical edge list each edge
+    // contributes exactly one endpoint-slot to D_la and one to D_lb —
+    // so the per-community degree sums fall out of the SAME labeled
+    // frame (endpoint-slot union → count per label), no degree table,
+    // no third labels join: B = Σ_c D_c²
+    val b = labeled.select(col("la").as("lbl"))
+      .unionAll(labeled.select(col("lb").as("lbl")))
+      .groupBy("lbl").agg(count(lit(1)).as("dc"))
+      .agg(coalesce(sum(col("dc") * col("dc")), lit(0L)))
+      .first().getLong(0)
+    // every action over labels/canon/labeled has run; the returned
+    // frame is a driver-local literal — release the checkpoints now
     graft.core.Checkpoints.drop(labels)
     graft.core.Checkpoints.drop(canon)
+    graft.core.Checkpoints.drop(labeled)
     val spark = edges.sparkSession
     import spark.implicits._
     // the single double division, rounded with the same round() the

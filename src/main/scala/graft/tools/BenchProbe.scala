@@ -34,15 +34,22 @@ object BenchProbe {
           tasks.incrementAndGet(); ()
         }
       })
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def heapMb: Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed / (1024 * 1024)
     for (it <- 1 to 3; name <- args) {
       // mirror Bench: untimed storage reset between queries
       graft.core.Checkpoints.sweepAnonymous(spark)
       System.gc()
       jobs.set(0); stages.set(0); tasks.set(0)
+      val gc0 = gcMs; val h0 = heapMb
       val t0 = System.nanoTime()
       run(name)
       println(f"iter$it $name%-28s ${(System.nanoTime()-t0)/1e9}%.2f s" +
-        f"  jobs=${jobs.get()}%3d stages=${stages.get()}%3d tasks=${tasks.get()}%5d")
+        f"  jobs=${jobs.get()}%3d stages=${stages.get()}%3d tasks=${tasks.get()}%5d" +
+        f"  gc=${gcMs - gc0}%5d ms heap=$h0%5d->${heapMb}%5d MB")
     }
     spark.stop()
   }
