@@ -480,21 +480,39 @@ object GraphAnalytics {
         .localCheckpoint(false)
       removedCnt = removed.count() // the round's single action
       if (removedCnt > 0) {
+        // the peeled layer is the JOIN side of every edge-set probe this
+        // round; with the loop running under withoutAqe and no stats, a
+        // bare join plans as sort-merge — FOUR full sorts of the O(E)
+        // edge set per round, the super-linear term the r8 scale probe
+        // measured (kcore 15.5× at 10× data; every other headliner
+        // ≤ 7.3×). Broadcasting the layer makes each round one map-only
+        // pass over und. The layer is V-bounded and usually tiny after
+        // round 1; past the broadcast bound (same 4M-key ballpark as
+        // the other V-threshold switches) fall back to shuffle — a
+        // billion-node first peel on a 100-TB graph must not be
+        // collected to the driver.
+        def rem(as: String) = {
+          val r0 = removed.withColumnRenamed("id", as)
+          if (removedCnt <= 4000000L) broadcast(r0) else r0
+        }
         // decrement = edges FROM a removed node TO a survivor (und holds
         // both orientations, so removed→removed rows are dropped by the
-        // anti-join and never decrement anyone)
-        val dec = und
-          .join(removed.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-          .join(removed.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+        // anti-join and never decrement anyone). dec is bounded by
+        // removedCnt·(k−1) — every removed node had deg < k — so it
+        // broadcasts under the same bound.
+        val dec0 = und
+          .join(rem("a"), Seq("a"), "left_semi")
+          .join(rem("b"), Seq("b"), "left_anti")
           .groupBy(col("b").as("id")).agg(count(lit(1)).as("sub"))
-        deg = deg.join(removed, Seq("id"), "left_anti")
+        val dec = if (removedCnt <= 4000000L) broadcast(dec0) else dec0
+        deg = deg.join(rem("id"), Seq("id"), "left_anti")
           .join(dec, Seq("id"), "left")
           .select(col("id"),
             (col("deg") - coalesce(col("sub"), lit(0L))).as("deg"))
           .localCheckpoint(false)
         und = und
-          .join(removed.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
-          .join(removed.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+          .join(rem("a"), Seq("a"), "left_anti")
+          .join(rem("b"), Seq("b"), "left_anti")
           .localCheckpoint(false)
       }
     }

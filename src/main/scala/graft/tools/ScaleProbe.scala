@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up probe (r8): the 100-TB claims are design
+  * arguments — this measures them. Synthesizes power-law directed
+  * graphs at 1× (matching sf0.1's edge volume: V=800k, E=1.2M) and
+  * 10× (V=8M, E=12M), runs the six graph headliners at both scales,
+  * and prints wall-clock ratios. A scale-safe operator should grow
+  * ≲ linearly in E (ratio ≈ 10 at 10× data on fixed cores); anything
+  * super-linear gets a named cause in SURVEY §6.
+  *
+  * The generator is deterministic (xxhash64 of the row id, no RNG
+  * state): src follows a pow(u, 2) skew — hub degrees ~E/√V, the
+  * hotspot shape a real code graph's god-module produces — and dst is
+  * uniform. Ids are "n<k>" strings to match the engine's key shape.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [algos...]
+  */
+object ScaleProbe {
+
+  def genEdges(spark: SparkSession, nV: Long, nE: Long): DataFrame =
+    spark.range(nE).select(
+      concat(lit("n"), (pow(
+        (abs(xxhash64(col("id"), lit(1))) % 1000000000L) / 1e9, 2.0)
+        * nV).cast("long")).as("src"),
+      concat(lit("n"),
+        (abs(xxhash64(col("id"), lit(2))) % nV).as("d")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.graph.GraphAnalytics
+
+    val algos: Seq[String] =
+      if (args.nonEmpty) args.toSeq
+      else Seq("pagerank", "components", "kcore", "bfs", "msf", "ktruss")
+
+    def run(tag: String, nV: Long, nE: Long): Map[String, Double] = {
+      // the stored-index contract: benched consumers probe a persisted,
+      // src-partitioned distinct pair view built once at ingest
+      val pairs = genEdges(spark, nV, nE).distinct()
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val und = pairs.select(col("src"), col("dst"))
+        .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[$tag] E=${pairs.count()} undE=${und.count()}")
+      def time(name: String)(f: => DataFrame): Option[(String, Double)] =
+        if (!algos.contains(name)) None
+        else {
+          graft.core.Checkpoints.sweepAnonymous(spark)
+          System.gc()
+          val t0 = System.nanoTime()
+          f.write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[$tag] $name%-12s $dt%8.2f s")
+          Some(name -> dt)
+        }
+      val r = Seq(
+        time("pagerank")(GraphAnalytics.pagerankFixedPoint(pairs, iters = 5,
+          pairsDistinct = true)),
+        time("components")(GraphAnalytics.connectedComponents(und,
+          rounds = 6, undirectedPairs = true)),
+        time("kcore")(GraphAnalytics.kcore(und, k = 2, rounds = 8,
+          undirectedPairs = true)),
+        time("bfs") {
+          import graft.graph.{Direction, EdgeFilter, Traversal, TraversalSpec}
+          import spark.implicits._
+          Traversal.bfs(
+            pairs.select(col("src"), col("dst"),
+              lit("calls").as("edge_type")),
+            Seq("n0").toDF("id"), // the hub: worst-case frontier
+            TraversalSpec(Direction.Outgoing, 3, 10000, EdgeFilter.All))
+        },
+        time("msf")(GraphAnalytics.minimumSpanningForest(
+          pairs.select(
+            expr("CAST(substring(src, 2, 100) AS BIGINT)").as("src"),
+            expr("CAST(substring(dst, 2, 100) AS BIGINT)").as("dst"))
+            .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7),
+          canonicalInput = false)),
+        time("ktruss")(GraphAnalytics.ktruss(
+          pairs.filter(col("src") < col("dst")), k = 4, rounds = 3,
+          canonical = true))
+      ).flatten.toMap
+      pairs.unpersist(); und.unpersist()
+      r
+    }
+
+    val s1 = run("1x", 800000L, 1200000L)
+    val s10 = run("10x", 8000000L, 12000000L)
+    println(f"${"algo"}%-12s ${"1x"}%8s ${"10x"}%8s  ratio")
+    for (k <- algos if s1.contains(k) && s10.contains(k))
+      println(f"$k%-12s ${s1(k)}%8.2f ${s10(k)}%8.2f  ${s10(k) / s1(k)}%5.2f")
+    spark.stop()
+  }
+}
