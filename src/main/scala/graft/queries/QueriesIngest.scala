@@ -49,6 +49,47 @@ object QueriesIngest {
       Ingest.FileDoc("src/util.zig", demoUtil)).toDS()
   }
 
+  // Scala demo codebase for the ScalaParser entries (r8): an object
+  // with a method-call chain, a cross-file import, and a ScalaTest
+  // FunSuite — the shapes ScalaParserSpec pins on the engine's own
+  // sources, here in golden-oracle form.
+  private val demoScalaPipeline =
+    """import demo.MathUtil
+      |
+      |object Pipeline {
+      |  val MaxRows = 100
+      |  def run(): Int = {
+      |    val data = load(MaxRows)
+      |    MathUtil.clamp(data)
+      |  }
+      |  def load(n: Int): Int = n
+      |}
+      |""".stripMargin
+
+  private val demoScalaUtil =
+    """object MathUtil {
+      |  def clamp(x: Int): Int = floor(x)
+      |  def floor(x: Int): Int = x
+      |}
+      |""".stripMargin
+
+  private val demoScalaSpec =
+    """import org.scalatest.funsuite.AnyFunSuite
+      |
+      |class PipelineSpec extends AnyFunSuite {
+      |  test("run works") {
+      |    Pipeline.run()
+      |  }
+      |}
+      |""".stripMargin
+
+  private def demoScalaFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(Ingest.FileDoc("app/Pipeline.scala", demoScalaPipeline),
+      Ingest.FileDoc("app/MathUtil.scala", demoScalaUtil),
+      Ingest.FileDoc("app/PipelineSpec.scala", demoScalaSpec)).toDS()
+  }
+
   /** Deterministic on-disk tree for the directory-source entry: code
     * files that pass the globs, a doc file, a glob-excluded vendor file,
     * an oversized file (> 1 MiB cap) and an empty file (both must be
@@ -169,6 +210,51 @@ object QueriesIngest {
         | (1, 'server/cli_protocol.zig:handle_show_callers_request'),
         | (1, 'server/cli_protocol.zig:handle_trace_request'),
         | (2, 'server/cli_protocol.zig:handle_cli_message')
+        |) t(depth, unit_id) ORDER BY depth, unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // SCALA extraction (r8): the second real language behind the
+    // pluggable parser — and the one the engine itself is written in
+    // (ScalaParserSpec ingests this repository's own sources; the
+    // golden oracle here pins the same unit surface on a stable demo).
+    ("ingest_scala_units",
+      (s, d) => Ingest.parseFiles(demoScalaFiles(s), DispatchParser)
+        .toDF().select(col("unitId").as("unit_id"),
+          col("unitType").as("unit_type"), col("name"),
+          col("parentContainer").as("parent"))
+        .orderBy("unit_id"),
+      Some("""SELECT * FROM (VALUES
+        | ('app/MathUtil.scala:MathUtil', 'type', 'MathUtil', ''),
+        | ('app/MathUtil.scala:MathUtil:clamp', 'function', 'clamp', 'MathUtil'),
+        | ('app/MathUtil.scala:MathUtil:floor', 'function', 'floor', 'MathUtil'),
+        | ('app/Pipeline.scala:Pipeline', 'type', 'Pipeline', ''),
+        | ('app/Pipeline.scala:Pipeline:MaxRows', 'const', 'MaxRows', 'Pipeline'),
+        | ('app/Pipeline.scala:Pipeline:load', 'function', 'load', 'Pipeline'),
+        | ('app/Pipeline.scala:Pipeline:run', 'function', 'run', 'Pipeline'),
+        | ('app/Pipeline.scala:import:MathUtil', 'import', 'MathUtil', ''),
+        | ('app/PipelineSpec.scala:PipelineSpec', 'type', 'PipelineSpec', ''),
+        | ('app/PipelineSpec.scala:import:AnyFunSuite', 'import', 'AnyFunSuite', ''),
+        | ('app/PipelineSpec.scala:test:4', 'test', 'run works', 'PipelineSpec')
+        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // The README demo on the Scala demo codebase: who calls `clamp`,
+    // two hops — the direct caller plus its test coverage, through
+    // parser → resolver → blocks/edges → BFS, end to end.
+    ("ingest_scala_callers",
+      (s, d) => {
+        import graft.api.Cli
+        val units = Ingest.parseFiles(demoScalaFiles(s), DispatchParser)
+        val blocks = Ingest.unitsToBlocks(units, "graft")
+        val edges = SemanticResolver.edgesAsBlocks(units, "graft")
+        Cli.execute(blocks, edges,
+          Cli.ShowCmd("callers", "clamp", "graft", maxDepth = 2))
+          .select("depth", "unit_id").orderBy("depth", "unit_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        | (0, 'app/MathUtil.scala:MathUtil:clamp'),
+        | (1, 'app/Pipeline.scala:Pipeline:run'),
+        | (2, 'app/PipelineSpec.scala:test:4')
         |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),
 
