@@ -252,6 +252,29 @@ class IngestSpec extends SparkSpec {
     assert(!"a.bXzig".matches(Ingest.globToRegex("a?b.zig")))
   }
 
+  test("dogfood: link the engine's own ingest package, trace real callers") {
+    // the full workspace path — directory reader → DispatchParser
+    // (.scala → ScalaParser) → blocks/edges through the MVCC write
+    // path — pointed at THIS repository: who calls
+    // SemanticResolver.resolveEdges, two hops? Its in-package chain is
+    // resolveEdges ← edgesAsBlocks ← Workspace.link/sync, all real
+    // engine code.
+    val root = new java.io.File("src/main/scala/graft/ingest")
+    assume(root.isDirectory)
+    val (reg, blocks, edges) = Workspace.linkDirectory(
+      Workspace.emptyRegistry(spark), "graft", root.getAbsolutePath,
+      include = Seq("**/*.scala"))
+    assert(Workspace.linked(reg).count() == 1)
+    val out = graft.api.Cli.execute(blocks, edges,
+      graft.api.Cli.ShowCmd("callers", "resolveEdges", "graft", maxDepth = 2))
+      .select("depth", "unit_id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out.contains((0, "SemanticResolver.scala:SemanticResolver:resolveEdges")))
+    assert(out.contains((1, "SemanticResolver.scala:SemanticResolver:edgesAsBlocks")))
+    assert(out.contains((2, "Workspace.scala:Workspace:link")))
+    assert(out.contains((2, "Workspace.scala:Workspace:sync")))
+  }
+
   test("linkDirectory ingests a real tree through the registry") {
     val root = java.nio.file.Files.createTempDirectory("graft-link").toFile
     try {
