@@ -440,6 +440,58 @@ object TextAnalysis {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Boilerplate-LINE removal — the CCNet/RefinedWeb line-level dedup
+    * every web-scale corpus prep runs before document-level dedup:
+    * a line (nav header, cookie banner, copyright footer) that repeats
+    * across ≥ `minDocs` DISTINCT documents of the same `source` is
+    * boilerplate; strip it from every document of that source and
+    * return the cleaned text with kept/total line counts. Line-level
+    * is the complement of [[dupSpans]] (token-window spans across the
+    * whole corpus): boilerplate repeats at high frequency WITHIN a
+    * source, which is why the frequency key is (source, line).
+    *
+    * Scale shape: one posexplode of the corpus into lines, one
+    * distinct + partial-agg count per (source, line) — boilerplate
+    * candidates are the frequency tail, tiny next to the corpus — one
+    * anti-join of the line stream against them (equi-join on
+    * (source, line), hash-partitioned, no skew beyond the source key
+    * itself), and one per-document re-aggregation whose
+    * array_sort(struct(pos, line)) rebuild is deterministic
+    * regardless of shuffle arrival order. Nothing is ever all-pairs;
+    * the whole operator is 3 shuffles of line-sized rows at 100 TB.
+    * Empty documents survive with empty cleaned text (left join back
+    * to the input ids), so downstream stages see every doc exactly
+    * once.
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"boilerplateLines needs minDocs >= 2; got $minDocs")
+    // -1 limit: trailing empty lines are real lines (DuckDB's
+    // string_split agrees), so counts match an external replay
+    val lines = df.select(col(idCol), col(sourceCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .localCheckpoint(true) // feeds the candidate agg AND the anti-join
+    val bp = lines.select(col(sourceCol), col("line"), col(idCol)).distinct()
+      .groupBy(col(sourceCol), col("line"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col(sourceCol), col("line"))
+    val kept = lines.join(bp, Seq(sourceCol, "line"), "left_anti")
+    val tot = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val agg = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), "\n").as("cleaned_text"))
+    df.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** BM25 top-k keyword retrieval over the corpus for a FIXED small
     * query-term list (the ad-hoc search shape; an inverted index is the
     * persisted variant of the same math). Okapi BM25:

@@ -1140,6 +1140,55 @@ object QueriesPipeline {
         | WHERE tokens_before < 2000 ORDER BY doc_id"""
         .stripMargin.replace("\n", " "))),
 
+    // Boilerplate-LINE removal (CCNet/RefinedWeb line-level dedup):
+    // lines repeating across >= 3 distinct docs of one source (nav
+    // headers, footers) are stripped; the oracle REPLAYS the same
+    // algorithm in SQL over the same literal corpus (the fixture
+    // documents are single-line, so the line structure comes from a
+    // driver-local web-page-shaped corpus, like the workspace and
+    // ingest entries). One doc is pure boilerplate (survives with
+    // empty text); a 2-doc footer in the other source stays below
+    // threshold and is kept.
+    ("text_boilerplate",
+      (s, d) => {
+        import s.implicits._
+        val h = "Home | About | Contact"
+        val f = "(c) 2026 Example"
+        val g = "All rights reserved"
+        val corpus = Seq(
+          (1L, "srcA", s"$h\nalpha beta\n$f"),
+          (2L, "srcA", s"$h\ngamma delta\n$f"),
+          (3L, "srcA", s"$h\nepsilon\n$f"),
+          (4L, "srcA", s"$h\n$f"),
+          (5L, "srcB", s"one two\n$g"),
+          (6L, "srcB", s"three four\n$g"))
+          .toDF("doc_id", "source", "text")
+        TextAnalysis.boilerplateLines(corpus, "doc_id", "text", "source",
+          minDocs = 3).orderBy("doc_id")
+      },
+      Some("""WITH t(doc_id, source, text) AS (VALUES
+        | (1, 'srcA', 'Home | About | Contact' || chr(10) || 'alpha beta' || chr(10) || '(c) 2026 Example'),
+        | (2, 'srcA', 'Home | About | Contact' || chr(10) || 'gamma delta' || chr(10) || '(c) 2026 Example'),
+        | (3, 'srcA', 'Home | About | Contact' || chr(10) || 'epsilon' || chr(10) || '(c) 2026 Example'),
+        | (4, 'srcA', 'Home | About | Contact' || chr(10) || '(c) 2026 Example'),
+        | (5, 'srcB', 'one two' || chr(10) || 'All rights reserved'),
+        | (6, 'srcB', 'three four' || chr(10) || 'All rights reserved')),
+        | l0 AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM t),
+        | ln AS (SELECT doc_id, source, unnest(range(0, len(ls))) AS pos, ls FROM l0),
+        | lx AS (SELECT doc_id, source, pos, ls[CAST(pos + 1 AS INT)] AS line FROM ln),
+        | bp AS (SELECT source, line FROM (SELECT source, line,
+        |   COUNT(DISTINCT doc_id) AS nd FROM lx GROUP BY 1, 2) WHERE nd >= 3),
+        | kept AS (SELECT lx.* FROM lx ANTI JOIN bp USING (source, line)),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |   string_agg(line, chr(10) ORDER BY pos) AS cleaned FROM kept GROUP BY 1),
+        | tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lx GROUP BY 1)
+        | SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST(tot.n_lines AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(agg.cleaned, '') AS cleaned_text
+        | FROM t JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // Cross-document duplicated n-grams (C4/Gopher/Dolma gate): per
     // doc, the fraction of its 8-gram windows that also occur in ≥1
     // OTHER document. Gram-keyed aggs + one semi join; at 100 TB the

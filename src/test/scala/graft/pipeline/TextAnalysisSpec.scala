@@ -292,4 +292,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.count(_._1 == 32L) == 1)
     assert(got.count(_._1 == 33L) == 1) // exactly chunkSize tokens
   }
+
+  test("boilerplate lines: per-source threshold, order, survivors") {
+    val docs = Seq(
+      (1L, "a", "H\nx\nF"), (2L, "a", "H\ny\nF"), (3L, "a", "H\nF"),
+      // same H line in source b, but only 2 docs there: below threshold
+      (4L, "b", "H\nz"), (5L, "b", "H\nw"),
+      (6L, "a", "")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.boilerplateLines(docs, "doc_id", "text", "source",
+      minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 1L, "x")))
+    assert(out(1) == ((2L, 3L, 1L, "y")))
+    assert(out(2) == ((3L, 2L, 0L, ""))) // pure boilerplate survives, empty
+    // source b keeps H: frequency is per (source, line)
+    assert(out(3) == ((4L, 2L, 2L, "H\nz")))
+    assert(out(4) == ((5L, 2L, 2L, "H\nw")))
+    // the empty doc has ONE line (the empty string) — and since "" only
+    // appears in one doc of source a, it is kept verbatim
+    assert(out(5) == ((6L, 1L, 1L, "")))
+    // line ORDER is preserved through the shuffle: multi-line survivor
+    val multi = Seq((1L, "s", "keep1\nBP\nkeep2\nkeep3"),
+      (2L, "s", "BP\nq"), (3L, "s", "BP")).toDF("doc_id", "source", "text")
+    val m = TextAnalysis.boilerplateLines(multi, "doc_id", "text", "source",
+      minDocs = 3).filter(col("doc_id") === 1L).head()
+    assert(m.getString(3) == "keep1\nkeep2\nkeep3")
+  }
 }
