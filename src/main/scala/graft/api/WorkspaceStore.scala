@@ -121,6 +121,28 @@ object WorkspaceStore {
     (blocks, edges, files.count())
   }
 
+  /** INCREMENTAL-sync delta (r8): rows of `fresh` that are NEW or
+    * CHANGED versus the stored current view — same id but different
+    * content (or any other block column). Unchanged units produce NO
+    * new MVCC row: before this, every `kausal sync` re-appended the
+    * whole workspace as a fresh epoch, so the versioned table grew by
+    * V rows per sync whether anything changed or not — at 100 TB the
+    * difference between "sync cost ∝ edit size" and "sync cost ∝
+    * corpus size". (The reference records `last_sync_timestamp` "for
+    * incremental change detection", `manager.zig:257-258`, but its
+    * sync is delete-then-reingest; the MVCC shape lets us do better.)
+    * One hash-projection per side + one anti-join on (id, hash).
+    */
+  private def changedBlocks(curView: DataFrame, fresh: DataFrame): DataFrame = {
+    val hash = xxhash64(col("unit_type"), col("unit_id"), col("file_path"),
+      col("source_uri"), col("content"))
+    val curKeyed = curView.select(col("id").as("__cid"), hash.as("__ch"))
+    fresh.withColumn("__h", hash)
+      .join(curKeyed,
+        col("id") === col("__cid") && col("__h") === col("__ch"), "left_anti")
+      .drop("__h")
+  }
+
   /** `kausal link --path P --name N`: register the workspace and ingest
     * its tree through the MVCC write path (new blocks become the next
     * sequence epoch; a re-link shadows the previous epoch, never
@@ -144,15 +166,18 @@ object WorkspaceStore {
     val (blocks, edges, nFiles) = ingestTree(spark, name, rootPath, include, exclude, parser)
     val reg2 = Mvcc.putBlocks(st.registry,
       Seq((name, rootPath, nowSeconds)).toDF("id", "root_path", "synced_at"))
-    var blocks2 = Mvcc.putBlocks(st.blocks, blocks)
+    // delta-put (r8): unchanged units already in the current view (a
+    // relink over live data, or a relink after unlink — unlink only
+    // tombstones the REGISTRY) produce no new epoch rows
+    val curWs = Schemas.currentView(st.blocks)
+      .filter(col("workspace") === name)
+    var blocks2 = Mvcc.putBlocks(st.blocks, changedBlocks(curWs, blocks))
     if (relink) {
       // ids live in the current view but absent from the fresh parse →
       // tombstone. Stays a DataFrame end-to-end (deleteBlocksDf): no
       // driver collect, so a re-link of an arbitrarily large workspace
       // never funnels its vanished-id set through the driver.
-      val gone = Schemas.currentView(st.blocks)
-        .filter(col("workspace") === name).select("id")
-        .except(blocks.select("id"))
+      val gone = curWs.select("id").except(blocks.select("id"))
       blocks2 = Mvcc.deleteBlocksDf(blocks2, gone)
     }
     // null-safe filter: block tombstones carry NULL workspace
@@ -181,12 +206,17 @@ object WorkspaceStore {
     Seq((name, "unlinked")).toDF("workspace", "result")
   }
 
-  /** `kausal sync --name N` / `--all`: re-ingest linked workspaces.
-    * Changed/new units become the next MVCC epoch via `putBlocks`;
-    * units that vanished from the tree get tombstones — the append-only
-    * equivalent of the reference's delete-then-reingest sync
-    * (`manager.zig:249-377`). Edges are replaced per workspace (the
-    * edge table is a current-state index, like the reference's).
+  /** `kausal sync --name N` / `--all`: re-ingest linked workspaces
+    * INCREMENTALLY. Only new-or-CHANGED units (content-hash diff vs the
+    * current view, [[changedBlocks]]) become the next MVCC epoch via
+    * `putBlocks`; unchanged units write nothing; units that vanished
+    * from the tree get tombstones — the append-only improvement on the
+    * reference's delete-then-reingest sync (`manager.zig:249-377`; its
+    * `last_sync_timestamp` is tracked "for incremental change
+    * detection" that the native engine never ships). A no-op sync of a
+    * 100-TB workspace appends zero block rows. Edges are replaced per
+    * workspace (the edge table is a current-state index, like the
+    * reference's).
     */
   def sync(spark: SparkSession, stateDir: String, names: Seq[String],
            parser: SourceParser = DispatchParser,
@@ -202,19 +232,23 @@ object WorkspaceStore {
     val summaries = names.sorted.map { name =>
       val (blocks, edges, nFiles) =
         ingestTree(spark, name, reg(name), Seq("**"), Nil, parser)
+      val curWs = Schemas.currentView(cur.blocks)
+        .filter(col("workspace") === name)
+      // INCREMENTAL (r8): only new-or-changed units become epoch rows —
+      // sync cost is ∝ the edit, not the corpus. `blocks_synced`
+      // reports the delta actually written.
+      val delta = changedBlocks(curWs, blocks)
       // ids present in the current view but absent from the fresh parse
       // → tombstone (file/unit deleted since link). DataFrame end-to-end
       // (deleteBlocksDf) — no driver collect of the vanished-id set.
-      val gone = Schemas.currentView(cur.blocks)
-        .filter(col("workspace") === name).select("id")
-        .except(blocks.select("id"))
-      val b2 = Mvcc.deleteBlocksDf(Mvcc.putBlocks(cur.blocks, blocks), gone)
+      val gone = curWs.select("id").except(blocks.select("id"))
+      val b2 = Mvcc.deleteBlocksDf(Mvcc.putBlocks(cur.blocks, delta), gone)
       // null-safe filter: block tombstones carry NULL workspace
       val e2 = cur.edges.filter(!(col("workspace") <=> name)).unionByName(edges)
       val r2 = Mvcc.putBlocks(cur.registry,
         Seq((name, reg(name), nowSeconds)).toDF("id", "root_path", "synced_at"))
       cur = State(r2, b2, e2)
-      (name, nFiles, blocks.count(), gone.count())
+      (name, nFiles, delta.count(), gone.count())
     }
     save(stateDir, cur)
     summaries.toDF("workspace", "files_processed", "blocks_synced", "blocks_removed")

@@ -116,6 +116,43 @@ class CliWorkspaceSpec extends SparkSpec {
     assert(Cli.executeWorkspace(spark, state, Cli.StatusCmd()).count() == 1L)
   }
 
+  test("sync is incremental: no-op syncs write zero block rows") {
+    val tree = writeTree(
+      "a.zig" -> "fn alpha() {\n}\n",
+      "b.zig" -> "fn beta() {\n}\n")
+    val state = tmpState()
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(tree.getAbsolutePath, "p"))
+    def versionedRows(): Long = WorkspaceStore.load(spark, state).blocks.count()
+    val afterLink = versionedRows()
+
+    // nothing changed on disk: the versioned table must not grow
+    val noop = Cli.executeWorkspace(spark, state, Cli.SyncCmd(Some("p")))
+      .collect().head
+    assert(noop.getAs[Long]("blocks_synced") == 0L)
+    assert(noop.getAs[Long]("blocks_removed") == 0L)
+    assert(versionedRows() == afterLink)
+
+    // edit ONE file: exactly that file's changed unit is re-epoched
+    java.nio.file.Files.write(new java.io.File(tree, "a.zig").toPath,
+      "fn alpha() {\n  beta()\n}\n".getBytes("UTF-8"))
+    val synced = Cli.executeWorkspace(spark, state, Cli.SyncCmd(Some("p")))
+      .collect().head
+    assert(synced.getAs[Long]("blocks_synced") == 1L) // alpha only
+    assert(synced.getAs[Long]("blocks_removed") == 0L)
+    assert(versionedRows() == afterLink + 1L)
+
+    // relink after unlink over an unchanged tree: registry epoch moves,
+    // block table does not (unlink only tombstones the registry)
+    Cli.executeWorkspace(spark, state, Cli.UnlinkCmd("p"))
+    val before = versionedRows()
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(tree.getAbsolutePath, "p"))
+    assert(versionedRows() == before)
+    // and the current view still answers queries
+    val (blocks, edges) = WorkspaceStore.currentGraph(spark, state)
+    assert(blocks.filter(org.apache.spark.sql.functions
+      .col("unit_id") === "a.zig:alpha").count() == 1L)
+  }
+
   test("bool flags are rejected on commands that don't handle them") {
     // presence-only flags follow the same error-message-first contract as
     // value flags: accepted ONLY where a handler reads them
