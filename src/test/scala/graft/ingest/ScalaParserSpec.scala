@@ -177,6 +177,38 @@ class ScalaParserSpec extends AnyFunSuite {
     assert(us.map(_.unitType) == Seq("type", "function"))
   }
 
+  test("fuzz: adversarial inputs terminate without throwing (all parsers)") {
+    // ingestion must survive arbitrary bytes — a corrupt file in a
+    // 100-TB tree must not kill the job. Deterministic LCG so failures
+    // reproduce; the alphabet is weighted toward the parsers' control
+    // characters (braces, quotes, slashes, backslashes, newlines).
+    val alphabet =
+      "{}()[]\"'\\/*\n\n ;=>:,.@_abcdefXYZ09 \t" +
+        "fn def val var class object trait test import const type "
+    var seed = 0x9E3779B97F4A7C15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 1 to 200) {
+      val len = nextInt(400)
+      val sb = new StringBuilder
+      for (_ <- 0 until len) sb += alphabet(nextInt(alphabet.length))
+      val src = sb.toString
+      // every parser: total (returns, never throws) with sane units
+      for (p <- Seq(ScalaParser, ZigParser, SimpleParser, DispatchParser)) {
+        val us = p.parse(s"f$trial.x", src)
+        us.foreach { u =>
+          assert(u.lineStart >= 1, s"trial $trial: lineStart ${u.lineStart}")
+          assert(u.lineEnd >= u.lineStart,
+            s"trial $trial ${u.unitType} ${u.name}: " +
+              s"range ${u.lineStart}-${u.lineEnd}")
+          assert(u.unitId.nonEmpty && u.unitType.nonEmpty)
+        }
+      }
+    }
+  }
+
   test("dogfood: parses the engine's own SourceParser.scala") {
     val path = "src/main/scala/graft/ingest/SourceParser.scala"
     val f = new java.io.File(path)
