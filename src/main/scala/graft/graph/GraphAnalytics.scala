@@ -1997,6 +1997,150 @@ object GraphAnalytics {
     } finally if (!parentCached) und.unpersist()
   }
 
+  /** Sampled STRESS centrality — Brandes' two-phase accumulation over
+    * the BFS level DAG, in ALL-INTEGER arithmetic (which is what makes
+    * it exactly oracle-able; float betweenness can never hash-match
+    * across engines because the dependency sums are order-sensitive
+    * fractions). stress(v) = Σ_{s,t} σ_st(v): the number of shortest
+    * paths (from the sampled seed set, depth-truncated at `maxDepth` —
+    * fixed-horizon semantics like every iterative oracle here) passing
+    * THROUGH v as an interior vertex.
+    *
+    * Phase 1, forward: one multi-source labeled BFS (the
+    * [[harmonicFromSeeds]] frontier shape) carrying σ — the
+    * shortest-path COUNT — folded by a per-level partial agg:
+    * σ_d(v) = Σ σ_{d-1}(u) over frontier edges (u,v), new nodes only.
+    * Phase 2, backward: per level from the horizon up,
+    * g(v) = Σ_{w ∈ DAG-succ(v)} (g(w) + 1) — the number of shortest
+    * paths from v to ANY strict descendant (chain a→b→c gives
+    * g(b)=1, g(a)=2; a diamond gives g(top)=4 — one term per path per
+    * endpoint). Then stress_s(v) = σ_s(v)·g_s(v), summed over seeds —
+    * every operation an integer join + partial agg.
+    *
+    * Scale shape: 2·maxDepth frontier-sized equi-joins against the
+    * stored pair view (forward AND backward probe the same index);
+    * per-seed state is neighborhood-bounded exactly like harmonic.
+    * σ grows at most (max out-degree)^maxDepth — depth-truncation is
+    * also the integer-overflow bound, and DuckDB replays the same
+    * BIGINT arithmetic (loud on overflow where Spark would wrap;
+    * the small-horizon contract keeps both exact).
+    *
+    * Returns (id, stress) for every non-seed node reached by ≥1 seed;
+    * leaves carry stress 0 (reached, on no interior position).
+    */
+  def stressFromSeeds(edges: DataFrame, seeds: Seq[String],
+                      maxDepth: Int = 3,
+                      undirectedPairs: Boolean = false): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 12, "maxDepth must be 1..12")
+    require(seeds.nonEmpty, "stressFromSeeds needs at least one seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parentCached = undirectedPairs &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0 =
+      if (undirectedPairs) edges.select(col("src"), col("dst"))
+      else {
+        val p = edges.select(col("src"), col("dst")).distinct()
+        p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      }
+    val und = if (parentCached) und0
+      else und0.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bcastRows = 100000L
+      // ---- forward: per-level frames (seed, id, sigma) ----
+      val lvl0 = seeds.toDF("seed")
+        .select(col("seed"), col("seed").as("id"), lit(1L).as("sigma"))
+        .distinct().localCheckpoint(false)
+      val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+      var visited = lvl0.select("seed", "id")
+      var frontierN = lvl0.count()
+      for (_ <- 1 to maxDepth if frontierN > 0) {
+        val prev = levels.last
+        val from = if (frontierN <= bcastRows) broadcast(prev) else prev
+        val seen0 = visited.select(col("seed").as("vs"), col("id").as("vid"))
+        val seen = if (frontierN <= bcastRows) broadcast(seen0) else seen0
+        val next = from.join(und, from("id") === und("src"))
+          .select(col("seed"), col("dst").as("id"), col("sigma"))
+          .join(seen, col("seed") === col("vs") && col("id") === col("vid"),
+            "left_anti")
+          .groupBy("seed", "id").agg(sum("sigma").as("sigma"))
+          .localCheckpoint(false)
+        levels += next
+        visited = visited.union(next.select("seed", "id"))
+        frontierN = next.count()
+      }
+      // ---- backward: g per level, deepest first (horizon level g=0) ----
+      val deepest = levels.length - 1
+      var gAbove = levels(deepest).select(col("seed"), col("id"),
+        lit(0L).as("g"))
+      val contrib = scala.collection.mutable.ArrayBuffer(
+        levels(deepest).join(gAbove, Seq("seed", "id"))
+          .select(col("id"), (col("sigma") * col("g")).as("c")))
+      for (d <- (deepest - 1) to 1 by -1) {
+        val lv = levels(d)
+        val childG = gAbove.select(col("seed").as("cs"), col("id").as("cid"),
+          col("g").as("cg"))
+        val gHere = lv.select(col("seed"), col("id"))
+          .join(und, col("id") === und("src"))
+          .join(childG,
+            col("seed") === col("cs") && col("dst") === col("cid"))
+          .groupBy("seed", "id").agg(sum(col("cg") + 1L).as("g"))
+        val gFull = lv.select(col("seed"), col("id"), col("sigma"))
+          .join(gHere, Seq("seed", "id"), "left")
+          .select(col("seed"), col("id"),
+            coalesce(col("g"), lit(0L)).as("g"), col("sigma"))
+          .localCheckpoint(false)
+        contrib += gFull.select(col("id"), (col("sigma") * col("g")).as("c"))
+        gAbove = gFull.select("seed", "id", "g")
+      }
+      contrib.reduce(_ unionByName _)
+        .groupBy("id").agg(sum("c").as("stress"))
+    } finally if (!parentCached) und.unpersist()
+  }
+
+  /** DuckDB oracle for [[stressFromSeeds]] — the identical levels
+    * unrolled as CTEs: forward σ with NOT-EXISTS visited exclusion,
+    * backward g from the horizon up, stress = Σ σ·g per node.
+    */
+  def stressSql(edgesSql: String, seeds: Seq[String],
+                maxDepth: Int = 3): String = {
+    val seedRows = seeds.map(s => s"('$s')").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "p AS (SELECT DISTINCT src, dst FROM e), "
+    sb ++= "u AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p), "
+    sb ++= s"l0 AS (SELECT seed, seed AS id, CAST(1 AS BIGINT) AS sigma " +
+      s"FROM (VALUES $seedRows) s(seed))"
+    for (d <- 1 to maxDepth) {
+      val vis = (0 until d).map(i =>
+        s"SELECT seed, id FROM l$i").mkString(" UNION ALL ")
+      sb ++= s", l$d AS (SELECT x.seed, u.dst AS id, " +
+        s"CAST(SUM(x.sigma) AS BIGINT) AS sigma " +
+        s"FROM l${d - 1} x JOIN u ON u.src = x.id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM ($vis) v " +
+        s"WHERE v.seed = x.seed AND v.id = u.dst) GROUP BY 1, 2)"
+    }
+    sb ++= s", g$maxDepth AS (SELECT seed, id, CAST(0 AS BIGINT) AS g, " +
+      s"sigma FROM l$maxDepth)"
+    for (d <- (maxDepth - 1) to 1 by -1) {
+      sb ++= s", gh$d AS (SELECT x.seed, x.id, " +
+        s"CAST(SUM(c.g + 1) AS BIGINT) AS g " +
+        s"FROM l$d x JOIN u ON u.src = x.id " +
+        s"JOIN g${d + 1} c ON c.seed = x.seed AND c.id = u.dst " +
+        "GROUP BY 1, 2)"
+      sb ++= s", g$d AS (SELECT x.seed, x.id, " +
+        s"CAST(COALESCE(gh.g, 0) AS BIGINT) AS g, x.sigma " +
+        s"FROM l$d x LEFT JOIN gh$d gh " +
+        "ON gh.seed = x.seed AND gh.id = x.id)"
+    }
+    val all = (1 to maxDepth).map(d =>
+      s"SELECT id, sigma * g AS c FROM g$d").mkString(" UNION ALL ")
+    sb ++= s" SELECT id, CAST(SUM(c) AS BIGINT) AS stress FROM ($all) " +
+      "GROUP BY id ORDER BY id"
+    sb.result()
+  }
+
   /** DuckDB oracle for [[harmonicFromSeeds]]: recursive multi-source
     * expansion (UNION ALL + min-depth fold, the [[QueriesGraph]] BFS
     * oracle shape with a seed label), then the identical per-depth

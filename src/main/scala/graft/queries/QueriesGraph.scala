@@ -752,6 +752,20 @@ object QueriesGraph {
       Some(GraphAnalytics.harmonicSql(E,
         seeds = Seq("C1", "S1", "N3", "R1"), maxDepth = 3))),
 
+    // Sampled stress centrality (r8): Brandes two-phase accumulation
+    // over the BFS level DAG in all-integer arithmetic — σ path counts
+    // forward, g descendant-path counts backward, stress = Σ σ·g. The
+    // integer choice is what makes a hash-exact oracle possible at
+    // all: float betweenness dependency sums are order-sensitive.
+    // Same seed sample + horizon as graph_harmonic.
+    ("graph_stress",
+      (s, d) => GraphAnalytics.stressFromSeeds(
+          CodeGraph.undPairs(s, d), seeds = Seq("C1", "S1", "N3", "R1"),
+          maxDepth = 3, undirectedPairs = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.stressSql(E,
+        seeds = Seq("C1", "S1", "N3", "R1"), maxDepth = 3))),
+
     // Time-travel traversal (r7): BFS over the MVCC edge set AS OF a
     // sequence horizon — the composition the reference's LSM engine
     // performs on every historical read (read-at-sequence semantics,

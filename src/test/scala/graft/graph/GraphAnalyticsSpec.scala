@@ -332,4 +332,33 @@ class GraphAnalyticsSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(b5 == b1)
   }
+
+  test("stressFromSeeds: σ·g on a path and on a diamond (hand-computed)") {
+    // path a-b-c-d, seeds {a, d}: from a the DAG is a→b→c→d with
+    // g(b)=2 (paths b→c, b→c→d), g(c)=1 → stress b=1·2, c=1·1;
+    // from d symmetric (c=2, b=1). Endpoints are never interior.
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = GraphAnalytics.stressFromSeeds(path, Seq("a", "d"), maxDepth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 3L, "c" -> 3L, "d" -> 0L))
+    // diamond a-{b1,b2}-c: two shortest a→c paths, one through each
+    // b — σ(c)=2 but c is never interior; each b carries exactly one
+    val diamond = Seq(("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c"))
+      .toDF("src", "dst")
+    val g2 = GraphAnalytics.stressFromSeeds(diamond, Seq("a"), maxDepth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2 == Map("b1" -> 1L, "b2" -> 1L, "c" -> 0L))
+    // σ multiplies through interior chains: diamond + tail c-e, depth 3
+    // g(b_i) = (g(c)+1) = 2, stress(b_i) = 2; stress(c) = σ(c)·g(c) = 2
+    val tailed = diamond.union(Seq(("c", "e")).toDF("src", "dst"))
+    val g3 = GraphAnalytics.stressFromSeeds(tailed, Seq("a"), maxDepth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g3 == Map("b1" -> 2L, "b2" -> 2L, "c" -> 2L, "e" -> 0L))
+    // deterministic across partitionings
+    val s5 = GraphAnalytics.stressFromSeeds(tailed.repartition(5),
+      Seq("a"), maxDepth = 3).orderBy("id").collect().map(_.toSeq).toSeq
+    val s1 = GraphAnalytics.stressFromSeeds(tailed.repartition(1),
+      Seq("a"), maxDepth = 3).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(s5 == s1)
+  }
 }
