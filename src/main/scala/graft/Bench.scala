@@ -170,16 +170,23 @@ object Bench {
         try { run(k, sfDir); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }.sorted
-      val rv = if (times.isEmpty) v else times(times.size / 2)
-      k -> (b, v, rv)
+      // LOWER-middle median: with a transiently-failed iteration the
+      // two survivors must not round UP to the max (that biases toward
+      // confirming — the opposite of what an adjudication pass is
+      // for). An all-throws recheck yields no new measurement at all,
+      // so it cannot "confirm" anything: the entry stays in
+      // `regressions` (rv = in-suite value) and the throw itself is
+      // already in `errors`.
+      val rv = if (times.isEmpty) v else times((times.size - 1) / 2)
+      k -> (b, v, rv, times.nonEmpty)
     }
-    val confirmed = rechecks.filter { case (_, (b, _, rv)) =>
-      rv > b * speedFactor * 1.5
+    val confirmed = rechecks.filter { case (_, (b, _, rv, measured)) =>
+      measured && rv > b * speedFactor * 1.5
     }
-    val regs = rechecks.map { case (k, (b, v, rv)) =>
+    val regs = rechecks.map { case (k, (b, v, rv, _)) =>
       jstr(k) + ":[" + b + "," + v + "," + rv + "]"
     }.mkString("{", ",", "}")
-    val conf = confirmed.map { case (k, (b, _, rv)) =>
+    val conf = confirmed.map { case (k, (b, _, rv, _)) =>
       jstr(k) + ":[" + b + "," + rv + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + failedTime

@@ -182,6 +182,12 @@ object Cli {
         case other => return Left(s"unknown flag: $other")
       }
     }
+    // error-message-first, like every other command: stop/status must
+    // name the daemon they target, and a portless restart would
+    // "stop" nothing and silently spawn a SECOND daemon next to the
+    // running one
+    if (mode != "start" && port == 0)
+      return Left(s"server $mode requires --port")
     Right(ServerCmd(mode, host, port, dataDir))
   }
 
@@ -336,13 +342,13 @@ object Cli {
         val stateDir = dataDir.getOrElse(dir)
         mode match {
           case "start" =>
-            val srv = new CliServer(spark, stateDir, port).start()
+            val srv = new CliServer(spark, stateDir, port, host).start()
             println(s"""{"listening":${srv.boundPort}}""")
             srv.awaitTermination()
           case "restart" =>
             try CliServer.request(host, port, "stop")
             catch { case _: java.io.IOException => () } // not running: fine
-            val srv = new CliServer(spark, stateDir, port).start()
+            val srv = new CliServer(spark, stateDir, port, host).start()
             println(s"""{"listening":${srv.boundPort}}""")
             srv.awaitTermination()
           case "stop" => println(CliServer.request(host, port, "stop"))

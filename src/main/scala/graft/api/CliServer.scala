@@ -29,9 +29,15 @@ import org.apache.spark.sql.SparkSession
   * data races by design", README.md:46); Spark parallelism lives
   * INSIDE each query, not across requests.
   */
-final class CliServer(spark: SparkSession, stateDir: String, port: Int = 0) {
+final class CliServer(spark: SparkSession, stateDir: String, port: Int = 0,
+                      host: String = "127.0.0.1") {
 
-  private val socket = new java.net.ServerSocket(port)
+  // bind the REQUESTED interface, loopback by default — an
+  // unauthenticated line protocol that can link arbitrary paths and
+  // read file contents must never listen on the wildcard address
+  // unless the operator explicitly asks (--host 0.0.0.0)
+  private val socket = new java.net.ServerSocket(
+    port, 50, java.net.InetAddress.getByName(host))
   @volatile private var running = true
   private val thread = new Thread(() => acceptLoop(), "graft-cli-server")
 

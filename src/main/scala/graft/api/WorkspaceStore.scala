@@ -161,29 +161,32 @@ object WorkspaceStore {
            nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = {
     import spark.implicits._
     val st = load(spark, stateDir)
-    val relink = Schemas.currentView(st.registry)
-      .filter(col("id") === name).count() > 0
     val (blocks, edges, nFiles) = ingestTree(spark, name, rootPath, include, exclude, parser)
     val reg2 = Mvcc.putBlocks(st.registry,
       Seq((name, rootPath, nowSeconds)).toDF("id", "root_path", "synced_at"))
     // delta-put (r8): unchanged units already in the current view (a
     // relink over live data, or a relink after unlink — unlink only
-    // tombstones the REGISTRY) produce no new epoch rows
+    // tombstones the REGISTRY, the block view stays live) produce no
+    // new epoch rows
     val curWs = Schemas.currentView(st.blocks)
       .filter(col("workspace") === name)
-    var blocks2 = Mvcc.putBlocks(st.blocks, changedBlocks(curWs, blocks))
-    if (relink) {
-      // ids live in the current view but absent from the fresh parse →
-      // tombstone. Stays a DataFrame end-to-end (deleteBlocksDf): no
-      // driver collect, so a re-link of an arbitrarily large workspace
-      // never funnels its vanished-id set through the driver.
-      val gone = curWs.select("id").except(blocks.select("id"))
-      blocks2 = Mvcc.deleteBlocksDf(blocks2, gone)
-    }
-    // null-safe filter: block tombstones carry NULL workspace
-    val edgeBase = if (relink) st.edges.filter(!(col("workspace") <=> name))
-                   else st.edges
-    val edges2 = Mvcc.putEdges(edgeBase, edges)
+    // ids live in the current view but absent from the fresh parse →
+    // tombstone. UNCONDITIONAL (r8b): gating this on registry liveness
+    // let link-after-unlink of a tree that changed while unlinked
+    // resurrect vanished units and their edges — the block current
+    // view (not the registry row) is what decides what must go. Stays
+    // a DataFrame end-to-end (deleteBlocksDf): no driver collect, so a
+    // re-link of an arbitrarily large workspace never funnels its
+    // vanished-id set through the driver; on a first link curWs is
+    // empty and both the diff and the tombstone pass are no-ops.
+    val gone = curWs.select("id").except(blocks.select("id"))
+    val blocks2 = Mvcc.deleteBlocksDf(
+      Mvcc.putBlocks(st.blocks, changedBlocks(curWs, blocks)), gone)
+    // the workspace's edge set is REPLACED, never merged — same
+    // reasoning (null-safe filter: block tombstones carry NULL
+    // workspace; on a first link the filter matches nothing)
+    val edges2 = Mvcc.putEdges(
+      st.edges.filter(!(col("workspace") <=> name)), edges)
     val (nBlocks, nEdges) = (blocks.count(), edges.count())
     save(stateDir, State(reg2, blocks2, edges2))
     Seq((name, rootPath, nFiles, nBlocks, nEdges))

@@ -498,13 +498,17 @@ object GraphAnalytics {
         // decrement = edges FROM a removed node TO a survivor (und holds
         // both orientations, so removed→removed rows are dropped by the
         // anti-join and never decrement anyone). dec is bounded by
-        // removedCnt·(k−1) — every removed node had deg < k — so it
-        // broadcasts under the same bound.
+        // removedCnt·(k−1) — every removed node had deg < k — so its
+        // broadcast gate must carry the (k−1) FACTOR: at k=16 a 4M-node
+        // peel layer can legally produce ~60M decrement rows, far past
+        // what the 4M-key ballpark is meant to allow through the driver.
         val dec0 = und
           .join(rem("a"), Seq("a"), "left_semi")
           .join(rem("b"), Seq("b"), "left_anti")
           .groupBy(col("b").as("id")).agg(count(lit(1)).as("sub"))
-        val dec = if (removedCnt <= 4000000L) broadcast(dec0) else dec0
+        val dec =
+          if (removedCnt * math.max(1L, k - 1L) <= 4000000L) broadcast(dec0)
+          else dec0
         deg = deg.join(rem("id"), Seq("id"), "left_anti")
           .join(dec, Seq("id"), "left")
           .select(col("id"),
@@ -1101,9 +1105,17 @@ object GraphAnalytics {
     // contributes exactly one endpoint-slot to D_la and one to D_lb —
     // so the per-community degree sums fall out of the SAME labeled
     // frame (endpoint-slot union → count per label), no degree table,
-    // no third labels join: B = Σ_c D_c²
+    // no third labels join: B = Σ_c D_c². SELF-LOOPS are the one case
+    // canon (a < b) excludes that the degree table in the oracle's dg
+    // CTE still counts (deg from g0, which keeps its (x, x) row): they
+    // contribute no edge to m/intra on either engine, but one degree
+    // slot — fold that (usually empty) remainder in so the engine and
+    // the oracle stay bit-for-bit on graphs with recursive edges.
+    val selfSlots = und.filter(col("a") === col("b"))
+      .join(lbl("a", "__sl"), Seq("a")).select(col("__sl").as("lbl"))
     val b = labeled.select(col("la").as("lbl"))
       .unionAll(labeled.select(col("lb").as("lbl")))
+      .unionAll(selfSlots)
       .groupBy("lbl").agg(count(lit(1)).as("dc"))
       .agg(coalesce(sum(col("dc") * col("dc")), lit(0L)))
       .first().getLong(0)
@@ -1968,13 +1980,18 @@ object GraphAnalytics {
       var visited = seed0.withColumn("depth", lit(0))
       var frontier = seed0
       var frontierN = frontier.count()
+      var visitedN = frontierN
       val bcastRows = 100000L
       for (d <- 1 to maxDepth if frontierN > 0) {
         val from = if (frontierN <= bcastRows) broadcast(frontier) else frontier
         val expanded = from.join(und, from("id") === und("src"))
           .select(col("seed"), col("dst").as("id")).distinct()
         val seen0 = visited.select(col("seed").as("vs"), col("id").as("vid"))
-        val seen = if (frontierN <= bcastRows) broadcast(seen0) else seen0
+        // gate on the VISITED set's own size — the frontier can
+        // collapse to a handful of rows right after a huge level, and
+        // broadcasting the cumulative set on the frontier's say-so
+        // would ship millions of rows through the driver
+        val seen = if (visitedN <= bcastRows) broadcast(seen0) else seen0
         val next = expanded
           .join(seen, col("seed") === col("vs") && col("id") === col("vid"),
             "left_anti")
@@ -1982,6 +1999,7 @@ object GraphAnalytics {
         visited = visited.union(next.withColumn("depth", lit(d)))
         frontier = next
         frontierN = next.count()
+        visitedN += frontierN
       }
       val counts = (1 to maxDepth).map(d =>
         sum(when(col("depth") === d, 1L).otherwise(0L)).as(s"n$d"))
@@ -2055,11 +2073,15 @@ object GraphAnalytics {
       val levels = scala.collection.mutable.ArrayBuffer(lvl0)
       var visited = lvl0.select("seed", "id")
       var frontierN = lvl0.count()
+      var visitedN = frontierN
       for (_ <- 1 to maxDepth if frontierN > 0) {
         val prev = levels.last
         val from = if (frontierN <= bcastRows) broadcast(prev) else prev
         val seen0 = visited.select(col("seed").as("vs"), col("id").as("vid"))
-        val seen = if (frontierN <= bcastRows) broadcast(seen0) else seen0
+        // visited-set broadcast gated on ITS size, not the frontier's
+        // (same reasoning as harmonicFromSeeds: a collapsed frontier
+        // after a huge level must not broadcast the cumulative set)
+        val seen = if (visitedN <= bcastRows) broadcast(seen0) else seen0
         val next = from.join(und, from("id") === und("src"))
           .select(col("seed"), col("dst").as("id"), col("sigma"))
           .join(seen, col("seed") === col("vs") && col("id") === col("vid"),
@@ -2069,6 +2091,7 @@ object GraphAnalytics {
         levels += next
         visited = visited.union(next.select("seed", "id"))
         frontierN = next.count()
+        visitedN += frontierN
       }
       // ---- backward: g per level, deepest first (horizon level g=0) ----
       val deepest = levels.length - 1

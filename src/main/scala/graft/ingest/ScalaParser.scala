@@ -271,21 +271,32 @@ object ScalaParser extends SourceParser {
   }
 
   /** Blank comments and string/char literals, preserving line
-    * structure. Scala needs three states Zig doesn't: nested `/* */`
+    * structure. Scala needs four states Zig doesn't: nested `/* */`
     * block comments (a depth counter — Scala block comments nest),
-    * triple-quoted `"""..."""` strings (multi-line, no escapes), and
-    * interpolated literals (blanked whole, splices included). Line
-    * comments reset at newline; block comments and triple strings
-    * carry across lines.
+    * triple-quoted `"""..."""` strings (multi-line, no escapes),
+    * interpolated literals (blanked whole, splices included), and the
+    * SPLICE state itself: a `${...}` inside a string can nest braces
+    * and its own string literals (s"${m.getOrElse("{")}"), so exiting
+    * string state at the first `"` would leak the inner literal's
+    * braces into depth accounting — the splice is tracked with its own
+    * brace counter and inner-string flag and blanked entirely,
+    * returning to the enclosing (single- or triple-quote) string state
+    * at its matching `}`. Line comments reset at newline; block
+    * comments, triple strings, and splices carry across lines.
     */
   private[ingest] def clean(content: String): Array[String] = {
     val out = new Array[Char](content.length)
     var i = 0
-    var state = 0 // 0 normal, 1 string, 2 char, 3 line comment, 5 triple string
+    var state = 0 // 0 normal, 1 string, 2 char, 3 line comment, 5 triple string, 6 splice
     var blockDepth = 0 // nested /* */ when > 0
+    var spliceDepth = 0 // ${...} brace nesting when state == 6
+    var spliceReturn = 1 // string state to resume after the splice
+    var spliceInStr = false // inside a string literal within the splice
     def tripleAt(p: Int): Boolean =
       p + 2 < content.length && content(p) == '"' &&
         content(p + 1) == '"' && content(p + 2) == '"'
+    def spliceAt(p: Int): Boolean =
+      p + 1 < content.length && content(p) == '$' && content(p + 1) == '{'
     while (i < content.length) {
       val c = content(i)
       if (c == '\n') {
@@ -316,7 +327,11 @@ object ScalaParser extends SourceParser {
           } else out(i) = c
         case 1 =>
           out(i) = ' '
-          if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
+          if (spliceAt(i)) {
+            out(i + 1) = ' '; i += 1
+            state = 6; spliceDepth = 1; spliceReturn = 1; spliceInStr = false
+          }
+          else if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
           else if (c == '"') state = 0
         case 2 =>
           out(i) = ' '
@@ -324,11 +339,27 @@ object ScalaParser extends SourceParser {
           else if (c == '\'') state = 0
         case 5 =>
           out(i) = ' '
-          if (tripleAt(i)) {
+          if (spliceAt(i)) {
+            out(i + 1) = ' '; i += 1
+            state = 6; spliceDepth = 1; spliceReturn = 5; spliceInStr = false
+          } else if (tripleAt(i)) {
             out(i + 1) = ' '; out(i + 2) = ' '
             // a quadruple+ quote ends the literal at its LAST triple;
             // consuming greedily here is close enough for a cleaner
             state = 0; i += 2
+          }
+        case 6 =>
+          out(i) = ' '
+          if (spliceInStr) {
+            if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
+            else if (c == '"') spliceInStr = false
+          } else c match {
+            case '"' => spliceInStr = true
+            case '{' => spliceDepth += 1
+            case '}' =>
+              spliceDepth -= 1
+              if (spliceDepth == 0) state = spliceReturn
+            case _ => ()
           }
         case _ => out(i) = ' '
       }

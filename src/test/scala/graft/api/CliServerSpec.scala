@@ -27,8 +27,14 @@ class CliServerSpec extends SparkSpec {
       Right(Cli.ServerCmd("start", port = 7070)))
     assert(Cli.parse(Seq("server", "stop", "--host", "h", "--port", "1")) ==
       Right(Cli.ServerCmd("stop", "h", 1)))
-    assert(Cli.parse(Seq("server", "status", "--data-dir", "/x")) ==
-      Right(Cli.ServerCmd("status", dataDir = Some("/x"))))
+    assert(Cli.parse(Seq("server", "status", "--port", "9", "--data-dir", "/x")) ==
+      Right(Cli.ServerCmd("status", port = 9, dataDir = Some("/x"))))
+    // stop/status/restart must name the daemon: a portless stop would
+    // connect to port 0 (never valid) and a portless restart would
+    // silently spawn a second daemon beside the running one
+    assert(Cli.parse(Seq("server", "status")).isLeft)
+    assert(Cli.parse(Seq("server", "stop")).isLeft)
+    assert(Cli.parse(Seq("server", "restart")).isLeft)
     assert(Cli.parse(Seq("server", "bogus")).isLeft)
     assert(Cli.parse(Seq("server", "--port")).isLeft)   // dangling value
     assert(Cli.parse(Seq("server", "--port", "x")).isLeft)

@@ -151,6 +151,21 @@ class CliWorkspaceSpec extends SparkSpec {
     val (blocks, edges) = WorkspaceStore.currentGraph(spark, state)
     assert(blocks.filter(org.apache.spark.sql.functions
       .col("unit_id") === "a.zig:alpha").count() == 1L)
+
+    // the tree CHANGES while unlinked: relink must tombstone units (and
+    // drop edges) of files deleted in the interim — the block current
+    // view decides what goes, not the registry row (which unlink
+    // tombstoned)
+    Cli.executeWorkspace(spark, state, Cli.UnlinkCmd("p"))
+    assert(new java.io.File(tree, "b.zig").delete())
+    java.nio.file.Files.write(new java.io.File(tree, "a.zig").toPath,
+      "fn alpha() {\n}\n".getBytes("UTF-8")) // beta call gone too
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(tree.getAbsolutePath, "p"))
+    val (blocks3, edges3) = WorkspaceStore.currentGraph(spark, state)
+    val ids3 = blocks3.select("unit_id").collect().map(_.getString(0)).toSet
+    assert(ids3.contains("a.zig:alpha"))
+    assert(!ids3.exists(_.endsWith(":beta")), s"stale beta in $ids3")
+    assert(edges3.count() == 0L) // the alpha->beta edge must not survive
   }
 
   test("bool flags are rejected on commands that don't handle them") {

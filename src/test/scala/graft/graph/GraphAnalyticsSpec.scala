@@ -333,6 +333,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(b5 == b1)
   }
 
+  test("modularity counts self-loop degrees like the oracle's degree table") {
+    // triangle {a,b,c} + self-loop (d,d) + edge (d,e). canon (a < b)
+    // drops the self-loop from m/intra on both engines, but the
+    // oracle's dg CTE still counts deg(d) = 2 ((d,d) and (d,e) rows of
+    // g0) — the engine must match. Hand computation: LPA(4) →
+    // communities {a,b,c} (label a) and {d,e} (label d, the self-edge
+    // vote keeps d on its own label in round 1); m = 4, intra = 4,
+    // D = 6 and 3 → B = 45; Q = (4·4·4 − 45)/(4·16) = 19/64.
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("d", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val row = GraphAnalytics.modularity(g, rounds = 4).head()
+    assert(row.getLong(0) == 4L)  // m
+    assert(row.getLong(1) == 4L)  // intra_edges
+    assert(row.getDouble(2) == 0.296875)
+  }
+
   test("stressFromSeeds: σ·g on a path and on a diamond (hand-computed)") {
     // path a-b-c-d, seeds {a, d}: from a the DAG is a→b→c→d with
     // g(b)=2 (paths b→c, b→c→d), g(c)=1 → stress b=1·2, c=1·1;

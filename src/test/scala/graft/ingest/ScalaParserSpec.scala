@@ -140,6 +140,36 @@ class ScalaParserSpec extends AnyFunSuite {
     assert(us.head.lineEnd == 8)
   }
 
+  test("interpolation splices: nested literals and braces stay blanked") {
+    // a string literal INSIDE a splice must not end the outer string —
+    // its braces would leak into depth accounting and mis-scope every
+    // unit after it
+    val src =
+      """object O {
+        |  def f(m: Map[String, String]): String = {
+        |    val x = s"prefix ${m.getOrElse("{", other("}"))} suffix"
+        |    h(x)
+        |  }
+        |  def after(): Int = 1
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(_.name) == Seq("O", "f", "after"))
+    assert(us.head.lineEnd == 7) // object closes where the file says
+    assert(us(1).parentContainer == "O" && us(2).parentContainer == "O")
+    assert(us(1).edges.contains(ParsedEdge("calls", "h")))
+    // multi-line splice in a triple-quoted interpolated string
+    val src2 =
+      ("""object P {
+        |  val q = sQQQ SELECT ${cols.map(c => s"x$c").mkString(", ")}
+        |    FROM ${tbl("{")} QQQ
+        |  def real(): Int = 2
+        |}
+        |""").stripMargin.replace("QQQ", "\"\"\"")
+    val us2 = parse(src2)
+    assert(us2.map(_.name) == Seq("P", "q", "real"))
+  }
+
   test("vals inside function bodies are not units (documented deviation)") {
     val src =
       """object O {
