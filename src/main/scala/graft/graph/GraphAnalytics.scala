@@ -1363,6 +1363,118 @@ object GraphAnalytics {
        | ORDER BY jaccard DESC, id LIMIT $k"""
       .stripMargin.replace("\n", " ")
 
+  /** GLOBAL link prediction — the batch-all-seeds variant that
+    * [[relatedNodes]] is the seed-anchored special case of: the top-k
+    * NON-adjacent candidate pairs ranked by neighborhood Jaccard over a
+    * canonical (src < dst) undirected pair set. This is the classic
+    * "suggest missing edges" primitive (common-neighbors / Jaccard link
+    * prediction, Liben-Nowell & Kleinberg 2003) applied engine-wide
+    * rather than per seed.
+    *
+    * Shape: per-node sorted adjacency arrays (one E-scale groupBy —
+    * the [[triangleCountsAdj]] build), then candidate pairs are
+    * generated MAP-SIDE from each center's array (the same
+    * flatten/transform pair-explode the co-occurrence build uses — no
+    * wedge self-join, no Σdeg² join probe), counted by one groupBy
+    * (map-side partial combine applies: a pair repeats once per common
+    * neighbor), existing edges leave via a left-anti join against the
+    * canonical pair set, and the top-k is TakeOrderedAndProject.
+    *
+    * `maxDeg` is the documented HUB CAP every production link-prediction
+    * pipeline carries: a center of degree d contributes C(d, 2) wedge
+    * rows, so an unbounded hub makes the wedge set quadratic in the hub
+    * degree; centers above the cap are excluded from candidate
+    * GENERATION (their edges still count toward endpoint degrees).
+    * At 100 TB this cap — not the box — bounds the shuffle: wedge
+    * volume ≤ V·C(maxDeg, 2) regardless of skew. The fixture co-graph's
+    * max degree (~222 at sf0.1) sits far under the default, so the
+    * fixture result is the EXACT ranking.
+    *
+    * jaccard = cn / (deg(v) + deg(w) − cn): exact integer inputs, one
+    * rounded division, same oracle-portability contract as
+    * [[relatedNodes]]; (jaccard DESC, cn DESC, v, w) is a total order,
+    * so the top-k is deterministic.
+    */
+  def linkPredTopK(pairs: DataFrame, k: Int = 100, maxDeg: Int = 1000,
+                   canonical: Boolean = false): DataFrame = {
+    require(k >= 1, "linkPredTopK needs k >= 1")
+    require(maxDeg >= 2, "linkPredTopK needs maxDeg >= 2")
+    val canon0 =
+      if (canonical) pairs.select(col("src").as("a"), col("dst").as("b"))
+      else pairs.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    // read by three branches (adjacency build, anti-join, and — via
+    // adj — degrees); materialize once unless the caller's view is
+    // already persisted (the stored-index path, e.g. CodeGraph.coPairs)
+    val canon =
+      if (pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+          && canonical) canon0
+      else canon0.localCheckpoint(true)
+    val adj = canon.select(col("a").as("id"), col("b").as("nb"))
+      .union(canon.select(col("b").as("id"), col("a").as("nb")))
+      .groupBy("id").agg(sort_array(collect_set(col("nb"))).as("adj"))
+      .localCheckpoint(true)
+    val deg = adj.select(col("id"), size(col("adj")).cast("long").as("deg"))
+    // map-side pair explode per center, hub-capped; arrays are sorted,
+    // so generated pairs arrive canonical (v < w) by construction
+    val wedges = adj
+      .filter(size(col("adj")).between(2, maxDeg))
+      .select(explode(expr(
+        """flatten(transform(adj, (x, i) ->
+          | transform(slice(adj, i + 2, size(adj)),
+          |   y -> struct(x AS v, y AS w))))""".stripMargin)).as("p"))
+      .select(col("p.v"), col("p.w"))
+    val cn = wedges.groupBy("v", "w").agg(count(lit(1)).as("cn"))
+    val cand = cn.join(canon,
+      cn("v") === canon("a") && cn("w") === canon("b"), "left_anti")
+    // V-sized two-column degree table → broadcast both endpoint joins
+    // when it fits (the triangleCountsAdj bound)
+    val smallV = adj.count() <= 2000000L
+    def degAs(idCol: String, out: String) = {
+      val d = deg.select(col("id").as(idCol), col("deg").as(out))
+      if (smallV) broadcast(d) else d
+    }
+    cand
+      .join(degAs("v", "deg_v"), Seq("v"))
+      .join(degAs("w", "deg_w"), Seq("w"))
+      .select(col("v"), col("w"), col("cn"),
+        round(col("cn") / (col("deg_v") + col("deg_w") - col("cn")), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("cn").desc, col("v"), col("w"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[linkPredTopK]] — the wedge SELF-JOIN replay
+    * of the map-side array explode (same candidate set: a center
+    * yields each unordered pair of its neighbors once).
+    */
+  def linkPredSql(edgesSql: String, k: Int = 100, maxDeg: Int = 1000): String =
+    s"""WITH e AS ($edgesSql),
+       | canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       | und AS MATERIALIZED (
+       |  SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+       | deg AS MATERIALIZED (
+       |  SELECT a AS id, COUNT(*) AS deg FROM und GROUP BY 1),
+       | ctr AS (SELECT id FROM deg WHERE deg BETWEEN 2 AND $maxDeg),
+       | cnt AS (
+       |  SELECT u1.b AS v, u2.b AS w, CAST(COUNT(*) AS BIGINT) AS cn
+       |  FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+       |  JOIN ctr ON u1.a = ctr.id GROUP BY 1, 2),
+       | cand AS (
+       |  SELECT c.v, c.w, c.cn FROM cnt c
+       |  LEFT JOIN canon ON c.v = canon.a AND c.w = canon.b
+       |  WHERE canon.a IS NULL)
+       | SELECT c.v, c.w, c.cn,
+       |  round(c.cn / (dv.deg + dw.deg - c.cn), 6) AS jaccard
+       | FROM cand c
+       |  JOIN deg dv ON dv.id = c.v JOIN deg dw ON dw.id = c.w
+       | ORDER BY jaccard DESC, cn DESC, v, w LIMIT $k"""
+      .stripMargin.replace("\n", " ")
+
   /** DuckDB oracle for [[triangleCounts]]. */
   def trianglesSql(edgesSql: String): String =
     s"""WITH e AS ($edgesSql),

@@ -18,6 +18,15 @@ object QueriesGraph {
   private val E = CodeGraph.edgesSql
   private val NB = CodeGraph.nodeBlocksSql
 
+  /** DuckDB derivation of [[CodeGraph.coPairs]] (canonical src < dst
+    * part co-occurrence pairs — the basket graph).
+    */
+  private val coSql =
+    """SELECT DISTINCT x.p AS src, y.p AS dst FROM
+      | (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) x
+      | JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) y
+      | ON x.ok = y.ok AND x.p < y.p""".stripMargin.replace("\n", " ")
+
   private def seeds(s: SparkSession, ids: String*): DataFrame = {
     import s.implicits._
     ids.toDF("id")
@@ -548,11 +557,19 @@ object QueriesGraph {
         GraphAnalytics.triangleCountsAdj(CodeGraph.coPairs(s, d),
           canonical = true)
           .orderBy("id"),
-      Some(GraphAnalytics.trianglesSql(
-        """SELECT DISTINCT x.p AS src, y.p AS dst FROM
-          | (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) x
-          | JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) y
-          | ON x.ok = y.ok AND x.p < y.p""".stripMargin.replace("\n", " ")))),
+      Some(GraphAnalytics.trianglesSql(coSql))),
+
+    // Global link prediction (r8): top-k NON-adjacent part pairs by
+    // neighborhood Jaccard over the same co-occurrence graph — the
+    // batch-all-seeds generalization of graph_related ("which parts
+    // never co-occurred but share baskets-neighborhoods"). Map-side
+    // pair explode from the stored sorted-adjacency arrays, hub-capped
+    // candidate generation (no-op at this degree profile → exact
+    // ranking), one groupBy + anti-join + TakeOrderedAndProject.
+    ("graph_linkpred",
+      (s, d) => GraphAnalytics.linkPredTopK(CodeGraph.coPairs(s, d),
+        k = 100, maxDeg = 1000, canonical = true),
+      Some(GraphAnalytics.linkPredSql(coSql, k = 100, maxDeg = 1000))),
 
     // Community detection: synchronous label propagation with a total
     // (count desc, label asc) tie-break — the deterministic LPA variant,

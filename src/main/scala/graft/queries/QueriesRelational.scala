@@ -125,6 +125,62 @@ object QueriesRelational {
         | EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey"""
         .stripMargin.replace("\n", " "))),
 
+    // ===== Correlated EXISTS → left-semi join (Q4 shape) =====
+    // Orders with ≥1 returned line, counted per priority: the EXISTS
+    // decorrelates to a left-semi hash join on the FK — no row
+    // explosion however many lines match, and the probe side carries
+    // only the join key (ReadSchema is 1 column + the pushed
+    // returnflag filter).
+    ("q4_priority_exists",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
+    // ===== Selective scan-aggregate (Q6 shape) =====
+    // The pushdown showcase: both predicates and the two-column
+    // projection reach the parquet scan (PushedFilters + ReadSchema),
+    // and the only exchange is the single-row partial-agg gather —
+    // at 100 TB this query's cost is IO after row-group pruning,
+    // nothing else.
+    ("q6_selective_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")),
+      Some("""SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue
+        | FROM lineitem
+        | WHERE l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin.replace("\n", " "))),
+
+    // ===== Outer-join distribution (Q13 shape) =====
+    // Orders-per-customer histogram INCLUDING zero-order customers:
+    // left outer join preserves them (COUNT of the nullable FK counts
+    // only matches), then a second, histogram-sized aggregation.
+    ("q13_order_distribution",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        | SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY 1)
+        | GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Rollup =====
     ("rollup_counts",
       (s, d) => Tables.lineitem(s, d)

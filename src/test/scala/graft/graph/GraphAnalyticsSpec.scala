@@ -115,6 +115,31 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(r == Seq(("c", 2L, 1.0), ("d", 1L, 0.5)))
   }
 
+  test("linkPredTopK: square yields both diagonals at jaccard 1.0, tie-broken by id") {
+    // square a-b-c-d-a: candidates are exactly the two diagonals,
+    // cn = 2 each, jaccard = 2/(2+2-2) = 1.0; (a,c) sorts before (b,d)
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")).toDF("src", "dst")
+    val r = GraphAnalytics.linkPredTopK(g, k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3))).toSeq
+    assert(r == Seq(("a", "c", 2L, 1.0), ("b", "d", 2L, 1.0)))
+  }
+
+  test("linkPredTopK: adjacent pairs never surface; k truncates; hub cap excludes centers") {
+    // K3: every 2-hop pair is already an edge -> no candidates
+    val k3 = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    assert(GraphAnalytics.linkPredTopK(k3, k = 10).count() == 0L)
+    // star h-{x1..x5}: all candidate pairs come from center h; capping
+    // h's degree out of generation leaves nothing (leaves have deg 1)
+    val star = (1 to 5).map(i => ("h", s"x$i")).toDF("src", "dst")
+    assert(GraphAnalytics.linkPredTopK(star, k = 100, maxDeg = 4).count() == 0L)
+    val full = GraphAnalytics.linkPredTopK(star, k = 100)
+    assert(full.count() == 10L) // C(5,2) leaf pairs
+    // k = 1 keeps only the first in the total order
+    val top1 = GraphAnalytics.linkPredTopK(star, k = 1)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(top1 == Seq(("x1", "x2")))
+  }
+
   test("triangleCountsAdj: K4 plus a tail") {
     val vs = Seq("a", "b", "c", "d")
     val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
