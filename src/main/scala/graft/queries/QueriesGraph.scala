@@ -559,17 +559,25 @@ object QueriesGraph {
           .orderBy("id"),
       Some(GraphAnalytics.trianglesSql(coSql))),
 
-    // Global link prediction (r8): top-k NON-adjacent part pairs by
-    // neighborhood Jaccard over the same co-occurrence graph — the
-    // batch-all-seeds generalization of graph_related ("which parts
-    // never co-occurred but share baskets-neighborhoods"). Map-side
-    // pair explode from the stored sorted-adjacency arrays, hub-capped
-    // candidate generation (no-op at this degree profile → exact
-    // ranking), one groupBy + anti-join + TakeOrderedAndProject.
+    // Global link prediction (r8): top-k NON-adjacent node pairs by
+    // neighborhood Jaccard over the FK code graph — the batch-all-seeds
+    // generalization of graph_related ("which entities never connected
+    // but share a neighborhood"). The hub cap is LOAD-BEARING here:
+    // nation hubs (deg ~760) and supplier hubs (deg ~600) would alone
+    // contribute ~200M wedges at sf0.1 while carrying no signal (a
+    // shared nation says nothing about two customers), so maxDeg=100
+    // excludes them from candidate GENERATION — the production guard
+    // every link-prediction pipeline carries — leaving the ~14M wedges
+    // through orders/customers/parts, where co-purchase structure
+    // actually lives. (The dense basket graph, avg degree 120, is the
+    // wrong fixture for all-pairs ranking: 101M distinct candidate
+    // pairs at sf0.1 — measured, not estimated.) Map-side pair explode
+    // from the stored sorted-adjacency arrays, one groupBy + anti-join
+    // + TakeOrderedAndProject.
     ("graph_linkpred",
-      (s, d) => GraphAnalytics.linkPredTopK(CodeGraph.coPairs(s, d),
-        k = 100, maxDeg = 1000, canonical = true),
-      Some(GraphAnalytics.linkPredSql(coSql, k = 100, maxDeg = 1000))),
+      (s, d) => GraphAnalytics.linkPredTopK(CodeGraph.edgePairs(s, d),
+        k = 100, maxDeg = 100),
+      Some(GraphAnalytics.linkPredSql(E, k = 100, maxDeg = 100))),
 
     // Community detection: synchronous label propagation with a total
     // (count desc, label asc) tie-break — the deterministic LPA variant,
