@@ -1412,9 +1412,12 @@ object GraphAnalytics {
     * history) is the drop-in fallback.
     */
   def linkPredTopK(pairs: DataFrame, k: Int = 100, maxDeg: Int = 1000,
-                   canonical: Boolean = false): DataFrame = {
+                   canonical: Boolean = false,
+                   score: String = "jaccard"): DataFrame = {
     require(k >= 1, "linkPredTopK needs k >= 1")
     require(maxDeg >= 2, "linkPredTopK needs maxDeg >= 2")
+    require(score == "jaccard" || score == "ra",
+      s"linkPredTopK score must be 'jaccard' or 'ra', got '$score'")
     val canon0 =
       if (canonical) pairs.select(col("src").as("a"), col("dst").as("b"))
       else pairs.filter(col("src") =!= col("dst"))
@@ -1458,47 +1461,79 @@ object GraphAnalytics {
       .groupBy("id").agg(sort_array(collect_set(col("nb"))).as("adj"))
       .localCheckpoint(true)
     val deg = adj.select(col("id"), size(col("adj")).cast("long").as("deg"))
-    // map-side wedge explode per center straight to packed longs;
-    // arrays are sorted, so x < y and the key is canonical by
-    // construction
-    val wedges = adj
-      .filter(size(col("adj")).between(2, maxDeg))
-      .select(explode(expr(
-        s"""flatten(transform(adj, (x, i) ->
-           | transform(slice(adj, i + 2, size(adj)),
-           |   y -> x * ${P}L + y)))""".stripMargin)).as("pk"))
+    val adjGen = adj.filter(size(col("adj")).between(2, maxDeg))
     // one exchange for the whole candidate machine (the wedge-count
     // groupBy), materialized so the join tail never re-pays the
     // interpreted-HOF explode; the anti-join probes a BROADCAST of the
     // packed edge set when it fits (8M longs ≈ 64 MB — the E-side
     // bound; above it, AQE plans the shuffle anti-join)
     val smallE = canonC.count() <= 8000000L
-    val cand = wedges.groupBy("pk").agg(count(lit(1)).as("cn"))
+    // map-side wedge explode per center straight to packed longs;
+    // arrays are sorted, so x < y and the key is canonical by
+    // construction
+    val counted =
+      if (score == "ra") {
+        // resource-allocation index (Zhou/Lü/Zhang 2009): every wedge
+        // through center c contributes 1/deg(c) — here the INTEGER
+        // fixed-point RA_SCALE div deg(c), identical per center, so
+        // the per-pair sum is order-independent and the oracle
+        // hash-matches (the house integer-oracle pattern; the float
+        // 1/ln(deg) of Adamic–Adar cannot)
+        adjGen
+          .withColumn("w", expr(s"${RaScale}L div size(adj)"))
+          .select(col("w"), explode(expr(
+            s"""flatten(transform(adj, (x, i) ->
+               | transform(slice(adj, i + 2, size(adj)),
+               |   y -> x * ${P}L + y)))""".stripMargin)).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("cn"), sum("w").as("ras"))
+      } else {
+        adjGen
+          .select(explode(expr(
+            s"""flatten(transform(adj, (x, i) ->
+               | transform(slice(adj, i + 2, size(adj)),
+               |   y -> x * ${P}L + y)))""".stripMargin)).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("cn"))
+      }
+    val cand = counted
       .localCheckpoint(true)
       .join(if (smallE) broadcast(canonC) else canonC, Seq("pk"), "left_anti")
-      .select(expr(s"pk div ${P}L").as("vc"),
-        (col("pk") % P).as("wc"), col("cn"))
+      .withColumn("vc", expr(s"pk div ${P}L"))
+      .withColumn("wc", col("pk") % P)
     def degAs(idCol: String, out: String) = {
       val d = deg.select(col("id").as(idCol), col("deg").as(out))
       if (smallV) broadcast(d) else d
     }
-    val top = cand
-      .join(degAs("vc", "deg_v"), Seq("vc"))
-      .join(degAs("wc", "deg_w"), Seq("wc"))
-      .select(col("vc"), col("wc"), col("cn"),
-        round(col("cn") / (col("deg_v") + col("deg_w") - col("cn")), 6)
-          .as("jaccard"))
-      // code order ≡ id order, so this IS the (jaccard, cn, v, w)
-      // total order the oracle replays — TakeOrderedAndProject, then
-      // only k rows decode
-      .orderBy(col("jaccard").desc, col("cn").desc, col("vc"), col("wc"))
-      .limit(k)
+    // code order ≡ id order, so the code-keyed sort IS the
+    // (score, cn, v, w) total order the oracle replays —
+    // TakeOrderedAndProject, then only k rows decode
+    val top =
+      if (score == "ra")
+        cand.select(col("vc"), col("wc"), col("cn"),
+          round(col("ras") / RaScale.toDouble, 6).as("ra"))
+          .orderBy(col("ra").desc, col("cn").desc, col("vc"), col("wc"))
+          .limit(k)
+      else cand
+        .join(degAs("vc", "deg_v"), Seq("vc"))
+        .join(degAs("wc", "deg_w"), Seq("wc"))
+        .select(col("vc"), col("wc"), col("cn"),
+          round(col("cn") / (col("deg_v") + col("deg_w") - col("cn")), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("cn").desc, col("vc"), col("wc"))
+        .limit(k)
+    val scoreCol = if (score == "ra") "ra" else "jaccard"
     top
       .join(dict.select(col("code").as("vc"), col("id").as("v")), Seq("vc"))
       .join(dict.select(col("code").as("wc"), col("id").as("w")), Seq("wc"))
-      .select(col("v"), col("w"), col("cn"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("cn").desc, col("v"), col("w"))
+      .select(col("v"), col("w"), col("cn"), col(scoreCol))
+      .orderBy(col(scoreCol).desc, col("cn").desc, col("v"), col("w"))
   }
+
+  /** Fixed-point scale for the resource-allocation index: 2^20, so
+    * `RaScale div deg` keeps ~6 significant digits for degrees up to
+    * ~10^5 and the per-pair LONG sum is overflow-safe for billions of
+    * common neighbors.
+    */
+  val RaScale = 1048576L
 
   /** DuckDB oracle for [[linkPredTopK]] — the wedge SELF-JOIN replay
     * of the map-side array explode (same candidate set: a center
@@ -1527,6 +1562,39 @@ object GraphAnalytics {
        | FROM cand c
        |  JOIN deg dv ON dv.id = c.v JOIN deg dw ON dw.id = c.w
        | ORDER BY jaccard DESC, cn DESC, v, w LIMIT $k"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB oracle for [[linkPredTopK]] with `score = "ra"` — the
+    * wedge self-join replay carrying the per-center integer
+    * fixed-point weight ($RaScale // deg); SUM(BIGINT) widens to
+    * HUGEINT in DuckDB, hence the CAST back, and the final division
+    * forces a DOUBLE operand so DuckDB's DECIMAL literal rules can't
+    * change the rounding.
+    */
+  def linkPredRaSql(edgesSql: String, k: Int = 100, maxDeg: Int = 1000): String =
+    s"""WITH e AS ($edgesSql),
+       | canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       | und AS MATERIALIZED (
+       |  SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+       | deg AS MATERIALIZED (
+       |  SELECT a AS id, COUNT(*) AS deg FROM und GROUP BY 1),
+       | ctr AS (SELECT id, $RaScale // deg AS w FROM deg
+       |  WHERE deg BETWEEN 2 AND $maxDeg),
+       | cnt AS (
+       |  SELECT u1.b AS v, u2.b AS w, CAST(COUNT(*) AS BIGINT) AS cn,
+       |   CAST(SUM(ctr.w) AS BIGINT) AS ras
+       |  FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+       |  JOIN ctr ON u1.a = ctr.id GROUP BY 1, 2),
+       | cand AS (
+       |  SELECT c.v, c.w, c.cn, c.ras FROM cnt c
+       |  LEFT JOIN canon ON c.v = canon.a AND c.w = canon.b
+       |  WHERE canon.a IS NULL)
+       | SELECT v, w, cn,
+       |  round(ras / CAST($RaScale AS DOUBLE), 6) AS ra
+       | FROM cand
+       | ORDER BY ra DESC, cn DESC, v, w LIMIT $k"""
       .stripMargin.replace("\n", " ")
 
   /** DuckDB oracle for [[triangleCounts]]. */

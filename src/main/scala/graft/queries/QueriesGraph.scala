@@ -579,6 +579,17 @@ object QueriesGraph {
         k = 100, maxDeg = 100),
       Some(GraphAnalytics.linkPredSql(E, k = 100, maxDeg = 100))),
 
+    // Resource-allocation link scoring (r8): same candidate machine,
+    // center-weighted — every wedge through c contributes the integer
+    // fixed-point RA_SCALE div deg(c) instead of 1 (Zhou/Lü/Zhang's RA
+    // index, the hash-exact stand-in for Adamic–Adar's float 1/ln deg).
+    // Down-weights what the hub cap doesn't remove: common neighbors
+    // that are merely popular.
+    ("graph_ra_linkpred",
+      (s, d) => GraphAnalytics.linkPredTopK(CodeGraph.edgePairs(s, d),
+        k = 100, maxDeg = 100, score = "ra"),
+      Some(GraphAnalytics.linkPredRaSql(E, k = 100, maxDeg = 100))),
+
     // Community detection: synchronous label propagation with a total
     // (count desc, label asc) tie-break — the deterministic LPA variant,
     // fixed-round semantics (unrolled oracle from the same tie-break).

@@ -140,6 +140,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(top1 == Seq(("x1", "x2")))
   }
 
+  test("linkPredTopK ra: center degree weights the wedge, fixed-point exact") {
+    // square a-b-c-d-a: (a,c) has centers b,d of degree 2 each ->
+    // ras = 2 * (2^20 div 2) = 2^20 -> ra = 1.0
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")).toDF("src", "dst")
+    val r = GraphAnalytics.linkPredTopK(g, k = 10, score = "ra")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3))).toSeq
+    assert(r == Seq(("a", "c", 2L, 1.0), ("b", "d", 2L, 1.0)))
+    // star h-{x1,x2,x3}: leaf pairs share only the hub (deg 3):
+    // ra = (2^20 div 3) / 2^20 = 349525/1048576 = 0.333333 rounded
+    val star = Seq(("h", "x1"), ("h", "x2"), ("h", "x3")).toDF("src", "dst")
+    val s = GraphAnalytics.linkPredTopK(star, k = 10, score = "ra")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getDouble(3))).toSeq
+    assert(s == Seq(("x1", "x2", 0.333333), ("x1", "x3", 0.333333),
+      ("x2", "x3", 0.333333)))
+  }
+
   test("triangleCountsAdj: K4 plus a tail") {
     val vs = Seq("a", "b", "c", "d")
     val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
