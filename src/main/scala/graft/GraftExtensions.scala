@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{ArrayShingles, DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5, MinKgramHash, RepetitionStats, SimHash16, TextStats, TopKBy}
+import graft.expressions.{ArrayShingles, DotProductFloat, MinHashBandKeys, MinHashBandKeysMd5, MinKgramHash, RepetitionStats, SimHash16, TextStats, TopKBy, WedgePairs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -99,6 +99,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "rep_stats takes exactly 1 argument")
         RepetitionStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("wedge_pairs"),
+      new ExpressionInfo(classOf[WedgePairs].getName, "wedge_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "wedge_pairs takes (adj, pack) — 2 arguments")
+        val p = children(1)
+        require(p.foldable, "wedge_pairs pack must be a literal")
+        val pv = p.eval() match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"wedge_pairs pack must be an integer literal, got $other")
+        }
+        WedgePairs(children.head, pv)
       }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),

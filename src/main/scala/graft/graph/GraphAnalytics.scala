@@ -1468,9 +1468,14 @@ object GraphAnalytics {
     // packed edge set when it fits (8M longs ≈ 64 MB — the E-side
     // bound; above it, AQE plans the shuffle anti-join)
     val smallE = canonC.count() <= 8000000L
-    // map-side wedge explode per center straight to packed longs;
-    // arrays are sorted, so x < y and the key is canonical by
-    // construction
+    // map-side wedge explode per center straight to packed longs via
+    // the native [[graft.expressions.WedgePairs]] loop (arrays are
+    // sorted, so x < y and the key is canonical by construction); the
+    // composable HOF tree it replaced burned ~740 executor-CPU-seconds
+    // at sf0.1 in interpreted lambda frames + boxed longs — see the
+    // expression's Scaladoc; `LinkPredSpec` pins native ≡ HOF
+    val wedgeCol = explode(call_function("wedge_pairs",
+      col("adj"), lit(P))).as("pk")
     val counted =
       if (score == "ra") {
         // resource-allocation index (Zhou/Lü/Zhang 2009): every wedge
@@ -1481,17 +1486,11 @@ object GraphAnalytics {
         // 1/ln(deg) of Adamic–Adar cannot)
         adjGen
           .withColumn("w", expr(s"${RaScale}L div size(adj)"))
-          .select(col("w"), explode(expr(
-            s"""flatten(transform(adj, (x, i) ->
-               | transform(slice(adj, i + 2, size(adj)),
-               |   y -> x * ${P}L + y)))""".stripMargin)).as("pk"))
+          .select(col("w"), wedgeCol)
           .groupBy("pk").agg(count(lit(1)).as("cn"), sum("w").as("ras"))
       } else {
         adjGen
-          .select(explode(expr(
-            s"""flatten(transform(adj, (x, i) ->
-               | transform(slice(adj, i + 2, size(adj)),
-               |   y -> x * ${P}L + y)))""".stripMargin)).as("pk"))
+          .select(wedgeCol)
           .groupBy("pk").agg(count(lit(1)).as("cn"))
       }
     val cand = counted
@@ -1499,6 +1498,7 @@ object GraphAnalytics {
       .join(if (smallE) broadcast(canonC) else canonC, Seq("pk"), "left_anti")
       .withColumn("vc", expr(s"pk div ${P}L"))
       .withColumn("wc", col("pk") % P)
+      .drop("pk")
     def degAs(idCol: String, out: String) = {
       val d = deg.select(col("id").as(idCol), col("deg").as(out))
       if (smallV) broadcast(d) else d

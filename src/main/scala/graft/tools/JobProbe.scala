@@ -34,6 +34,17 @@ object JobProbe {
           println(f"  job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $desc")
         }
       }
+      // stage-level attribution: name + summed executor run/GC time tells
+      // WHICH operator a slow job spends its seconds in (the job line
+      // alone can't — AQE reuses one description across all its jobs)
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val m = i.taskMetrics
+        if (m != null && m.executorRunTime > 500)
+          println(f"    stage ${i.stageId}%4d run=${m.executorRunTime / 1e3}%7.2f s" +
+            f" gc=${m.jvmGCTime / 1e3}%5.1f s cpu=${m.executorCpuTime / 1e9}%7.2f s" +
+            f" tasks=${i.numTasks}%3d  ${i.name.take(70)}")
+      }
     })
     def run(name: String): Unit =
       graft.Queries.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
