@@ -282,14 +282,18 @@ object ZigParser extends SourceParser {
 /** `parse_file_to_blocks` content dispatch
   * (`/root/reference/src/ingestion/ingest_file.zig:44-58`): route by
   * file extension — real Zig sources to [[ZigParser]], real Scala
-  * sources to [[ScalaParser]] (r8 — the engine ingests itself),
-  * everything else to [[SimpleParser]] (whose no-declarations fallback
-  * yields one `document` unit per file, the reference's non-code path).
+  * sources to [[ScalaParser]] (r8 — the engine ingests itself), real
+  * Python sources to [[PythonParser]] and Go to [[GoParser]] (r8 —
+  * the languages real data/ML codebases are written in), everything
+  * else to [[SimpleParser]] (whose no-declarations fallback yields one
+  * `document` unit per file, the reference's non-code path).
   */
 object DispatchParser extends SourceParser {
   def parse(filePath: String, content: String): Seq[ParsedUnit] =
     if (filePath.endsWith(".zig")) ZigParser.parse(filePath, content)
     else if (filePath.endsWith(".scala") || filePath.endsWith(".sc"))
       ScalaParser.parse(filePath, content)
+    else if (filePath.endsWith(".py")) PythonParser.parse(filePath, content)
+    else if (filePath.endsWith(".go")) GoParser.parse(filePath, content)
     else SimpleParser.parse(filePath, content)
 }

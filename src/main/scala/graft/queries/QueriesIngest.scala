@@ -90,6 +90,89 @@ object QueriesIngest {
       Ingest.FileDoc("app/PipelineSpec.scala", demoScalaSpec)).toDS()
   }
 
+  // Python demo codebase for the PythonParser entries (r8): the same
+  // three-file shape as the Scala demo — a module with a const and a
+  // call chain, a utility module reached via attribute call, and a
+  // pytest-style test — the shapes PythonParserSpec pins on this
+  // repo's own tools/ scripts, here in golden-oracle form.
+  private val demoPyPipeline =
+    """import mathutil
+      |
+      |MAX_ROWS = 100
+      |
+      |def run():
+      |    data = load(MAX_ROWS)
+      |    return mathutil.clamp(data)
+      |
+      |def load(n):
+      |    return n
+      |""".stripMargin
+
+  private val demoPyUtil =
+    """def clamp(x):
+      |    return floor(x)
+      |
+      |def floor(x):
+      |    return x
+      |""".stripMargin
+
+  private val demoPyTest =
+    """import pipeline
+      |
+      |def test_run_works():
+      |    assert pipeline.run() == 100
+      |""".stripMargin
+
+  private def demoPyFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(Ingest.FileDoc("app/pipeline.py", demoPyPipeline),
+      Ingest.FileDoc("app/mathutil.py", demoPyUtil),
+      Ingest.FileDoc("app/test_pipeline.py", demoPyTest)).toDS()
+  }
+
+  // Go demo codebase for the GoParser entries (r8): a receiver method
+  // (container from the receiver, not lexical scope), grouped and
+  // single imports, a top-level const, and a `go test` function.
+  private val demoGoStore =
+    """package svc
+      |
+      |import "fmt"
+      |
+      |const MaxConns = 64
+      |
+      |type Store struct {
+      |	addr string
+      |}
+      |
+      |func Open(addr string) *Store {
+      |	validate(addr)
+      |	return &Store{addr: addr}
+      |}
+      |
+      |func (s *Store) Get(key string) string {
+      |	fmt.Println(key)
+      |	return s.addr
+      |}
+      |
+      |func validate(addr string) {
+      |}
+      |""".stripMargin
+
+  private val demoGoTest =
+    """package svc
+      |
+      |func TestOpen(t *T) {
+      |	s := Open("x")
+      |	s.Get("k")
+      |}
+      |""".stripMargin
+
+  private def demoGoFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(Ingest.FileDoc("svc/store.go", demoGoStore),
+      Ingest.FileDoc("svc/store_test.go", demoGoTest)).toDS()
+  }
+
   /** Deterministic on-disk tree for the directory-source entry: code
     * files that pass the globs, a doc file, a glob-excluded vendor file,
     * an oversized file (> 1 MiB cap) and an empty file (both must be
@@ -255,6 +338,87 @@ object QueriesIngest {
         | (0, 'app/MathUtil.scala:MathUtil:clamp'),
         | (1, 'app/Pipeline.scala:Pipeline:run'),
         | (2, 'app/PipelineSpec.scala:test:4')
+        |) t(depth, unit_id) ORDER BY depth, unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // PYTHON extraction (r8): the third real language — indentation
+    // scoping instead of braces, pytest test registration, attribute
+    // call-sites (PythonParserSpec dogfoods this repo's own tools/
+    // scripts; the golden oracle pins the unit surface on the demo).
+    ("ingest_python_units",
+      (s, d) => Ingest.parseFiles(demoPyFiles(s), DispatchParser)
+        .toDF().select(col("unitId").as("unit_id"),
+          col("unitType").as("unit_type"), col("name"),
+          col("parentContainer").as("parent"))
+        .orderBy("unit_id"),
+      Some("""SELECT * FROM (VALUES
+        | ('app/mathutil.py:clamp', 'function', 'clamp', ''),
+        | ('app/mathutil.py:floor', 'function', 'floor', ''),
+        | ('app/pipeline.py:MAX_ROWS', 'const', 'MAX_ROWS', ''),
+        | ('app/pipeline.py:import:mathutil', 'import', 'mathutil', ''),
+        | ('app/pipeline.py:load', 'function', 'load', ''),
+        | ('app/pipeline.py:run', 'function', 'run', ''),
+        | ('app/test_pipeline.py:import:pipeline', 'import', 'pipeline', ''),
+        | ('app/test_pipeline.py:test:3', 'test', 'test_run_works', '')
+        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // The README demo on the Python demo codebase: who calls `clamp`,
+    // two hops — the attribute-call site and its test coverage —
+    // through parser → resolver → blocks/edges → BFS, end to end.
+    ("ingest_python_callers",
+      (s, d) => {
+        import graft.api.Cli
+        val units = Ingest.parseFiles(demoPyFiles(s), DispatchParser)
+        val blocks = Ingest.unitsToBlocks(units, "pydemo")
+        val edges = SemanticResolver.edgesAsBlocks(units, "pydemo")
+        Cli.execute(blocks, edges,
+          Cli.ShowCmd("callers", "clamp", "pydemo", maxDepth = 2))
+          .select("depth", "unit_id").orderBy("depth", "unit_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        | (0, 'app/mathutil.py:clamp'),
+        | (1, 'app/pipeline.py:run'),
+        | (2, 'app/test_pipeline.py:test:3')
+        |) t(depth, unit_id) ORDER BY depth, unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // GO extraction (r8): the fourth real language — containers from
+    // RECEIVER declarations (methods live outside the type's braces),
+    // grouped import/const blocks, `go test` registration.
+    ("ingest_go_units",
+      (s, d) => Ingest.parseFiles(demoGoFiles(s), DispatchParser)
+        .toDF().select(col("unitId").as("unit_id"),
+          col("unitType").as("unit_type"), col("name"),
+          col("parentContainer").as("parent"))
+        .orderBy("unit_id"),
+      Some("""SELECT * FROM (VALUES
+        | ('svc/store.go:MaxConns', 'const', 'MaxConns', ''),
+        | ('svc/store.go:Open', 'function', 'Open', ''),
+        | ('svc/store.go:Store', 'type', 'Store', ''),
+        | ('svc/store.go:Store:Get', 'function', 'Get', 'Store'),
+        | ('svc/store.go:import:fmt', 'import', 'fmt', ''),
+        | ('svc/store.go:validate', 'function', 'validate', ''),
+        | ('svc/store_test.go:test:3', 'test', 'TestOpen', '')
+        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Callers of `validate` on the Go demo: the exported constructor
+    // that guards with it, then the test that covers the constructor.
+    ("ingest_go_callers",
+      (s, d) => {
+        import graft.api.Cli
+        val units = Ingest.parseFiles(demoGoFiles(s), DispatchParser)
+        val blocks = Ingest.unitsToBlocks(units, "godemo")
+        val edges = SemanticResolver.edgesAsBlocks(units, "godemo")
+        Cli.execute(blocks, edges,
+          Cli.ShowCmd("callers", "validate", "godemo", maxDepth = 2))
+          .select("depth", "unit_id").orderBy("depth", "unit_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        | (0, 'svc/store.go:validate'),
+        | (1, 'svc/store.go:Open'),
+        | (2, 'svc/store_test.go:test:3')
         |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),
 

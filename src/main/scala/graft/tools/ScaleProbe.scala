@@ -89,7 +89,17 @@ object ScaleProbe {
           canonicalInput = false)),
         time("ktruss")(GraphAnalytics.ktruss(
           pairs.filter(col("src") < col("dst")), k = 4, rounds = 3,
-          canonical = true))
+          canonical = true)),
+        // r8 additions: the packed-long candidate machine (both scores)
+        // and the two-phase integer stress accumulation — wedge volume
+        // is hub-capped (≤ V·C(100,2)), so the expected growth is ~E
+        time("linkpred")(GraphAnalytics.linkPredTopK(pairs,
+          k = 100, maxDeg = 100)),
+        time("ra")(GraphAnalytics.linkPredTopK(pairs,
+          k = 100, maxDeg = 100, score = "ra")),
+        time("stress")(GraphAnalytics.stressFromSeeds(und,
+          seeds = Seq("n0", "n1", "n2", "n3"), maxDepth = 3,
+          undirectedPairs = true))
       ).flatten.toMap
       pairs.unpersist(); und.unpersist()
       r

@@ -1,0 +1,145 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-shape tests for the Go extractor — same harness shape as the
+  * other three parser specs.
+  */
+class GoParserSpec extends AnyFunSuite {
+
+  private def parse(src: String) = GoParser.parse("pkg/x.go", src)
+
+  test("functions and receiver methods: parent from the receiver") {
+    val src =
+      """package store
+        |
+        |func Open(path string) *DB {
+        |	return newDB(path)
+        |}
+        |
+        |func (db *DB) Get(key string) ([]byte, error) {
+        |	return db.lookup(key)
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("function", "Open", ""), ("function", "Get", "DB")))
+    assert(us(0).edges.contains(ParsedEdge("calls", "newDB")))
+    assert(us(1).unitId == "pkg/x.go:DB:Get")
+    assert(us(1).edges.contains(ParsedEdge("method_of", "DB")))
+    assert(us(1).edges.contains(ParsedEdge("calls_method", "lookup")))
+    assert(us(0).lineStart == 3 && us(0).lineEnd == 5)
+  }
+
+  test("imports: single line and grouped block with alias") {
+    val src =
+      """package main
+        |
+        |import "fmt"
+        |
+        |import (
+        |	"os"
+        |	enc "encoding/json"
+        |	"net/http"
+        |)
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(_.unitType).forall(_ == "import"))
+    assert(us.map(_.name) == Seq("fmt", "os", "enc", "http"))
+    assert(us(2).edges == Seq(ParsedEdge("imports", "json")))
+    assert(us(3).edges == Seq(ParsedEdge("imports", "http")))
+  }
+
+  test("types, consts, vars: top-level and grouped (iota block)") {
+    val src =
+      """package cfg
+        |
+        |type Server struct {
+        |	Addr string
+        |}
+        |
+        |type Handler interface {
+        |	Serve(req Request) error
+        |}
+        |
+        |const MaxConns = 64
+        |var debug = false
+        |
+        |const (
+        |	StateIdle = iota
+        |	StateBusy
+        |)
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("type", "Server"), ("type", "Handler"),
+      ("const", "MaxConns"), ("var", "debug"),
+      ("const", "StateIdle"), ("const", "StateBusy")))
+    // interface method signatures are not call edges or units
+    assert(us.flatMap(_.edges).isEmpty)
+  }
+
+  test("go test convention: func TestXxx becomes a test unit") {
+    val src =
+      """package store
+        |
+        |func TestOpen(t *testing.T) {
+        |	db := Open("mem")
+        |	db.Close()
+        |}
+        |
+        |func Testify() {}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("test", "TestOpen"), ("function", "Testify")))
+    assert(us(0).unitId == "pkg/x.go:test:3")
+    assert(us(0).edges.contains(ParsedEdge("calls", "Open")))
+    assert(us(0).edges.contains(ParsedEdge("calls_method", "Close")))
+  }
+
+  test("strings, raw strings, comments are structurally inert") {
+    val src =
+      """package p
+        |
+        |func f() {
+        |	s := "not_a_call() {"
+        |	r := `raw } {
+        |multi_line_not_a_call()
+        |`
+        |	// commented_call()
+        |	/* block_call() */
+        |	g(s, r)
+        |}
+        |
+        |func after() {}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(_.name) == Seq("f", "after"))
+    assert(us(0).edges == Seq(ParsedEdge("calls", "g")))
+  }
+
+  test("multi-line signatures join; closures attach to the enclosing func") {
+    val src =
+      """package p
+        |
+        |func wide(
+        |	a int,
+        |	b func(int) error,
+        |) error {
+        |	return apply(func(x int) error {
+        |		return inner(x)
+        |	})
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(_.name) == Seq("wide"))
+    val callees = us(0).edges.map(_.targetName)
+    assert(callees.contains("apply") && callees.contains("inner"))
+  }
+
+  test("non-code text falls back to one document unit") {
+    val us = GoParser.parse("README.go", "words only\n")
+    assert(us.map(_.unitType) == Seq("document"))
+  }
+}
