@@ -181,6 +181,38 @@ object QueriesRelational {
         | GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
         .stripMargin.replace("\n", " "))),
 
+    // TPC-H Q18 shape (large-volume orders): the HAVING subquery is a
+    // semi-join against the biggest table's own aggregate — at scale
+    // the l_orderkey groupBy is the dominant shuffle and feeds BOTH
+    // sides, so the plan aggregates lineitem ONCE, filters to the
+    // qualifying keys, and joins orders + customer to the survivors
+    // (orders co-keyed on the same key; customer is the broadcast dim).
+    // Quantities are integral by generator contract — summed as LONG so
+    // the oracle hash is order-independent.
+    ("q18_large_orders",
+      (s, d) => {
+        val qty = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        Tables.orders(s, d)
+          .join(qty, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+        | FROM (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |   FROM lineitem GROUP BY 1 HAVING sum_qty > 250) q
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Rollup =====
     ("rollup_counts",
       (s, d) => Tables.lineitem(s, d)
