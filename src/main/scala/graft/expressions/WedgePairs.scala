@@ -49,7 +49,14 @@ case class WedgePairs(child: Expression, pack: Long)
     val adj = input.asInstanceOf[ArrayData]
     val n = adj.numElements()
     if (n < 2) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val out = new Array[Long](n * (n - 1) / 2)
+    // C(n,2) in LONG first: at n = 65536 the Int product already wraps
+    // negative, and a row that big is a caller error (an uncapped hub),
+    // not something to allocate 17 GB for — fail loudly instead
+    val m = n.toLong * (n - 1) / 2
+    require(m <= 100000000L,
+      s"wedge_pairs: adjacency of $n elements yields $m pairs in ONE row — " +
+        "cap center degrees (linkPredTopK maxDeg) before packing")
+    val out = new Array[Long](m.toInt)
     var o = 0
     var i = 0
     while (i < n) {

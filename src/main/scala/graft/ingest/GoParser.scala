@@ -49,8 +49,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 object GoParser extends SourceParser {
 
+  // receiver: optional NAME (unnamed receivers are legal), optional
+  // `*`, the type, optional generic params `[T]`
   private val FuncRe =
-    """^\s*func\s+(?:\(\s*\w+\s+\*?([A-Za-z_]\w*)\s*\)\s+)?([A-Za-z_]\w*)\s*[(\[]""".r
+    """^\s*func\s+(?:\(\s*(?:\w+\s+)?\*?([A-Za-z_]\w*)(?:\[[^\]]*\])?\s*\)\s+)?([A-Za-z_]\w*)\s*[(\[]""".r
   private val TypeRe =
     """^\s*type\s+([A-Za-z_]\w*)(?:\[[^\]]*\])?\s+""".r
   private val ImportOneRe = """^\s*import\s+(?:(\w+|\.)\s+)?"([^"]+)"""".r
@@ -59,7 +61,6 @@ object GoParser extends SourceParser {
   private val ConstVarRe = """^\s*(const|var)\s+([A-Za-z_]\w*)""".r
   private val IdentLineRe = """^\s*([A-Za-z_]\w*)""".r
   private val TypeSpecRe = """^\s*([A-Za-z_]\w*)(?:\[[^\]]*\])?\s+\S""".r
-  private val CallRe = """([A-Za-z_]\w*)\s*\(""".r
 
   /** Call-shaped but syntax. Builtins (`make`, `len`, `append`, …)
     * stay IN — real calls whose unresolvable targets drop in the
@@ -71,11 +72,7 @@ object GoParser extends SourceParser {
     "break", "continue", "fallthrough", "package", "import", "type",
     "const", "var")
 
-  private final case class UnitBuilder(
-      unitType: String, name: String, parent: String, lineStart: Int,
-      var lineEnd: Int, edges: ArrayBuffer[ParsedEdge] = ArrayBuffer.empty)
-
-  private final case class Frame(kind: String, ub: UnitBuilder, openDepth: Int)
+  import ParserScaffold.{Frame, UnitBuilder}
 
   def parse(filePath: String, content: String): Seq[ParsedUnit] = {
     val cleanedLines = clean(content)
@@ -91,13 +88,7 @@ object GoParser extends SourceParser {
     def insideFunction: Boolean = currentCallTarget.isDefined
 
     def addCalls(text: String, to: UnitBuilder): Unit =
-      for (m <- CallRe.findAllMatchIn(text)) {
-        val callee = m.group(1)
-        val before = text.take(m.start).reverse.dropWhile(_ == ' ')
-        val prev = before.headOption.getOrElse(' ')
-        val edgeType = if (prev == '.') "calls_method" else "calls"
-        if (!Keywords(callee)) to.edges += ParsedEdge(edgeType, callee)
-      }
+      ParserScaffold.addCalls(text, to, Keywords, Set.empty)
 
     def emitImport(alias: String, path: String, lineNo: Int): Unit = {
       val tail = path.split('/').last
@@ -136,12 +127,15 @@ object GoParser extends SourceParser {
                 builders += UnitBuilder(kind, m.group(1), "", lineNo, lineNo)
               }
         }
-      } else if (GroupOpenRe.findFirstMatchIn(line).isDefined) {
+      } else if (!insideFunction && GroupOpenRe.findFirstMatchIn(line).isDefined) {
+        // function-local `const (`/`var (` blocks are locals — skipped,
+        // the same documented deviation as single local declarations
         group = GroupOpenRe.findFirstMatchIn(line).get.group(1)
-      } else if (ImportOneRe.findFirstMatchIn(line).isDefined ||
-          origLines(i).matches("""\s*import\s+(?:(?:\w+|\.)\s+)?"[^"]+".*""")) {
-        // single import: the PATH lives in a (cleaned-away) string, so
-        // read it from the original line
+      } else if (line.trim.startsWith("import")) {
+        // single import: the keyword must survive CLEANING (an import
+        // line inside a block comment or raw string is text, not code);
+        // the PATH lives in a (cleaned-away) string, so it reads from
+        // the original line
         ImportOneRe.findFirstMatchIn(origLines(i)).foreach { m =>
           emitImport(m.group(1), m.group(2), lineNo)
         }
@@ -179,46 +173,32 @@ object GoParser extends SourceParser {
       var j = i
       while (j <= consumedTo) {
         depth += cleanedLines(j).count(_ == '{') - cleanedLines(j).count(_ == '}')
-        while (stack.nonEmpty && depth <= stack.last.openDepth) {
+        while (stack.nonEmpty && depth <= stack.last.boundary) {
           stack.last.ub.lineEnd = j + 1
           stack.remove(stack.length - 1)
         }
         j += 1
       }
       pending.foreach { f =>
-        if (depth > f.openDepth) stack += f
+        if (depth > f.boundary) stack += f
         else f.ub.lineEnd = consumedTo + 1
       }
       i = consumedTo + 1
     }
     for (f <- stack) f.ub.lineEnd = origLines.length
 
-    val seen = scala.collection.mutable.HashSet.empty[String]
-    val units = builders.map { ub =>
-      val base = ub.unitType match {
-        case "import" => s"$filePath:import:${ub.name}"
-        case "test" => s"$filePath:test:${ub.lineStart}"
-        case _ if ub.parent.nonEmpty => s"$filePath:${ub.parent}:${ub.name}"
-        case _ => s"$filePath:${ub.name}"
-      }
-      val unitId = if (seen.add(base)) base else s"$base#${ub.lineStart}"
-      val body = origLines.slice(ub.lineStart - 1, ub.lineEnd)
-        .mkString("\n").trim
-      ParsedUnit(unitId, ub.unitType, ub.name, ub.parent, filePath,
-        ub.lineStart, ub.lineEnd, body, ub.edges.distinct.toSeq)
-    }
-    if (units.isEmpty && content.trim.nonEmpty)
-      Seq(ParsedUnit(s"$filePath:document", "document",
-        filePath.split('/').last, "", filePath, 1, origLines.length,
-        content, Seq.empty))
-    else units.toSeq
+    ParserScaffold.finish(filePath, content, origLines, builders.toSeq,
+      dedupIds = true)
   }
 
   /** Join cleaned lines from `start` until the declaration's body `{`
     * at paren-depth 0 (multi-line signatures). Same contract as
-    * [[ZigParser]]'s joinDecl; Go has no `;`-terminated declarations
-    * worth stopping on, so only the brace ends the scan. Lookahead
-    * bounded at 60 lines.
+    * [[ZigParser]]'s joinDecl, with one Go-specific END rule: the spec's
+    * semicolon insertion forces the body brace onto the SAME line the
+    * signature ends on, so a line that closes all parens WITHOUT a `{`
+    * is a bodyless declaration (assembly/linkname extern stubs) — stop
+    * there instead of hunting forward and swallowing the next
+    * declaration's brace. Lookahead bounded at 60 lines.
     */
   private def joinDecl(lines: Array[String], start: Int)
       : (String, Int, Boolean, String) = {
@@ -239,6 +219,7 @@ object GoParser extends SourceParser {
         k += 1
       }
       sb ++= l; sb += '\n'
+      if (paren <= 0) return (sb.toString, j, false, "") // bodyless decl
       j += 1
     }
     (sb.toString, start, false, "")

@@ -63,7 +63,6 @@ object PythonParser extends SourceParser {
   private val FromImportRe =
     """^\s*from\s+([.\w]+)\s+import\s+\(?\s*([^()]*?)\s*\)?\s*$""".r
   private val ConstRe = """^\s*([A-Z][A-Z0-9_]*)\s*(?::[^=]+)?=[^=]""".r
-  private val CallRe = """([A-Za-z_]\w*)\s*\(""".r
 
   /** Lexically call-shaped but syntax, not calls. Builtins (`len`,
     * `print`, …) stay IN — they are real calls whose unresolvable
@@ -76,15 +75,10 @@ object PythonParser extends SourceParser {
     "global", "nonlocal", "await", "async", "match", "case", "else",
     "try", "finally")
 
-  private final case class UnitBuilder(
-      unitType: String, name: String, parent: String, lineStart: Int,
-      var lineEnd: Int, edges: ArrayBuffer[ParsedEdge] = ArrayBuffer.empty)
-
-  /** One open scope: `indent` = the DECLARATION line's indentation; the
-    * scope closes at the first statement line at indent ≤ it (blank,
-    * bracket-continuation, and backslash-continuation lines excepted).
-    */
-  private final case class Frame(kind: String, ub: UnitBuilder, indent: Int)
+  // Frame.boundary = the DECLARATION line's indentation; the scope
+  // closes at the first statement line at indent ≤ it (blank,
+  // bracket-continuation, and backslash-continuation lines excepted)
+  import ParserScaffold.{Frame, UnitBuilder}
 
   def parse(filePath: String, content: String): Seq[ParsedUnit] = {
     val cleanedLines = clean(content)
@@ -100,17 +94,9 @@ object PythonParser extends SourceParser {
         case Frame(k, ub, _) if k == "function" || k == "test" => ub
       }
 
+    // `@decorator(` is registration syntax, not a call edge
     def addCalls(text: String, to: UnitBuilder): Unit =
-      for (m <- CallRe.findAllMatchIn(text)) {
-        val callee = m.group(1)
-        val before = text.take(m.start).reverse.dropWhile(_ == ' ')
-        val prev = before.headOption.getOrElse(' ')
-        // `.attr(...)` → calls_method (zig_parser.zig:404-414);
-        // `@decorator(` is registration syntax, not a call edge
-        val edgeType = if (prev == '.') "calls_method" else "calls"
-        if (prev != '@' && !Keywords(callee))
-          to.edges += ParsedEdge(edgeType, callee)
-      }
+      ParserScaffold.addCalls(text, to, Keywords, Set('@'))
 
     def indentOf(l: String): Int =
       l.takeWhile(c => c == ' ' || c == '\t').length
@@ -130,7 +116,7 @@ object PythonParser extends SourceParser {
       if (t.nonEmpty && !isContinuation) {
         // statement line: close every scope whose body this indent exits
         val ind = indentOf(line)
-        while (stack.nonEmpty && ind <= stack.last.indent) {
+        while (stack.nonEmpty && ind <= stack.last.boundary) {
           stack.last.ub.lineEnd =
             math.max(stack.last.ub.lineStart, lastNonBlank)
           stack.remove(stack.length - 1)
@@ -210,27 +196,10 @@ object PythonParser extends SourceParser {
     }
     for (f <- stack) f.ub.lineEnd = origLines.length
 
-    val seen = scala.collection.mutable.HashSet.empty[String]
-    val units = builders.map { ub =>
-      val base = ub.unitType match {
-        case "import" => s"$filePath:import:${ub.name}"
-        case "test" => s"$filePath:test:${ub.lineStart}"
-        case _ if ub.parent.nonEmpty => s"$filePath:${ub.parent}:${ub.name}"
-        case _ => s"$filePath:${ub.name}"
-      }
-      // overloads/redefinitions share a base id; later duplicates get
-      // their start line appended (deterministic, same as ScalaParser)
-      val unitId = if (seen.add(base)) base else s"$base#${ub.lineStart}"
-      val body = origLines.slice(ub.lineStart - 1, ub.lineEnd)
-        .mkString("\n").trim
-      ParsedUnit(unitId, ub.unitType, ub.name, ub.parent, filePath,
-        ub.lineStart, ub.lineEnd, body, ub.edges.distinct.toSeq)
-    }
-    if (units.isEmpty && content.trim.nonEmpty)
-      Seq(ParsedUnit(s"$filePath:document", "document",
-        filePath.split('/').last, "", filePath, 1, origLines.length,
-        content, Seq.empty))
-    else units.toSeq
+    // overloads/redefinitions share a base id → dedupIds appends
+    // `#line` to later duplicates (deterministic, same as ScalaParser)
+    ParserScaffold.finish(filePath, content, origLines, builders.toSeq,
+      dedupIds = true)
   }
 
   private def emitPlainImport(builders: ArrayBuffer[UnitBuilder],

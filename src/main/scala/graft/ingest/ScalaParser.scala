@@ -60,7 +60,6 @@ object ScalaParser extends SourceParser {
     """^\s*import\s+([A-Za-z_][\w.]*?)(?:\.\{([^}]*)\}|\.(_|\*))?\s*;?\s*$""".r
   private val TestRe = """^\s*test\s*\(""".r
   private val TestNameRe = """^\s*test\s*\(\s*"([^"]*)"""".r
-  private val CallRe = """([A-Za-z_]\w*)\s*\(""".r
 
   private val Keywords = Set(
     "if", "while", "for", "match", "catch", "return", "throw", "do",
@@ -70,11 +69,7 @@ object ScalaParser extends SourceParser {
     "protected", "lazy", "abstract", "try", "finally", "given", "using",
     "then", "synchronized")
 
-  private final case class UnitBuilder(
-      unitType: String, name: String, parent: String, lineStart: Int,
-      var lineEnd: Int, edges: ArrayBuffer[ParsedEdge] = ArrayBuffer.empty)
-
-  private final case class Frame(kind: String, ub: UnitBuilder, openDepth: Int)
+  import ParserScaffold.{Frame, UnitBuilder}
 
   def parse(filePath: String, content: String): Seq[ParsedUnit] = {
     val cleanedLines = clean(content)
@@ -91,18 +86,10 @@ object ScalaParser extends SourceParser {
       }
     def insideFunction: Boolean = currentCallTarget.isDefined
 
+    // `[T](...)` is a type application, not a call; annotations
+    // (`@inline(`) are not calls either
     def addCalls(text: String, to: UnitBuilder): Unit =
-      for (m <- CallRe.findAllMatchIn(text)) {
-        val callee = m.group(1)
-        val before = text.take(m.start).reverse.dropWhile(_ == ' ')
-        val prev = before.headOption.getOrElse(' ')
-        // `.m(...)` → calls_method (zig_parser.zig:404-414); `[T](...)`
-        // is a type application, not a call; annotations (`@inline(`)
-        // and keyword-parens are not calls
-        val edgeType = if (prev == '.') "calls_method" else "calls"
-        if (prev != '@' && prev != '[' && !Keywords(callee))
-          to.edges += ParsedEdge(edgeType, callee)
-      }
+      ParserScaffold.addCalls(text, to, Keywords, Set('@', '['))
 
     var depth = 0
     var i = 0
@@ -180,43 +167,24 @@ object ScalaParser extends SourceParser {
       var j = i
       while (j <= consumedTo) {
         depth += cleanedLines(j).count(_ == '{') - cleanedLines(j).count(_ == '}')
-        while (stack.nonEmpty && depth <= stack.last.openDepth) {
+        while (stack.nonEmpty && depth <= stack.last.boundary) {
           stack.last.ub.lineEnd = j + 1
           stack.remove(stack.length - 1)
         }
         j += 1
       }
       pending.foreach { f =>
-        if (depth > f.openDepth) stack += f
+        if (depth > f.boundary) stack += f
         else f.ub.lineEnd = consumedTo + 1
       }
       i = consumedTo + 1
     }
     for (f <- stack) f.ub.lineEnd = origLines.length
 
-    val seen = scala.collection.mutable.HashSet.empty[String]
-    val units = builders.map { ub =>
-      val base = ub.unitType match {
-        case "import" => s"$filePath:import:${ub.name}"
-        case "test" => s"$filePath:test:${ub.lineStart}"
-        case _ if ub.parent.nonEmpty => s"$filePath:${ub.parent}:${ub.name}"
-        case _ => s"$filePath:${ub.name}"
-      }
-      // companions (object + class of one name) and overloads share a
-      // base id; later duplicates get their start line appended so ids
-      // stay unique and deterministic
-      val unitId = if (seen.add(base)) base else s"$base#${ub.lineStart}"
-      val body = origLines.slice(ub.lineStart - 1, ub.lineEnd)
-        .mkString("\n").trim
-      ParsedUnit(unitId, ub.unitType, ub.name, ub.parent, filePath,
-        ub.lineStart, ub.lineEnd, body,
-        ub.edges.distinct.toSeq)
-    }
-    if (units.isEmpty && content.trim.nonEmpty)
-      Seq(ParsedUnit(s"$filePath:document", "document",
-        filePath.split('/').last, "", filePath, 1, origLines.length,
-        content, Seq.empty))
-    else units.toSeq
+    // companions (object + class of one name) and overloads share a
+    // base id → dedupIds appends `#line` to later duplicates
+    ParserScaffold.finish(filePath, content, origLines, builders.toSeq,
+      dedupIds = true)
   }
 
   /** Join cleaned lines from `start` into one declaration. Returns

@@ -30,6 +30,79 @@ trait SourceParser extends Serializable {
   def parse(filePath: String, content: String): Seq[ParsedUnit]
 }
 
+/** Scaffolding shared by the four real-language extractors (Zig,
+  * Scala, Python, Go): the in-flight unit builder, the scope frame,
+  * the call-site scan, and unit finalization (id assignment, duplicate
+  * suffixing, body slicing, document fallback). One copy, so a change
+  * to a cross-language rule — the `.m(` → calls_method dispatch, the
+  * `#line` duplicate-id scheme — cannot silently diverge per parser.
+  */
+private[ingest] object ParserScaffold {
+
+  final case class UnitBuilder(
+      unitType: String, name: String, parent: String, lineStart: Int,
+      var lineEnd: Int,
+      edges: scala.collection.mutable.ArrayBuffer[ParsedEdge] =
+        scala.collection.mutable.ArrayBuffer.empty)
+
+  /** One open scope. `boundary` is the brace depth just before the
+    * body's `{` (brace languages) or the declaration line's indent
+    * (Python) — the value the scan compares against to close it.
+    */
+  final case class Frame(kind: String, ub: UnitBuilder, boundary: Int)
+
+  private val CallRe = """([A-Za-z_]\w*)\s*\(""".r
+
+  /** Scan `text` for call-sites and append edges to `to`: `.m(...)` →
+    * `calls_method`, bare `m(...)` → `calls` (the reference's
+    * distinction, zig_parser.zig:404-414); identifiers in `keywords`
+    * and sites whose preceding char is in `excludedPrev` (language
+    * syntax like Zig/Python `@`, Scala type application `[`) are not
+    * calls.
+    */
+  def addCalls(text: String, to: UnitBuilder, keywords: Set[String],
+               excludedPrev: Set[Char]): Unit =
+    for (m <- CallRe.findAllMatchIn(text)) {
+      val callee = m.group(1)
+      val before = text.take(m.start).reverse.dropWhile(_ == ' ')
+      val prev = before.headOption.getOrElse(' ')
+      val edgeType = if (prev == '.') "calls_method" else "calls"
+      if (!excludedPrev.contains(prev) && !keywords(callee))
+        to.edges += ParsedEdge(edgeType, callee)
+    }
+
+  /** Builders → ParsedUnits: the shared unit-id scheme
+    * (`file:import:<name>` / `file:test:<line>` / `file[:Parent]:name`),
+    * optional `#line` suffixing for duplicate ids (overloads,
+    * companions, redefinitions — deterministic), the original-line body
+    * slice, and the one-`document`-unit fallback for files with no
+    * recognized declarations (the reference's non-code path).
+    */
+  def finish(filePath: String, content: String, origLines: Array[String],
+             builders: Seq[UnitBuilder], dedupIds: Boolean): Seq[ParsedUnit] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val units = builders.map { ub =>
+      val base = ub.unitType match {
+        case "import" => s"$filePath:import:${ub.name}"
+        case "test" => s"$filePath:test:${ub.lineStart}"
+        case _ if ub.parent.nonEmpty => s"$filePath:${ub.parent}:${ub.name}"
+        case _ => s"$filePath:${ub.name}"
+      }
+      val unitId =
+        if (!dedupIds || seen.add(base)) base else s"$base#${ub.lineStart}"
+      val body = origLines.slice(ub.lineStart - 1, ub.lineEnd)
+        .mkString("\n").trim
+      ParsedUnit(unitId, ub.unitType, ub.name, ub.parent, filePath,
+        ub.lineStart, ub.lineEnd, body, ub.edges.distinct.toSeq)
+    }
+    if (units.isEmpty && content.trim.nonEmpty)
+      Seq(ParsedUnit(s"$filePath:document", "document",
+        filePath.split('/').last, "", filePath, 1, origLines.length,
+        content, Seq.empty))
+    else units
+  }
+}
+
 /** Extractor for a Zig-ish toy language:
   *   - `fn name(args) { ... }`            → function unit
   *   - `type Name { ... }`                → type (container) unit;

@@ -60,7 +60,6 @@ object ZigParser extends SourceParser {
   // variant) must NOT match — the body brace is required
   private val TestRe = """^\s*test(?:\s+[A-Za-z_]\w*)?\s*\{""".r
   private val TestNameRe = """^\s*test\s+"([^"]*)"""".r
-  private val CallRe = """([A-Za-z_]\w*)\s*\(""".r
 
   /** Identifiers that look like calls lexically but are syntax:
     * `if (..)`, `switch (..)`, `align(..)`, `callconv(..)`, the
@@ -75,15 +74,7 @@ object ZigParser extends SourceParser {
     "resume", "nosuspend", "anyframe", "anytype", "noalias", "volatile",
     "allowzero", "export", "threadlocal")
 
-  private final case class UnitBuilder(
-      unitType: String, name: String, parent: String, lineStart: Int,
-      var lineEnd: Int, edges: ArrayBuffer[ParsedEdge] = ArrayBuffer.empty)
-
-  /** One open scope: a container (`type`) body or a function/test body.
-    * `openDepth` = brace depth just BEFORE the body's `{`; the scope
-    * closes when depth falls back to it.
-    */
-  private final case class Frame(kind: String, ub: UnitBuilder, openDepth: Int)
+  import ParserScaffold.{Frame, UnitBuilder}
 
   def parse(filePath: String, content: String): Seq[ParsedUnit] = {
     val cleanedLines = clean(content)
@@ -100,18 +91,9 @@ object ZigParser extends SourceParser {
       }
     def insideFunction: Boolean = currentCallTarget.isDefined
 
+    // `@...(` builtins are not calls (zig_parser.zig:404-414)
     def addCalls(text: String, to: UnitBuilder): Unit =
-      for (m <- CallRe.findAllMatchIn(text)) {
-        val callee = m.group(1)
-        val before = text.take(m.start).reverse.dropWhile(_ == ' ')
-        val prev = before.headOption.getOrElse(' ')
-        // the reference distinguishes identifier calls (`calls`) from
-        // field-access calls (`calls_method`), zig_parser.zig:404-414;
-        // `@...(` builtins and keyword-parens are not calls at all
-        val edgeType = if (prev == '.') "calls_method" else "calls"
-        if (prev != '@' && !Keywords(callee))
-          to.edges += ParsedEdge(edgeType, callee)
-      }
+      ParserScaffold.addCalls(text, to, Keywords, Set('@'))
 
     var depth = 0
     var i = 0
@@ -176,38 +158,25 @@ object ZigParser extends SourceParser {
       var j = i
       while (j <= consumedTo) {
         depth += cleanedLines(j).count(_ == '{') - cleanedLines(j).count(_ == '}')
-        while (stack.nonEmpty && depth <= stack.last.openDepth) {
+        while (stack.nonEmpty && depth <= stack.last.boundary) {
           stack.last.ub.lineEnd = j + 1
           stack.remove(stack.length - 1)
         }
         j += 1
       }
       pending.foreach { f =>
-        if (depth > f.openDepth) stack += f
+        if (depth > f.boundary) stack += f
         else f.ub.lineEnd = consumedTo + 1 // body opened and closed inline
       }
       i = consumedTo + 1
     }
     for (f <- stack) f.ub.lineEnd = origLines.length // unclosed at EOF
 
-    val units = builders.map { ub =>
-      val unitId = ub.unitType match {
-        case "import" => s"$filePath:import:${ub.name}"
-        case "test" => s"$filePath:test:${ub.lineStart}"
-        case _ if ub.parent.nonEmpty => s"$filePath:${ub.parent}:${ub.name}"
-        case _ => s"$filePath:${ub.name}"
-      }
-      val body = origLines.slice(ub.lineStart - 1, ub.lineEnd)
-        .mkString("\n").trim
-      ParsedUnit(unitId, ub.unitType, ub.name, ub.parent, filePath,
-        ub.lineStart, ub.lineEnd, body,
-        ub.edges.distinct.toSeq)
-    }
-    if (units.isEmpty && content.trim.nonEmpty)
-      Seq(ParsedUnit(s"$filePath:document", "document",
-        filePath.split('/').last, "", filePath, 1, origLines.length,
-        content, Seq.empty))
-    else units.toSeq
+    // dedupIds = false: historical behavior, pinned by the golden-count
+    // oracles over the reference tree (`ingest_zig_reference`) — a
+    // duplicate-id rename would re-split resolved-edge distincts
+    ParserScaffold.finish(filePath, content, origLines, builders.toSeq,
+      dedupIds = false)
   }
 
   /** Join cleaned lines from `start` until the declaration's body `{`

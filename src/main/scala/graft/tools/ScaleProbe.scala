@@ -41,7 +41,8 @@ object ScaleProbe {
 
     val algos: Seq[String] =
       if (args.nonEmpty) args.toSeq
-      else Seq("pagerank", "components", "kcore", "bfs", "msf", "ktruss")
+      else Seq("pagerank", "components", "kcore", "bfs", "msf", "ktruss",
+        "linkpred", "ra", "stress")
 
     def run(tag: String, nV: Long, nE: Long): Map[String, Double] = {
       // the stored-index contract: benched consumers probe a persisted,

@@ -25,6 +25,16 @@ class WedgePairsSpec extends SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
+  test("wedge_pairs: an uncapped-hub-sized array fails loudly, not OOM") {
+    // C(n,2) over 100M pairs in ONE row is a caller error (missing
+    // degree cap); the Int-arithmetic wrap at n=65536 must never reach
+    // the allocation
+    val big = Seq(Seq.range(1L, 20002L)).toDF("adj")
+      .select(call_function("wedge_pairs", col("adj"), lit(P)).as("w"))
+    val e = intercept[Exception](big.collect())
+    assert(e.getMessage != null)
+  }
+
   test("wedge_pairs ≡ the composable HOF tree on random adjacencies") {
     // the HOF formulation is the cross-check the native loop replaced
     // in linkPredTopK's explode stage — they must agree element-wise

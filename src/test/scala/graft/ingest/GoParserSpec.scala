@@ -142,4 +142,77 @@ class GoParserSpec extends AnyFunSuite {
     val us = GoParser.parse("README.go", "words only\n")
     assert(us.map(_.unitType) == Seq("document"))
   }
+
+  test("bodyless declarations don't swallow the next function") {
+    // assembly-backed stub: signature line closes its parens with no
+    // brace — semicolon insertion means no body ever follows
+    val src =
+      """package p
+        |
+        |func Add(a, b int) int
+        |
+        |func Sub(a, b int) int {
+        |	return minus(a, b)
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("function", "Add"), ("function", "Sub")))
+    assert(us(0).edges.isEmpty) // no phantom calls->Sub from the scan
+    assert(us(1).edges == Seq(ParsedEdge("calls", "minus")))
+  }
+
+  test("unnamed and generic receivers still yield method units") {
+    val src =
+      """package p
+        |
+        |func (*Store) Reset() {
+        |	cleanup()
+        |}
+        |
+        |func (s *Cache[K]) Get(k K) K {
+        |	return s.probe(k)
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("function", "Reset", "Store"), ("function", "Get", "Cache")))
+    assert(us(0).edges.contains(ParsedEdge("calls", "cleanup")))
+    assert(us(1).edges.contains(ParsedEdge("calls_method", "probe")))
+  }
+
+  test("imports inside comments or raw strings are not units") {
+    val src =
+      """package p
+        |
+        |/*
+        |import "fmt"
+        |*/
+        |
+        |var tmpl = `
+        |import "phantom"
+        |`
+        |
+        |import "real"
+        |""".stripMargin
+    val us = parse(src)
+    val imports = us.filter(_.unitType == "import")
+    assert(imports.map(_.name) == Seq("real"))
+  }
+
+  test("function-local const/var groups are skipped like single locals") {
+    val src =
+      """package p
+        |
+        |func f() {
+        |	const (
+        |		bufSize = 4096
+        |	)
+        |	use(bufSize)
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(("function", "f")))
+    assert(us(0).edges == Seq(ParsedEdge("calls", "use")))
+  }
 }
