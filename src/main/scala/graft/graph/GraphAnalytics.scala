@@ -2427,4 +2427,119 @@ object GraphAnalytics {
        |  CAST($reach AS BIGINT) AS n_reach, round($harm, 6) AS harmonic
        | FROM agg ORDER BY id""".stripMargin.replace("\n", " ")
   }
+
+  /** Deterministic Luby MAXIMAL INDEPENDENT SET (r8): per round, a
+    * node joins the set iff its priority beats every UNDECIDED
+    * neighbor's; winners and their neighbors leave the game. Priority
+    * = `md5(id) || id` — a total, collision-free order both engines
+    * compute identically (the same cross-engine-md5 device as
+    * [[randomWalks]]' argmin next-hop), which is what makes the round
+    * states — and hence the unrolled-CTE oracle — hash-exact where a
+    * seeded-RNG Luby could never match. Fixed-round semantics like
+    * [[kcore]]/[[labelPropagation]]: `rounds` rounds exactly; nodes
+    * still undecided after the horizon are reported as such (status
+    * 'undecided', round 0) rather than silently dropped — Luby
+    * decides an expected constant fraction per round, so the horizon
+    * plays the same bounded-iteration role as every other fixed-point
+    * entry. The independence + fixed-horizon-maximality invariants are
+    * spec-pinned on random graphs ([[GraphAnalyticsSpec]]).
+    *
+    * Scale shape: per round ONE join of the (shrinking) undecided set
+    * against the stored undirected index + one min-agg + one anti-join
+    * — O(live edges) per round, O(log V) expected rounds to empty;
+    * state carries (id, pri) only.
+    *
+    * Returns (id, status, round): every node exactly once — 'in'
+    * (joined the set in `round`), 'out' (eliminated as a winner's
+    * neighbor in `round`), or 'undecided' (round 0, past the horizon).
+    */
+  def maximalIndependentSet(pairs: DataFrame, rounds: Int = 4,
+                            undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(pairs.sparkSession) {
+    require(rounds >= 1, "maximalIndependentSet needs rounds >= 1")
+    val parentCached = undirectedPairs &&
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0raw = if (undirectedPairs)
+      pairs.select(col("src").as("a"), col("dst").as("b"))
+    else {
+      val p0 = pairs.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      p0.select(col("src").as("a"), col("dst").as("b"))
+        .union(p0.select(col("dst").as("a"), col("src").as("b")))
+    }
+    val und = if (parentCached) und0raw else und0raw.localCheckpoint(true)
+    var undec = und.select(col("a").as("id")).distinct()
+      .withColumn("pri", concat(md5(col("id")), col("id")))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      // live edges: both ends still undecided (the und view carries
+      // both orientations, so grouping by `a` sees the full
+      // neighborhood)
+      val live = und
+        .join(undec.select(col("id").as("a")), Seq("a"))
+        .join(undec.select(col("id").as("b"), col("pri").as("pb")), Seq("b"))
+      val minNb = live.groupBy(col("a").as("id")).agg(min("pb").as("mn"))
+      // '~' (0x7E) exceeds every md5-hex/ascii-id char → +infinity for
+      // nodes whose neighbors have all left the game
+      // LAZY checkpoints throughout the loop: no per-round driver
+      // action exists, so each frame materializes exactly once when
+      // the final write (or the next round's first use) reaches it —
+      // lineage truncates without paying a scheduling round-trip per
+      // frame (the bfsLoop pattern)
+      val sel = undec.join(minNb, Seq("id"), "left")
+        .filter(col("pri") < coalesce(col("mn"), lit("~")))
+        .select(col("id"))
+        .localCheckpoint(false)
+      val selOut = sel.select(col("id"), lit("in").as("status"),
+        lit(r).as("round"))
+      val decided = sel
+        .union(live.join(sel.withColumnRenamed("id", "a"), Seq("a"))
+          .select(col("b").as("id")))
+        .distinct()
+        .localCheckpoint(false)
+      val elimOut = decided.join(sel, Seq("id"), "left_anti")
+        .select(col("id"), lit("out").as("status"), lit(r).as("round"))
+      val roundOut = selOut.unionAll(elimOut)
+      out = if (out == null) roundOut else out.unionAll(roundOut)
+      undec = undec.join(decided, Seq("id"), "left_anti")
+        .localCheckpoint(false)
+    }
+    out.unionAll(undec.select(col("id"), lit("undecided").as("status"),
+      lit(0).as("round")))
+  }
+
+  /** DuckDB oracle for [[maximalIndependentSet]] — the identical
+    * rounds unrolled as MATERIALIZED CTEs (same `md5(id) || id`
+    * priority, same '~' infinity).
+    */
+  def misSql(edgesSql: String, rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "p AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst), "
+    sb ++= "u AS MATERIALIZED (SELECT src AS a, dst AS b FROM p " +
+      "UNION ALL SELECT dst, src FROM p), "
+    sb ++= "u0 AS MATERIALIZED (SELECT id, md5(id) || id AS pri FROM " +
+      "(SELECT DISTINCT a AS id FROM u))"
+    for (r <- 1 to rounds) {
+      val prev = s"u${r - 1}"
+      sb ++= s", er$r AS MATERIALIZED (SELECT u.a, u.b, ub.pri AS pb " +
+        s"FROM u JOIN $prev ua ON u.a = ua.id JOIN $prev ub ON u.b = ub.id)"
+      sb ++= s", mn$r AS MATERIALIZED (SELECT a AS id, MIN(pb) AS mn " +
+        s"FROM er$r GROUP BY 1)"
+      sb ++= s", sel$r AS MATERIALIZED (SELECT s.id FROM $prev s " +
+        s"LEFT JOIN mn$r m ON s.id = m.id " +
+        s"WHERE s.pri < COALESCE(m.mn, '~'))"
+      sb ++= s", dec$r AS MATERIALIZED (SELECT id FROM sel$r " +
+        s"UNION SELECT er.b FROM er$r er JOIN sel$r s ON er.a = s.id)"
+      sb ++= s", u$r AS MATERIALIZED (SELECT s.id, s.pri FROM $prev s " +
+        s"LEFT JOIN dec$r d ON s.id = d.id WHERE d.id IS NULL)"
+    }
+    val sels = (1 to rounds).map(r =>
+      s"SELECT id, 'in' AS status, $r AS round FROM sel$r " +
+        s"UNION ALL SELECT d.id, 'out', $r FROM dec$r d " +
+        s"LEFT JOIN sel$r s ON d.id = s.id WHERE s.id IS NULL")
+      .mkString(" UNION ALL ")
+    sb ++= s" $sels UNION ALL SELECT id, 'undecided', 0 FROM u$rounds"
+    sb.toString
+  }
 }

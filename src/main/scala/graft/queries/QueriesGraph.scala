@@ -836,6 +836,42 @@ object QueriesGraph {
         | SELECT id, MIN(depth) AS depth FROM r GROUP BY id
         | ORDER BY depth, id LIMIT 10000""".stripMargin.replace("\n", " "))),
 
+    // Deterministic Luby maximal independent set (r8c): md5-priority
+    // rounds over the stored undirected index — the distributed
+    // symmetry-breaking primitive (scheduling, graph coloring's first
+    // step). Hash priorities replace the RNG so the unrolled oracle is
+    // hash-exact; fixed-round horizon like kcore/lpa.
+    ("graph_mis",
+      (s, d) => GraphAnalytics.maximalIndependentSet(
+          CodeGraph.undPairs(s, d), rounds = 4, undirectedPairs = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.misSql(E, rounds = 4) + " ORDER BY id")),
+
+    // Time-travel ANALYTICS (r8c): the MVCC as-of view composes with
+    // the fixed-point analytics layer, not just traversal — PageRank
+    // over the edge set AS OF sequence 500 (read-at-sequence
+    // semantics, docs/DESIGN.md:31-33, feeding the same integer
+    // pagerank scheme; the oracle nests the horizoned current view as
+    // the unrolled CTE chain's edge set). The composition is the
+    // point: ANY analytics entry runs on history by swapping its edge
+    // input for this view.
+    ("graph_pagerank_asof",
+      (s, d) => GraphAnalytics.pagerankFixedPoint(
+          graft.core.Schemas.currentViewKeyedAsOf(
+            CodeGraph.versionedEdges(s, d), 500L,
+            Seq("src", "dst", "edge_type"))
+            .select(col("src"), col("dst")),
+          iters = 3)
+        .orderBy(desc("rank"), col("id")),
+      Some(GraphAnalytics.pagerankSql(
+        s"""WITH ve AS (${CodeGraph.versionedEdgesSql}),
+           | h AS (SELECT * FROM ve WHERE sequence <= 500),
+           | w AS (SELECT *, row_number() OVER (
+           |    PARTITION BY src, dst, edge_type
+           |    ORDER BY sequence DESC) AS rn FROM h)
+           | SELECT src, dst FROM w WHERE rn = 1 AND NOT is_deleted"""
+          .stripMargin.replace("\n", " "), iters = 3))),
+
     // HITS hubs & authorities (r7): PageRank's link-analysis sibling
     // over the same stored pair view — integer per-step
     // renormalization (d = max(1, Σraw div scale); score = raw div d)

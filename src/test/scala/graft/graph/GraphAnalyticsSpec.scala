@@ -156,6 +156,42 @@ class GraphAnalyticsSpec extends SparkSpec {
       ("x2", "x3", 0.333333)))
   }
 
+  test("maximalIndependentSet: independence + maximality invariants") {
+    // random graph: the set must be independent; with enough rounds
+    // every node is decided and every 'out' node has an 'in' neighbor
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+      .filter { case (a, b) => a != b }
+    val g = edges.toDF("src", "dst")
+    val res = GraphAnalytics.maximalIndependentSet(g, rounds = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val byId = res.groupBy(_._1)
+    assert(byId.values.forall(_.size == 1), "every node exactly once")
+    val inSet = res.filter(_._2 == "in").map(_._1).toSet
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    // independence: no edge inside the set
+    assert(!und.exists { case (a, b) => inSet(a) && inSet(b) })
+    // 8 rounds decide a 30-node graph: nothing undecided, and every
+    // out node is adjacent to an in node (maximality)
+    assert(!res.exists(_._2 == "undecided"))
+    val outs = res.filter(_._2 == "out").map(_._1)
+    assert(outs.forall(o => und.exists { case (a, b) => a == o && inSet(b) }))
+    // determinism: a second run reproduces the exact rows
+    val res2 = GraphAnalytics.maximalIndependentSet(g, rounds = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(res.sorted.toSeq == res2.sorted.toSeq)
+  }
+
+  test("maximalIndependentSet: single edge decides in round 1") {
+    val g = Seq(("a", "b")).toDF("src", "dst")
+    val res = GraphAnalytics.maximalIndependentSet(g, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(res.map(_._2).sorted.toSeq == Seq("in", "out"))
+    assert(res.forall(_._3 == 1))
+  }
+
   test("triangleCountsAdj: K4 plus a tail") {
     val vs = Seq("a", "b", "c", "d")
     val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
