@@ -2542,4 +2542,277 @@ object GraphAnalytics {
     sb ++= s" $sels UNION ALL SELECT id, 'undecided', 0 FROM u$rounds"
     sb.toString
   }
+
+  /** Local clustering coefficient per node — "how much of my
+    * neighborhood is itself connected": coeff(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)), the per-node refinement of the global
+    * triangle count (Watts–Strogatz; the node-level density feature a
+    * graph-ML pipeline attaches alongside degree and PageRank).
+    * Fixed-point: coeff is emitted as LONG units of `scale` —
+    * 2·tri·scale div (deg·(deg−1)) computed in DECIMAL(38,0) so the
+    * numerator never wraps on hub nodes (tri grows ~deg²; 2·tri·scale
+    * exceeds 2⁶³ around deg ~10⁵ at the default scale) — the same
+    * overflow-safe-integer convention as [[hitsFixedPoint]], and the
+    * reason a hash-exact cross-engine oracle exists at all (a float
+    * ratio would be bit-stable here too, but the integer form keeps
+    * the whole surface on one convention).
+    *
+    * Scale shape: the [[triangleCountsAdj]] edge-iterator — one
+    * E-scale groupBy builds sorted adjacency arrays, per-edge
+    * common-neighbor intersects count triangles with nothing
+    * Σdeg²-sized ever materializing as rows, one V-sized agg folds
+    * per-edge counts to per-node, one V-sized left join attaches
+    * degrees. Max-degree-bounded memory like its parent — on graphs
+    * with 10⁶-degree hubs swap the triangle stage for the wedge-join
+    * [[triangleCounts]] shape.
+    *
+    * Returns (id, deg, triangles, coeff) for every node with ≥1 edge;
+    * deg-1 nodes get coeff 0 (the conventional value).
+    */
+  def localClustering(edges: DataFrame, scale: Long = 1000000000L,
+                      pairsDistinct: Boolean = false,
+                      canonical: Boolean = false): DataFrame = {
+    val p0 =
+      if (pairsDistinct || canonical) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+    val canon = (
+      if (canonical) p0.select(col("src").as("a"), col("dst").as("b"))
+      else p0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      ).localCheckpoint(true)
+    val nbrs = canon.select(col("a").as("id"), col("b").as("nb"))
+      .union(canon.select(col("b").as("id"), col("a").as("nb")))
+      .groupBy("id").agg(sort_array(collect_set(col("nb"))).as("adj"))
+      .localCheckpoint(true)
+    val smallV = nbrs.count() <= 2000000L
+    def side(k: String, out: String) =
+      if (smallV) broadcast(nbrs.select(col("id").as(k), col("adj").as(out)))
+      else nbrs.select(col("id").as(k), col("adj").as(out))
+    val perEdge = canon
+      .join(side("a", "adjA"), Seq("a"))
+      .join(side("b", "adjB"), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("adjA"), col("adjB"))).cast("long").as("c"))
+    val tri = perEdge
+      .select(explode(array(
+        struct(col("a").as("id"), col("c")),
+        struct(col("b").as("id"), col("c")))).as("e"))
+      .select(col("e.id"), col("e.c"))
+      .groupBy("id").agg(expr("sum(c) div 2").as("triangles"))
+    nbrs.select(col("id"), size(col("adj")).cast("long").as("deg"))
+      .join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          expr(s"CAST(2 * coalesce(triangles, 0) AS DECIMAL(38,0))" +
+            s" * ${scale}L div (deg * (deg - 1))").cast("long"))
+          .otherwise(lit(0L)).as("coeff"))
+  }
+
+  /** DuckDB oracle for [[localClustering]] — adjacency degrees + the
+    * [[trianglesSql]] wedge closing, the identical DECIMAL-safe
+    * fixed-point division (HUGEINT on the DuckDB side).
+    */
+  def localClusteringSql(edgesSql: String,
+                         scale: Long = 1000000000L): String =
+    s"""WITH e AS ($edgesSql),
+       | pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+       | canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM pairs WHERE src <> dst),
+       | deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY id),
+       | o AS MATERIALIZED (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+       |    THEN c.a ELSE c.b END AS u,
+       |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+       |    THEN c.b ELSE c.a END AS v
+       |  FROM canon c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b),
+       | wg AS (SELECT o1.u, o1.v, o2.v AS w FROM o o1
+       |   JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v),
+       | t AS (SELECT u, v, w FROM wg
+       |   WHERE EXISTS (SELECT 1 FROM canon WHERE a = wg.v AND b = wg.w)),
+       | x AS (SELECT unnest([u, v, w]) AS id FROM t),
+       | tri AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+       |   FROM x GROUP BY id)
+       | SELECT d.id, d.deg,
+       |  CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       |  CAST(CASE WHEN d.deg >= 2
+       |   THEN CAST(2 * COALESCE(t.triangles, 0) AS HUGEINT) * $scale
+       |     // (CAST(d.deg AS HUGEINT) * (d.deg - 1))
+       |   ELSE 0 END AS BIGINT) AS coeff
+       | FROM deg d LEFT JOIN tri t ON d.id = t.id ORDER BY d.id"""
+      .stripMargin.replace("\n", " ")
+
+  /** Greedy distributed vertex coloring by iterated local-minima
+    * independent sets (the Jones–Plassmann wave schedule with
+    * hash-deterministic priorities): per round, every still-uncolored
+    * node whose `md5(id) || id` priority beats all uncolored neighbors
+    * takes the round number as its color and leaves. Each color class
+    * is an independent set by construction (two adjacent survivors
+    * can't both be their neighborhood minimum), so the result is a
+    * proper coloring of everything colored within the horizon —
+    * the scheduling primitive ("which tasks can run simultaneously"
+    * over a dependency graph) one step past [[maximalIndependentSet]],
+    * which this shares its machinery with: same priority device, same
+    * '~' infinity, same fixed-round horizon semantics, but peeling
+    * ONLY the winners each round (no neighbor elimination), so rounds
+    * = colors. Nodes past the horizon report color 0 'uncolored'
+    * rather than silently dropping.
+    *
+    * Scale shape: per round one join of the shrinking uncolored set
+    * against the stored undirected index + one min-agg + one anti-join
+    * — O(live edges) per round; expected rounds to empty ≈ max greedy
+    * color ≈ O(degeneracy) on real graphs.
+    *
+    * Returns (id, color, status): 'colored' (color = round ≥ 1) or
+    * 'uncolored' (color 0).
+    */
+  def greedyColoring(pairs: DataFrame, rounds: Int = 6,
+                     undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(pairs.sparkSession) {
+    require(rounds >= 1, "greedyColoring needs rounds >= 1")
+    val parentCached = undirectedPairs &&
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0raw = if (undirectedPairs)
+      pairs.select(col("src").as("a"), col("dst").as("b"))
+    else {
+      val p0 = pairs.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      p0.select(col("src").as("a"), col("dst").as("b"))
+        .union(p0.select(col("dst").as("a"), col("src").as("b")))
+    }
+    val und = if (parentCached) und0raw else und0raw.localCheckpoint(true)
+    var undec = und.select(col("a").as("id")).distinct()
+      .withColumn("pri", concat(md5(col("id")), col("id")))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val live = und
+        .join(undec.select(col("id").as("a")), Seq("a"))
+        .join(undec.select(col("id").as("b"), col("pri").as("pb")), Seq("b"))
+      val minNb = live.groupBy(col("a").as("id")).agg(min("pb").as("mn"))
+      val sel = undec.join(minNb, Seq("id"), "left")
+        .filter(col("pri") < coalesce(col("mn"), lit("~")))
+        .select(col("id"))
+        .localCheckpoint(false)
+      val roundOut = sel.select(col("id"), lit(r).as("color"),
+        lit("colored").as("status"))
+      out = if (out == null) roundOut else out.unionAll(roundOut)
+      undec = undec.join(sel, Seq("id"), "left_anti")
+        .localCheckpoint(false)
+    }
+    out.unionAll(undec.select(col("id"), lit(0).as("color"),
+      lit("uncolored").as("status")))
+  }
+
+  /** DuckDB oracle for [[greedyColoring]] — the identical rounds
+    * unrolled as MATERIALIZED CTEs (same priority, same '~' infinity,
+    * winners-only peel).
+    */
+  def coloringSql(edgesSql: String, rounds: Int = 6): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "p AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst), "
+    sb ++= "u AS MATERIALIZED (SELECT src AS a, dst AS b FROM p " +
+      "UNION ALL SELECT dst, src FROM p), "
+    sb ++= "u0 AS MATERIALIZED (SELECT id, md5(id) || id AS pri FROM " +
+      "(SELECT DISTINCT a AS id FROM u))"
+    for (r <- 1 to rounds) {
+      val prev = s"u${r - 1}"
+      sb ++= s", mn$r AS MATERIALIZED (SELECT u.a AS id, MIN(ub.pri) AS mn " +
+        s"FROM u JOIN $prev ua ON u.a = ua.id JOIN $prev ub ON u.b = ub.id " +
+        "GROUP BY 1)"
+      sb ++= s", sel$r AS MATERIALIZED (SELECT s.id FROM $prev s " +
+        s"LEFT JOIN mn$r m ON s.id = m.id " +
+        s"WHERE s.pri < COALESCE(m.mn, '~'))"
+      sb ++= s", u$r AS MATERIALIZED (SELECT s.id, s.pri FROM $prev s " +
+        s"LEFT JOIN sel$r d ON s.id = d.id WHERE d.id IS NULL)"
+    }
+    val sels = (1 to rounds).map(r =>
+      s"SELECT id, $r AS color, 'colored' AS status FROM sel$r")
+      .mkString(" UNION ALL ")
+    sb ++= s" $sels UNION ALL SELECT id, 0, 'uncolored' FROM u$rounds"
+    sb.toString
+  }
+
+  /** GNN-style feature propagation (SGC / LightGCN shape without the
+    * learned weights): iterate h'(v) = (h(v) + Σ_{u∈N(v)} h(u)) div
+    * (deg(v) + 1) — mean aggregation over the self-looped neighborhood,
+    * the message-passing primitive every graph neural network lowers
+    * to, and the cheapest way to attach "what my neighborhood looks
+    * like" features to nodes for a downstream model. Seeded with
+    * h₀ = deg·`scale` (degree is the canonical structural feature;
+    * `scale` keeps precision through the integer mean), carried as
+    * LONG — the same exact-arithmetic convention as every fixed-point
+    * entry, making the unrolled oracle hash-exact where float means
+    * never could be.
+    *
+    * Scale shape per iteration: ONE equi-join of the V-sized state
+    * against the stored undirected index + one V-sized partial agg
+    * (the old state rides the union — the pagerank fold), no
+    * exchanges beyond the agg. Returns (id, deg, feature).
+    */
+  def featureProp(pairs: DataFrame, iters: Int = 2,
+                  scale: Long = 1000000L,
+                  undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(pairs.sparkSession) {
+    require(iters >= 1, "featureProp needs iters >= 1")
+    val parentCached = undirectedPairs &&
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0raw = if (undirectedPairs)
+      pairs.select(col("src").as("a"), col("dst").as("b"))
+    else {
+      val p0 = pairs.filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      p0.select(col("src").as("a"), col("dst").as("b"))
+        .union(p0.select(col("dst").as("a"), col("src").as("b")))
+    }
+    val und = if (parentCached) und0raw else und0raw.localCheckpoint(true)
+    val deg = und.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var state = deg.select(col("id"), (col("deg") * scale).as("h"))
+    for (_ <- 1 to iters) {
+      val msgs = state.select(col("id").as("a"), col("h"))
+        .join(und, Seq("a"))
+        .select(col("b").as("id"), col("h"))
+      val next = state.select(col("id"), col("h"))
+        .unionAll(msgs)
+        .groupBy("id").agg(sum("h").as("hs"))
+        .join(deg, Seq("id"))
+        .select(col("id"), expr("hs div (deg + 1)").as("h"))
+        .localCheckpoint(false)
+      state = next
+    }
+    state.join(deg, Seq("id"))
+      .select(col("id"), col("deg"), col("h").as("feature"))
+  }
+
+  /** DuckDB oracle for [[featureProp]] — the identical iterations
+    * unrolled as MATERIALIZED CTEs.
+    */
+  def featurePropSql(edgesSql: String, iters: Int = 2,
+                     scale: Long = 1000000L): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "p AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst), "
+    sb ++= "u AS MATERIALIZED (SELECT src AS a, dst AS b FROM p " +
+      "UNION ALL SELECT dst, src FROM p), "
+    sb ++= "deg AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) " +
+      "AS deg FROM u GROUP BY 1), "
+    sb ++= s"h0 AS MATERIALIZED (SELECT id, deg * $scale AS h FROM deg)"
+    for (i <- 1 to iters) {
+      val prev = s"h${i - 1}"
+      sb ++= s", m$i AS MATERIALIZED (SELECT u.b AS id, s.h " +
+        s"FROM $prev s JOIN u ON u.a = s.id)"
+      sb ++= s", h$i AS MATERIALIZED (SELECT t.id, " +
+        s"CAST(SUM(t.h) AS BIGINT) // (d.deg + 1) AS h FROM " +
+        s"(SELECT id, h FROM $prev UNION ALL SELECT id, h FROM m$i) t " +
+        s"JOIN deg d ON d.id = t.id GROUP BY t.id, d.deg)"
+    }
+    sb ++= s" SELECT h.id, d.deg, h.h AS feature FROM h$iters h " +
+      "JOIN deg d ON d.id = h.id ORDER BY h.id"
+    sb.toString
+  }
 }

@@ -983,6 +983,39 @@ object QueriesGraph {
           | JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) y
           | ON x.ok = y.ok AND x.p < y.p""".stripMargin.replace("\n", " "),
         k = 4, rounds = 3))),
+
+    // Local clustering coefficient (r8d): the per-node refinement of
+    // graph_triangles over the same basket graph — 2·tri/(deg·(deg−1))
+    // as fixed-point LONG, the neighborhood-density feature a graph-ML
+    // pipeline attaches alongside degree/pagerank. Edge-iterator
+    // adjacency intersects; nothing Σdeg²-sized materializes.
+    ("graph_clustering",
+      (s, d) => GraphAnalytics.localClustering(CodeGraph.coPairs(s, d),
+          canonical = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.localClusteringSql(coSql))),
+
+    // Greedy vertex coloring (r8d): iterated local-minima independent
+    // sets with the MIS entry's md5 priority device — rounds = colors,
+    // each class independent by construction (the Jones–Plassmann wave
+    // schedule). The scheduling primitive over a dependency graph:
+    // everything in one color class can run simultaneously.
+    ("graph_coloring",
+      (s, d) => GraphAnalytics.greedyColoring(
+          CodeGraph.undPairs(s, d), rounds = 6, undirectedPairs = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.coloringSql(E, rounds = 6) + " ORDER BY id")),
+
+    // GNN-style feature propagation (r8d): 2 rounds of integer mean
+    // aggregation over the self-looped neighborhood (the SGC/LightGCN
+    // message-passing shape), seeded with degree — "what my
+    // neighborhood looks like" as a node feature for a downstream
+    // model. One state⋈index join + one V-scale fold per round.
+    ("graph_feature_prop",
+      (s, d) => GraphAnalytics.featureProp(
+          CodeGraph.undPairs(s, d), iters = 2, undirectedPairs = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.featurePropSql(E, iters = 2))),
   )
 
   val entries: Seq[Entry] = entriesA ++ entriesB

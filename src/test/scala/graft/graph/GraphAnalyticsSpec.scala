@@ -454,4 +454,76 @@ class GraphAnalyticsSpec extends SparkSpec {
       Seq("a"), maxDepth = 3).orderBy("id").collect().map(_.toSeq).toSeq
     assert(s5 == s1)
   }
+
+  test("localClustering: triangle 1.0, path interior 0, K4-with-tail exact") {
+    // K3: every node has deg 2, 1 triangle -> coeff = scale exactly
+    val k3 = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val c3 = GraphAnalytics.localClustering(k3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(c3 == Map("a" -> (2L, 1L, 1000000000L),
+      "b" -> (2L, 1L, 1000000000L), "c" -> (2L, 1L, 1000000000L)))
+    // path a-b-c: interior deg 2 no triangle -> 0; endpoints deg 1 -> 0
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val cp = GraphAnalytics.localClustering(path)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(cp == Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
+    // K4 + tail d-e: clique nodes a,b,c coeff 1; d has deg 4, 3
+    // triangles -> 2*3/(4*3) = 0.5; e deg 1 -> 0
+    val vs = Seq("a", "b", "c", "d")
+    val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
+    val g = (k4 :+ ("d", "e")).toDF("src", "dst")
+    val c4 = GraphAnalytics.localClustering(g)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(c4 == Map("a" -> 1000000000L, "b" -> 1000000000L,
+      "c" -> 1000000000L, "d" -> 500000000L, "e" -> 0L))
+  }
+
+  test("greedyColoring: proper coloring, deterministic, horizon-capped") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 150).map(_ =>
+      (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+      .filter { case (a, b) => a != b }
+    val g = edges.toDF("src", "dst")
+    val res = GraphAnalytics.greedyColoring(g, rounds = 25)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(res.groupBy(_._1).values.forall(_.size == 1), "each node once")
+    // enough rounds: everything colored
+    assert(res.forall(_._3 == "colored"))
+    val color = res.map(t => t._1 -> t._2).toMap
+    // proper: no edge is monochromatic
+    assert(!edges.exists { case (a, b) => color(a) == color(b) })
+    // deterministic
+    val res2 = GraphAnalytics.greedyColoring(g, rounds = 25)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(res.sorted.toSeq == res2.sorted.toSeq)
+    // horizon: 1 round on a path colors the local minima only, rest
+    // report uncolored with color 0
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val r1 = GraphAnalytics.greedyColoring(path, rounds = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(r1.exists(_._3 == "uncolored"))
+    assert(r1.filter(_._3 == "uncolored").forall(_._2 == 0))
+    assert(r1.filter(_._3 == "colored").forall(_._2 == 1))
+  }
+
+  test("featureProp: mean aggregation exact on a star; deterministic") {
+    // star h-{x1,x2,x3}: deg h=3, leaves 1. h0: h=3M, x=1M.
+    // iter1: h(h) = (3M + 3*1M) div 4 = 1.5M
+    //        h(x) = (1M + 3M) div 2 = 2M
+    // iter2: h(h) = (1.5M + 3*2M) div 4 = 1875000
+    //        h(x) = (2M + 1.5M) div 2 = 1750000
+    val g = Seq(("h", "x1"), ("h", "x2"), ("h", "x3")).toDF("src", "dst")
+    val r = GraphAnalytics.featureProp(g, iters = 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map("h" -> (3L, 1875000L), "x1" -> (1L, 1750000L),
+      "x2" -> (1L, 1750000L), "x3" -> (1L, 1750000L)))
+    // deterministic across partitionings (integer sums)
+    val big = (1 to 60).map(i => (s"n${i % 11}", s"n${(5 * i + 2) % 11}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val p1 = GraphAnalytics.featureProp(big.repartition(1), iters = 3)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val p9 = GraphAnalytics.featureProp(big.repartition(9), iters = 3)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(p1 == p9)
+  }
 }
