@@ -231,4 +231,68 @@ object Sampling {
         hashBucket(col(idCol)).as("bucket"), pct.as("keep_pct"))
       .filter(col("bucket") < col("keep_pct"))
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-token distribution looks like a
+    * TARGET slice of the corpus, so a later weighted draw shifts the
+    * training mixture toward the target domain. Features are token
+    * hash buckets (the portable md5-based [[Sketches.hash32]] mod
+    * `buckets`); each bucket's weight is the Laplace-smoothed integer
+    * ratio (target_count+1)·`scale` div (corpus_count+1) computed in
+    * DECIMAL(38,0) (corpus counts at 100 TB exceed what a LONG
+    * numerator survives); a document scores the MEAN weight of its
+    * tokens. All-integer → the DuckDB oracle replays it hash-exact
+    * (DSIR's log-likelihood-ratio form needs floats; the ratio form
+    * is the same ordering for unigram features).
+    *
+    * Scale shape: one corpus-scale explode feeding TWO partial-agg
+    * shuffles (bucket histogram — `buckets` rows out; per-doc fold),
+    * the bucket-weight table rides a broadcast join. The corpus is
+    * never shuffled by anything wider than its own doc keys.
+    *
+    * Returns (doc_id, n_tokens, importance) for docs with ≥1 token.
+    */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       targetPred: Column, buckets: Int = 256,
+                       scale: Long = 1000000L): DataFrame = {
+    require(buckets >= 2, "importanceScores needs buckets >= 2")
+    val bucketed = df.select(col(idCol).as("doc_id"),
+        targetPred.as("is_target"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .select(col("doc_id"), col("is_target"),
+        (Sketches.hash32(col("word")) % buckets).as("b"))
+    val weights = bucketed.groupBy("b").agg(
+        count(lit(1)).as("all_cnt"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_cnt"))
+      .select(col("b"),
+        expr(s"CAST((tgt_cnt + 1) AS DECIMAL(38,0)) * ${scale}L" +
+          " div (all_cnt + 1)").cast("long").as("w"))
+    bucketed.join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("ws"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("ws div n_tokens").as("importance"))
+  }
+
+  /** DuckDB CTE chain for [[importanceScores]] over `documents` —
+    * ends with a CTE named `imp(doc_id, n_tokens, importance)` so
+    * callers can SELECT from it or compose a draw on top.
+    * `targetSql` is the target-slice predicate (e.g. `lang = 'en'`).
+    */
+  def importanceScoresCtes(targetSql: String, buckets: Int = 256,
+                           scale: Long = 1000000L): String =
+    s"""tok AS (SELECT doc_id, ($targetSql) AS is_target,
+       |  unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> x != '')) AS word FROM documents),
+       | bk AS (SELECT doc_id, is_target,
+       |  ${Sketches.hash32Sql("word")} % $buckets AS b FROM tok),
+       | wt AS (SELECT b,
+       |  CAST(CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) + 1 AS HUGEINT)
+       |    * $scale // (COUNT(*) + 1) AS BIGINT) AS w
+       |  FROM bk GROUP BY b),
+       | imp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(w) AS BIGINT) // COUNT(*) AS importance
+       |  FROM bk JOIN wt USING (b) GROUP BY doc_id)"""
+      .stripMargin.replace("\n", " ")
 }

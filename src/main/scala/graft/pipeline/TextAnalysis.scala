@@ -640,4 +640,106 @@ object TextAnalysis {
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("dfreq")), 6))
       .select("doc_id", "term", "tf", "dfreq", "tfidf")
   }
+
+  /** BPE merge training — induce the first `rounds` byte-pair-encoding
+    * merges from the corpus (Sennrich et al. 2016, the vocabulary step
+    * every tokenizer pipeline runs before training): start from
+    * characters, repeatedly count adjacent symbol pairs across the
+    * corpus and fuse the most frequent one. Greedy LEFT-TO-RIGHT
+    * NON-OVERLAPPING application within a word (the standard BPE
+    * semantics), tie-broken by (count desc, left asc, right asc) so
+    * the merge sequence is a total function of the corpus.
+    *
+    * REPRESENTATION is what makes a cross-engine oracle possible:
+    * each word is carried as a delimiter-wrapped symbol string —
+    * `‹a›‹b›‹c›` — so "merge (x,y)" is exactly
+    * `replace(w, '‹x›‹y›', '‹xy›')`, and both engines' `replace`
+    * (left-to-right, non-overlapping, resume AFTER the consumed match)
+    * implement precisely BPE's greedy application — including the
+    * `aaaa` case, where `‹a›‹a›‹a›‹a›` correctly fuses to `‹aa›‹aa›`
+    * because the first match consumes both delimiters. Symbols never
+    * contain the delimiter chars, so no false boundary match exists.
+    *
+    * Scale shape: the corpus-sized work is ONE tokenize + word-type
+    * count shuffle (the classic BPE-on-types trick — everything after
+    * runs on the vocabulary-sized type table, which at 100 TB is
+    * millions of rows, not billions); per round one pair explode +
+    * partial-agg + a 1-row driver argmax (bounded collect, the
+    * msf/assortativity convention) + one narrow map applying the
+    * merge. Stops early when no pair remains.
+    *
+    * Returns (merge_round, left_sym, right_sym, merged, pair_count).
+    */
+  def bpeMerges(df: DataFrame, textCol: String,
+                rounds: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(rounds >= 1 && rounds <= 64, "bpeMerges rounds must be 1..64")
+    var w = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("word"), "(.)", "‹$1›").as("w"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = w
+        .select(split(regexp_replace(col("w"), "^‹|›$", ""), "›‹").as("s"),
+          col("cnt"))
+        .filter(size(col("s")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(s) - 2), " +
+            "i -> struct(s[i] AS x, s[i + 1] AS y))")).as("p"), col("cnt"))
+        .groupBy(col("p.x"), col("p.y")).agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), col("x"), col("y"))
+        .limit(1).collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (x, y, c) =
+          (pairs(0).getString(0), pairs(0).getString(1), pairs(0).getLong(2))
+        merges += ((r, x, y, x + y, c))
+        w = w.select(call_function("replace", col("w"),
+          lit(s"‹$x›‹$y›"), lit(s"‹$x$y›")).as("w"), col("cnt"))
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** DuckDB oracle for [[bpeMerges]] over `documents.text` — the
+    * identical rounds unrolled as CTEs: zipped-unnest adjacent pairs
+    * from the slice views `s[1:n-1]` / `s[2:n]`, the same
+    * (count desc, pair asc) argmax, the same wrapped-string replace.
+    */
+  def bpeMergesSql(rounds: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+      "(SELECT unnest(list_filter(regexp_split_to_array(lower(text), " +
+      """'\s+'), x -> x != '')) AS w FROM documents) GROUP BY 1), """
+    sb ++= """w0 AS (SELECT regexp_replace(w, '(.)', '‹\1›', 'g') AS w, """ +
+      "cnt FROM t)"
+    for (r <- 1 to rounds) {
+      val prev = s"w${r - 1}"
+      sb ++= s", s$r AS (SELECT string_split(" +
+        s"regexp_replace(w, '^‹|›${"$"}', '', 'g'), '›‹') AS s, cnt " +
+        s"FROM $prev)"
+      sb ++= s", p$r AS (SELECT unnest(s[1:len(s)-1]) AS x, " +
+        s"unnest(s[2:len(s)]) AS y, cnt FROM s$r WHERE len(s) >= 2)"
+      sb ++= s", g$r AS (SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS c " +
+        s"FROM p$r GROUP BY 1, 2)"
+      sb ++= s", b$r AS (SELECT x, y, c FROM g$r " +
+        "ORDER BY c DESC, x, y LIMIT 1)"
+      sb ++= s", w$r AS (SELECT replace(v.w, " +
+        "'‹' || b.x || '›‹' || b.y || '›', '‹' || b.x || b.y || '›') " +
+        s"AS w, v.cnt FROM $prev v CROSS JOIN b$r b)"
+    }
+    val sels = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_round, x AS left_sym, y AS right_sym, " +
+        s"x || y AS merged, c AS pair_count FROM b$r")
+      .mkString(" UNION ALL ")
+    sb ++= s" $sels ORDER BY merge_round"
+    sb.toString
+  }
 }

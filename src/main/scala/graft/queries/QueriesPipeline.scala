@@ -873,6 +873,18 @@ object QueriesPipeline {
         | FROM sp JOIN uni u1 ON u1.w = sp.w1 JOIN uni u2 ON u2.w = sp.w2, tot
         | ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin.replace("\n", " "))),
 
+    // BPE merge training (r8d): the first 8 tokenizer merges induced
+    // from the corpus — corpus-scale work is ONE word-type count; the
+    // merge loop runs on the vocabulary-sized type table with a 1-row
+    // driver argmax per round. The wrapped-symbol-string representation
+    // makes `replace` exactly BPE's greedy left-to-right application in
+    // both engines (see TextAnalysis.bpeMerges).
+    ("text_bpe_merges",
+      (s, d) => TextAnalysis.bpeMerges(
+        graft.core.Tables.documents(s, d), "text", rounds = 8)
+        .orderBy("merge_round"),
+      Some(TextAnalysis.bpeMergesSql(rounds = 8))),
+
     // Composite quality router: first-match reject reason per doc, one
     // map-only pass over the analyze() metrics. Thresholds compare the
     // same 6-dp-rounded columns in both engines.
@@ -1102,6 +1114,47 @@ object QueriesPipeline {
         |   ORDER BY key DESC, doc_id) AS rk FROM s)
         | SELECT source, CAST(rk - 1 AS INT) AS pos, doc_id
         | FROM r WHERE rk <= 20 ORDER BY source, pos"""
+        .stripMargin.replace("\n", " "))),
+
+    // DSIR-style importance scores (r8d): per-doc mean weight of its
+    // hashed-token buckets under the Laplace-smoothed target/corpus
+    // ratio (target = the English slice) — the "make the mixture look
+    // like the target domain" scorer. Corpus explode feeds two
+    // partial-agg shuffles; the 256-row bucket-weight table broadcasts.
+    ("sample_importance",
+      (s, d) => Sampling.importanceScores(
+        graft.core.Tables.documents(s, d), "doc_id", "text",
+        targetPred = col("lang") === "en").orderBy("doc_id"),
+      Some(s"""WITH ${Sampling.importanceScoresCtes("lang = 'en'")}
+        | SELECT doc_id, n_tokens, importance FROM imp ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // The RESAMPLING half of DSIR (r8d): an Efraimidis–Spirakis
+    // weighted draw (the sample_weighted machinery — native bounded
+    // heap topk_by, sample-sized exchange) whose weights ARE the
+    // importance scores, per source stratum. Composition entry: the
+    // oracle chains the full DSIR CTEs into the A-Res replay.
+    ("sample_importance_draw",
+      (s, d) => Sampling.weightedSample(
+        Sampling.importanceScores(
+          graft.core.Tables.documents(s, d), "doc_id", "text",
+          targetPred = col("lang") === "en")
+          .join(graft.core.Tables.documents(s, d)
+            .select(col("doc_id"), col("source")), Seq("doc_id")),
+        "doc_id", "source", col("importance"), k = 10)
+        .orderBy("source", "pos"),
+      Some(s"""WITH ${Sampling.importanceScoresCtes("lang = 'en'")},
+        | sc AS (SELECT d.source, imp.doc_id, imp.importance
+        |   FROM imp JOIN documents d USING (doc_id)),
+        | sk AS (SELECT source, doc_id,
+        |  round(ln(CAST(${Sampling.hashOrderSql("doc_id")} + 1 AS DOUBLE)
+        |     / 4294967296.0)
+        |   / CAST(greatest(importance, 1) AS DOUBLE), 10) AS key
+        |  FROM sc),
+        | r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |   ORDER BY key DESC, doc_id) AS rk FROM sk)
+        | SELECT source, CAST(rk - 1 AS INT) AS pos, doc_id
+        | FROM r WHERE rk <= 10 ORDER BY source, pos"""
         .stripMargin.replace("\n", " "))),
 
     // ===== Corpus bigram LM quality score =====

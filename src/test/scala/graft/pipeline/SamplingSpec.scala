@@ -104,4 +104,35 @@ class SamplingSpec extends SparkSpec {
       .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
     assert(a == want)
   }
+
+  test("importanceScores: target-like docs outscore off-target; mean is exact") {
+    // target slice speaks {alpha beta}; off-target speaks {gamma delta}.
+    // A new doc made of target words must outscore one of off-target
+    // words, with the mixed doc in between.
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha beta"),
+      (2L, "en", "beta alpha beta alpha"),
+      (3L, "xx", "gamma delta gamma delta"),
+      (4L, "xx", "alpha beta alpha beta"),   // target-like, off-slice
+      (5L, "xx", "alpha delta"))             // mixed
+      .toDF("doc_id", "lang", "text")
+    val r = Sampling.importanceScores(docs, "doc_id", "text",
+        targetPred = col("lang") === "en")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(r(4L)._2 > r(3L)._2, "target-vocabulary doc outscores off-target")
+    assert(r(5L)._2 > r(3L)._2 && r(5L)._2 < r(4L)._2, "mixed in between")
+    assert(r(1L) == r(2L) && r(1L) == r(4L), "same bag of words, same score")
+    // exact mean check (no bucket collisions among these 4 words):
+    // alpha: all=7 (2+2+2+1), tgt=4 -> w = (4+1)*1e6 div (7+1) = 625000
+    // delta: all=3, tgt=0        -> w = (0+1)*1e6 div (3+1) = 250000
+    // doc 5 = (alpha delta): importance = (625000+250000) div 2 = 437500
+    assert(r(5L) == (2L, 437500L))
+    // deterministic across partitionings
+    val a = Sampling.importanceScores(docs.repartition(7), "doc_id", "text",
+      col("lang") === "en").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Sampling.importanceScores(docs.repartition(1), "doc_id", "text",
+      col("lang") === "en").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

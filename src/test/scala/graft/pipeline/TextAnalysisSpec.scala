@@ -319,4 +319,33 @@ class TextAnalysisSpec extends SparkSpec {
       minDocs = 3).filter(col("doc_id") === 1L).head()
     assert(m.getString(3) == "keep1\nkeep2\nkeep3")
   }
+
+  test("bpeMerges: hand-computed merge sequence, greedy aaaa case, early stop") {
+    // corpus: "low low lower" -> word types low(2), lower(1)
+    // round 1 pairs: (l,o)=3, (o,w)=3, (w,e)=1, (e,r)=1
+    //   tie 3: (l,o) < (o,w) lexically -> merge (l,o) -> lo
+    // round 2: (lo,w)=3, (w,e)=1, (e,r)=1 -> merge (lo,w) -> low
+    // round 3: (low,e)=1, (e,r)=1 -> (e,r) < (low,e)? count tie 1:
+    //   (e,r) sorts before (low,e) -> merge (e,r) -> er
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(m == Seq((1, "l", "o", "lo", 3L), (2, "lo", "w", "low", 3L),
+      (3, "e", "r", "er", 1L)))
+    // greedy left-to-right: aaaa fuses to (aa)(aa), so round 2's pair
+    // count for (aa,aa) is 1 per word occurrence, not 3
+    val rep = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val g = TextAnalysis.bpeMerges(rep, "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    assert(g == Seq((1, "aa", 6L), (2, "aaaa", 2L)))
+    // exhaustion: single-char words stop the loop early
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMerges(tiny, "text", rounds = 5).count() == 0L)
+    // merges fully tokenize a one-word corpus then stop
+    val one = Seq((1L, "abc")).toDF("doc_id", "text")
+    val o = TextAnalysis.bpeMerges(one, "text", rounds = 10)
+      .collect().map(_.getString(3)).toSeq
+    assert(o == Seq("ab", "abc"))
+  }
 }
