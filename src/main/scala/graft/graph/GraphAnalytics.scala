@@ -2470,14 +2470,23 @@ object GraphAnalytics {
     var undec = und.select(col("a").as("id")).distinct()
       .withColumn("pri", concat(md5(col("id")), col("id")))
       .localCheckpoint(true)
+    // live-edge carry: undec shrinks monotonically, so this round's
+    // live set (both ends undecided) is a SUBSET of last round's —
+    // joining the carried frame instead of the full index makes each
+    // round O(surviving edges), not O(E). Identical semantics: the
+    // joins against the current undec re-filter whatever the carried
+    // superset still holds.
+    var liveEdges = und
     var out: DataFrame = null
     for (r <- 1 to rounds) {
-      // live edges: both ends still undecided (the und view carries
+      // live edges: both ends still undecided (the carried view holds
       // both orientations, so grouping by `a` sees the full
-      // neighborhood)
-      val live = und
+      // neighborhood). Checkpointed: consumed by minNb, the
+      // winners'-neighbors expansion, AND next round's carry.
+      val live = liveEdges
         .join(undec.select(col("id").as("a")), Seq("a"))
         .join(undec.select(col("id").as("b"), col("pri").as("pb")), Seq("b"))
+        .localCheckpoint(false)
       val minNb = live.groupBy(col("a").as("id")).agg(min("pb").as("mn"))
       // '~' (0x7E) exceeds every md5-hex/ascii-id char → +infinity for
       // nodes whose neighbors have all left the game
@@ -2503,6 +2512,7 @@ object GraphAnalytics {
       out = if (out == null) roundOut else out.unionAll(roundOut)
       undec = undec.join(decided, Seq("id"), "left_anti")
         .localCheckpoint(false)
+      liveEdges = live.select(col("a"), col("b"))
     }
     out.unionAll(undec.select(col("id"), lit("undecided").as("status"),
       lit(0).as("round")))
@@ -2687,11 +2697,17 @@ object GraphAnalytics {
     var undec = und.select(col("a").as("id")).distinct()
       .withColumn("pri", concat(md5(col("id")), col("id")))
       .localCheckpoint(true)
+    // live-edge carry (the maximalIndependentSet device): uncolored
+    // shrinks monotonically, so each round joins the carried surviving
+    // edge set, not the full index — O(live edges) per round by
+    // construction, not just by argument.
+    var liveEdges = und
     var out: DataFrame = null
     for (r <- 1 to rounds) {
-      val live = und
+      val live = liveEdges
         .join(undec.select(col("id").as("a")), Seq("a"))
         .join(undec.select(col("id").as("b"), col("pri").as("pb")), Seq("b"))
+        .localCheckpoint(false)
       val minNb = live.groupBy(col("a").as("id")).agg(min("pb").as("mn"))
       val sel = undec.join(minNb, Seq("id"), "left")
         .filter(col("pri") < coalesce(col("mn"), lit("~")))
@@ -2702,6 +2718,7 @@ object GraphAnalytics {
       out = if (out == null) roundOut else out.unionAll(roundOut)
       undec = undec.join(sel, Seq("id"), "left_anti")
         .localCheckpoint(false)
+      liveEdges = live.select(col("a"), col("b"))
     }
     out.unionAll(undec.select(col("id"), lit(0).as("color"),
       lit("uncolored").as("status")))

@@ -100,7 +100,17 @@ object ScaleProbe {
           k = 100, maxDeg = 100, score = "ra")),
         time("stress")(GraphAnalytics.stressFromSeeds(und,
           seeds = Seq("n0", "n1", "n2", "n3"), maxDepth = 3,
-          undirectedPairs = true))
+          undirectedPairs = true)),
+        // r8d additions: adjacency-intersect clustering (Σdeg² work,
+        // max-degree-bounded arrays), winners-only-peel coloring
+        // (O(live E) per round × 6), and 2-iter mean propagation
+        // (one state⋈index join + V-fold per iter)
+        time("clustering")(GraphAnalytics.localClustering(
+          pairs.filter(col("src") < col("dst")), canonical = true)),
+        time("coloring")(GraphAnalytics.greedyColoring(und,
+          rounds = 6, undirectedPairs = true)),
+        time("featureprop")(GraphAnalytics.featureProp(und,
+          iters = 2, undirectedPairs = true))
       ).flatten.toMap
       pairs.unpersist(); und.unpersist()
       r
