@@ -253,9 +253,11 @@ object ZigParser extends SourceParser {
   * file extension — real Zig sources to [[ZigParser]], real Scala
   * sources to [[ScalaParser]] (r8 — the engine ingests itself), real
   * Python sources to [[PythonParser]] and Go to [[GoParser]] (r8 —
-  * the languages real data/ML codebases are written in), everything
-  * else to [[SimpleParser]] (whose no-declarations fallback yields one
-  * `document` unit per file, the reference's non-code path).
+  * the languages real data/ML codebases are written in), TS/JS to
+  * [[TsParser]] (r8d — what most user repositories contain),
+  * everything else to [[SimpleParser]] (whose no-declarations fallback
+  * yields one `document` unit per file, the reference's non-code
+  * path).
   */
 object DispatchParser extends SourceParser {
   def parse(filePath: String, content: String): Seq[ParsedUnit] =
@@ -264,5 +266,9 @@ object DispatchParser extends SourceParser {
       ScalaParser.parse(filePath, content)
     else if (filePath.endsWith(".py")) PythonParser.parse(filePath, content)
     else if (filePath.endsWith(".go")) GoParser.parse(filePath, content)
+    else if (filePath.endsWith(".ts") || filePath.endsWith(".tsx") ||
+        filePath.endsWith(".js") || filePath.endsWith(".jsx") ||
+        filePath.endsWith(".mjs"))
+      TsParser.parse(filePath, content)
     else SimpleParser.parse(filePath, content)
 }

@@ -173,6 +173,48 @@ object QueriesIngest {
       Ingest.FileDoc("svc/store_test.go", demoGoTest)).toDS()
   }
 
+  // TypeScript demo codebase for the TsParser entries (r8d): a class
+  // with constructor + method (lexical containers, unlike Go's
+  // receivers), a plain exported function, a top-level arrow-function
+  // binding, default + named imports, a const, and a jest-style test
+  // whose arrow callback is the call scope.
+  private val demoTsClient =
+    """import axios from './transport'
+      |import { parse } from './codec'
+      |
+      |export const RETRIES = 3
+      |
+      |export class Client {
+      |  constructor(addr: string) {
+      |    this.addr = validate(addr)
+      |  }
+      |  fetch(path: string): string {
+      |    return axios.get(validate(this.addr) + path)
+      |  }
+      |}
+      |
+      |export function validate(addr: string): string {
+      |  return parse(addr)
+      |}
+      |
+      |export const shorten = (s: string) => s.slice(0, 8)
+      |""".stripMargin
+
+  private val demoTsTest =
+    """import { Client } from './client'
+      |
+      |test('client fetches', () => {
+      |  const c = new Client('x')
+      |  c.fetch('/id')
+      |})
+      |""".stripMargin
+
+  private def demoTsFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(Ingest.FileDoc("api/client.ts", demoTsClient),
+      Ingest.FileDoc("api/client.test.ts", demoTsTest)).toDS()
+  }
+
   /** Deterministic on-disk tree for the directory-source entry: code
     * files that pass the globs, a doc file, a glob-excluded vendor file,
     * an oversized file (> 1 MiB cap) and an empty file (both must be
@@ -419,6 +461,49 @@ object QueriesIngest {
         | (0, 'svc/store.go:validate'),
         | (1, 'svc/store.go:Open'),
         | (2, 'svc/store_test.go:test:3')
+        |) t(depth, unit_id) ORDER BY depth, unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // TypeScript/JavaScript extractor (r8d): classes as lexical
+    // containers (constructor + method), arrow-function bindings as
+    // functions, default/named imports, jest-style tests.
+    ("ingest_ts_units",
+      (s, d) => Ingest.parseFiles(demoTsFiles(s), DispatchParser)
+        .toDF().select(col("unitId").as("unit_id"),
+          col("unitType").as("unit_type"), col("name"),
+          col("parentContainer").as("parent"))
+        .orderBy("unit_id"),
+      Some("""SELECT * FROM (VALUES
+        | ('api/client.test.ts:import:client', 'import', 'client', ''),
+        | ('api/client.test.ts:test:3', 'test', 'client fetches', ''),
+        | ('api/client.ts:Client', 'type', 'Client', ''),
+        | ('api/client.ts:Client:constructor', 'function', 'constructor', 'Client'),
+        | ('api/client.ts:Client:fetch', 'function', 'fetch', 'Client'),
+        | ('api/client.ts:RETRIES', 'const', 'RETRIES', ''),
+        | ('api/client.ts:import:axios', 'import', 'axios', ''),
+        | ('api/client.ts:import:codec', 'import', 'codec', ''),
+        | ('api/client.ts:shorten', 'function', 'shorten', ''),
+        | ('api/client.ts:validate', 'function', 'validate', '')
+        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Callers of `validate` on the TS demo: both class members guard
+    // with it, and the test reaches it through the method call.
+    ("ingest_ts_callers",
+      (s, d) => {
+        import graft.api.Cli
+        val units = Ingest.parseFiles(demoTsFiles(s), DispatchParser)
+        val blocks = Ingest.unitsToBlocks(units, "tsdemo")
+        val edges = SemanticResolver.edgesAsBlocks(units, "tsdemo")
+        Cli.execute(blocks, edges,
+          Cli.ShowCmd("callers", "validate", "tsdemo", maxDepth = 2))
+          .select("depth", "unit_id").orderBy("depth", "unit_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        | (0, 'api/client.ts:validate'),
+        | (1, 'api/client.ts:Client:constructor'),
+        | (1, 'api/client.ts:Client:fetch'),
+        | (2, 'api/client.test.ts:test:3')
         |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),
 
