@@ -532,17 +532,34 @@ object Similarity {
   def kmeansAssign(emb: DataFrame, k: Int = 4, iters: Int = 2,
                    idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val v = col(vecCol)
-    def distances(cents: Seq[Seq[Double]]): Column = array(cents.map { c =>
+    val cents = kmeansFit(emb, k, iters, idCol, vecCol)
+    val d = centroidDistances(col(vecCol), cents)
+    emb.select(col(idCol), col(vecCol),
+        (array_position(d, array_min(d)) - 1).cast("int").as("cluster"),
+        array_min(d).as("dist"))
+      .select(col(idCol), col("cluster"),
+        org.apache.spark.sql.functions.round(col("dist"), 6).as("dist"))
+  }
+
+  /** Squared-L2 distance of `v` to each centroid literal, as one array
+    * expression (codegen'd projection; the centroid set is driver
+    * metadata).
+    */
+  private def centroidDistances(v: Column, cents: Seq[Seq[Double]]): Column =
+    array(cents.map { c =>
       val cl = typedLit(c)
       dot(v, v) - lit(2.0) * dot(v, cl) + dot(cl, cl)
     }: _*)
-    def assign(cents: Seq[Seq[Double]]): DataFrame = {
-      val d = distances(cents)
-      emb.select(col(idCol), v,
-        (array_position(d, array_min(d)) - 1).cast("int").as("cluster"),
-        array_min(d).as("dist"))
-    }
+
+  /** The Lloyd FIT of [[kmeansAssign]], returning the final centroids
+    * — factored out so product quantization can train one codebook per
+    * subspace on the identical arithmetic (same seed rule, same 6-dp
+    * rounded element means, same lowest-cid tie-break).
+    */
+  private[pipeline] def kmeansFit(emb: DataFrame, k: Int, iters: Int,
+                                  idCol: String, vecCol: String)
+      : Seq[Seq[Double]] = {
+    val v = col(vecCol)
     var cents: Seq[Seq[Double]] = emb.orderBy(col(idCol)).limit(k)
       .select(v).collect().map(_.getSeq[Float](0).map(_.toDouble)).toSeq
     var round = 1
@@ -550,8 +567,10 @@ object Similarity {
       round += 1
       // element-wise mean per cluster: ONE shuffle of k·dim partial
       // aggregates; result is driver metadata for the next projection
-      val updated = assign(cents)
-        .select(col("cluster"), posexplode(v).as(Seq("j", "x")))
+      val d = centroidDistances(v, cents)
+      val updated = emb
+        .select((array_position(d, array_min(d)) - 1).cast("int").as("cluster"),
+          posexplode(v).as(Seq("j", "x")))
         .groupBy("cluster", "j")
         .agg(org.apache.spark.sql.functions.round(avg(col("x").cast("double")), 6).as("m"))
         .collect()
@@ -562,9 +581,7 @@ object Similarity {
       // a cluster that lost all members keeps its previous centroid
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
-    assign(cents)
-      .select(col(idCol), col("cluster"),
-        org.apache.spark.sql.functions.round(col("dist"), 6).as("dist"))
+    cents
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -608,5 +625,75 @@ object Similarity {
       .select(col("id_b").as("__dup")).distinct()
     assigned.join(dups, assigned(idCol) === dups("__dup"), "left")
       .select(col(idCol), col("cluster"), col("__dup").isNull.as("keep"))
+  }
+
+  /** Product-quantization ANN (Jégou/Douze/Schmid 2011): split each
+    * vector into `m` subvectors, train an independent `ksub`-centroid
+    * codebook per subspace (the [[kmeansFit]] deterministic Lloyd —
+    * same seed rule, 6-dp means, lowest-cid tie-break), ENCODE every
+    * vector as its m nearest-centroid ids, and answer queries by
+    * ASYMMETRIC DISTANCE COMPUTATION: the query's squared-L2 to each
+    * centroid of each subspace is a tiny m×ksub table, and a
+    * database vector's approximate distance is the sum of its codes'
+    * table entries. This is THE memory-bound scale path for vector
+    * search — a 64-dim float vector (256 bytes) becomes m=4 bytes of
+    * codes, so a 100-TB embedding corpus fits a 1.6-TB code table
+    * that scans at memory bandwidth; IVF+PQ is exactly this composed
+    * with [[ivfTopK]]'s cell routing.
+    *
+    * Everything stays oracle-exact: codebooks replay in SQL (the
+    * kmeans CTE chain per subspace), encoding is the same
+    * lowest-cid-tie argmin, and the ADC table is EVALUATED AS
+    * EXPRESSIONS over literal centroids + the literal query (constant
+    * -folded left-to-right double folds — the identical arithmetic
+    * DuckDB's list_sum performs), summed in subspace order.
+    *
+    * Scale shape: fit = m small driver fits; encode = ONE codegen
+    * projection over the corpus (no join, no shuffle); query = one
+    * map-side expression + TakeOrderedAndProject. Returns
+    * (vec_id, code, adc_dist) for the k nearest by ADC.
+    */
+  def pqTopK(emb: DataFrame, queryVecId: Long, k: Int, m: Int = 4,
+             ksub: Int = 8, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val L = dim / m
+    def sub(s: Int): Column = slice(col(vecCol), s * L + 1, L)
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      kmeansFit(emb.select(col(idCol), sub(s).as(vecCol)),
+        ksub, iters, idCol, vecCol)
+    }
+    val q: Seq[Double] = emb.filter(col(idCol) === queryVecId)
+      .select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toSeq
+    def qsub(s: Int): Seq[Double] = q.slice(s * L, (s + 1) * L)
+    // encode: nearest-codebook-centroid id per subspace, one projection
+    def codeCol(s: Int): Column = {
+      val d = centroidDistances(sub(s), books(s))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    // ADC: the query-to-centroid table, computed ON THE DRIVER with
+    // the identical arithmetic the SQL folds perform — left-to-right
+    // index-order double fold, then (qq − 2·qc) + cc — so the literal
+    // table is bit-identical to what DuckDB's list_sum derives (an
+    // expression-built table would instead evaluate m·ksub interpreted
+    // HOFs per row — the documented trap)
+    def dotd(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    def qTable(s: Int): Seq[Double] = books(s).map { c =>
+      val qs = qsub(s)
+      dotd(qs, qs) - 2.0 * dotd(qs, c) + dotd(c, c)
+    }
+    val coded = emb.select(
+      (col(idCol) +: (0 until m).map(s => codeCol(s).as(s"code_$s"))): _*)
+    val adc = (0 until m)
+      .map(s => element_at(typedLit(qTable(s)), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    coded.filter(col(idCol) =!= queryVecId)
+      .select(col(idCol),
+        concat_ws(",", (0 until m).map(s => col(s"code_$s")): _*).as("code"),
+        round(adc, 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol)).limit(k)
   }
 }

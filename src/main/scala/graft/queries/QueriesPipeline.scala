@@ -99,6 +99,62 @@ object QueriesPipeline {
        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |  FROM d2)""".stripMargin.replace("\n", " ")
 
+  /** DuckDB replay of [[Similarity.pqTopK]] (dim 64, m=4 subspaces of
+    * 16, ksub=8, iters=2): per subspace the [[kmeansCtes]] chain on the
+    * embedding SLICE, then codes from the final assignment, the
+    * query-to-centroid distance table, and the ADC sum in subspace
+    * order — the identical left-to-right double folds.
+    */
+  private def pqSql(queryVecId: Long, k: Int, m: Int = 4, ksub: Int = 8,
+                    dim: Int = 64): String = {
+    val L = dim / m
+    val sb = new StringBuilder
+    sb ++= s"WITH qv AS (SELECT embedding AS qe FROM embeddings " +
+      s"WHERE vec_id = $queryVecId), "
+    sb ++= s"idx AS (SELECT CAST(unnest(range(1, ${L + 1})) AS INT) AS j)"
+    for (s <- 0 until m) {
+      val lo = s * L + 1
+      val hi = s * L + L
+      val sl = s"embedding[$lo:$hi]"
+      sb ++= s", sv$s AS (SELECT vec_id, $sl AS sv FROM embeddings)"
+      sb ++= s", c0_$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)" +
+        s" - 1 AS INT) AS cid, sv AS c FROM sv$s ORDER BY vec_id LIMIT $ksub)"
+      sb ++= s", d1_$s AS (SELECT v.vec_id, c.cid, v.sv, " +
+        s"${dotSql("v.sv", "v.sv")} - 2 * ${dotSql("v.sv", "c.c")} + " +
+        s"${dotSql("c.c", "c.c")} AS dist FROM sv$s v CROSS JOIN c0_$s c)"
+      sb ++= s", a1_$s AS (SELECT vec_id, cid, sv, row_number() OVER " +
+        s"(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1_$s)"
+      sb ++= s", el_$s AS (SELECT a.cid, i.j, " +
+        s"round(avg(CAST(a.sv[i.j] AS DOUBLE)), 6) AS mv " +
+        s"FROM a1_$s a CROSS JOIN idx i WHERE a.rn = 1 GROUP BY a.cid, i.j)"
+      sb ++= s", c1_$s AS (SELECT cid, list(mv ORDER BY j) AS c " +
+        s"FROM el_$s GROUP BY cid)"
+      sb ++= s", cf_$s AS (SELECT c0.cid, COALESCE(c1.c, " +
+        s"list_transform(c0.c, x -> CAST(x AS DOUBLE))) AS c " +
+        s"FROM c0_$s c0 LEFT JOIN c1_$s c1 USING (cid))"
+      sb ++= s", d2_$s AS (SELECT v.vec_id, c.cid, " +
+        s"${dotSql("v.sv", "v.sv")} - 2 * ${dotSql("v.sv", "c.c")} + " +
+        s"${dotSql("c.c", "c.c")} AS dist FROM sv$s v CROSS JOIN cf_$s c)"
+      sb ++= s", code$s AS (SELECT vec_id, cid AS code FROM (SELECT *, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+        s"FROM d2_$s) WHERE rn = 1)"
+      sb ++= s", qd$s AS (SELECT c.cid, " +
+        s"${dotSql(s"q.qe[$lo:$hi]", s"q.qe[$lo:$hi]")} - " +
+        s"2 * ${dotSql(s"q.qe[$lo:$hi]", "c.c")} + " +
+        s"${dotSql("c.c", "c.c")} AS qd FROM cf_$s c CROSS JOIN qv q)"
+    }
+    val joins = (0 until m).map(s =>
+      s"JOIN code$s c$s USING (vec_id) JOIN qd$s q$s ON q$s.cid = c$s.code")
+      .mkString(" ")
+    val codeStr = (0 until m).map(s => s"CAST(c$s.code AS VARCHAR)")
+      .mkString(" || ',' || ")
+    val adcSum = (0 until m).map(s => s"q$s.qd").mkString(" + ")
+    sb ++= s" SELECT e.vec_id, $codeStr AS code, round($adcSum, 6) AS adc_dist" +
+      s" FROM (SELECT vec_id FROM embeddings) e $joins" +
+      s" WHERE e.vec_id <> $queryVecId ORDER BY adc_dist, e.vec_id LIMIT $k"
+    sb.toString
+  }
+
   private val K = 16   // minhash permutations
   private val BANDS = 4
 
@@ -520,6 +576,18 @@ object QueriesPipeline {
         |   + ${dotSql("q.qe", "q.qe")}, 6) AS score
         | FROM embeddings e, q WHERE e.vec_id <> 0
         | ORDER BY score ASC, vec_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    // Product quantization (r8d): per-subspace codebooks (the kmeans
+    // fit on each 16-dim slice), corpus encoded as 4 nearest-centroid
+    // ids in ONE projection, queries answered by asymmetric distance
+    // computation (query-to-centroid table indexed by the row's
+    // codes). 256-byte vectors become 4-byte codes — the memory-bound
+    // compression path a 100-TB vector corpus needs; the full
+    // fit → encode → ADC chain replays in SQL.
+    ("ann_pq",
+      (s, d) => Similarity.pqTopK(
+        graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10),
+      Some(pqSql(queryVecId = 0, k = 10))),
 
     // int8 quantize-then-rescore: integer-dot candidate pool, exact
     // float cosine re-rank — the memory-bandwidth-bound 100-TB layout.

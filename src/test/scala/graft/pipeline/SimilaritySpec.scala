@@ -251,4 +251,40 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("pqTopK: clustered corpus — ADC ranks the query's cluster first") {
+    import spark.implicits._
+    // two well-separated clusters in 8 dims (m=2 subspaces of 4):
+    // queries from cluster A must retrieve cluster A under ADC.
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Float): Seq[Float] =
+      Seq.fill(8)(base + rnd.nextFloat() * 0.1f)
+    val a = (0L until 10L).map(i => (i, jitter(0.0f)))
+    val b = (10L until 20L).map(i => (i, jitter(5.0f)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(emb, queryVecId = 0, k = 9, m = 2,
+      ksub = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.length == 9)
+    // all 9 nearest by ADC are the other cluster-A members
+    assert(got.map(_._1).toSet == (1L until 10L).toSet, got.toSeq.toString)
+    // codes are m comma-joined centroid ids within [0, ksub)
+    assert(got.forall(_._2.split(',').length == 2))
+    assert(got.forall(_._2.split(',').forall(c => c.toInt >= 0 && c.toInt < 4)))
+    // ascending ADC order, deterministic rerun
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    val again = Similarity.pqTopK(emb, queryVecId = 0, k = 9, m = 2,
+      ksub = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == again.toSeq)
+    // kmeansAssign still matches its pre-refactor contract: two
+    // line-separated pairs (seeds 0 and 1 both sit in the left pair,
+    // the update pulls centroid 1 rightward, iter 3 separates cleanly)
+    val sq = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0.5f, 0f)), (2L, Seq(4f, 0f)),
+      (3L, Seq(4.5f, 0f))).toDF("vec_id", "embedding")
+    val asg = Similarity.kmeansAssign(sq, k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg(0L) == asg(1L) && asg(2L) == asg(3L) && asg(0L) != asg(2L))
+  }
 }
