@@ -657,6 +657,24 @@ object Similarity {
              ksub: Int = 8, iters: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
+    val (coded, adc) =
+      pqMachine(emb, queryVecId, m, ksub, iters, idCol, vecCol, Seq.empty)
+    coded.filter(col(idCol) =!= queryVecId)
+      .select(col(idCol),
+        concat_ws(",", (0 until m).map(s => col(s"code_$s")): _*).as("code"),
+        round(adc, 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol)).limit(k)
+  }
+
+  /** The shared fit → encode → ADC machinery of [[pqTopK]] /
+    * [[ivfPqTopK]]: returns the coded corpus (`idCol`, `carryCols`,
+    * `code_0..code_{m-1}`) and the ADC distance column over those
+    * codes for `queryVecId`.
+    */
+  private def pqMachine(emb: DataFrame, queryVecId: Long, m: Int,
+                        ksub: Int, iters: Int, idCol: String,
+                        vecCol: String, carryCols: Seq[String])
+      : (DataFrame, Column) = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val L = dim / m
@@ -686,11 +704,41 @@ object Similarity {
       dotd(qs, qs) - 2.0 * dotd(qs, c) + dotd(c, c)
     }
     val coded = emb.select(
-      (col(idCol) +: (0 until m).map(s => codeCol(s).as(s"code_$s"))): _*)
+      (col(idCol) +: carryCols.map(col)) ++
+        (0 until m).map(s => codeCol(s).as(s"code_$s")): _*)
     val adc = (0 until m)
       .map(s => element_at(typedLit(qTable(s)), col(s"code_$s") + 1))
       .reduce(_ + _)
-    coded.filter(col(idCol) =!= queryVecId)
+    (coded, adc)
+  }
+
+  /** IVF+PQ — the composition both halves were built for (and the
+    * layout FAISS popularized): [[ivfCentroids]]' cell routing prunes
+    * the corpus to `nprobe` cells, then [[pqTopK]]'s asymmetric
+    * distance computation ranks only the surviving codes. Codebooks
+    * are GLOBAL (trained on the full corpus — the standard recipe:
+    * cells route, codebooks compress) and at scale both are ingest
+    * artifacts: centroids persisted, codes a 4-byte column. Per query
+    * the plan is: broadcast probe of the cell table, left-semi prune
+    * (partition pruning when the table is cell-partitioned), one
+    * map-side ADC expression, TakeOrderedAndProject.
+    */
+  def ivfPqTopK(emb: DataFrame, queryVecId: Long, k: Int, nprobe: Int = 2,
+                m: Int = 4, ksub: Int = 8, iters: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                cellCol: String = "label"): DataFrame = {
+    val (coded, adc) = pqMachine(emb, queryVecId, m, ksub, iters,
+      idCol, vecCol, Seq(cellCol))
+    val q = emb.filter(col(idCol) === queryVecId)
+      .select(col(vecCol).as("__qvec"))
+    val probed = ivfCentroids(emb, cellCol, vecCol)
+      .crossJoin(broadcast(q))
+      .withColumn("cscore", cosine(col("centroid"), col("__qvec")))
+      .orderBy(col("cscore").desc, col(cellCol))
+      .limit(nprobe)
+      .select(col(cellCol))
+    coded.join(broadcast(probed), Seq(cellCol), "left_semi")
+      .filter(col(idCol) =!= queryVecId)
       .select(col(idCol),
         concat_ws(",", (0 until m).map(s => col(s"code_$s")): _*).as("code"),
         round(adc, 6).as("adc_dist"))

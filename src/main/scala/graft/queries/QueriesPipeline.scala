@@ -106,12 +106,25 @@ object QueriesPipeline {
     * order — the identical left-to-right double folds.
     */
   private def pqSql(queryVecId: Long, k: Int, m: Int = 4, ksub: Int = 8,
-                    dim: Int = 64): String = {
+                    dim: Int = 64, nprobe: Int = 0): String = {
     val L = dim / m
     val sb = new StringBuilder
     sb ++= s"WITH qv AS (SELECT embedding AS qe FROM embeddings " +
       s"WHERE vec_id = $queryVecId), "
     sb ++= s"idx AS (SELECT CAST(unnest(range(1, ${L + 1})) AS INT) AS j)"
+    if (nprobe > 0) {
+      // IVF cell routing (the ann_ivf oracle's probe CTEs)
+      sb ++= s""", cent AS (SELECT label, i,
+        | avg(CAST(embedding[i] AS DOUBLE)) AS cv
+        | FROM embeddings CROSS JOIN range(1, ${dim + 1}) t(i)
+        | GROUP BY label, i)""".stripMargin.replace("\n", " ")
+      sb ++= ", centl AS (SELECT label, list(cv ORDER BY i) AS centroid " +
+        "FROM cent GROUP BY label)"
+      sb ++= s", cs AS (SELECT c.label, " +
+        s"${cosineSql("c.centroid", "q.qe")} AS cscore FROM centl c, qv q)"
+      sb ++= s", probe AS (SELECT label FROM cs " +
+        s"ORDER BY cscore DESC, label LIMIT $nprobe)"
+    }
     for (s <- 0 until m) {
       val lo = s * L + 1
       val hi = s * L + L
@@ -149,8 +162,12 @@ object QueriesPipeline {
     val codeStr = (0 until m).map(s => s"CAST(c$s.code AS VARCHAR)")
       .mkString(" || ',' || ")
     val adcSum = (0 until m).map(s => s"q$s.qd").mkString(" + ")
+    val base =
+      if (nprobe > 0)
+        "(SELECT vec_id FROM embeddings JOIN probe USING (label))"
+      else "(SELECT vec_id FROM embeddings)"
     sb ++= s" SELECT e.vec_id, $codeStr AS code, round($adcSum, 6) AS adc_dist" +
-      s" FROM (SELECT vec_id FROM embeddings) e $joins" +
+      s" FROM $base e $joins" +
       s" WHERE e.vec_id <> $queryVecId ORDER BY adc_dist, e.vec_id LIMIT $k"
     sb.toString
   }
@@ -588,6 +605,17 @@ object QueriesPipeline {
       (s, d) => Similarity.pqTopK(
         graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10),
       Some(pqSql(queryVecId = 0, k = 10))),
+
+    // IVF+PQ (r8d): the FAISS-popularized composition — cell routing
+    // prunes to nprobe cells (broadcast probe + left-semi = partition
+    // pruning on a cell-partitioned table), global codebooks compress,
+    // ADC ranks only surviving codes. One oracle replays routing +
+    // fit + encode + ADC end to end.
+    ("ann_ivfpq",
+      (s, d) => Similarity.ivfPqTopK(
+        graft.core.Tables.embeddings(s, d), queryVecId = 0, k = 10,
+        nprobe = 2),
+      Some(pqSql(queryVecId = 0, k = 10, nprobe = 2))),
 
     // int8 quantize-then-rescore: integer-dot candidate pool, exact
     // float cosine re-rank — the memory-bandwidth-bound 100-TB layout.
