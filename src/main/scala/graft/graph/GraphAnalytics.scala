@@ -2832,4 +2832,128 @@ object GraphAnalytics {
       "JOIN deg d ON d.id = h.id ORDER BY h.id"
     sb.toString
   }
+
+  /** Modularity-ASCENDING community detection — the local-moving phase
+    * of Louvain (Blondel et al. 2008), in the deterministic synchronous
+    * formulation: per round every node evaluates, against the CURRENT
+    * partition, the modularity gain of adopting each neighbor
+    * community (or staying), and all nodes move simultaneously to
+    * their argmax. The gain comparison is EXACT integer arithmetic:
+    * for node i and candidate community C (i notionally removed),
+    * ΔQ(i→C) ranks by  2m·k_{i,C} − k_i·Σtot_{C∖i}  — the standard
+    * formula with the constant 1/2m² factor dropped (rank-invariant) —
+    * computed in DECIMAL(38,0) (2m·k at 100-TB edge counts exceeds a
+    * LONG; DuckDB's HUGEINT replays it exactly, and the silent-wrap
+    * asymmetry between non-ANSI Spark and loud DuckDB is precisely
+    * what the decimal convention exists to avoid). Ties break
+    * (score desc, community asc) — total, so the unrolled oracle is
+    * hash-exact. Where [[labelPropagation]] counts neighbors, this
+    * weighs them against community degree mass: LPA's known failure
+    * mode (one giant label swallowing a hub-heavy graph) is exactly
+    * what the k_i·Σtot penalty prevents.
+    *
+    * Synchronous moves can oscillate on symmetric structures (the
+    * LPA bipartite caveat); the fixed-round horizon bounds that like
+    * every fixed-point entry. Full Louvain iterates this phase with
+    * graph contraction — the [[minimumSpanningForest]] meta-graph
+    * machinery is the contraction template if multi-level is needed.
+    *
+    * Scale shape per round: one O(V) label⋈degree partial agg
+    * (community masses, community-count-sized), one E-scale probe of
+    * the stored undirected index against the O(V) label table
+    * (k_{i,C}), one (node, neighbor-community)-sized join tree, one
+    * V-scale argmax fold (the LPA min-struct winner). Returns
+    * (id, community).
+    */
+  def louvainOneLevel(edges: DataFrame, rounds: Int = 3,
+                      pairsDistinct: Boolean = false,
+                      undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+    require(rounds >= 1, "louvainOneLevel needs rounds >= 1")
+    val parentCached = undirectedPairs &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0 = if (undirectedPairs)
+      edges.select(col("src").as("a"), col("dst").as("b"))
+    else {
+      val pairs0 =
+        if (pairsDistinct) edges.select(col("src"), col("dst"))
+        else edges.select(col("src"), col("dst")).distinct()
+      pairs0.select(col("src").as("a"), col("dst").as("b"))
+        .union(pairs0.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+    }
+    val und = if (parentCached) und0 else und0.localCheckpoint(false)
+    val deg = und.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // both orientations stored → row count IS 2m (and materializes und)
+    val twoM = und.count()
+    var labels = deg.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(false)
+    val nV = deg.count()
+    // the LPA broadcast pattern: every per-round join against O(V)
+    // state ships the STATE, never re-exchanges the stored edge index
+    // or the (node, community) candidate table
+    val small = nV <= 1000000L
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession,
+      nV, twoM) {
+      for (_ <- 1 to rounds) {
+        // community degree mass under the current partition
+        val tot = labels.join(deg, Seq("id"))
+          .groupBy("lbl").agg(sum("deg").as("tot"))
+        // k_{i,C}: edges from i into each neighbor community
+        val kic = und
+          .join(bc(labels.select(col("id").as("b"), col("lbl"))), Seq("b"))
+          .groupBy(col("a").as("id"), col("lbl"))
+          .agg(count(lit(1)).as("kic"))
+        val cand = kic
+          .join(bc(tot), Seq("lbl"))
+          .join(bc(deg.select(col("id"), col("deg").as("ka"))), Seq("id"))
+          .join(bc(labels.select(col("id"), col("lbl").as("la"))), Seq("id"))
+          .select(col("id"), col("lbl"),
+            expr(s"CAST(${twoM}L AS DECIMAL(38,0)) * kic" +
+              " - CAST(ka AS DECIMAL(38,0))" +
+              " * (tot - IF(la = lbl, ka, 0L))").as("score"))
+        labels = cand
+          .groupBy("id")
+          .agg(min(struct((-col("score")).as("ns"), col("lbl").as("l"))).as("w"))
+          .select(col("id"), col("w.l").as("lbl"))
+          .localCheckpoint(false)
+      }
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** DuckDB oracle for [[louvainOneLevel]] — the identical rounds
+    * unrolled (HUGEINT score, same tie-break).
+    */
+  def louvainSql(edgesSql: String, rounds: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e), "
+    sb ++= "g0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM pairs " +
+      "UNION SELECT dst, src FROM pairs), "
+    sb ++= "deg AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) " +
+      "AS deg FROM g0 GROUP BY 1), "
+    sb ++= "mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS twom FROM g0), "
+    sb ++= "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM deg)"
+    for (r <- 1 to rounds) {
+      val p = s"l${r - 1}"
+      sb ++= s", tot$r AS MATERIALIZED (SELECT l.lbl, SUM(d.deg) AS tot " +
+        s"FROM $p l JOIN deg d USING (id) GROUP BY 1)"
+      sb ++= s", kic$r AS MATERIALIZED (SELECT g.a AS id, lb.lbl, " +
+        s"CAST(COUNT(*) AS BIGINT) AS kic " +
+        s"FROM g0 g JOIN $p lb ON lb.id = g.b GROUP BY 1, 2)"
+      sb ++= s", cand$r AS MATERIALIZED (SELECT k.id, k.lbl, " +
+        "CAST(mm.twom AS HUGEINT) * k.kic - CAST(d.deg AS HUGEINT) * " +
+        "(t.tot - CASE WHEN la.lbl = k.lbl THEN d.deg ELSE 0 END) AS score " +
+        s"FROM kic$r k JOIN tot$r t ON t.lbl = k.lbl " +
+        s"JOIN deg d ON d.id = k.id JOIN $p la ON la.id = k.id CROSS JOIN mm)"
+      sb ++= s", l$r AS MATERIALIZED (SELECT id, lbl FROM (" +
+        s"SELECT id, lbl, row_number() OVER (PARTITION BY id " +
+        s"ORDER BY score DESC, lbl) AS rn FROM cand$r) WHERE rn = 1)"
+    }
+    sb ++= s" SELECT id, lbl AS community FROM l$rounds ORDER BY id"
+    sb.toString
+  }
 }

@@ -608,6 +608,17 @@ object QueriesGraph {
         undirectedPairs = true),
       Some(GraphAnalytics.relatedSql(E, seedId = "C1", k = 20))),
 
+    // Modularity-ascending community detection (r8d): the Louvain
+    // local-moving phase, synchronous + deterministic — every node
+    // moves to the neighbor community maximizing the exact integer
+    // gain rank 2m·k_iC − k_i·Σtot (DECIMAL-safe), ties (score desc,
+    // community asc). The degree-mass penalty is what LPA lacks.
+    ("graph_louvain",
+      (s, d) => GraphAnalytics.louvainOneLevel(
+          CodeGraph.undPairs(s, d), rounds = 3, undirectedPairs = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.louvainSql(E, rounds = 3))),
+
     // Partition quality: Newman modularity of the LPA communities as
     // one exact rational — the oracle replays the whole chain (all 4
     // LPA rounds + the metric) bit-for-bit.

@@ -506,6 +506,40 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(r1.filter(_._3 == "colored").forall(_._2 == 1))
   }
 
+  test("louvainOneLevel: barbell splits into its two cliques; deterministic") {
+    // two K4s joined by one bridge edge — the canonical community
+    // fixture. After enough synchronous rounds each clique coalesces
+    // onto one community and the two differ.
+    val left = Seq("a1", "a2", "a3", "a4")
+    val right = Seq("b1", "b2", "b3", "b4")
+    def clique(vs: Seq[String]) =
+      for { x <- vs; y <- vs if x < y } yield (x, y)
+    val g = (clique(left) ++ clique(right) :+ ("a1", "b1"))
+      .toDF("src", "dst")
+    val res = GraphAnalytics.louvainOneLevel(g, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(res.keySet == (left ++ right).toSet)
+    val lc = left.map(res).distinct
+    val rc = right.map(res).distinct
+    assert(lc.size == 1, s"left clique one community: $res")
+    assert(rc.size == 1, s"right clique one community: $res")
+    assert(lc.head != rc.head, "cliques are distinct communities")
+    // deterministic across partitionings (integer scores)
+    val p1 = GraphAnalytics.louvainOneLevel(g.repartition(1), rounds = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val p7 = GraphAnalytics.louvainOneLevel(g.repartition(7), rounds = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(p1 == p7)
+    // degree-mass penalty: a star stays centered (hub + leaves one
+    // community is fine) but two stars bridged must NOT merge
+    val s1 = (1 to 5).map(i => ("h1", s"x$i"))
+    val s2 = (1 to 5).map(i => ("h2", s"y$i"))
+    val gs = (s1 ++ s2 :+ ("h1", "h2")).toDF("src", "dst")
+    val rs = GraphAnalytics.louvainOneLevel(gs, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rs("x1") != rs("y1"), "bridged stars keep separate communities")
+  }
+
   test("featureProp: mean aggregation exact on a star; deterministic") {
     // star h-{x1,x2,x3}: deg h=3, leaves 1. h0: h=3M, x=1M.
     // iter1: h(h) = (3M + 3*1M) div 4 = 1.5M
