@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_topk_l2" -> "broadcast 1-row query vector",
     "ann_topk_quant" -> "broadcast 1-row query vector + scale row",
     "ann_ivf" -> "broadcast 1-row query vector + nprobe cell ids",
+    "ann_ivfpq" -> "broadcast 1-row query vector + nprobe cell ids",
     "text_tfidf" -> "broadcast 1-row corpus-size frame",
     "corpus_pmi" -> "broadcast 1-row corpus-totals frame (t, tb)",
     "text_bm25" -> "broadcast 1-row corpus-stats frame (N, avgdl)",
