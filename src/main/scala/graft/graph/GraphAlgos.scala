@@ -188,4 +188,70 @@ object GraphAlgos {
     }
     dist
   }
+
+  /** Time-respecting reachability over the VERSIONED edge set —
+    * earliest-arrival temporal paths (Wu et al., VLDB 2014 shape): a
+    * path may only traverse an edge version whose `sequence` is ≥ the
+    * arrival sequence at its source, and each node reports the
+    * MINIMUM sequence at which any such path reaches it. On a code
+    * graph with MVCC history this is provenance/impact analysis —
+    * "which entities could a change at sequence S have influenced",
+    * the question an as-of snapshot ([[graft.core.Schemas]]
+    * `currentViewKeyedAsOf`) cannot answer because influence flows
+    * ACROSS versions, not within one.
+    *
+    * Every non-tombstone edge VERSION is usable at its own sequence
+    * (a later rewrite of the same edge is a new influence event;
+    * deletions carry no influence — documented choice). Earliest
+    * arrivals only decrease and a smaller arrival only ENABLES more
+    * edges, so the fixed-hop horizon is oracle-idempotent past the
+    * fixpoint like every fixed-round entry.
+    *
+    * Scale shape per hop: one frontier⋈versions probe on `src` (the
+    * stored layout key), one O(V) min-fold; the state is (id,
+    * earliest) only. Returns (id, earliest) for reached nodes.
+    */
+  def temporalReach(versionedEdges: DataFrame, sourceId: String,
+                    startSeq: Long = 0L, maxHops: Int = 4): DataFrame = {
+    val spark = versionedEdges.sparkSession
+    import spark.implicits._
+    require(maxHops >= 1 && maxHops <= 30, "maxHops must be 1..30")
+    val ev = versionedEdges.filter(!col("is_deleted"))
+      .select(col("src"), col("dst"), col("sequence").as("s"))
+      .localCheckpoint(false)
+    var state = Seq((sourceId, startSeq)).toDF("id", "earliest")
+      .localCheckpoint(false)
+    for (_ <- 1 to maxHops) {
+      val relax = state
+        .join(ev.withColumnRenamed("src", "id"), Seq("id"))
+        .filter(col("s") >= col("earliest"))
+        .select(col("dst").as("id"), col("s").as("earliest"))
+      state = state.unionAll(relax)
+        .groupBy("id").agg(min("earliest").as("earliest"))
+        .localCheckpoint(false)
+    }
+    state
+  }
+
+  /** DuckDB oracle for [[temporalReach]] — the identical hops
+    * unrolled (same min-fold, same tombstone exclusion).
+    */
+  def temporalReachSql(versionedEdgesSql: String, sourceId: String,
+                       startSeq: Long = 0L, maxHops: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ve AS ($versionedEdgesSql), "
+    sb ++= "ev AS (SELECT src, dst, sequence AS s FROM ve " +
+      "WHERE NOT is_deleted), "
+    sb ++= s"r0 AS (SELECT '$sourceId' AS id, " +
+      s"CAST($startSeq AS BIGINT) AS earliest)"
+    for (h <- 1 to maxHops) {
+      val p = s"r${h - 1}"
+      sb ++= s", r$h AS (SELECT id, MIN(earliest) AS earliest FROM (" +
+        s"SELECT id, earliest FROM $p " +
+        s"UNION ALL SELECT e.dst, e.s FROM $p r JOIN ev e " +
+        s"ON e.src = r.id AND e.s >= r.earliest) GROUP BY id)"
+    }
+    sb ++= s" SELECT id, earliest FROM r$maxHops ORDER BY id"
+    sb.toString
+  }
 }

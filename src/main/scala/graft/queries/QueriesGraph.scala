@@ -847,6 +847,20 @@ object QueriesGraph {
         | SELECT id, MIN(depth) AS depth FROM r GROUP BY id
         | ORDER BY depth, id LIMIT 10000""".stripMargin.replace("\n", " "))),
 
+    // Time-respecting reachability (r8d): earliest-arrival temporal
+    // paths over the versioned edge set — a hop may only use an edge
+    // version at sequence ≥ the arrival at its source. Provenance /
+    // impact analysis across history, the question an as-of snapshot
+    // can't answer. Fixed-hop horizon, oracle-idempotent past the
+    // fixpoint (smaller arrivals only enable more edges).
+    ("traverse_temporal",
+      (s, d) => GraphAlgos.temporalReach(
+          CodeGraph.versionedEdges(s, d), sourceId = "U5",
+          startSeq = 0L, maxHops = 4)
+        .orderBy("id"),
+      Some(GraphAlgos.temporalReachSql(CodeGraph.versionedEdgesSql,
+        sourceId = "U5", startSeq = 0L, maxHops = 4))),
+
     // Deterministic Luby maximal independent set (r8c): md5-priority
     // rounds over the stored undirected index — the distributed
     // symmetry-breaking primitive (scheduling, graph coloring's first

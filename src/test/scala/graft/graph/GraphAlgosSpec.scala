@@ -88,4 +88,29 @@ class GraphAlgosSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == Map("a" -> 0L, "b" -> 2L, "c" -> 4L, "d" -> 3L))
   }
+
+  test("temporalReach: sequence monotonicity gates paths; tombstones don't flow") {
+    // a -5-> b -3-> c : arriving at b at 5, the 3-edge is in the past
+    // -> c unreachable. a -2-> d -7-> c : time-respecting -> c at 7.
+    // b's later rewrite (seq 9) re-enables b -9-> e.
+    val ve = Seq(
+      ("a", "b", "calls", 5L, false),
+      ("b", "c", "calls", 3L, false),
+      ("a", "d", "calls", 2L, false),
+      ("d", "c", "calls", 7L, false),
+      ("b", "e", "calls", 9L, false),
+      ("a", "x", "calls", 4L, true) // tombstone: no influence
+    ).toDF("src", "dst", "edge_type", "sequence", "is_deleted")
+    val got = GraphAlgos.temporalReach(ve, "a", startSeq = 0L, maxHops = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "b" -> 5L, "d" -> 2L, "c" -> 7L, "e" -> 9L))
+    // startSeq above an edge's sequence prunes the whole branch
+    val late = GraphAlgos.temporalReach(ve, "a", startSeq = 3L, maxHops = 4)
+      .as[(String, Long)].collect().toMap
+    assert(late == Map("a" -> 3L, "b" -> 5L, "e" -> 9L))
+    // extra hops past the fixpoint change nothing (the oracle contract)
+    val more = GraphAlgos.temporalReach(ve, "a", startSeq = 0L, maxHops = 8)
+      .as[(String, Long)].collect().toMap
+    assert(more == got)
+  }
 }
