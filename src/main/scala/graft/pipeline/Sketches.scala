@@ -190,6 +190,98 @@ object Sketches {
       .stripMargin.replace("\n", " ")
   }
 
+  /** HyperLogLog distinct-count estimate [Flajolet et al. 2007] from
+    * the same portable hash32 — the register-based member of the
+    * sketch family, twinning Spark's own `approx_count_distinct`
+    * (HLL++) with a bit-reproducible construction: bucket = low `p`
+    * bits of the hash, rho = 1 + leading-zero count of the remaining
+    * (32−p)-bit word (an UNROLLED integer threshold chain — no
+    * float log2, whose ulp at exact powers of two would diverge
+    * across engines), register = max rho per bucket. The register
+    * table is the sketch: m = 2^p integers, mergeable by element-wise
+    * max — the map-side-combinable property, same as KMV's k-smallest.
+    *
+    * The harmonic-mean denominator Σ 2^(−M[j]) is computed as the
+    * INTEGER Σ 2^(40−M[j]) (absent buckets contribute 2^40 each):
+    * every term is an exact power of two and the sum fits well inside
+    * 2^53, so the fold is order-independent — the same trick the
+    * fixed-point PageRank uses. The only floats are the final
+    * constant/T division and the small-range linear-counting branch
+    * m·ln(m/V) (one `ln` + round(4), the tfidf convention).
+    *
+    * Scale shape: one (group, bucket) partial-agg shuffle — at most
+    * m rows per group survive the map side — then an O(m)-per-group
+    * fold. No distinct-set materialization at all, which is exactly
+    * why HLL (not KMV) is what production engines run at 100 TB.
+    *
+    * Returns (groupCols..., est_distinct DOUBLE rounded to 4).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valCol: String,
+                  p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 12, "HLL precision p must be 4..12")
+    val m = 1 << p
+    val wBits = 32 - p
+    val gs = groupCols.map(col)
+    val hv = hash32(col(valCol)) - 1L // [0, 2^32)
+    val wCol = expr(s"hv div ${m.toLong}L") // the (32-p)-bit rho word
+    // rho = wBits - bitlen(w) + 1, bitlen by integer thresholds; the
+    // fold builds OUTWARD so the largest threshold is checked first
+    val rho = (0 until wBits).foldLeft(lit(wBits + 1)) { (acc, b) =>
+      when(wCol >= lit(1L << b), lit(wBits - b)).otherwise(acc)
+    }
+    val regs = df.select(gs :+ hv.as("hv"): _*)
+      .withColumn("bucket", col("hv") % m.toLong)
+      .withColumn("rho", rho)
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("mreg"))
+    // driver-computed double constants, injected via toString into both
+    // engines (round-trip exact): alpha_m·m²·2^40
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val c = alpha * m * m * 1099511627776.0 // ·2^40
+    val agg = regs.groupBy(gs: _*)
+      .agg(count(lit(1)).as("present"),
+        sum(expr("shiftleft(1L, 40 - mreg)")).as("t_present"))
+      .withColumn("t", col("t_present") +
+        (lit(m.toLong) - col("present")) * lit(1099511627776L))
+      .withColumn("v", lit(m.toLong) - col("present"))
+      .withColumn("e_raw", lit(c) / col("t").cast("double"))
+    agg.select(gs :+
+      round(when(col("v") > 0L && col("e_raw") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+        .otherwise(col("e_raw")), 4).as("est_distinct"): _*)
+  }
+
+  /** DuckDB oracle for [[hllDistinct]], generated from the same p and
+    * hash/threshold construction.
+    */
+  def hllDistinctSql(table: String, groupCols: Seq[String], valExpr: String,
+                     p: Int = 6): String = {
+    val m = 1 << p
+    val wBits = 32 - p
+    val g = groupCols.mkString(", ")
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val c = alpha * m * m * 1099511627776.0
+    // the same unrolled integer threshold chain for rho
+    val rhoCase = (wBits - 1 to 0 by -1).map { b =>
+      s"WHEN w >= ${1L << b} THEN ${wBits - b}"
+    }.mkString("CASE ", " ", s" ELSE ${wBits + 1} END")
+    s"""WITH h AS (SELECT $g, ${hash32Sql(valExpr)} - 1 AS hv FROM $table),
+       | b AS (SELECT $g, hv % $m AS bucket, hv // $m AS w FROM h),
+       | r AS (SELECT $g, bucket, MAX($rhoCase) AS mreg
+       |   FROM b GROUP BY $g, bucket),
+       | a AS (SELECT $g, CAST(COUNT(*) AS BIGINT) AS present,
+       |   CAST(SUM(1::BIGINT << (40 - mreg)) AS BIGINT) AS t_present
+       |  FROM r GROUP BY $g),
+       | e AS (SELECT $g, $m - present AS v,
+       |   CAST($c AS DOUBLE) / CAST(t_present + ($m - present) *
+       |     1099511627776 AS DOUBLE) AS e_raw FROM a)
+       | SELECT $g, round(CASE WHEN v > 0 AND e_raw <= CAST(${2.5 * m} AS DOUBLE)
+       |   THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v)
+       |   ELSE e_raw END, 4) AS est_distinct
+       | FROM e ORDER BY $g"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** DuckDB oracle for [[histQuantiles]], generated from the same bin
     * width and quantile list.
     */

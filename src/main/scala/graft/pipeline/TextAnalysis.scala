@@ -674,6 +674,19 @@ object TextAnalysis {
                 rounds: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    bpeMergeList(df, textCol, rounds)
+      .toDF("merge_round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** The training loop behind [[bpeMerges]], returning the merge
+    * sequence as driver values — the form [[bpeEncodeStats]] needs to
+    * apply the merges (k chained replaces) to the corpus. The merge
+    * table is tokenizer metadata: tiny (≤ `rounds` rows) by
+    * construction, so holding it on the driver is the bounded-collect
+    * convention, not a scale hazard.
+    */
+  def bpeMergeList(df: DataFrame, textCol: String, rounds: Int = 8)
+  : Seq[(Int, String, String, String, Long)] = {
     require(rounds >= 1 && rounds <= 64, "bpeMerges rounds must be 1..64")
     var w = df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -705,7 +718,81 @@ object TextAnalysis {
       }
     }
     merges.toSeq
-      .toDF("merge_round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** BPE ENCODING — apply the `rounds` merges [[bpeMergeList]] trains
+    * on this corpus to every document and report per-doc token counts
+    * (the tokenizer-application half of the BPE loop: train →
+    * encode → count, the number every token-budget / mixture recipe
+    * is denominated in). Same wrapped-symbol representation, so each
+    * merge is ONE `replace` and the whole encoder is `rounds` chained
+    * narrow string ops; the post-merge token count of a word is just
+    * its '‹' count (one delimiter pair per surviving symbol).
+    *
+    * Scale shape: encoding runs on the WORD-TYPE table (the same
+    * BPE-on-types trick as training — vocabulary-sized, not
+    * corpus-sized), then one equi-join back to per-doc word counts and
+    * one per-doc partial agg. Corpus-sized work is exactly two
+    * shuffles: the (doc, word) count and the doc rollup.
+    *
+    * Returns (doc_id, n_words, n_tokens) — n_tokens = Σ words'
+    * post-merge symbol counts; n_tokens = character count when
+    * rounds = 0 merges fire, and decreases monotonically as merges
+    * apply. All-integer output, hash-exact oracle.
+    */
+  def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
+                     rounds: Int = 8): DataFrame = {
+    val merges = bpeMergeList(df, textCol, rounds)
+    // the unrolled oracle replays ALL `rounds` CTEs; a corpus that
+    // exhausts merges early would cross-join an empty argmax there —
+    // fail loudly on this side instead (never fires on real corpora)
+    require(merges.size == rounds,
+      s"corpus exhausted after ${merges.size} merges; oracle unrolls $rounds")
+    val dc = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // reused: type extraction + the join back
+    val wrapped = dc.select("word").distinct()
+      .select(col("word"),
+        regexp_replace(col("word"), "(.)", "‹$1›").as("w"))
+    val encoded = merges.foldLeft(wrapped) { case (acc, (_, x, y, _, _)) =>
+      acc.withColumn("w", call_function("replace", col("w"),
+        lit(s"‹$x›‹$y›"), lit(s"‹$x$y›")))
+    }
+    val typeSyms = encoded.select(col("word"),
+      (length(col("w")) -
+        length(call_function("replace", col("w"), lit("‹"), lit(""))))
+        .cast("long").as("n_syms"))
+    dc.join(typeSyms, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_syms")).as("n_tokens"))
+  }
+
+  /** DuckDB oracle for [[bpeEncodeStats]] over `documents` — the
+    * training CTE chain of [[bpeMergesSql]] (so the merges replay from
+    * the data, not from injected constants) plus the same
+    * type-encode / join-back / rollup.
+    */
+  def bpeEncodeStatsSql(rounds: Int = 8): String = {
+    val sb = new StringBuilder(bpeTrainCtesSql(rounds))
+    sb ++= """, dw AS (SELECT doc_id, unnest(list_filter(""" +
+      """regexp_split_to_array(lower(text), '\s+'), x -> x != '')) """ +
+      "AS word FROM documents)"
+    sb ++= ", dc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM dw GROUP BY 1, 2)"
+    sb ++= """, ty0 AS (SELECT word, regexp_replace(word, '(.)', '‹\1›', 'g')""" +
+      " AS w FROM (SELECT DISTINCT word FROM dc))"
+    for (r <- 1 to rounds) {
+      sb ++= s", ty$r AS (SELECT word, replace(v.w, " +
+        "'‹' || b.x || '›‹' || b.y || '›', '‹' || b.x || b.y || '›') " +
+        s"AS w FROM ty${r - 1} v CROSS JOIN b$r b)"
+    }
+    sb ++= s" SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_words, " +
+      "CAST(SUM(c * (length(w) - length(replace(w, '‹', '')))) AS BIGINT) " +
+      s"AS n_tokens FROM dc JOIN ty$rounds t ON t.word = dc.word " +
+      "GROUP BY 1 ORDER BY doc_id"
+    sb.toString
   }
 
   /** DuckDB oracle for [[bpeMerges]] over `documents.text` — the
@@ -714,6 +801,18 @@ object TextAnalysis {
     * (count desc, pair asc) argmax, the same wrapped-string replace.
     */
   def bpeMergesSql(rounds: Int = 8): String = {
+    val sels = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_round, x AS left_sym, y AS right_sym, " +
+        s"x || y AS merged, c AS pair_count FROM b$r")
+      .mkString(" UNION ALL ")
+    s"${bpeTrainCtesSql(rounds)} $sels ORDER BY merge_round"
+  }
+
+  /** The shared training CTE chain (t, w0, s_r/p_r/g_r/b_r/w_r per
+    * round) behind [[bpeMergesSql]] and [[bpeEncodeStatsSql]]: b_r is
+    * round r's winning merge pair, w_r the type table after it.
+    */
+  private def bpeTrainCtesSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
       "(SELECT unnest(list_filter(regexp_split_to_array(lower(text), " +
@@ -735,11 +834,6 @@ object TextAnalysis {
         "'‹' || b.x || '›‹' || b.y || '›', '‹' || b.x || b.y || '›') " +
         s"AS w, v.cnt FROM $prev v CROSS JOIN b$r b)"
     }
-    val sels = (1 to rounds).map(r =>
-      s"SELECT $r AS merge_round, x AS left_sym, y AS right_sym, " +
-        s"x || y AS merged, c AS pair_count FROM b$r")
-      .mkString(" UNION ALL ")
-    sb ++= s" $sels ORDER BY merge_round"
     sb.toString
   }
 }

@@ -657,14 +657,18 @@ object QueriesGraph {
         val perComp = forest
           .join(comps.withColumnRenamed("id", "a"), Seq("a"))
           .groupBy("component").agg(count(lit(1)).as("n_edges"))
-        val mism = sizes.join(perComp, Seq("component"), "left")
-          .filter(coalesce(col("n_edges"), lit(0L)) =!= col("size") - 1)
-          .count()
-        val nNodes = comps.count()
-        val nComponents =
-          sizes.count()
-        val nForestEdges = forest.count()
-        Seq((nNodes, nComponents, nForestEdges, mism))
+        // ONE driver action over the component-sized frame (r8e: was 4
+        // separate counts re-deriving sizes/joins): every forest edge
+        // lands in exactly one component via its `a` endpoint, so
+        // Σ n_edges is the forest size and Σ size is the node count.
+        val r = sizes.join(perComp, Seq("component"), "left")
+          .agg(sum("size").as("n_nodes"),
+            count(lit(1)).as("n_components"),
+            sum(coalesce(col("n_edges"), lit(0L))).as("n_forest_edges"),
+            sum(when(coalesce(col("n_edges"), lit(0L)) =!= col("size") - 1,
+              1L).otherwise(0L)).as("n_component_mismatches"))
+          .first()
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
           .toDF("n_nodes", "n_components", "n_forest_edges",
             "n_component_mismatches")
       },

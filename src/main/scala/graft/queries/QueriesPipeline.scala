@@ -981,6 +981,18 @@ object QueriesPipeline {
         .orderBy("merge_round"),
       Some(TextAnalysis.bpeMergesSql(rounds = 8))),
 
+    // BPE encoding (r8e): apply the 8 trained merges to the corpus and
+    // count per-doc tokens — the tokenizer-application half of the
+    // loop, the number token budgets and mixture weights are
+    // denominated in. Encoding runs on the word-TYPE table (the same
+    // BPE-on-types trick as training), then one join back to per-doc
+    // counts; the oracle replays training + encoding from the data.
+    ("text_bpe_encode",
+      (s, d) => TextAnalysis.bpeEncodeStats(
+        graft.core.Tables.documents(s, d), "doc_id", "text", rounds = 8)
+        .orderBy("doc_id"),
+      Some(TextAnalysis.bpeEncodeStatsSql(rounds = 8))),
+
     // Composite quality router: first-match reject reason per doc, one
     // map-only pass over the analyze() metrics. Thresholds compare the
     // same 6-dp-rounded columns in both engines.

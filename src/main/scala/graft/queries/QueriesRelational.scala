@@ -503,6 +503,21 @@ object QueriesRelational {
       Some(graft.pipeline.Sketches.kmvDistinctSql(
         "events", Seq("event_type"), "user_id", k = 64))),
 
+    // HyperLogLog distinct sketch (r8e): the register-based member of
+    // the portable sketch family — bucket = low p bits of the shared
+    // md5 hash, rho by an unrolled INTEGER threshold chain (no float
+    // log2), register = max rho, harmonic denominator as an exact
+    // integer sum of powers of two. Unlike KMV it never materializes
+    // a distinct set: one (group, bucket) partial-agg shuffle with at
+    // most 2^p surviving rows per group — the true 100-TB cardinality
+    // shape, twinning approx_count_distinct with a value-level oracle.
+    ("events_hll_distinct",
+      (s, d) => graft.pipeline.Sketches.hllDistinct(
+          Tables.events(s, d), Seq("event_type"), "user_id", p = 6)
+        .orderBy("event_type"),
+      Some(graft.pipeline.Sketches.hllDistinctSql(
+        "events", Seq("event_type"), "user_id", p = 6))),
+
     // Resample-to-grid + forward-fill (gap filling): per event type,
     // 10-minute buckets over the type's own [min, max] range, observed
     // sums where data exists, latest-preceding value carried into the

@@ -30,6 +30,32 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hllDistinct: estimate lands within sketch error at n >> m") {
+    // m = 64 registers -> RSE ~ 1.04/8 = 13%; allow ~3σ
+    val df = (1 to 5000).map(i => ("g", s"user$i")).toDF("g", "v")
+    val est = Sketches.hllDistinct(df, Seq("g"), "v", p = 6)
+      .collect().head.getDouble(1)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est too far")
+  }
+
+  test("hllDistinct: small cardinality takes the linear-counting branch") {
+    val df = (1 to 300).map(i => ("g", s"u${i % 10}")).toDF("g", "v")
+    val est = Sketches.hllDistinct(df, Seq("g"), "v", p = 6)
+      .collect().head.getDouble(1)
+    // linear counting m·ln(m/V) is near-exact this far below m
+    assert(math.abs(est - 10.0) < 3.0, s"estimate $est too far from 10")
+  }
+
+  test("hllDistinct: insensitive to duplication and partitioning (mergeable registers)") {
+    val base = (1 to 1000).map(i => ("g", s"id$i"))
+    val dup = base ++ base ++ base
+    val a = Sketches.hllDistinct(base.toDF("g", "v").repartition(1),
+      Seq("g"), "v", p = 6).collect().head.getDouble(1)
+    val b = Sketches.hllDistinct(dup.toDF("g", "v").repartition(17),
+      Seq("g"), "v", p = 6).collect().head.getDouble(1)
+    assert(a == b)
+  }
+
   test("histQuantiles: uniform values land near the true quantiles") {
     // values 0..999 in one group, width 10: p50 ~ 499.5 within one bin
     val df = (0 until 1000).map(v => ("g", v.toDouble)).toDF("g", "v")

@@ -348,4 +348,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(3)).toSeq
     assert(o == Seq("ab", "abc"))
   }
+
+  test("bpeEncodeStats: hand-computed token counts after the trained merges") {
+    // merges on this corpus (see bpeMerges spec): lo, low, er
+    // encode: low -> ‹low› (1 symbol), lower -> ‹low›‹er› (2 symbols)
+    val docs = Seq((1L, "low low lower"), (2L, "lower low"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bpeEncodeStats(docs, "doc_id", "text", rounds = 3)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 3L, 4L), (2L, 2L, 3L)))
+    // greedy aaaa case flows through encoding: aaaa -> (aa)(aa),
+    // aaa -> (aa)(a) after the single (a,a) merge
+    val rep = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val g = TextAnalysis.bpeEncodeStats(rep, "doc_id", "text", rounds = 1)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSeq
+    assert(g == Seq((2L, 4L)))
+    // a corpus that exhausts before `rounds` fails loudly (the oracle
+    // unrolls all rounds)
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncodeStats(tiny, "doc_id", "text", rounds = 2)
+    }
+  }
 }
