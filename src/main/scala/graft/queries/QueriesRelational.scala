@@ -213,6 +213,266 @@ object QueriesRelational {
         | ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
         .stripMargin.replace("\n", " "))),
 
+    // TPC-H Q2 shape (min-cost supplier): the argmin-per-group
+    // join-back — aggregate lineitem once for the per-part minimum
+    // price, join the (part, supplier) detail back on BOTH keys so
+    // only argmin rows survive, then decorate with the broadcast
+    // dims. MIN over doubles is order-independent (unlike SUM), and
+    // the equality join compares the identical double — exact on any
+    // partitioning. The fixture has no partsupp table; lineitem IS
+    // the part↔supplier relation here.
+    ("q2_min_price_supplier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        val minp = li.groupBy("l_partkey")
+          .agg(min("l_extendedprice").as("min_price"))
+          .withColumnRenamed("l_partkey", "mp_partkey")
+        li.join(minp, col("l_partkey") === col("mp_partkey") &&
+            col("l_extendedprice") === col("min_price"))
+          .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
+            round(col("min_price"), 2).as("min_price"))
+          .distinct()
+          .join(broadcast(Tables.part(s, d).filter(col("p_size") < 15)),
+            Seq("p_partkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"), col("min_price"))
+          .orderBy("p_partkey", "s_name")
+          .limit(200)
+      },
+      Some("""WITH mp AS (SELECT l_partkey, MIN(l_extendedprice) AS m
+        |   FROM lineitem GROUP BY 1),
+        | am AS (SELECT DISTINCT l.l_partkey AS p_partkey, l.l_suppkey,
+        |   round(mp.m, 2) AS min_price
+        |  FROM lineitem l JOIN mp ON mp.l_partkey = l.l_partkey
+        |   AND l.l_extendedprice = mp.m)
+        | SELECT p_partkey, p_name, s_name, n_name, min_price
+        | FROM am JOIN part USING (p_partkey)
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        | WHERE p_size < 15
+        | ORDER BY p_partkey, s_name LIMIT 200"""
+        .stripMargin.replace("\n", " "))),
+
+    // TPC-H Q11 shape (important stock): per-key value share against a
+    // GLOBAL scalar — the global (sum, count) broadcasts back into the
+    // HAVING as a 1-row frame (never a single-partition window). Money
+    // is summed as exact integer CENTS (per-row round then LONG) and
+    // the "> 1.5× the average part value" cutoff is the all-integer
+    // cross-multiplication 2·v·n > 3·total, so the comparison can
+    // never flip on summation-order ulps AND stays scale-invariant
+    // (an absolute share threshold empties as the part count grows).
+    ("q11_important_parts",
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+        val perPart = Tables.lineitem(s, d)
+          .groupBy("l_partkey").agg(sum(cents).as("value_cents"))
+        val total = perPart.agg(sum("value_cents").as("total_cents"),
+          count(lit(1)).as("n_parts"))
+        perPart.join(broadcast(total))
+          .filter(col("value_cents") * col("n_parts") * 2L >
+            col("total_cents") * 3L)
+          .select(col("l_partkey"), col("value_cents"))
+          .orderBy(col("value_cents").desc, col("l_partkey"))
+          .limit(100)
+      },
+      Some("""WITH pp AS (SELECT l_partkey,
+        |   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |     AS BIGINT) AS value_cents
+        |  FROM lineitem GROUP BY 1),
+        | t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+        |   CAST(COUNT(*) AS BIGINT) AS n_parts FROM pp)
+        | SELECT l_partkey, value_cents FROM pp CROSS JOIN t
+        | WHERE value_cents * n_parts * 2 > total_cents * 3
+        | ORDER BY value_cents DESC, l_partkey LIMIT 100"""
+        .stripMargin.replace("\n", " "))),
+
+    // TPC-H Q15 shape (top supplier, WITH TIES): revenue per supplier
+    // over a ship-date window, keep every supplier matching the global
+    // maximum — the max is a 1-row broadcast joined back (the Q11
+    // pattern), not a sort or a single-partition window. Integer-cents
+    // revenue makes "equals the max" exact on any partitioning.
+    ("q15_top_supplier",
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * (lit(1.0) -
+          col("l_discount")) * 100, 0).cast("long")
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+          .groupBy("l_suppkey").agg(sum(cents).as("revenue_cents"))
+        val mx = rev.agg(max("revenue_cents").as("max_cents"))
+        rev.join(broadcast(mx), col("revenue_cents") === col("max_cents"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+        |   CAST(SUM(CAST(round(l_extendedprice * (CAST(1.0 AS DOUBLE)
+        |     - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1)
+        | SELECT s_suppkey, s_name, revenue_cents
+        | FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        | WHERE revenue_cents = (SELECT MAX(revenue_cents) FROM rev)
+        | ORDER BY s_suppkey""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q17 shape (small-quantity revenue): the correlated
+    // per-part AVG rewritten as aggregate-once + join-back. The
+    // threshold 0.2·avg(qty) is derived from an exact integer SUM and
+    // COUNT (quantities are integral by generator contract), so the
+    // double division and compare are bit-identical in both engines.
+    ("q17_small_quantity",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val avgQty = li.groupBy("l_partkey")
+          .agg((sum(col("l_quantity").cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_qty"))
+        val brandParts = broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#1").select("p_partkey"))
+        li.join(brandParts, col("l_partkey") === col("p_partkey"))
+          .join(avgQty, Seq("l_partkey"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("total_cents"))
+          .select(expr("total_cents div 7").as("avg_yearly_cents"))
+      },
+      Some("""WITH aq AS (SELECT l_partkey,
+        |   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |     / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        | SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) // 7 AS avg_yearly_cents
+        | FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey AND p_brand = 'Brand#1'
+        |  JOIN aq ON aq.l_partkey = l.l_partkey
+        | WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * aq.avg_qty"""
+        .stripMargin.replace("\n", " "))),
+
+    // TPC-H Q19 shape (disjunctive predicate pushdown): revenue under
+    // an OR of three (brand, size-range, quantity-range) conjunctions.
+    // Part is the broadcast dim; the disjunction stays a single
+    // codegen'd predicate — no union-of-three-scans rewrite needed.
+    ("q19_disjunctive_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = broadcast(Tables.part(s, d))
+        val cond =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+            col("l_quantity").between(20, 50))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(cond)
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("revenue_cents"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS revenue_cents, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+        |    AND l_quantity BETWEEN 20 AND 50)"""
+        .stripMargin.replace("\n", " "))),
+
+    // TPC-H Q21 shape (the sole late supplier): EXISTS another
+    // supplier in the order + NOT EXISTS another LATE supplier,
+    // rewritten as ONE aggregation over (order, supplier, late)
+    // flags joined back — lineitem shuffles once on l_orderkey
+    // instead of three correlated probes. "Late" = shipped > 60 days
+    // after the order date (the fixture has no commit/receipt dates).
+    ("q21_waiting_supplier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 60 DAYS")).as("late"))
+        val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("late")).as("late"))
+        val perOrder = perSupp.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"),
+            sum(col("late").cast("long")).as("n_late"))
+          .filter(col("n_supp") > 1 && col("n_late") === 1)
+        perSupp.filter(col("late"))
+          .join(perOrder, Seq("l_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(50)
+      },
+      Some("""WITH f AS (SELECT l_orderkey, l_suppkey,
+        |   MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |     THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+        | po AS (SELECT l_orderkey, COUNT(*) AS n_supp,
+        |   CAST(SUM(late) AS BIGINT) AS n_late FROM f GROUP BY 1)
+        | SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        | FROM f JOIN po USING (l_orderkey)
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        | WHERE f.late = 1 AND po.n_supp > 1 AND po.n_late = 1
+        | GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50"""
+        .stripMargin.replace("\n", " "))),
+
+    // TPC-H Q22 shape (lapsed wealthy customers): a GLOBAL scalar
+    // threshold (avg positive balance, derived from exact integer
+    // cents so the cutoff can't flip on summation order) broadcast
+    // into the filter + LEFT ANTI join against RECENT orders (every
+    // fixture customer has some order, so "idle" = none since
+    // 2000-01-01 — the recency filter pushes into the orders scan),
+    // rolled up by nation. The anti join is the scale shape for
+    // NOT EXISTS.
+    ("q22_idle_customers",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .withColumn("bal_cents",
+            round(col("c_acctbal") * 100, 0).cast("long"))
+        val avgBal = cust.filter(col("bal_cents") > 0L)
+          .agg((sum("bal_cents").cast("double") /
+            count(lit(1)).cast("double")).as("avg_cents"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey"))
+        cust.join(broadcast(avgBal))
+          .filter(col("bal_cents").cast("double") > col("avg_cents"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("numcust"),
+            sum("bal_cents").as("total_cents"))
+          .orderBy("n_name")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        | t AS (SELECT CAST(SUM(bal_cents) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_cents
+        |  FROM c WHERE bal_cents > 0)
+        | SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+        | FROM c CROSS JOIN t
+        |  JOIN nation ON n_nationkey = c_nationkey
+        | WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        | GROUP BY n_name ORDER BY n_name"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Rollup =====
     ("rollup_counts",
       (s, d) => Tables.lineitem(s, d)
