@@ -533,6 +533,66 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
+  /** Retrieval-quality evaluation harness — MRR and NDCG@k of the
+    * [[bm25]] ranking against graded relevance derived from the data
+    * itself (rel(doc) = number of distinct query terms present — the
+    * standard pseudo-qrel when no human labels exist). One output row
+    * per query: (query_id, n_ret, first_rel_rank, mrr, dcg10, idcg10,
+    * ndcg10). This is the eval loop a retrieval pipeline runs after
+    * every index/scorer change.
+    *
+    * DETERMINISM: with k fixed, the per-position log2 discounts are
+    * DRIVER-COMPUTED constants injected into both engines via
+    * toString, so DCG = Σ_r gain_r·d_r is a fixed-order textual sum of
+    * (exact integer gain (2^rel−1)) × (identical double constant) —
+    * bit-reproducible with NO runtime log at all. MRR is one division
+    * by an integer rank. The per-query frames are k-bounded, so the
+    * single-partition rank windows cost nothing.
+    *
+    * Scale shape per query: the two bm25 corpus scans + one broadcast
+    * join of the k-row ranked list back to the corpus for relevance
+    * grading; metrics aggregate k rows. Queries are a literal batch
+    * (an eval set is driver-sized by definition).
+    */
+  def searchEvalMetrics(df: DataFrame, idCol: String, textCol: String,
+                        queries: Seq[(String, Seq[String])],
+                        k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 100, "k must be 1..100")
+    val discounts = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val perQuery = queries.map { case (qid, terms) =>
+      val ranked = bm25(df, idCol, textCol, terms, topK = k)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col(idCol)))) // k-bounded
+      val ts = tokens(col(textCol))
+      val rel = df.select(col(idCol),
+        terms.map(t => when(array_contains(ts, t), 1).otherwise(0))
+          .reduceLeft(_ + _).as("rel"))
+      val graded = rel.join(broadcast(ranked), Seq(idCol))
+        .withColumn("ipos", row_number().over(
+          Window.orderBy(col("rel").desc, col("rank")))) // ideal order
+      val gain = (expr("shiftleft(1, rel)") - 1).cast("double")
+      def posSum(posCol: String): Column =
+        (1 to k).map(r => coalesce(
+          max(when(col(posCol) === r, gain * lit(discounts(r - 1)))),
+          lit(0.0))).reduceLeft(_ + _)
+      graded.agg(count(lit(1)).as("n_ret"),
+          min(when(col("rel") > 0, col("rank"))).cast("long")
+            .as("first_rel_rank"),
+          posSum("rank").as("dcg_raw"), posSum("ipos").as("idcg_raw"))
+        .select(lit(qid).as("query_id"), col("n_ret"),
+          col("first_rel_rank"),
+          when(col("first_rel_rank").isNull, 0.0)
+            .otherwise(round(lit(1.0) / col("first_rel_rank"), 6)).as("mrr"),
+          round(col("dcg_raw"), 4).as("dcg10"),
+          round(col("idcg_raw"), 4).as("idcg10"),
+          when(col("idcg_raw") > 0.0,
+            round(col("dcg_raw") / col("idcg_raw"), 4))
+            .otherwise(0.0).as("ndcg10"))
+    }
+    perQuery.reduceLeft(_ unionAll _).orderBy("query_id")
+  }
+
   /** Corpus bigram language-model score — the statistical quality
     * signal family (a KenLM-style filter's skeleton, with the corpus
     * itself as the model): per doc, the mean log MLE probability of its

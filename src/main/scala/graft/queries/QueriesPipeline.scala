@@ -1140,6 +1140,19 @@ object QueriesPipeline {
         | FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
         | ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replace("\n", " "))),
 
+    // Retrieval-quality eval (r8e): MRR + NDCG@10 of the BM25 ranking
+    // per eval query, graded relevance = number of distinct query
+    // terms present (the pseudo-qrel convention). With k fixed the
+    // per-position log2 discounts are driver constants, so DCG is a
+    // fixed-order sum of exact-integer-gain × identical-double-constant
+    // — bit-reproducible with no runtime log. The eval loop every
+    // retrieval pipeline runs after an index/scorer change.
+    ("search_eval_metrics",
+      (s, d) => TextAnalysis.searchEvalMetrics(
+        graft.core.Tables.documents(s, d), "doc_id", "text",
+        EvalQueries, k = 10),
+      Some(searchEvalSql(EvalQueries, k = 10))),
+
     // ===== Eval-set contamination (decontamination scan) =====
     // eval = docs 0..9, train = the rest; shared distinct 3-gram
     // shingles per (train, eval) pair. Eval shingles broadcast; the
@@ -1519,6 +1532,14 @@ object QueriesPipeline {
   // order).
   private lazy val Bm25Terms = Seq("hash", "join", "filter", "scan")
 
+  /** The eval-query batch for `search_eval_metrics` (terms drawn from
+    * the fixture vocabulary so rankings are non-trivial).
+    */
+  private lazy val EvalQueries: Seq[(String, Seq[String])] = Seq(
+    "q1_lookup" -> Seq("hash", "join", "filter", "scan"),
+    "q2_sortmerge" -> Seq("sort", "merge", "window"),
+    "q3_vectors" -> Seq("vector", "stream"))
+
   private lazy val SampleRates = Seq("src0" -> 20, "src1" -> 50, "src2" -> 80)
 
   private lazy val MixtureTargets = Seq("src0" -> 5, "src1" -> 3, "src2" -> 2)
@@ -1528,31 +1549,89 @@ object QueriesPipeline {
     * round-trip toString, every fractional literal CAST to DOUBLE so
     * DuckDB never routes through DECIMAL arithmetic).
     */
-  private lazy val bm25Sql: String = {
+  /** The t/stats/scored CTE chain for one BM25 query (suffix `sfx`
+    * disambiguates when several queries share one statement); `w`
+    * (doc_id, ws) must already be in scope. Same expression structure
+    * as [[TextAnalysis.bm25]] — left-assoc arithmetic, every
+    * fractional literal CAST to DOUBLE.
+    */
+  private def bm25ScoredCtes(queryTerms: Seq[String], sfx: String): String = {
     val k1 = 1.2
     val b = 0.75
     val k1p1 = (k1 + 1).toString
     val oneMinusB = (1.0 - b).toString
-    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(ws, x -> x = '$t')) AS tf$i"
     }.mkString(", ")
-    val dfCols = Bm25Terms.indices.map(i =>
+    val dfCols = queryTerms.indices.map(i =>
       s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
     val dlNorm = s"(CAST($oneMinusB AS DOUBLE) + CAST($b AS DOUBLE) * " +
       "(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))"
-    val terms = Bm25Terms.indices.map { i =>
+    val terms = queryTerms.indices.map { i =>
       s"(ln((CAST(n_docs AS DOUBLE) - df$i + CAST(0.5 AS DOUBLE)) / " +
         s"(df$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * " +
         s"(tf$i * CAST($k1p1 AS DOUBLE)) / " +
         s"(tf$i + CAST($k1 AS DOUBLE) * $dlNorm))"
     }.mkString(" + ")
+    s"t$sfx AS (SELECT doc_id, len(ws) AS dl, $tfCols FROM w), " +
+      s"stats$sfx AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, " +
+      s"$dfCols FROM t$sfx), " +
+      s"scored$sfx AS (SELECT doc_id, round($terms, 6) AS score " +
+      s"FROM t$sfx CROSS JOIN stats$sfx)"
+  }
+
+  private lazy val bm25Sql: String =
     s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-       | t AS (SELECT doc_id, len(ws) AS dl, $tfCols FROM w),
-       | stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, $dfCols FROM t),
-       | scored AS (SELECT doc_id, round($terms, 6) AS score
-       |   FROM t CROSS JOIN stats)
+       | ${bm25ScoredCtes(Bm25Terms, "")}
        | SELECT doc_id, score FROM scored WHERE score > 0
        | ORDER BY score DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " ")
+
+  /** Oracle for [[TextAnalysis.searchEvalMetrics]] — per query the
+    * same BM25 CTE chain, the same data-derived graded relevance, and
+    * the same fixed-order Σ gain·d_r sums with the identical
+    * driver-computed discount constants.
+    */
+  private def searchEvalSql(queries: Seq[(String, Seq[String])],
+                            k: Int): String = {
+    val discounts =
+      (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    def posSum(c: String) = (1 to k).map { r =>
+      s"COALESCE(MAX(CASE WHEN $c = $r THEN " +
+        s"CAST((1 << rel) - 1 AS DOUBLE) * " +
+        s"CAST(${discounts(r - 1)} AS DOUBLE) END), CAST(0.0 AS DOUBLE))"
+    }.mkString(" + ")
+    val (ctes, sels) = queries.zipWithIndex.map { case ((qid, terms), qi) =>
+      val sfx = s"_q$qi"
+      val relExpr = terms.map(t =>
+        s"CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val cte = bm25ScoredCtes(terms, sfx) +
+        s", top$sfx AS (SELECT doc_id, score, row_number() OVER " +
+        s"(ORDER BY score DESC, doc_id) AS rank FROM (SELECT doc_id, score " +
+        s"FROM scored$sfx WHERE score > 0 ORDER BY score DESC, doc_id " +
+        s"LIMIT $k)), " +
+        s"g$sfx AS (SELECT r.rank, ($relExpr) AS rel FROM top$sfx r " +
+        s"JOIN w ON w.doc_id = r.doc_id), " +
+        s"i$sfx AS (SELECT rank, rel, row_number() OVER " +
+        s"(ORDER BY rel DESC, rank) AS ipos FROM g$sfx), " +
+        s"m$sfx AS (SELECT '$qid' AS query_id, " +
+        s"CAST(COUNT(*) AS BIGINT) AS n_ret, " +
+        s"CAST(MIN(CASE WHEN rel > 0 THEN rank END) AS BIGINT) " +
+        s"AS first_rel_rank, " +
+        s"${posSum("rank")} AS dcg_raw, ${posSum("ipos")} AS idcg_raw " +
+        s"FROM i$sfx)"
+      val sel = s"SELECT query_id, n_ret, first_rel_rank, " +
+        "CASE WHEN first_rel_rank IS NULL THEN CAST(0.0 AS DOUBLE) " +
+        "ELSE round(CAST(1.0 AS DOUBLE) / first_rel_rank, 6) END AS mrr, " +
+        "round(dcg_raw, 4) AS dcg10, round(idcg_raw, 4) AS idcg10, " +
+        "CASE WHEN idcg_raw > CAST(0.0 AS DOUBLE) " +
+        "THEN round(dcg_raw / idcg_raw, 4) " +
+        s"ELSE CAST(0.0 AS DOUBLE) END AS ndcg10 FROM m$sfx"
+      (cte, sel)
+    }.unzip
+    s"WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents), " +
+      ctes.mkString(", ") + " " + sels.mkString(" UNION ALL ") +
+      " ORDER BY query_id"
   }
 
   /** Oracle for [[TextAnalysis.analyze]], generated from the same

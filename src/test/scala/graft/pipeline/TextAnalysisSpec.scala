@@ -349,6 +349,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(o == Seq("ab", "abc"))
   }
 
+  test("searchEvalMetrics: hand-computed MRR/NDCG incl. empty result set") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple"), (3L, "cherry"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.searchEvalMetrics(docs, "doc_id", "text",
+      Seq("q0_none" -> Seq("zzz"), "q1_two" -> Seq("apple", "banana"),
+        "q2_one" -> Seq("cherry")), k = 3)
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(6))).toSeq
+    // q1: doc1 (rel 2) ranks first, doc2 (rel 1) second →
+    // DCG = 3/log2(2) + 1/log2(3) = 3.6309; ideal order identical
+    val dcgQ1 = BigDecimal(3.0 + 1.0 / (math.log(3.0) / math.log(2.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Seq(
+      ("q0_none", 0L, -1L, 0.0, 0.0, 0.0),
+      ("q1_two", 2L, 1L, 1.0, dcgQ1, 1.0),
+      ("q2_one", 1L, 1L, 1.0, 1.0, 1.0)))
+  }
+
   test("bpeEncodeStats: hand-computed token counts after the trained merges") {
     // merges on this corpus (see bpeMerges spec): lo, low, er
     // encode: low -> ‹low› (1 symbol), lower -> ‹low›‹er› (2 symbols)
