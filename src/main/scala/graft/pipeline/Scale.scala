@@ -129,4 +129,108 @@ object Scale {
         lit(k)).as("__top"))
       .select(groupCols.map(col) :+
         posexplode(col("__top")).as(Seq("pos", itemCol)): _*)
+
+  /** Bloom-filter semi-join reduction — the RUNTIME-FILTER pattern a
+    * 100-TB engine applies before every selective fact⋈dim join (what
+    * Spark's own `spark.sql.optimizer.runtimeFilter.*` / Bloom join
+    * does internally, built here from portable primitives so the
+    * DuckDB oracle replays it bit-for-bit): hash the filtered dim keys
+    * d ways into an m-bit bitmap (bit positions from the shared
+    * [[Sketches.hash32]] with per-hash salts, bitmap words OR-folded
+    * by `bit_or` — one partial-agg shuffle of ≤ m/32 rows; 32 bits
+    * per BIGINT word keeps every shift below the sign bit, where
+    * Spark wraps silently and DuckDB errors), broadcast
+    * the word table, and test every fact key map-side with d
+    * shift-and-mask probes. A fact row reaches the exact join only if
+    * ALL d bits are set — false positives bounded by
+    * (1−e^(−dn/m))^d, false NEGATIVES impossible (`n_missed` proves
+    * it, replayed by the oracle as 0).
+    *
+    * Returns ONE stats row quantifying the reduction:
+    * (n_fact, n_bloom_pass, n_match, n_false_pos, n_missed).
+    *
+    * Scale shape: the dim aggregates to a ≤ m/32-row bitmap (tiny by
+    * construction — broadcast is free); the fact side is ONE map-only
+    * pass (d broadcast hash joins against the word table + the flag
+    * join against the distinct dim keys for ground truth) into a 1-row
+    * aggregate. The fact table never shuffles.
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+                    dim: DataFrame, dimKey: String,
+                    mBits: Int = 8192, nHashes: Int = 3): DataFrame = {
+    require(mBits % 32 == 0 && mBits > 0, "mBits must be a multiple of 32")
+    require(nHashes >= 1 && nHashes <= 8, "nHashes must be 1..8")
+    def bitpos(i: Int, key: Column): Column =
+      pmod(Sketches.hash32(concat(lit(s"$i:"), key.cast("string"))),
+        lit(mBits.toLong))
+    val dimKeys = dim.select(col(dimKey).as("dk")).distinct()
+    val words = dimKeys
+      .select(explode(array((0 until nHashes)
+        .map(i => bitpos(i, col("dk"))): _*)).as("bitpos"))
+      .select(expr("bitpos div 32").as("word"),
+        col("bitpos").cast("int").as("bp"))
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(1L, bp % 32))").as("bits"))
+    val probed0 = fact.select(
+      col(factKey).as("key") +:
+        (0 until nHashes).map(i => bitpos(i, col(factKey)).as(s"bp$i")): _*)
+    val probed = (0 until nHashes).foldLeft(probed0) { (acc, i) =>
+      acc.join(broadcast(words.select(col("word").as(s"w$i"),
+          col("bits").as(s"bits$i"))),
+        expr(s"bp$i div 32") === col(s"w$i"), "left")
+    }
+    val passed = (0 until nHashes).map(i =>
+      expr(s"(shiftright(coalesce(bits$i, 0L), " +
+        s"CAST(bp$i % 32 AS INT)) & 1) = 1")).reduceLeft(_ && _)
+    probed
+      .join(broadcast(dimKeys.withColumn("__hit", lit(1))),
+        col("key") === col("dk"), "left")
+      .select(passed.as("pass"), col("__hit").isNotNull.as("hit"))
+      .agg(count(lit(1)).as("n_fact"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_bloom_pass"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("pass") && !col("hit"), 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(col("hit") && !col("pass"), 1L).otherwise(0L))
+          .as("n_missed"))
+  }
+
+  /** DuckDB oracle for [[bloomSemiJoin]], generated from the same
+    * (mBits, nHashes) and hash construction. `factTable`/`dimSql` are
+    * SQL fragments; `dimSql` must yield one column `dk`.
+    */
+  def bloomSemiJoinSql(factTable: String, factKeyExpr: String,
+                       dimSql: String, mBits: Int = 8192,
+                       nHashes: Int = 3): String = {
+    def bitposSql(i: Int, keyExpr: String) =
+      s"(${Sketches.hash32Sql(s"'$i:' || CAST($keyExpr AS VARCHAR)")} % $mBits)"
+    val bpUnion = (0 until nHashes).map(i =>
+      s"SELECT ${bitposSql(i, "dk")} AS bitpos FROM dk")
+      .mkString(" UNION ALL ")
+    val bpCols = (0 until nHashes).map(i =>
+      s"${bitposSql(i, factKeyExpr)} AS bp$i").mkString(", ")
+    val joins = (0 until nHashes).map(i =>
+      s"LEFT JOIN bm b$i ON b$i.word = f.bp$i // 32").mkString(" ")
+    val passExpr = (0 until nHashes).map(i =>
+      s"((COALESCE(b$i.bits, 0) >> (f.bp$i % 32)) & 1) = 1")
+      .mkString("(", " AND ", ")")
+    s"""WITH dk AS ($dimSql),
+       | bp AS ($bpUnion),
+       | bm AS (SELECT bitpos // 32 AS word,
+       |   CAST(bit_or(1::BIGINT << (bitpos % 32)) AS BIGINT) AS bits
+       |  FROM bp GROUP BY 1),
+       | f AS (SELECT $factKeyExpr AS key, $bpCols FROM $factTable),
+       | t AS (SELECT $passExpr AS pass,
+       |   EXISTS (SELECT 1 FROM dk WHERE dk.dk = f.key) AS hit
+       |  FROM f $joins)
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+       |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bloom_pass,
+       |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  CAST(SUM(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_false_pos,
+       |  CAST(SUM(CASE WHEN hit AND NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_missed
+       | FROM t""".stripMargin.replace("\n", " ")
+  }
 }

@@ -683,6 +683,24 @@ object QueriesRelational {
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
 
+    // Bloom-filter semi-join reduction (r8e): the runtime-filter
+    // pattern — hash the filtered dim keys d ways into an m-bit
+    // bitmap (bit_or word fold, ≤ m/64 rows), broadcast it, test
+    // every fact key map-side with shift-and-mask probes before the
+    // exact join. The fact table never shuffles; output quantifies
+    // the reduction (pass/match/false-positive counts, and n_missed
+    // proves no false negatives).
+    ("bloom_semi_join",
+      (s, d) => graft.pipeline.Scale.bloomSemiJoin(
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey", mBits = 8192, nHashes = 3),
+      Some(graft.pipeline.Scale.bloomSemiJoinSql(
+        "orders", "o_custkey",
+        "SELECT DISTINCT c_custkey AS dk FROM customer " +
+          "WHERE c_mktsegment = 'BUILDING'",
+        mBits = 8192, nHashes = 3))),
+
     // Z-order layout key: interleave (orderkey, custkey) bits so a
     // z-sorted table's row-group stats bound tight 2-D rectangles —
     // data skipping on BOTH dimensions at rest. Same bit positions

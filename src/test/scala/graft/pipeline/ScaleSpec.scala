@@ -82,4 +82,22 @@ class ScaleSpec extends SparkSpec {
     Scale.writeZOrdered(pts.toDF("a", "b"), path, "a", "b")
     assert(spark.read.parquet(path).count() == pts.size)
   }
+
+  test("bloomSemiJoin: no false negatives, exact match count, partition-stable") {
+    val fact = (1L to 500L).map(k => (k, s"row$k")).toDF("fk", "payload")
+    val dim = Seq(5L, 50L, 500L, 999L).toDF("dk2").select($"dk2".as("dk"))
+    val r = Scale.bloomSemiJoin(fact, "fk", dim, "dk",
+      mBits = 4096, nHashes = 3).collect().head
+    val (nFact, nPass, nMatch, nFp, nMissed) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nFact == 500L && nMatch == 3L) // 999 not in fact
+    assert(nMissed == 0L) // a Bloom filter can never reject a member
+    assert(nPass == nMatch + nFp && nPass >= nMatch)
+    // at 4 keys in 4096 bits false positives should be absent
+    assert(nFp == 0L, s"unexpected false positives: $nFp")
+    // deterministic on any partitioning
+    val r2 = Scale.bloomSemiJoin(fact.repartition(13), "fk",
+      dim.repartition(3), "dk", mBits = 4096, nHashes = 3).collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
 }
