@@ -1797,6 +1797,100 @@ object GraphAnalytics {
     sb.result()
   }
 
+  /** FULL core decomposition — every node's CORENESS (the largest k
+    * for which it survives k-core peeling) by the h-index fixed point
+    * [Lü et al., Nature Communications 2016]: c_0 = degree,
+    * c_{t+1}(v) = H({c_t(u) : u ∈ N(v)}). The sequence is monotone
+    * non-increasing per node and converges exactly to the coreness;
+    * every step is deterministic and idempotent past the fixpoint, so
+    * the fixed-horizon unrolled oracle replays it (the kcore/lpa
+    * contract). [[kcore]] answers "which nodes survive THIS k"; this
+    * answers "what is every node's k" in one run.
+    *
+    * Per round: one edges⋈state probe gathering neighbor values at
+    * each node + one per-node rank window (the h-index is
+    * H = max{r : r-th largest neighbor value ≥ r} — the window sort
+    * is neighbor-list-local, and the MAX(CASE cn ≥ rn) fold is
+    * tie-order invariant) + one O(V) merge with the previous state
+    * for the early-exit check. Small-V path broadcasts the state into
+    * the probe with the edge set pre-partitioned on the WINDOW key, so
+    * a round is one map-only join + an exchange-free window; at larger
+    * V the state join shuffles V-sized rows and the window pays one
+    * E-sized exchange per round — the honest minimum for a gather
+    * that must sort each node's neighborhood.
+    */
+  def coreness(edges: DataFrame, rounds: Int = 4,
+               pairsDistinct: Boolean = false,
+               undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+    import org.apache.spark.sql.expressions.Window
+    val undInit = if (undirectedPairs)
+      edges.select(col("src").as("a"), col("dst").as("b"))
+    else {
+      val p0 =
+        if (pairsDistinct) edges.select(col("src"), col("dst"))
+        else edges.select(col("src"), col("dst")).distinct()
+      p0.select(col("src").as("a"), col("dst").as("b"))
+        .union(p0.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+    }
+    var state = undInit.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val nV = state.count()
+    val small = nV <= 1000000L
+    // the probe layout: partitioned on the WINDOW key when the state
+    // broadcasts (join preserves it → zero window exchange); on the
+    // big path partition on the JOIN key so per-round joins move only
+    // the O(V) state
+    val und = (if (small) undInit.repartition(col("a"))
+      else undInit.repartition(col("b"))).localCheckpoint(false)
+    var frame: DataFrame = null
+    var converged = false
+    graft.core.Checkpoints.withLoopShuffle(edges.sparkSession, nV,
+      und.count()) {
+      for (_ <- 1 to rounds if !converged) {
+        val stateB = state.select(col("id").as("b"), col("c").as("cn"))
+        val nb = und.join(if (small) broadcast(stateB) else stateB, Seq("b"))
+        val rn = row_number().over(
+          Window.partitionBy("a").orderBy(col("cn").desc, col("b")))
+        val h = nb.withColumn("rn", rn)
+          .groupBy(col("a").as("id"))
+          .agg(coalesce(max(when(col("cn") >= col("rn"),
+            col("rn").cast("long"))), lit(0L)).as("c2"))
+        val merged = state.withColumnRenamed("c", "prev")
+          .join(h, Seq("id"))
+          .select(col("id"), col("c2").as("c"), col("prev"))
+          .localCheckpoint(true)
+        converged = merged.filter(col("c") =!= col("prev")).count() == 0L
+        if (frame != null) graft.core.Checkpoints.drop(frame)
+        frame = merged
+        state = merged.select("id", "c")
+      }
+    }
+    state.select(col("id"), col("c").as("coreness"))
+  }
+
+  /** DuckDB oracle for [[coreness]] — the identical h-index rounds
+    * unrolled (same neighbor-rank window, same MAX(CASE) fold).
+    */
+  def corenessSql(edgesSql: String, rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS ($edgesSql), "
+    sb ++= "pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e), "
+    sb ++= "u AS MATERIALIZED (SELECT src AS a, dst AS b FROM pairs " +
+      "UNION SELECT dst, src FROM pairs), "
+    sb ++= "c0 AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM u GROUP BY 1)"
+    for (t <- 1 to rounds) {
+      sb ++= s", j$t AS (SELECT u.a, s.c AS cn, row_number() OVER " +
+        s"(PARTITION BY u.a ORDER BY s.c DESC, u.b) AS rn " +
+        s"FROM u JOIN c${t - 1} s ON s.id = u.b)"
+      sb ++= s", c$t AS (SELECT a AS id, CAST(COALESCE(MAX(CASE WHEN " +
+        s"cn >= rn THEN rn END), 0) AS BIGINT) AS c FROM j$t GROUP BY 1)"
+    }
+    sb ++= s" SELECT id, c AS coreness FROM c$rounds ORDER BY id"
+    sb.result()
+  }
+
   /** Personalized PageRank: power iteration where the teleport vector is
     * concentrated on a seed set instead of uniform — "rank the graph
     * from THESE nodes' point of view" (context packing around an anchor

@@ -526,6 +526,16 @@ object QueriesGraph {
         .orderBy("id"),
       Some(GraphAnalytics.kcoreSql(E, k = 4, rounds = 8))),
 
+    // Full core decomposition (r8e): every node's coreness via the
+    // h-index fixed point (c0 = degree, c_{t+1} = h-index of neighbor
+    // values) — monotone, converges exactly, fixed-horizon oracle.
+    // graph_kcore answers one k; this is the whole decomposition.
+    ("graph_coreness",
+      (s, d) => GraphAnalytics.coreness(
+          CodeGraph.undPairs(s, d), rounds = 4, undirectedPairs = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.corenessSql(E, rounds = 4))),
+
     // Connected components, DataFrame-native (min-label + pointer jump,
     // O(log diameter) rounds). Same fixed-round oracle contract as
     // k-core: early convergence is a no-op past the fixpoint. The GraphX

@@ -560,4 +560,27 @@ class GraphAnalyticsSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(p1 == p9)
   }
+
+  test("coreness: h-index fixed point reaches the exact core numbers") {
+    // K4 clique {a,b,c,d} (coreness 3); bridge d-e-f keeps e at
+    // coreness 2 (degree never drops below 2 during peeling);
+    // triangle {f,g,h} (coreness 2); pendant a-t (coreness 1)
+    val g = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g"), ("f", "h"), ("g", "h"),
+      ("a", "t")).toDF("src", "dst")
+    val r = GraphAnalytics.coreness(g, rounds = 6)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "e" -> 2L, "f" -> 2L, "g" -> 2L, "h" -> 2L, "t" -> 1L))
+    // extra rounds past the fixpoint change nothing (the oracle contract)
+    val more = GraphAnalytics.coreness(g, rounds = 9)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(more == r)
+    // deterministic across partitionings
+    val p1 = GraphAnalytics.coreness(g.repartition(1), rounds = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val p9 = GraphAnalytics.coreness(g.repartition(9), rounds = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(p1 == p9)
+  }
 }
