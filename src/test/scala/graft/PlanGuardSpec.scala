@@ -44,6 +44,9 @@ class PlanGuardSpec extends SparkSpec {
     "salted_join_agg" -> "broadcast salt-expansion frame (rows = salt factor)",
     "embedding_score_filter" -> "broadcast 1-row percentile-cutoff frame",
     "hybrid_search_rrf" -> "broadcast 1-row query vector + 1-row bm25 stats frame",
+    "q11_important_parts" -> "broadcast 1-row global (total, n_parts) frame",
+    "q22_idle_customers" -> "broadcast 1-row global avg-balance frame",
+    "search_eval_metrics" -> "broadcast 1-row bm25 corpus-stats frame per eval query",
     // exact all-pairs cosine — KEPT deliberately as the small-n recall
     // oracle for ann_neardup_lsh (the registered scale path)
     "embedding_neardup" -> "documented small-n recall oracle (all-pairs by design)"
