@@ -270,5 +270,7 @@ object DispatchParser extends SourceParser {
         filePath.endsWith(".js") || filePath.endsWith(".jsx") ||
         filePath.endsWith(".mjs"))
       TsParser.parse(filePath, content)
+    else if (filePath.endsWith(".java"))
+      JavaParser.parse(filePath, content)
     else SimpleParser.parse(filePath, content)
 }

@@ -145,4 +145,81 @@ object TimeSeries {
         last(col("v_obs"), ignoreNulls = true).over(w).as("v_filled"),
         col("v_obs").isNull.as("is_gap"))
   }
+
+  /** Per-key ordinary-least-squares linear trend — slope and R² of
+    * value over time, the closed-form regression every metrics
+    * pipeline fits ("is this KPI drifting, and how cleanly"):
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), R² = num² / (den·deny).
+    *
+    * EXACTNESS is the whole design: x = the time bucket index
+    * (integer), y = the value scaled to an integer (per-row round —
+    * deterministic), and all five moment sums accumulate in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact 128-bit
+    * integers, so the sums are partition-order-independent where a
+    * double Σxy would drift, and the closed-form numerator /
+    * denominator are exact integers too. The ONLY floats are the two
+    * final divisions from exact operands (round-to-nearest conversion
+    * is identical in both engines), rounded to 6.
+    *
+    * Scale shape: one map-only projection + ONE partial-agg shuffle of
+    * 7 exact counters per key — the textbook mergeable-moments form; a
+    * key with 10^9 events still ships 7 numbers per map partition.
+    *
+    * Returns (key, n, slope, r2): slope in scaled-y units per bucket.
+    */
+  def linearTrend(df: DataFrame, keyCol: String, tsUsCol: String,
+                  valCol: String, bucketUs: Long = 3600000000L,
+                  valScale: Long = 10000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val prep = df.select(col(keyCol),
+      expr(s"$tsUsCol div ${bucketUs}L").as("x"),
+      round(col(valCol) * valScale, 0).cast("long").as("y"))
+    val a = prep.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"),
+        sum((col("x").cast(dec) * col("x").cast(dec))).as("sxx"),
+        sum((col("y").cast(dec) * col("y").cast(dec))).as("syy"))
+    val nD = col("n").cast(dec)
+    val m = a.select(col(keyCol), col("n"),
+      (nD * col("sxy") - col("sx") * col("sy")).as("num"),
+      (nD * col("sxx") - col("sx") * col("sx")).as("den"),
+      (nD * col("syy") - col("sy") * col("sy")).as("deny"))
+    m.select(col(keyCol), col("n"),
+      when(col("den") === 0, 0.0)
+        .otherwise(round(col("num").cast("double") /
+          col("den").cast("double"), 6)).as("slope"),
+      when(col("den") === 0 || col("deny") === 0, 0.0)
+        .otherwise(round((col("num").cast("double") *
+          col("num").cast("double")) /
+          (col("den").cast("double") * col("deny").cast("double")), 6))
+        .as("r2"))
+  }
+
+  /** DuckDB oracle for [[linearTrend]] over `events`, generated from
+    * the same (bucketUs, valScale); HUGEINT plays DECIMAL(38,0).
+    */
+  def linearTrendSql(keyExpr: String, bucketUs: Long = 3600000000L,
+                     valScale: Long = 10000L): String =
+    s"""WITH p AS (SELECT $keyExpr AS k,
+       |   epoch_us(ts) // $bucketUs AS x,
+       |   CAST(round(value * $valScale) AS BIGINT) AS y FROM events),
+       | a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+       |   SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |   SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+       |   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+       |   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+       |  FROM p GROUP BY 1),
+       | m AS (SELECT k, n, CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+       |   CAST(n AS HUGEINT) * sxx - sx * sx AS den,
+       |   CAST(n AS HUGEINT) * syy - sy * sy AS deny FROM a)
+       | SELECT k AS event_type, n,
+       |  CASE WHEN den = 0 THEN CAST(0.0 AS DOUBLE)
+       |   ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END
+       |   AS slope,
+       |  CASE WHEN den = 0 OR deny = 0 THEN CAST(0.0 AS DOUBLE)
+       |   ELSE round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+       |    (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) END AS r2
+       | FROM m ORDER BY event_type""".stripMargin.replace("\n", " ")
 }

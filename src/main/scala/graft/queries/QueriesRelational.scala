@@ -473,6 +473,40 @@ object QueriesRelational {
         | GROUP BY n_name ORDER BY n_name"""
         .stripMargin.replace("\n", " "))),
 
+    // Window-function surface in one entry (r8e): rank / dense_rank /
+    // percent_rank / cume_dist / ntile / lag over the same per-customer
+    // frame — every value either integer or an exact small-integer
+    // rational (percent_rank = (rank−1)/(n−1)), so the doubles oracle
+    // bit-for-bit. Output bounded to the top 3 orders per customer.
+    ("window_functions_suite",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("prnk", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("price_drop",
+            round(lag("o_totalprice", 1).over(w) - col("o_totalprice"), 2))
+          .filter(col("rnk") <= 3)
+          .orderBy("o_custkey", "rnk")
+      },
+      Some("""SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(lag(o_totalprice, 1) OVER w - o_totalprice, 2) AS price_drop
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey))
+        | WHERE rnk <= 3 ORDER BY o_custkey, rnk"""
+        .stripMargin.replace("\n", " "))),
+
     // ===== Rollup =====
     ("rollup_counts",
       (s, d) => Tables.lineitem(s, d)
@@ -518,6 +552,46 @@ object QueriesRelational {
         | CAST(count(*) AS BIGINT) AS n
         | FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         | ORDER BY o_orderstatus, o_orderpriority"""
+        .stripMargin.replace("\n", " "))),
+
+    // GROUPING SETS (r8e): the general form rollup/cube specialize —
+    // an explicit irregular set list ((status, priority), (status),
+    // (segment), ()) that neither ROLLUP nor CUBE expresses, plus the
+    // GROUPING() marker distinguishing "NULL because aggregated" from
+    // a data NULL. Exact integer counts; grouping markers make the
+    // sort total.
+    ("grouping_sets_counts",
+      (s, d) => {
+        val j = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+        j.groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq(col("c_mktsegment")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"),
+            col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+            grouping(col("c_mktsegment")).cast("long").as("g_seg"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            col("n"), col("g_status"), col("g_prio"), col("g_seg"))
+          .orderBy("g_status", "g_prio", "g_seg", "status", "priority",
+            "segment")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | coalesce(c_mktsegment, 'ALL') AS segment,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        | CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |   (o_orderstatus), (c_mktsegment), ())
+        | ORDER BY g_status, g_prio, g_seg, status, priority, segment"""
         .stripMargin.replace("\n", " "))),
 
     // ===== Pivot =====
@@ -830,6 +904,19 @@ object QueriesRelational {
     // contract), the mean included (final cum / n, not an unordered
     // AVG), so the 4-dp rounding compares bit-for-bit. One window
     // shuffle + a per-type top-1 (WindowGroupLimit heap).
+    // Per-type OLS linear trend (r8e): slope + R² of value over time
+    // from FIVE exact 128-bit moment sums (DECIMAL(38,0) / HUGEINT) —
+    // partition-order-independent where double Σxy would drift; the
+    // only floats are two final divisions from exact operands. One
+    // partial-agg shuffle of 7 counters per key — the mergeable-
+    // moments shape (a 10^9-event key ships 7 numbers per partition).
+    ("events_linear_trend",
+      (s, d) => TimeSeries.linearTrend(
+          Tables.eventsNorm(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+          keyCol = "event_type", tsUsCol = "ts_us", valCol = "value")
+        .orderBy("event_type"),
+      Some(TimeSeries.linearTrendSql("event_type"))),
+
     ("events_cusum",
       (s, d) => {
         val ord = Window.partitionBy("event_type")

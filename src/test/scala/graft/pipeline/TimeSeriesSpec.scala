@@ -180,4 +180,26 @@ class TimeSeriesSpec extends SparkSpec {
       ("k1", 3L, Some(7.0), 7.0, false),
       ("k2", 10L, Some(1.0), 1.0, false)))
   }
+
+  test("linearTrend: hand-computed slope/R², zero-variance guard, partition-stable") {
+    // up: y = 2x exactly (scaled slope 2*10000), r2 = 1
+    // down: y = 4 - 2x, r2 = 1; flat time (den = 0) -> 0/0 guards
+    val df = Seq(
+      ("up", 0L, 0.0), ("up", 1L, 2.0), ("up", 2L, 4.0),
+      ("down", 0L, 4.0), ("down", 1L, 2.0), ("down", 2L, 0.0),
+      ("flat", 5L, 1.0), ("flat", 5L, 9.0))
+      .toDF("k", "ts_us", "value")
+    val r = TimeSeries.linearTrend(df, "k", "ts_us", "value", bucketUs = 1L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r("up") == ((3L, 20000.0, 1.0)))
+    assert(r("down") == ((3L, -20000.0, 1.0)))
+    assert(r("flat") == ((2L, 0.0, 0.0)))
+    // exact integer moments: identical on any partitioning
+    val a = TimeSeries.linearTrend(df.repartition(1), "k", "ts_us", "value",
+      bucketUs = 1L).orderBy("k").collect().map(_.toSeq).toSeq
+    val b = TimeSeries.linearTrend(df.repartition(7), "k", "ts_us", "value",
+      bucketUs = 1L).orderBy("k").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
