@@ -151,7 +151,11 @@ object JavaParser extends SourceParser {
             ArrayBuffer(ParsedEdge("method_of", cls)))
           builders += ub
           val (sig, end, opened, rest) = joinDecl(cleanedLines, i)
-          addCalls(sig.replaceFirst("""[A-Za-z_$][\w$]*\s*\(""", " ( "), ub)
+          // scan only past the declaration's first `(`: unlike the
+          // keyword-introduced languages, Java's RETURN TYPE sits
+          // directly before the name, so a name-only strip would glue
+          // `void`/`String` to the paren and read it as a call-site
+          addCalls(sig.substring(sig.indexOf('(') + 1), ub)
           addCalls(rest, ub)
           if (opened) pending = Some(Frame(kind, ub, depth))
           else ub.lineEnd = end + 1

@@ -209,6 +209,47 @@ object QueriesIngest {
       |})
       |""".stripMargin
 
+  // Java demo codebase for the JavaParser entries (r8e): a class with
+  // a static-final const, a static factory guarding with a validator
+  // (the callers-trace spine), a method, a static import binding the
+  // factory into the JUnit-style test.
+  private val demoJavaStore =
+    """import java.util.HashMap;
+      |
+      |public class Store {
+      |  public static final int MAX_CONNS = 8;
+      |
+      |  public static Store open(String addr) {
+      |    return new Store(validate(addr));
+      |  }
+      |
+      |  static String validate(String addr) {
+      |    return normalize(addr);
+      |  }
+      |
+      |  public String get(String key) {
+      |    return lookup(key);
+      |  }
+      |}
+      |""".stripMargin
+
+  private val demoJavaTest =
+    """import static app.Store.open;
+      |
+      |public class StoreTest {
+      |  @Test
+      |  public void openChecks() {
+      |    open("x");
+      |  }
+      |}
+      |""".stripMargin
+
+  private def demoJavaFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(Ingest.FileDoc("app/Store.java", demoJavaStore),
+      Ingest.FileDoc("app/StoreTest.java", demoJavaTest)).toDS()
+  }
+
   private def demoTsFiles(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
     Seq(Ingest.FileDoc("api/client.ts", demoTsClient),
@@ -504,6 +545,49 @@ object QueriesIngest {
         | (1, 'api/client.ts:Client:constructor'),
         | (1, 'api/client.ts:Client:fetch'),
         | (2, 'api/client.test.ts:test:3')
+        |) t(depth, unit_id) ORDER BY depth, unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // JAVA extraction (r8e): the sixth real language — methods with no
+    // introducing keyword (structural modifier-run + return-type
+    // detection), static-import bindings, @Test registration, static
+    // final consts vs fields.
+    ("ingest_java_units",
+      (s, d) => Ingest.parseFiles(demoJavaFiles(s), DispatchParser)
+        .toDF().select(col("unitId").as("unit_id"),
+          col("unitType").as("unit_type"), col("name"),
+          col("parentContainer").as("parent"))
+        .orderBy("unit_id"),
+      Some("""SELECT * FROM (VALUES
+        | ('app/Store.java:Store', 'type', 'Store', ''),
+        | ('app/Store.java:Store:MAX_CONNS', 'const', 'MAX_CONNS', 'Store'),
+        | ('app/Store.java:Store:get', 'function', 'get', 'Store'),
+        | ('app/Store.java:Store:open', 'function', 'open', 'Store'),
+        | ('app/Store.java:Store:validate', 'function', 'validate', 'Store'),
+        | ('app/Store.java:import:HashMap', 'import', 'HashMap', ''),
+        | ('app/StoreTest.java:StoreTest', 'type', 'StoreTest', ''),
+        | ('app/StoreTest.java:import:open', 'import', 'open', ''),
+        | ('app/StoreTest.java:test:5', 'test', 'openChecks', 'StoreTest')
+        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Callers of `validate` on the Java demo: the static factory that
+    // guards with it, then the @Test method reaching it through the
+    // static import — parser → resolver → blocks/edges → BFS.
+    ("ingest_java_callers",
+      (s, d) => {
+        import graft.api.Cli
+        val units = Ingest.parseFiles(demoJavaFiles(s), DispatchParser)
+        val blocks = Ingest.unitsToBlocks(units, "javademo")
+        val edges = SemanticResolver.edgesAsBlocks(units, "javademo")
+        Cli.execute(blocks, edges,
+          Cli.ShowCmd("callers", "validate", "javademo", maxDepth = 2))
+          .select("depth", "unit_id").orderBy("depth", "unit_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        | (0, 'app/Store.java:Store:validate'),
+        | (1, 'app/Store.java:Store:open'),
+        | (2, 'app/StoreTest.java:test:5')
         |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),
 
