@@ -533,6 +533,49 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
+  /** RAG context packing — the composed retrieval step between "index
+    * the corpus" and "call the model": chunk every document
+    * ([[chunkDocs]]), score chunks against the query terms (exact
+    * integer term-frequency — deterministic, no corpus stats needed at
+    * chunk grain), keep the global top-k, and PACK them greedily in
+    * rank order until the token budget is exhausted (a chunk that
+    * would overflow the budget is dropped, as are all after it —
+    * cumulative-sum cut, the standard context-window assembly rule).
+    *
+    * Scale shape: chunking + scoring are one map-only pass over the
+    * corpus (no shuffle, no join); top-k is a TakeOrdered (never a
+    * global sort); the rank/cumsum windows run on the k-bounded
+    * survivor frame — driver-sized by construction. All-integer
+    * output → hash-exact oracle.
+    *
+    * Returns (idCol, chunk_idx, score, rank, n_tokens, cum_tokens)
+    * in pack order.
+    */
+  def ragContextPack(df: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], k: Int = 20,
+                     tokenBudget: Long = 120L, chunkSize: Int = 24,
+                     overlap: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 1000, "k must be 1..1000")
+    val chunks = chunkDocs(df, idCol, textCol, chunkSize, overlap)
+    val cw = tokens(col("chunk_text"))
+    val score = queryTerms.map(t =>
+      size(filter(cw, x => x === t)).cast("long")).reduceLeft(_ + _)
+    val ord = Seq(col("score").desc, col(idCol).asc, col("chunk_idx").asc)
+    val scored = chunks.withColumn("score", score)
+      .filter(col("score") > 0)
+      .orderBy(ord: _*).limit(k)
+    val w = Window.orderBy(ord: _*) // k-bounded frame
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col(idCol), col("chunk_idx"), col("score"), col("rank"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("rank")
+  }
+
   /** Retrieval-quality evaluation harness — MRR and NDCG@k of the
     * [[bm25]] ranking against graded relevance derived from the data
     * itself (rel(doc) = number of distinct query terms present — the

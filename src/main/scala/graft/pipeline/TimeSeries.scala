@@ -78,6 +78,47 @@ object TimeSeries {
         payloadCols.map(c => col("__pay").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** NEAREST-event join — for each left row, the right row with the
+    * minimum |r.ts − l.ts| within the key (the third as-of direction
+    * after backward/forward, what sensor alignment and feature joins
+    * against sparse signals actually want). Composed from TWO
+    * [[asofJoin]] passes — backward as-is, forward by running the same
+    * union-tag window over NEGATED timestamps (an order-reversal, so
+    * "greatest r.ts ≤ l.ts" becomes "smallest r.ts ≥ l.ts") — then a
+    * 1:1 pick of the closer side per left row. Ties: equidistant
+    * sides resolve BACKWARD (the earlier right row); equal-ts right
+    * rows resolve toward the greatest `tieCol` inside each pass (the
+    * asofJoin contract).
+    *
+    * Scale shape: two key-partitioned window passes over |L|+|R| rows
+    * + one 1:1 equi-join on `leftIdCol` — never a non-equi nested
+    * loop; the brute-force |L|×|R| argmin formulation stays in the
+    * oracle where it belongs.
+    *
+    * Returns leftCols + `near_<payload>` + `near_dt` (signed
+    * near_ts − l.ts; NULL when the key has no right rows).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, tieCol: String, leftIdCol: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val pay = (payloadCols :+ tsCol).distinct
+    val back = asofJoin(left, right, keyCol, tsCol, tieCol, pay)
+    val fwd0 = asofJoin(left.withColumn(tsCol, -col(tsCol)),
+      right.withColumn(tsCol, -col(tsCol)), keyCol, tsCol, tieCol, pay)
+    val fwd = fwd0.select(col(leftIdCol).as("__lid") +:
+      pay.map(c => (if (c == tsCol) -col(s"asof_$c") else col(s"asof_$c"))
+        .as(s"__f_$c")): _*)
+    val j = back.join(fwd, col(leftIdCol) === col("__lid"), "left")
+    val bTs = col(s"asof_$tsCol")
+    val fTs = col(s"__f_$tsCol")
+    val useF = bTs.isNull ||
+      (fTs.isNotNull && (fTs - col(tsCol)) < (col(tsCol) - bTs))
+    val nearCols = pay.map(c =>
+      when(useF, col(s"__f_$c")).otherwise(col(s"asof_$c")).as(s"near_$c"))
+    j.select(left.columns.map(col) ++ nearCols: _*)
+      .withColumn("near_dt", col(s"near_$tsCol") - col(tsCol))
+  }
+
   /** Ordered pairs (a, b) sharing `keyCol` with
     * `0 <= b.ts - a.ts <= windowSpan` (ties on ts kept once, with
     * `a.id < b.id`). Returns (key, a_id, b_id, dt) with dt = b.ts - a.ts.

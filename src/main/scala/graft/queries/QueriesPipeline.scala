@@ -1140,6 +1140,42 @@ object QueriesPipeline {
         | FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
         | ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replace("\n", " "))),
 
+    // RAG context packing (r8e): chunk → term-score → global top-k →
+    // greedy token-budget cut — the composed context-window assembly
+    // step between indexing and the model call. Chunk+score are one
+    // map-only corpus pass; top-k is TakeOrdered; the pack windows run
+    // on the k-bounded survivors. All-integer output.
+    ("rag_context_pack",
+      (s, d) => TextAnalysis.ragContextPack(
+        graft.core.Tables.documents(s, d), "doc_id", "text",
+        Bm25Terms, k = 20, tokenBudget = 120L,
+        chunkSize = 24, overlap = 6),
+      Some {
+        val scoreSql = Bm25Terms.map(t =>
+          s"len(list_filter(cws, x -> x = '$t'))").mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          | p AS (SELECT doc_id, ws, len(ws) AS nw,
+          |  CASE WHEN len(ws) <= 24 THEN 1
+          |   ELSE 1 + (len(ws) - 24 + 17) // 18 END AS c FROM w),
+          | e AS (SELECT doc_id, ws, nw, unnest(range(0, c)) AS i FROM p),
+          | ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          |   CAST(least(24, nw - i * 18) AS INT) AS n_tokens,
+          |   ws[CAST(1 + i * 18 AS INT):CAST(i * 18 + 24 AS INT)] AS cws
+          |  FROM e),
+          | sc AS (SELECT doc_id, chunk_idx, n_tokens,
+          |   CAST($scoreSql AS BIGINT) AS score FROM ch),
+          | top AS (SELECT * FROM sc WHERE score > 0
+          |   ORDER BY score DESC, doc_id, chunk_idx LIMIT 20),
+          | rk AS (SELECT doc_id, chunk_idx, score, n_tokens,
+          |   CAST(row_number() OVER o AS BIGINT) AS rank,
+          |   CAST(SUM(n_tokens) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING
+          |     AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          |  FROM top WINDOW o AS (ORDER BY score DESC, doc_id, chunk_idx))
+          | SELECT doc_id, chunk_idx, score, rank, n_tokens, cum_tokens
+          | FROM rk WHERE cum_tokens <= 120 ORDER BY rank"""
+          .stripMargin.replace("\n", " ")
+      }),
+
     // Retrieval-quality eval (r8e): MRR + NDCG@10 of the BM25 ranking
     // per eval query, graded relevance = number of distinct query
     // terms present (the pseudo-qrel convention). With k fixed the

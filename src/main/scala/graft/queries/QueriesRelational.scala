@@ -1089,6 +1089,39 @@ object QueriesRelational {
     // both engines.
     // (timestamps are compared in µs: DuckDB's parquet reader truncates
     // TIMESTAMP(NANOS) to µs, so the oracle cannot see sub-µs digits)
+    // Nearest-event join (r8e): the third as-of direction — for every
+    // purchase, the click minimizing |dt| within the user, equidistant
+    // ties backward. Two key-partitioned window passes (backward +
+    // negated-ts forward) + a 1:1 pick; the |L|×|R| lateral argmin
+    // lives only in the oracle.
+    ("events_asof_nearest",
+      (s, d) => {
+        val e = Tables.eventsNorm(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+        TimeSeries.nearestJoin(
+          e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_us"),
+          e.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts_us", "value"),
+          keyCol = "user_id", tsCol = "ts_us", tieCol = "event_id",
+          leftIdCol = "event_id",
+          payloadCols = Seq("event_id", "value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |   FROM events WHERE event_type = 'purchase'),
+        | r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |   FROM events WHERE event_type = 'click')
+        | SELECT l.event_id, l.user_id, l.ts_us,
+        |  n.event_id AS near_event_id, n.value AS near_value,
+        |  n.ts_us AS near_ts_us, n.ts_us - l.ts_us AS near_dt
+        | FROM l LEFT JOIN LATERAL (
+        |  SELECT r.event_id, r.value, r.ts_us FROM r
+        |  WHERE r.user_id = l.user_id
+        |  ORDER BY abs(r.ts_us - l.ts_us), r.ts_us, r.event_id DESC
+        |  LIMIT 1) n ON true
+        | ORDER BY l.event_id""".stripMargin.replace("\n", " "))),
+
     ("events_asof_join",
       (s, d) => {
         val e = Tables.eventsNorm(s, d)

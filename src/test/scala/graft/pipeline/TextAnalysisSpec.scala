@@ -349,6 +349,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(o == Seq("ab", "abc"))
   }
 
+  test("ragContextPack: rank order, budget cut, zero-score chunks dropped") {
+    val docs = Seq((1L, "q q q q x x x x q q"), (2L, "q x x x"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ragContextPack(docs, "doc_id", "text",
+      Seq("q"), k = 10, tokenBudget = 7L, chunkSize = 4, overlap = 0)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+        x.getLong(3), x.getInt(4), x.getLong(5))).toSeq
+    // chunks: doc1 [qqqq](score 4), [xxxx](0, dropped), [qq](2);
+    // doc2 [qxxx](1). cum 4, 6, 10 -> budget 7 keeps the first two.
+    assert(r == Seq((1L, 0, 4L, 1L, 4, 4L), (1L, 2, 2L, 2L, 2, 6L)))
+  }
+
   test("searchEvalMetrics: hand-computed MRR/NDCG incl. empty result set") {
     val docs = Seq((1L, "apple banana"), (2L, "apple"), (3L, "cherry"))
       .toDF("doc_id", "text")

@@ -181,6 +181,28 @@ class TimeSeriesSpec extends SparkSpec {
       ("k2", 10L, Some(1.0), 1.0, false)))
   }
 
+  test("nearestJoin: min |dt|, equidistant->backward, equal-ts->greatest tie, no-match nulls") {
+    val left = Seq((100L, "u", 14L), (101L, "u", 15L), (102L, "u", 20L),
+      (103L, "u", 3L), (104L, "v", 5L), (105L, "w", 29L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq((1L, "u", 10L, 1.0), (2L, "u", 20L, 2.0),
+      (5L, "w", 30L, 5.0), (6L, "w", 30L, 6.0))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val r = TimeSeries.nearestJoin(left, right, "user_id", "ts_us",
+      "event_id", "event_id", Seq("event_id", "value"))
+      .orderBy("event_id")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(6)) Long.MinValue else x.getLong(6))).toSeq
+    assert(r == Seq(
+      (100L, 1L, -4L),          // dist 4 back vs 6 fwd
+      (101L, 1L, -5L),          // 5 vs 5 -> backward
+      (102L, 2L, 0L),           // exact hit
+      (103L, 1L, 7L),           // nothing behind -> forward
+      (104L, -1L, Long.MinValue), // user v has no clicks
+      (105L, 6L, 1L)))          // two clicks at ts 30 -> greatest tie
+  }
+
   test("linearTrend: hand-computed slope/R², zero-variance guard, partition-stable") {
     // up: y = 2x exactly (scaled slope 2*10000), r2 = 1
     // down: y = 4 - 2x, r2 = 1; flat time (den = 0) -> 0/0 guards
