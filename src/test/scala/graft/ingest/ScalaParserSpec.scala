@@ -215,7 +215,7 @@ class ScalaParserSpec extends AnyFunSuite {
     val alphabet =
       "{}()[]\"'\\/*\n\n ;=>:,.@_abcdefXYZ09 \t`#" +
         "fn def val var class object trait test import const type " +
-        "from func go package async lambda "
+        "from func go package async lambda public static final void record "
     var seed = 0x9E3779B97F4A7C15L
     def nextInt(bound: Int): Int = {
       seed = seed * 6364136223846793005L + 1442695040888963407L
@@ -228,7 +228,7 @@ class ScalaParserSpec extends AnyFunSuite {
       val src = sb.toString
       // every parser: total (returns, never throws) with sane units
       for (p <- Seq(ScalaParser, ZigParser, SimpleParser, DispatchParser,
-          PythonParser, GoParser, TsParser)) {
+          PythonParser, GoParser, TsParser, JavaParser)) {
         val us = p.parse(s"f$trial.x", src)
         us.foreach { u =>
           assert(u.lineStart >= 1, s"trial $trial: lineStart ${u.lineStart}")
