@@ -110,7 +110,11 @@ object ScaleProbe {
         time("coloring")(GraphAnalytics.greedyColoring(und,
           rounds = 6, undirectedPairs = true)),
         time("featureprop")(GraphAnalytics.featureProp(und,
-          iters = 2, undirectedPairs = true))
+          iters = 2, undirectedPairs = true)),
+        // r8e: the h-index fixed point — per round one state probe +
+        // a neighbor-local rank window; expected ~E growth
+        time("coreness")(GraphAnalytics.coreness(und,
+          rounds = 4, undirectedPairs = true))
       ).flatten.toMap
       pairs.unpersist(); und.unpersist()
       r
