@@ -126,6 +126,68 @@ object Multimodal {
       }
   }
 
+  /** One active segment of [[audioSegments]]: frame indices are
+    * 0-based inclusive; energy is the exact integer Σ|sample| over the
+    * segment's frames.
+    */
+  final case class AudioSegment(doc_id: Long, seg_idx: Long,
+                                start_frame: Long, end_frame: Long,
+                                n_frames: Long, energy: Long)
+
+  /** Energy-threshold audio segmentation — the VAD-shaped step a
+    * speech pipeline runs before transcription/windowing: frame the
+    * PCM stream into fixed `frameSize`-sample windows (ragged tail
+    * kept), per-frame energy = Σ|sample| (exact integer), mark frames
+    * above `threshold` active, and merge consecutive active frames
+    * into segments. Segmentation is PER-DOC LOCAL work on the decoded
+    * samples — it runs inside the same `mapPartitions` pass as the
+    * decode (no Spark window, no shuffle beyond the scan), which is
+    * the right shape at 100 TB: a doc's segments never leave its
+    * partition. Non-audio docs pass through the sniff and are
+    * skipped. All-integer output → hash-exact oracle (the synthetic
+    * WAV payload derives from the text bytes, so DuckDB replays
+    * decode + framing + islands from `documents` directly).
+    */
+  def audioSegments(media: DataFrame, frameSize: Int = 40,
+                    threshold: Long = 350000L): Dataset[AudioSegment] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(frameSize >= 1, "frameSize must be >= 1")
+    media.select("doc_id", "mime", "n_bytes", "payload").as[MediaRow]
+      .filter(_.mime == "audio/wav")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val wav = MediaCodec.decodeWav(r.payload)
+          val n = wav.samples.length
+          val nFrames = (n + frameSize - 1) / frameSize
+          val out = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+          var segStart = -1L
+          var segEnergy = 0L
+          var segIdx = 0L
+          var f = 0
+          while (f < nFrames) {
+            var e = 0L
+            var i = f * frameSize
+            val end = math.min(n, i + frameSize)
+            while (i < end) { e += math.abs(wav.samples(i).toLong); i += 1 }
+            if (e > threshold) {
+              if (segStart < 0) { segStart = f; segEnergy = 0L }
+              segEnergy += e
+            } else if (segStart >= 0) {
+              out += AudioSegment(r.doc_id, segIdx, segStart, f - 1L,
+                f - segStart, segEnergy)
+              segIdx += 1; segStart = -1L
+            }
+            f += 1
+          }
+          if (segStart >= 0)
+            out += AudioSegment(r.doc_id, segIdx, segStart, nFrames - 1L,
+              nFrames - segStart, segEnergy)
+          out
+        }
+      }
+  }
+
   /** One row of [[resizeFeatures]]: input geometry + integer checksum
     * of the fixed-shape output (sum of resized channel bytes / resampled
     * absolute amplitudes) — all integer, oracle-replayable.

@@ -1080,6 +1080,38 @@ object QueriesPipeline {
         |           + c + 1 AS INT)], 0))))))), 0) END AS BIGINT) AS sum_out
         | FROM mm ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Audio segmentation (r8e): VAD-shaped energy thresholding — frame
+    // the decoded PCM into 40-sample windows, Σ|sample| per frame
+    // (exact integer), merge consecutive active frames into segments.
+    // Per-doc LOCAL work inside the decode's mapPartitions pass; a
+    // doc's segments never leave its partition. The oracle replays
+    // decode + framing + gaps-and-islands from the text bytes.
+    ("multimodal_audio_segments",
+      (s, d) => Multimodal.audioSegments(
+        Multimodal.toMedia(graft.core.Tables.documents(s, d)),
+        frameSize = 40, threshold = 350000L)
+        .toDF().orderBy("doc_id", "seg_idx"),
+      Some(s"""WITH $MediaCtes,
+        | au AS (SELECT doc_id, len,
+        |   list_transform(bs, x -> abs(x - 128) * 256) AS amp
+        |  FROM mm WHERE mime = 'audio/wav'),
+        | fr AS (SELECT doc_id, CAST(unnest(range(0,
+        |   CAST(ceil(len / 40.0) AS BIGINT))) AS BIGINT) AS f, amp FROM au),
+        | en AS (SELECT doc_id, f, CAST(COALESCE(list_sum(
+        |   amp[CAST(f*40+1 AS INT):CAST(f*40+40 AS INT)]), 0) AS BIGINT)
+        |   AS e FROM fr),
+        | act AS (SELECT doc_id, f, e, f - row_number() OVER
+        |   (PARTITION BY doc_id ORDER BY f) AS grp FROM en
+        |  WHERE e > 350000),
+        | seg AS (SELECT doc_id, grp, MIN(f) AS start_frame,
+        |   MAX(f) AS end_frame, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |   CAST(SUM(e) AS BIGINT) AS energy FROM act GROUP BY 1, 2)
+        | SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY start_frame) - 1 AS BIGINT) AS seg_idx,
+        |  start_frame, end_frame, n_frames, energy
+        | FROM seg ORDER BY doc_id, seg_idx"""
+        .stripMargin.replace("\n", " "))),
+
     ("multimodal_features",
       (s, d) => Multimodal.decodeFeatures(
         Multimodal.toMedia(graft.core.Tables.documents(s, d)))

@@ -76,6 +76,25 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L).sum_out == want1)
   }
 
+  test("audioSegments: hand-computed islands, tail frame, threshold cut") {
+    import spark.implicits._
+    // doc 1 (wav): "ab cd" -> amps 7936,7680,24576,7424,7168
+    // frames of 2: 15616, 32000, 7168(tail)
+    val d = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val m = Multimodal.toMedia(d)
+    val lo = Multimodal.audioSegments(m, frameSize = 2, threshold = 10000L)
+      .collect().map(s => (s.seg_idx, s.start_frame, s.end_frame,
+        s.n_frames, s.energy)).toSeq
+    assert(lo == Seq((0L, 0L, 1L, 2L, 47616L)))
+    val hi = Multimodal.audioSegments(m, frameSize = 2, threshold = 20000L)
+      .collect().map(s => (s.seg_idx, s.start_frame, s.end_frame,
+        s.n_frames, s.energy)).toSeq
+    assert(hi == Seq((0L, 1L, 1L, 1L, 32000L)))
+    // everything below threshold -> no segments
+    assert(Multimodal.audioSegments(m, frameSize = 2,
+      threshold = 50000L).count() == 0L)
+  }
+
   test("frameSample strides over container chunks") {
     val fr = Multimodal.frameSample(Multimodal.toMedia(docs),
       chunkSize = 256, stride = 2)
