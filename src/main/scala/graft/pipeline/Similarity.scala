@@ -191,6 +191,79 @@ object Similarity {
     Array.fill(nPlanes, dim) { if (((next() >>> 33) & 1L) == 1L) 1 else -1 }
   }
 
+  /** Deterministic sparse {−1, 0, +1} sign matrix (Achlioptas 2003,
+    * P(±1) = 1/6 each, P(0) = 2/3) from the shared LCG — fixed at
+    * build time so the identical literal matrix embeds in oracle SQL.
+    */
+  def signMatrix(outDim: Int, inDim: Int,
+                 seed: Long = 11L): Array[Array[Int]] = {
+    val next = lcg(seed)
+    Array.fill(outDim, inDim) {
+      val r = ((next() >>> 33) % 6L).toInt
+      if (r == 0) 1 else if (r == 1) -1 else 0
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection — reduce `dim`-d
+    * embeddings to `outDim` dimensions with the sparse sign matrix
+    * [[signMatrix]] scaled by sqrt(3/outDim) [Achlioptas 2003]: the
+    * cheap, data-independent dimensionality reduction every
+    * embedding pipeline reaches for before LSH/clustering when the
+    * model's native width is overkill. Distances are preserved within
+    * the JL bound while 2/3 of the multiplies vanish.
+    *
+    * DETERMINISM: each output coordinate is a FIXED-ORDER left-assoc
+    * sum of x_i · s_ij with s ∈ {−1, 0, +1} — exact double adds in
+    * the same order in both engines — then one multiply by the
+    * driver-computed scale and round(6). Map-only projection: no
+    * shuffle, no UDF, one codegen expression per output dim.
+    *
+    * Returns (vec_id, p0..p{outDim−1}).
+    */
+  def randomProjection(embeddings: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding", dim: Int = 64,
+                       outDim: Int = 8, seed: Long = 11L): DataFrame = {
+    require(outDim >= 1 && outDim <= 64, "outDim must be 1..64")
+    val m = signMatrix(outDim, dim, seed)
+    val scale = math.sqrt(3.0 / outDim)
+    val projCols = (0 until outDim).map { j =>
+      val terms = (0 until dim).flatMap { i =>
+        m(j)(i) match {
+          case 0 => None
+          case 1 => Some(element_at(col(vecCol), i + 1).cast("double"))
+          case _ => Some(-element_at(col(vecCol), i + 1).cast("double"))
+        }
+      }
+      val raw = if (terms.isEmpty) lit(0.0) else terms.reduceLeft(_ + _)
+      round(raw * lit(scale), 6).as(s"p$j")
+    }
+    embeddings.select(col(idCol) +: projCols: _*)
+  }
+
+  /** DuckDB oracle for [[randomProjection]], generated from the SAME
+    * matrix and scale so the literal sums cannot drift.
+    */
+  def randomProjectionSql(table: String = "embeddings",
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding", dim: Int = 64,
+                          outDim: Int = 8, seed: Long = 11L): String = {
+    val m = signMatrix(outDim, dim, seed)
+    val scale = math.sqrt(3.0 / outDim)
+    val projCols = (0 until outDim).map { j =>
+      val terms = (0 until dim).flatMap { i =>
+        m(j)(i) match {
+          case 0 => None
+          case 1 => Some(s"CAST($vecCol[${i + 1}] AS DOUBLE)")
+          case _ => Some(s"-CAST($vecCol[${i + 1}] AS DOUBLE)")
+        }
+      }
+      val raw = if (terms.isEmpty) "CAST(0.0 AS DOUBLE)"
+        else terms.mkString("(", " + ", ")")
+      s"round($raw * CAST($scale AS DOUBLE), 6) AS p$j"
+    }
+    s"SELECT $idCol, ${projCols.mkString(", ")} FROM $table ORDER BY $idCol"
+  }
+
   /** Hybrid lexical + vector retrieval with reciprocal-rank fusion —
     * the two-tower search shape every retrieval pipeline converges on:
     * BM25 top-`kEach` over the documents (TakeOrderedAndProject — no

@@ -764,6 +764,17 @@ object QueriesPipeline {
         |    AS chunk_text
         | FROM e ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "))),
 
+    // Johnson–Lindenstrauss random projection (r8e): 64-d → 8-d via
+    // the deterministic Achlioptas sparse sign matrix (2/3 zeros)
+    // scaled by sqrt(3/8) — the data-independent dim reduction before
+    // LSH/clustering. Map-only; each output dim is one fixed-order
+    // codegen sum, literal matrix shared with the oracle.
+    ("embedding_random_projection",
+      (s, d) => Similarity.randomProjection(
+          graft.core.Tables.embeddings(s, d))
+        .orderBy("vec_id"),
+      Some(Similarity.randomProjectionSql())),
+
     // Model-based quality gate: linear score (deterministic integer
     // weights standing in for trained classifier weights) + corpus
     // percentile cutoff — score is map-only, the cutoff is ONE global

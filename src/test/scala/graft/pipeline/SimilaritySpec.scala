@@ -287,4 +287,41 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(asg(0L) == asg(1L) && asg(2L) == asg(3L) && asg(0L) != asg(2L))
   }
+
+  test("randomProjection: sparse sign matrix, linearity, JL norm preservation") {
+    val m = Similarity.signMatrix(8, 64, seed = 11L)
+    assert(m.flatten.forall(v => v == -1 || v == 0 || v == 1))
+    val zeroFrac = m.flatten.count(_ == 0).toDouble / (8 * 64)
+    assert(zeroFrac > 0.5 && zeroFrac < 0.8, s"zero fraction $zeroFrac")
+    // well-mixed deterministic pseudo-vectors (isotropic-ish). For a
+    // FIXED sign matrix, the isotropic-mean norm ratio is exactly
+    // 3·nnz/(k·dim) — self-calibrate to the drawn matrix and assert
+    // the scaling + linear structure around it.
+    val vecs = (0 until 200).map { v =>
+      (v.toLong, (0 until 64).map { i =>
+        val h = (v * 64L + i + 1L) * 0x9E3779B97F4A7C15L
+        (((h >>> 33) % 201L) - 100L) / 100.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val p = Similarity.randomProjection(vecs).collect()
+    val inNorm = vecs.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]](1).map(x => x * x.toDouble).sum).toMap
+    val ratios = p.map { r =>
+      val pn = (1 to 8).map(j => { val x = r.getDouble(j); x * x }).sum
+      pn / math.max(1e-9, inNorm(r.getLong(0)))
+    }
+    val mean = ratios.sum / ratios.length
+    val expected = 3.0 * m.flatten.count(_ != 0) / (8 * 64)
+    assert(math.abs(mean - expected) < 0.3,
+      s"mean norm ratio $mean vs isotropic expectation $expected")
+    // linearity: proj(2x) == 2*proj(x) exactly (pre-rounding it's a
+    // linear map; rounding at 6 dp leaves <= 1e-6 per coord)
+    val doubled = vecs.select($"vec_id" + 1000L as "vec_id",
+      transform($"embedding", x => x * 2f).as("embedding"))
+    val p2 = Similarity.randomProjection(doubled).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getDouble)).toMap
+    val p1 = p.map(r => r.getLong(0) -> (1 to 8).map(r.getDouble)).toMap
+    for (v <- 0L until 200L; j <- 0 until 8)
+      assert(math.abs(p2(v + 1000L)(j) - 2 * p1(v)(j)) < 3e-6)
+  }
 }
