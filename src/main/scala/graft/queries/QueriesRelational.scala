@@ -213,6 +213,48 @@ object QueriesRelational {
         | ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
         .stripMargin.replace("\n", " "))),
 
+    // One-pass table profiler (r8e): per-column row/non-null/distinct
+    // counts + min/max — the data-quality snapshot every warehouse job
+    // starts with. ONE aggregate over the scan computes every column's
+    // stats (count-distinct plans via expand; at 100 TB swap in
+    // approx_count_distinct / the KMV sketch, same contract as the
+    // quantile entries), then a stack() unpivot to one row per column.
+    ("table_profile",
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "ship_us")
+        val ld = Tables.lineitem(s, d)
+          .withColumn("ship_us", unix_micros(col("l_shipdate")))
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"nd_$c"),
+          round(min(col(c)).cast("double"), 4).as(s"mn_$c"),
+          round(max(col(c)).cast("double"), 4).as(s"mx_$c")))
+        val stackArgs = cols.map(c =>
+          s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+        ld.agg(aggs.head, aggs.tail: _*)
+          .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) " +
+            "AS (col_name, n_nonnull, n_distinct, min_val, max_val)"))
+          .select("col_name", "n_rows", "n_nonnull", "n_distinct",
+            "min_val", "max_val")
+          .orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "ship_us")
+        val sels = cols.map(c =>
+          s"SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+            s"CAST(COUNT($c) AS BIGINT) AS n_nonnull, " +
+            s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+            s"round(CAST(MIN($c) AS DOUBLE), 4) AS min_val, " +
+            s"round(CAST(MAX($c) AS DOUBLE), 4) AS max_val FROM ld")
+          .mkString(" UNION ALL ")
+        "WITH ld AS (SELECT *, epoch_us(l_shipdate) AS ship_us " +
+          s"FROM lineitem) $sels ORDER BY col_name"
+      }),
+
     // TPC-H Q2 shape (min-cost supplier): the argmin-per-group
     // join-back — aggregate lineitem once for the per-part minimum
     // price, join the (part, supplier) detail back on BOTH keys so
