@@ -212,16 +212,7 @@ object TimeSeries {
                   valCol: String, bucketUs: Long = 3600000000L,
                   valScale: Long = 10000L): DataFrame = {
     val dec = "decimal(38,0)"
-    val prep = df.select(col(keyCol),
-      expr(s"$tsUsCol div ${bucketUs}L").as("x"),
-      round(col(valCol) * valScale, 0).cast("long").as("y"))
-    val a = prep.groupBy(keyCol)
-      .agg(count(lit(1)).as("n"),
-        sum(col("x").cast(dec)).as("sx"),
-        sum(col("y").cast(dec)).as("sy"),
-        sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"),
-        sum((col("x").cast(dec) * col("x").cast(dec))).as("sxx"),
-        sum((col("y").cast(dec) * col("y").cast(dec))).as("syy"))
+    val a = momentSums(df, keyCol, tsUsCol, valCol, bucketUs, valScale)
     val nD = col("n").cast(dec)
     val m = a.select(col(keyCol), col("n"),
       (nD * col("sxy") - col("sx") * col("sy")).as("num"),
@@ -236,6 +227,31 @@ object TimeSeries {
           col("num").cast("double")) /
           (col("den").cast("double") * col("deny").cast("double")), 6))
         .as("r2"))
+  }
+
+  /** The five exact 128-bit moment sums behind [[linearTrend]],
+    * exposed separately because they are the STREAMING-NATIVE form:
+    * the same mergeability that makes them partial-agg combinable in
+    * batch makes them incrementally updatable by Structured
+    * Streaming's aggregation state — apply this to a streaming frame
+    * (update/complete mode) and derive slope/R² from the live
+    * counters downstream (`TrendStreamSpec` pins stream ≡ batch).
+    * Returns (key, n, sx, sy, sxy, sxx, syy).
+    */
+  def momentSums(df: DataFrame, keyCol: String, tsUsCol: String,
+                 valCol: String, bucketUs: Long = 3600000000L,
+                 valScale: Long = 10000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(keyCol),
+        expr(s"$tsUsCol div ${bucketUs}L").as("x"),
+        round(col(valCol) * valScale, 0).cast("long").as("y"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"),
+        sum((col("x").cast(dec) * col("x").cast(dec))).as("sxx"),
+        sum((col("y").cast(dec) * col("y").cast(dec))).as("syy"))
   }
 
   /** DuckDB oracle for [[linearTrend]] over `events`, generated from
