@@ -214,6 +214,31 @@ object QueriesPipeline {
       .stripMargin.replace("\n", " ")
   }
 
+  /** Full oracle for `dedup_minhash_pairs`, shared verbatim with the
+    * ensemble entry (nested as a subquery there).
+    */
+  private lazy val minhashPairsSql: String =
+    s"""$minhashCte,
+       | lng AS (
+       |  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
+       |  UNION ALL SELECT doc_id, 1, band1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, band2 FROM bands
+       |  UNION ALL SELECT doc_id, 3, band3 FROM bands)
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM lng a JOIN lng b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+  /** Full oracle for `dedup_simhash_pairs`, shared with the ensemble. */
+  private lazy val simhashPairsSql: String =
+    s"""$simhashSql
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   private val planes = Similarity.planes(8, 64)
 
   private val lshBucketSql: String = {
@@ -327,17 +352,7 @@ object QueriesPipeline {
     ("dedup_minhash_pairs",
       (s, d) => Dedup.minhashPairs(graft.core.Tables.documents(s, d),
         "doc_id", "text", n = 3, k = K, bands = BANDS).orderBy("id_a", "id_b"),
-      Some(s"""$minhashCte,
-        | lng AS (
-        |  SELECT doc_id, 0 AS band_idx, band0 AS band_key FROM bands
-        |  UNION ALL SELECT doc_id, 1, band1 FROM bands
-        |  UNION ALL SELECT doc_id, 2, band2 FROM bands
-        |  UNION ALL SELECT doc_id, 3, band3 FROM bands)
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM lng a JOIN lng b
-        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-        |   AND a.doc_id < b.doc_id
-        | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+      Some(minhashPairsSql)),
 
     // EXACT set-similarity self-join by prefix filtering (zero false
     // negatives, unlike the LSH candidate paths): global rarest-first
@@ -378,11 +393,42 @@ object QueriesPipeline {
     ("dedup_simhash_pairs",
       (s, d) => Dedup.simhashPairs(graft.core.Tables.documents(s, d),
         "doc_id", "text", radius = 3).orderBy("id_a", "id_b"),
-      Some(s"""$simhashSql
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      Some(simhashPairsSql)),
+
+    // Signal-fusion dedup (r8e): the ensemble vote across the two
+    // independent near-dup detectors — MinHash-LSH (set similarity)
+    // and SimHash (weighted-feature hamming). A pair flagged by BOTH
+    // is near-certain; single-method pairs carry each detector's
+    // characteristic false-positive profile. One full-outer join of
+    // two already-banded pair sets — candidate generation stays
+    // banded, the fusion frame is pairs-sized.
+    ("dedup_ensemble",
+      (s, d) => {
+        val docs = graft.core.Tables.documents(s, d)
+        val m = Dedup.minhashPairs(docs, "doc_id", "text",
+            n = 3, k = K, bands = BANDS)
+          .select(col("id_a"), col("id_b"), lit(true).as("by_minhash"))
+        val sp = Dedup.simhashPairs(docs, "doc_id", "text", radius = 3)
+          .select(col("id_a"), col("id_b"), lit(true).as("by_simhash"))
+        m.join(sp, Seq("id_a", "id_b"), "full_outer")
+          .select(col("id_a"), col("id_b"),
+            coalesce(col("by_minhash"), lit(false)).as("by_minhash"),
+            coalesce(col("by_simhash"), lit(false)).as("by_simhash"))
+          .withColumn("votes",
+            (col("by_minhash").cast("long") + col("by_simhash").cast("long")))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH mh AS (SELECT id_a, id_b FROM ($minhashPairsSql)),
+        | sp AS (SELECT id_a, id_b FROM ($simhashPairsSql))
+        | SELECT COALESCE(m.id_a, s.id_a) AS id_a,
+        |  COALESCE(m.id_b, s.id_b) AS id_b,
+        |  m.id_a IS NOT NULL AS by_minhash,
+        |  s.id_a IS NOT NULL AS by_simhash,
+        |  CAST((CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END)
+        |   + (CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS votes
+        | FROM mh m FULL OUTER JOIN sp s
+        |  ON m.id_a = s.id_a AND m.id_b = s.id_b
         | ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
     // End of the dedup pipeline: minhash candidate pairs clustered into
