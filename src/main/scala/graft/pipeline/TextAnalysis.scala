@@ -533,6 +533,52 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
+  /** SymSpell-style fuzzy term lookup — typo-tolerant vocabulary
+    * matching via DELETION-NEIGHBORHOOD blocking [Garbe 2012]: index
+    * every vocabulary term under itself plus its 1-deletion variants,
+    * expand each query the same way, and equi-join on the shared
+    * keys — a substitution deletes the same position on both sides,
+    * an insertion/deletion deletes on one — so every edit-distance-≤1
+    * pair collides on some key with ZERO false negatives
+    * (transpositions are distance 2 and out of contract). Candidates
+    * then verify with the real `levenshtein` — computed only on the
+    * collision set, never all pairs.
+    *
+    * Scale shape: the delete index is one explode of the VOCABULARY
+    * (types × avg-len rows — millions, not corpus-sized) built once at
+    * rest in a real deployment; the driver-sized query batch
+    * broadcasts into it map-side. This is the lookup structure that
+    * makes fuzzy search O(query-variants) instead of O(vocabulary).
+    *
+    * Returns (query, term, dist, cnt) — corpus frequency carried so
+    * callers rank suggestions by popularity.
+    */
+  def fuzzyLookup(df: DataFrame, textCol: String,
+                  queries: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty && queries.forall(_.nonEmpty))
+    def deletes(s: String): Seq[String] =
+      s +: (0 until s.length).map(i => s.take(i) + s.drop(i + 1))
+    val qd = queries.flatMap(q => deletes(q).distinct.map(k => (q, k)))
+      .toDF("query", "key")
+    val voc = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val delKeys = concat(array(col("term")),
+      transform(sequence(lit(1), length(col("term"))), i =>
+        concat(col("term").substr(lit(1), i - 1),
+          col("term").substr(i + 1, length(col("term"))))))
+    val vd = voc.select(col("term"), col("cnt"),
+      explode(array_distinct(delKeys)).as("key"))
+    vd.join(broadcast(qd), Seq("key"))
+      .select("query", "term", "cnt").distinct()
+      .filter(levenshtein(col("query"), col("term")) <= 1)
+      .select(col("query"), col("term"),
+        levenshtein(col("query"), col("term")).cast("long").as("dist"),
+        col("cnt"))
+      .orderBy(col("query"), col("dist"), col("cnt").desc, col("term"))
+  }
+
   /** RAG context packing — the composed retrieval step between "index
     * the corpus" and "call the model": chunk every document
     * ([[chunkDocs]]), score chunks against the query terms (exact

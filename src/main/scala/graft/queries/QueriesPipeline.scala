@@ -1050,6 +1050,38 @@ object QueriesPipeline {
         .orderBy("doc_id"),
       Some(TextAnalysis.bpeEncodeStatsSql(rounds = 8))),
 
+    // SymSpell fuzzy term lookup (r8e): typo-tolerant vocabulary match
+    // via deletion-neighborhood blocking — every edit-distance-≤1 pair
+    // collides on a shared delete key (zero false negatives),
+    // levenshtein verifies only the collision set. The delete index is
+    // vocabulary-sized; the query batch broadcasts map-side.
+    ("text_fuzzy_lookup",
+      (s, d) => TextAnalysis.fuzzyLookup(
+        graft.core.Tables.documents(s, d), "text",
+        Seq("joim", "hask", "filtr", "scann", "vektor")),
+      Some {
+        val qs = Seq("joim", "hask", "filtr", "scann", "vektor")
+          .map(q => s"'$q'").mkString("[", ", ", "]")
+        val delSql = (t: String) => s"list_distinct(list_append(" +
+          s"list_transform(range(1, length($t) + 1), i -> " +
+          s"substr($t, 1, CAST(i - 1 AS INT)) || " +
+          s"substr($t, CAST(i + 1 AS INT))), $t))"
+        s"""WITH dw AS (SELECT unnest($wordsSql) AS term FROM documents),
+          | voc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+          |   FROM dw GROUP BY 1),
+          | vd AS (SELECT term, cnt, unnest(${delSql("term")}) AS key
+          |   FROM voc),
+          | q AS (SELECT unnest($qs) AS query),
+          | qd AS (SELECT query, unnest(${delSql("query")}) AS key FROM q),
+          | cand AS (SELECT DISTINCT query, term, cnt
+          |   FROM vd JOIN qd USING (key))
+          | SELECT query, term,
+          |  CAST(levenshtein(query, term) AS BIGINT) AS dist, cnt
+          | FROM cand WHERE levenshtein(query, term) <= 1
+          | ORDER BY query, dist, cnt DESC, term"""
+          .stripMargin.replace("\n", " ")
+      }),
+
     // Composite quality router: first-match reject reason per doc, one
     // map-only pass over the analyze() metrics. Thresholds compare the
     // same 6-dp-rounded columns in both engines.

@@ -349,6 +349,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(o == Seq("ab", "abc"))
   }
 
+  test("fuzzyLookup: ed<=1 matches via delete keys; transpositions excluded") {
+    val docs = Seq((1L, "join join filter scan scan scan"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.fuzzyLookup(docs, "text",
+      Seq("join", "joim", "filtr", "scann", "jion", "zzz"))
+      .collect().map(x => (x.getString(0), x.getString(1),
+        x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(
+      ("filtr", "filter", 1L, 1L),  // deletion
+      ("joim", "join", 1L, 2L),     // substitution
+      ("join", "join", 0L, 2L),     // exact
+      ("scann", "scan", 1L, 3L)))   // insertion
+    // "jion" (transposition, ed 2) and "zzz" produce no rows
+    assert(!r.exists(x => x._1 == "jion" || x._1 == "zzz"))
+  }
+
   test("ragContextPack: rank order, budget cut, zero-score chunks dropped") {
     val docs = Seq((1L, "q q q q x x x x q q"), (2L, "q x x x"))
       .toDF("doc_id", "text")
