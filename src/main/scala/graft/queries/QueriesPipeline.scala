@@ -1050,6 +1050,53 @@ object QueriesPipeline {
         .orderBy("doc_id"),
       Some(TextAnalysis.bpeEncodeStatsSql(rounds = 8))),
 
+    // TextRank keyword extraction (r8e): PageRank over the word
+    // co-occurrence graph (±2 window, undirected) — the graph engine
+    // and the text pipeline composing: the SAME fixed-point LONG
+    // power iteration as graph_pagerank runs on a VOCABULARY-sized
+    // graph distilled from the corpus (co-occurrence build is one
+    // zip_with projection + a distinct), and the oracle reuses the
+    // generated pagerankSql over the word-edge CTE verbatim.
+    ("text_keywords_textrank",
+      (s, d) => {
+        val ws = TextAnalysis.tokens(col("text"))
+        def pairsAt(k: Int) = when(size(ws) >= k + 1,
+          zip_with(slice(ws, lit(1), size(ws) - k),
+            slice(ws, lit(k + 1), size(ws)),
+            (x, y) => struct(x.as("a"), y.as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val p = graft.core.Tables.documents(s, d)
+          .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .filter(col("a") =!= col("b"))
+        // WEIGHTED rank (w = co-occurrence count): on a small shared
+        // vocabulary the unweighted co-occurrence graph is nearly
+        // complete and uniform-rank; the counts carry the signal
+        val ew = p.select(col("a").as("src"), col("b").as("dst"))
+          .union(p.select(col("b").as("src"), col("a").as("dst")))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.graph.GraphAnalytics.pagerankWeighted(ew, iters = 5)
+          .orderBy(col("rank").desc, col("id")).limit(25)
+      },
+      Some {
+        val weightedEdges =
+          s"""SELECT src, dst, w FROM (
+            | WITH cw AS (SELECT $wordsSql AS ws FROM documents),
+            | p1 AS (SELECT unnest(ws[1:len(ws)-1]) AS a,
+            |   unnest(ws[2:len(ws)]) AS b FROM cw WHERE len(ws) >= 2),
+            | p2 AS (SELECT unnest(ws[1:len(ws)-2]) AS a,
+            |   unnest(ws[3:len(ws)]) AS b FROM cw WHERE len(ws) >= 3),
+            | pp AS (SELECT a, b FROM (SELECT * FROM p1
+            |   UNION ALL SELECT * FROM p2) WHERE a <> b)
+            | SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM
+            |  (SELECT a AS src, b AS dst FROM pp
+            |   UNION ALL SELECT b, a FROM pp) GROUP BY 1, 2)"""
+            .stripMargin.replace("\n", " ")
+        s"SELECT id, rank FROM (${graft.graph.GraphAnalytics
+          .pagerankWeightedSql(weightedEdges, iters = 5)}) " +
+          "ORDER BY rank DESC, id LIMIT 25"
+      }),
+
     // SymSpell fuzzy term lookup (r8e): typo-tolerant vocabulary match
     // via deletion-neighborhood blocking — every edit-distance-≤1 pair
     // collides on a shared delete key (zero false negatives),
