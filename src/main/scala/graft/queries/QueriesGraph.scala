@@ -939,6 +939,39 @@ object QueriesGraph {
           | CAST(COUNT(*) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2"""
           .stripMargin.replace("\n", " "), iters = 5))),
 
+    // Edge reciprocity (r8e): the fraction of directed edges whose
+    // reverse also exists — with assortativity and the degree profile,
+    // the third classic one-number graph characterization. One
+    // distinct pair view + one left-semi self-join on the swapped
+    // key + exact integer counts; the only float is the final
+    // division.
+    ("graph_reciprocity",
+      (s, d) => {
+        import s.implicits._
+        val p = CodeGraph.edgePairs(s, d).select("src", "dst")
+          .filter(col("src") =!= col("dst"))
+        val rev = p.select(col("dst").as("src"), col("src").as("dst"))
+        val mutual = p.join(rev, Seq("src", "dst"), "left_semi").count()
+        val total = p.count()
+        val ratio = if (total == 0L) 0.0
+          else BigDecimal(mutual.toDouble / total.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Seq((total, mutual, ratio))
+          .toDF("n_edges", "n_mutual", "reciprocity")
+      },
+      Some(s"""WITH e AS ($E),
+        | p AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        | m AS (SELECT COUNT(*) AS n_mutual FROM p
+        |   WHERE EXISTS (SELECT 1 FROM p r
+        |     WHERE r.src = p.dst AND r.dst = p.src)),
+        | t AS (SELECT COUNT(*) AS n_edges FROM p)
+        | SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_mutual AS BIGINT) AS n_mutual,
+        |  CASE WHEN n_edges = 0 THEN CAST(0.0 AS DOUBLE)
+        |   ELSE round(CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+        |  END AS reciprocity
+        | FROM t CROSS JOIN m""".stripMargin.replace("\n", " "))),
+
     // Degree assortativity (r7): Newman's coefficient as ONE exact
     // integer quadruple (m, Σdadb, Σ(da+db), Σ(da²+db²)) — one V-sized
     // degree agg over the stored undirected index + one edge⋈degree
