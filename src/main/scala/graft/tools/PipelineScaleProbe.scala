@@ -117,7 +117,24 @@ object PipelineScaleProbe {
         time("knn")(Similarity.knnJoin(emb, k = 5, nBands = 4,
           planesPerBand =
             math.ceil(math.log(nVec / 8.0) / math.log(2)).toInt)),
-        time("ivf")(Similarity.ivfTopK(emb, queryVecId = 0L, k = 10))
+        time("ivf")(Similarity.ivfTopK(emb, queryVecId = 0L, k = 10)),
+        // r8e additions: BPE ENCODE (word-type table + join back),
+        // RAG packing (map-only chunk+score → TakeOrdered), SymSpell
+        // fuzzy lookup (vocab delete index + broadcast query batch),
+        // JL projection (map-only), Bloom semi-join over a synthetic
+        // fact/dim pair (doc ids as keys, every 7th doc the dim)
+        time("bpeencode")(TextAnalysis.bpeEncodeStats(docs,
+          "doc_id", "text", rounds = 8)),
+        time("ragpack")(TextAnalysis.ragContextPack(docs, "doc_id",
+          "text", Seq("w1", "w2", "w3", "w4"), k = 20,
+          tokenBudget = 120L)),
+        time("fuzzy")(TextAnalysis.fuzzyLookup(docs, "text",
+          Seq("w123x", "w45", "w9999z"))),
+        time("jlproj")(Similarity.randomProjection(emb)),
+        time("bloom")(graft.pipeline.Scale.bloomSemiJoin(
+          docs.select(col("doc_id")), "doc_id",
+          docs.select(col("doc_id")).filter(col("doc_id") % 7 === 0),
+          "doc_id"))
       ).flatten.toMap
       docs.unpersist(); emb.unpersist()
       r
