@@ -718,6 +718,56 @@ object TextAnalysis {
           / count(lit(1)), 4).as("avg_logprob"))
   }
 
+  /** HELD-OUT language-model scoring — the eval-hygiene variant of
+    * [[lmScore]]: bigram counts come from a TRAIN split (deterministic
+    * md5-hash bucket of doc_id — the portable [[Sketches.hash32]], so
+    * the split replays in the oracle, unlike xxhash64) and only TEST
+    * docs are scored, with Laplace smoothing
+    * ln((c(big)+1) / (c(pre)+V)) so unseen bigrams contribute a real
+    * penalty instead of a join miss. This is the perplexity-filter
+    * shape an actual pipeline runs (scoring corpus ≠ model corpus —
+    * in-corpus scoring rewards exactly the degenerate repetitive docs
+    * it should demote).
+    *
+    * Scale shape: identical to lmScore (explode + two partial-agg
+    * count tables + two LEFT equi-joins + per-doc agg) plus ONE
+    * vocabulary-sized count action for V. Per-doc mean rounded 4 dp
+    * (the order-jitter convention).
+    *
+    * Returns (doc_id, n_bigrams, n_unseen, avg_logprob) for test docs.
+    */
+  def lmScoreHoldout(df: DataFrame, idCol: String, textCol: String,
+                     testBuckets: Int = 1, nBuckets: Int = 5): DataFrame = {
+    require(testBuckets >= 1 && testBuckets < nBuckets)
+    val toks = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("ws"),
+      (pmod(Sketches.hash32(col(idCol)), lit(nBuckets.toLong)) <
+        testBuckets).as("is_test"))
+    val nw = size(col("ws"))
+    val bigrams = when(nw >= 2,
+      transform(sequence(lit(1), nw - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bi = toks.select(col("doc_id"), col("is_test"),
+      explode(bigrams).as("big"))
+      .withColumn("pre", element_at(split(col("big"), " "), 1))
+    val train = bi.filter(!col("is_test"))
+    val cb = train.groupBy("big").agg(count(lit(1)).as("cnt_big"))
+    val cp = train.groupBy("pre").agg(count(lit(1)).as("cnt_pre"))
+    val vocab = cp.count() // vocabulary-sized, one driver action
+    bi.filter(col("is_test"))
+      .join(cb, Seq("big"), "left")
+      .join(cp, Seq("pre"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt_big").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        round(sum(log((coalesce(col("cnt_big"), lit(0L)) + 1L)
+            .cast("double") /
+          (coalesce(col("cnt_pre"), lit(0L)) + vocab).cast("double")))
+          / count(lit(1)), 4).as("avg_logprob"))
+  }
+
   /** Corpus PMI collocations — the classic "which word pairs belong
     * together" corpus statistic (phrase mining / tokenizer-merge
     * candidates in a training-data pipeline):

@@ -1500,6 +1500,41 @@ object QueriesPipeline {
         | FROM p JOIN cb USING (big) JOIN cp USING (pre)
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // Held-out LM scoring (r8e): the eval-hygiene twin of
+    // text_lm_score — bigram counts from the 80% TRAIN hash split,
+    // Laplace-smoothed scoring of the 20% TEST docs (unseen bigrams
+    // penalize instead of join-missing). The split uses the portable
+    // md5 hash so the oracle replays it.
+    ("text_lm_holdout",
+      (s, d) => TextAnalysis.lmScoreHoldout(
+        graft.core.Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val h = graft.pipeline.Sketches.hash32Sql("doc_id")
+        s"""WITH w AS (SELECT doc_id, $wordsSql AS ws,
+          |   ($h % 5) < 1 AS is_test FROM documents),
+          | b AS (SELECT doc_id, is_test, unnest(CASE WHEN len(ws) >= 2
+          |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+          |    ELSE CAST([] AS VARCHAR[]) END) AS big FROM w),
+          | p AS (SELECT doc_id, is_test, big,
+          |   string_split(big, ' ')[1] AS pre FROM b),
+          | cb AS (SELECT big, COUNT(*) AS cnt_big FROM p
+          |   WHERE NOT is_test GROUP BY big),
+          | cp AS (SELECT pre, COUNT(*) AS cnt_pre FROM p
+          |   WHERE NOT is_test GROUP BY pre),
+          | v AS (SELECT COUNT(*) AS vocab FROM cp)
+          | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          |  CAST(SUM(CASE WHEN cnt_big IS NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_unseen,
+          |  round(SUM(ln(CAST(COALESCE(cnt_big, 0) + 1 AS DOUBLE)
+          |    / CAST(COALESCE(cnt_pre, 0) + vocab AS DOUBLE)))
+          |   / COUNT(*), 4) AS avg_logprob
+          | FROM p LEFT JOIN cb USING (big) LEFT JOIN cp USING (pre)
+          |  CROSS JOIN v
+          | WHERE is_test GROUP BY doc_id ORDER BY doc_id"""
+          .stripMargin.replace("\n", " ")
+      }),
+
     // ===== Token-budget mixture sampling =====
     // ~2000 chars per source, filled in deterministic-hash order; the
     // boundary-crossing doc is kept (every stratum reaches budget).
