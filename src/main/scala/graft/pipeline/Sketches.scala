@@ -216,8 +216,14 @@ object Sketches {
     *
     * Returns (groupCols..., est_distinct DOUBLE rounded to 4).
     */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valCol: String,
-                  p: Int = 6): DataFrame = {
+  /** The HLL REGISTER table (group, bucket, mreg = max rho) — the
+    * sketch state itself, split out because it is the
+    * STREAMING-NATIVE level: one plain aggregation whose max-fold
+    * Structured Streaming updates incrementally (`SketchesSpec` pins
+    * stream ≡ batch); [[hllDistinct]] folds it into the estimate.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valCol: String,
+                   p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 12, "HLL precision p must be 4..12")
     val m = 1 << p
     val wBits = 32 - p
@@ -229,11 +235,18 @@ object Sketches {
     val rho = (0 until wBits).foldLeft(lit(wBits + 1)) { (acc, b) =>
       when(wCol >= lit(1L << b), lit(wBits - b)).otherwise(acc)
     }
-    val regs = df.select(gs :+ hv.as("hv"): _*)
+    df.select(gs :+ hv.as("hv"): _*)
       .withColumn("bucket", col("hv") % m.toLong)
       .withColumn("rho", rho)
       .groupBy(gs :+ col("bucket"): _*)
       .agg(max(col("rho")).as("mreg"))
+  }
+
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valCol: String,
+                  p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val gs = groupCols.map(col)
+    val regs = hllRegisters(df, groupCols, valCol, p)
     // driver-computed double constants, injected via toString into both
     // engines (round-trip exact): alpha_m·m²·2^40
     val alpha = 0.7213 / (1.0 + 1.079 / m)

@@ -56,6 +56,34 @@ class SketchesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hll registers update incrementally under Structured Streaming") {
+    // the register table (group, bucket) -> max(rho) is ONE plain
+    // streaming aggregation (the estimate fold stays downstream of the
+    // sink — two chained stateful aggs would trip the global-watermark
+    // correctness check); register equality implies estimate equality
+    // since hllDistinct is a deterministic function of the registers
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val data = (1 to 800).map(i => ("g", s"user${i % 300}"))
+    val mem = MemoryStream[(String, String)]
+    val streamed = Sketches.hllRegisters(
+      mem.toDF().toDF("g", "v"), Seq("g"), "v", p = 6)
+    val q = streamed.writeStream.format("memory")
+      .queryName("hll_test").outputMode("complete").start()
+    try {
+      mem.addData(data.take(300): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(300): _*)
+      q.processAllAvailable()
+      val live = spark.sql("select bucket, mreg from hll_test")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = Sketches.hllRegisters(data.toDF("g", "v"),
+          Seq("g"), "v", p = 6)
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      assert(live == batch)
+    } finally q.stop()
+  }
+
   test("histQuantiles: uniform values land near the true quantiles") {
     // values 0..999 in one group, width 10: p50 ~ 499.5 within one bin
     val df = (0 until 1000).map(v => ("g", v.toDouble)).toDF("g", "v")
