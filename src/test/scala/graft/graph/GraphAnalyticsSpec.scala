@@ -561,6 +561,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(p1 == p9)
   }
 
+  test("coreness agrees with kcore: {v : coreness(v) >= k} == k-core survivors") {
+    // pseudo-random graph, deterministic; enough rounds for both to
+    // reach their fixpoints
+    val edges = (1 to 300).map(i =>
+      (s"n${(i * 37) % 40}", s"n${(i * 53 + 11) % 40}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val core = GraphAnalytics.coreness(edges, rounds = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (k <- Seq(2, 3, 4)) {
+      val survivors = GraphAnalytics.kcore(edges, k = k, rounds = 12)
+        .collect().map(_.getString(0)).toSet
+      val byCoreness = core.filter(_._2 >= k).keySet
+      assert(byCoreness == survivors, s"k=$k")
+    }
+  }
+
   test("coreness: h-index fixed point reaches the exact core numbers") {
     // K4 clique {a,b,c,d} (coreness 3); bridge d-e-f keeps e at
     // coreness 2 (degree never drops below 2 during peeling);
