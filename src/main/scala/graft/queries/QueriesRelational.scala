@@ -300,6 +300,54 @@ object QueriesRelational {
         | ORDER BY p_partkey, s_name LIMIT 200"""
         .stripMargin.replace("\n", " "))),
 
+    // TPC-H Q7 shape (volume shipping between nation PAIRS): the
+    // disjunctive cross-dimension join — customer nation and supplier
+    // nation must form one of two ordered country pairs, expressed as
+    // a predicate over the two broadcast dim chains (never a union of
+    // two full scans). Integer-cents revenue by ship year.
+    ("q7_nation_volume",
+      (s, d) => {
+        val cents = round(col("l_extendedprice") * (lit(1.0) -
+          col("l_discount")) * 100, 0).cast("long")
+        val custNation = broadcast(Tables.customer(s, d)
+          .join(Tables.nation(s, d),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation")))
+        val suppNation = broadcast(Tables.supplier(s, d)
+          .join(Tables.nation(s, d),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(custNation, col("o_custkey") === col("c_custkey"))
+          .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+          .filter((col("cust_nation") === "NATION_0" &&
+              col("supp_nation") === "NATION_1") ||
+            (col("cust_nation") === "NATION_1" &&
+              col("supp_nation") === "NATION_0"))
+          .groupBy(col("cust_nation"), col("supp_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(cents).as("revenue_cents"), count(lit(1)).as("n"))
+          .orderBy("cust_nation", "supp_nation", "l_year")
+      },
+      Some("""SELECT cust_nation, supp_nation, l_year,
+        | CAST(SUM(CAST(round(l_extendedprice * (CAST(1.0 AS DOUBLE)
+        |   - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        | FROM (SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |   l_extendedprice, l_discount
+        |  FROM lineitem
+        |   JOIN orders ON o_orderkey = l_orderkey
+        |   JOIN customer ON c_custkey = o_custkey
+        |   JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |   JOIN supplier ON s_suppkey = l_suppkey
+        |   JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |  WHERE (cn.n_name = 'NATION_0' AND sn.n_name = 'NATION_1')
+        |   OR (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_0'))
+        | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+        .stripMargin.replace("\n", " "))),
+
     // TPC-H Q11 shape (important stock): per-key value share against a
     // GLOBAL scalar — the global (sum, count) broadcasts back into the
     // HAVING as a 1-row frame (never a single-partition window). Money
