@@ -874,6 +874,42 @@ object QueriesPipeline {
         | SELECT vec_id, cid AS cluster, round(dist, 6) AS dist
         | FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " "))),
 
+    // Embedding-space outliers (r8e): distance-to-centroid MAD rule —
+    // the anomaly filter an embedding pipeline runs after clustering
+    // (mislabeled/garbled vectors sit far from every centroid). The
+    // kmeans assignment is the shared machinery; per-cluster median +
+    // MAD are the exact-percentile convention of events_outliers, both
+    // broadcast back; the flag is one map-side compare.
+    ("embedding_outliers",
+      (s, d) => {
+        val asg = Similarity.kmeansAssign(
+          graft.core.Tables.embeddings(s, d), k = 4, iters = 2)
+        val med = asg.groupBy("cluster")
+          .agg(round(percentile(col("dist"), lit(0.5)), 4).as("med"))
+        val wm = asg.join(broadcast(med), Seq("cluster"))
+        val mad = wm.groupBy("cluster")
+          .agg(round(percentile(abs(col("dist") - col("med")), lit(0.5)), 4)
+            .as("mad"))
+        wm.join(broadcast(mad), Seq("cluster"))
+          .filter(col("dist") - col("med") > col("mad") * lit(3.0))
+          .select(col("vec_id"), col("cluster"), col("dist"),
+            col("med"), col("mad"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $kmeansCtes,
+        | asg AS (SELECT vec_id, cid AS cluster, round(dist, 6) AS dist
+        |   FROM a2 WHERE rn = 1),
+        | med AS (SELECT cluster, round(quantile_cont(dist, 0.5), 4) AS med
+        |   FROM asg GROUP BY 1),
+        | wm AS (SELECT asg.*, med.med FROM asg JOIN med USING (cluster)),
+        | mad AS (SELECT cluster,
+        |   round(quantile_cont(abs(dist - med), 0.5), 4) AS mad
+        |  FROM wm GROUP BY 1)
+        | SELECT vec_id, cluster, dist, med, mad
+        | FROM wm JOIN mad USING (cluster)
+        | WHERE dist - med > mad * CAST(3.0 AS DOUBLE)
+        | ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
     // SemDeDup: semantic dedup = the kmeans assignment as the BLOCKING
     // scheme, cosine only within a cell, drop any vector with a
     // similar lower-id cluster-mate. The oracle replays the identical
