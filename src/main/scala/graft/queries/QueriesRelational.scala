@@ -1007,6 +1007,46 @@ object QueriesRelational {
         .orderBy("event_type"),
       Some(TimeSeries.linearTrendSql("event_type"))),
 
+    // Period-over-period movers (r8e): weekly integer-cents revenue
+    // per type, lag(1) delta over the AGGREGATED series (weeks ×
+    // types rows — the window runs on the tiny rollup, never raw
+    // events), ranked by |delta|. The change-detection report every
+    // metrics review starts with; all-integer until the final ratio.
+    ("events_top_movers",
+      (s, d) => {
+        val wk = Tables.eventsNorm(s, d)
+          .withColumn("week", expr("(ts_ns div 1000) div 604800000000"))
+          .groupBy("event_type", "week")
+          .agg(sum(round(col("value") * 100, 0).cast("long"))
+            .as("cents"))
+        val w = Window.partitionBy("event_type").orderBy("week")
+        wk.withColumn("prev_cents", lag("cents", 1).over(w))
+          .filter(col("prev_cents").isNotNull)
+          .withColumn("delta_cents", col("cents") - col("prev_cents"))
+          .withColumn("pct_change", when(col("prev_cents") === 0L, 0.0)
+            .otherwise(round(col("delta_cents").cast("double") /
+              col("prev_cents").cast("double"), 6)))
+          .orderBy(abs(col("delta_cents")).desc, col("event_type"),
+            col("week"))
+          .limit(20)
+      },
+      Some("""WITH wk AS (SELECT event_type,
+        |   epoch_us(ts) // 604800000000 AS week,
+        |   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |     AS cents
+        |  FROM events GROUP BY 1, 2),
+        | lg AS (SELECT event_type, week, cents,
+        |   lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week)
+        |     AS prev_cents FROM wk)
+        | SELECT event_type, week, cents, prev_cents,
+        |  cents - prev_cents AS delta_cents,
+        |  CASE WHEN prev_cents = 0 THEN CAST(0.0 AS DOUBLE)
+        |   ELSE round(CAST(cents - prev_cents AS DOUBLE)
+        |     / CAST(prev_cents AS DOUBLE), 6) END AS pct_change
+        | FROM lg WHERE prev_cents IS NOT NULL
+        | ORDER BY abs(cents - prev_cents) DESC, event_type, week
+        | LIMIT 20""".stripMargin.replace("\n", " "))),
+
     ("events_cusum",
       (s, d) => {
         val ord = Window.partitionBy("event_type")
