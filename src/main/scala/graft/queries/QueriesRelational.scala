@@ -300,6 +300,59 @@ object QueriesRelational {
         | ORDER BY p_partkey, s_name LIMIT 200"""
         .stripMargin.replace("\n", " "))),
 
+    // Market-basket affinity (r8e): pair LIFT over order baskets —
+    // lift(a,b) = P(a,b)/(P(a)·P(b)), the association-rule screen
+    // behind every recommender bootstrap (and corpus_pmi's relational
+    // twin). Pair generation is BASKET-LOCAL (the coPairs explode
+    // shape — C(|basket|,2) per order, never a corpus self-join);
+    // numerator/denominator are exact integer products, one final
+    // division. Min support 3, top 30 by lift.
+    ("basket_affinity",
+      (s, d) => {
+        val bp = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val nBaskets = bp.select("ok").distinct().count() // one action
+        val baskets = bp.groupBy("ok")
+          .agg(sort_array(collect_set(col("p"))).as("ps"))
+        val pc = baskets.select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+              | transform(slice(ps, i + 2, size(ps)),
+              |   y -> struct(x AS pa, y AS pb))))""".stripMargin))
+            .as("pr"))
+          .groupBy(col("pr.pa").as("part_a"), col("pr.pb").as("part_b"))
+          .agg(count(lit(1)).as("pair_cnt"))
+          .filter(col("pair_cnt") >= 3)
+        val cnt = bp.groupBy(col("p")).agg(count(lit(1)).as("c"))
+        pc.join(cnt.select(col("p").as("part_a"), col("c").as("cnt_a")),
+            Seq("part_a"))
+          .join(cnt.select(col("p").as("part_b"), col("c").as("cnt_b")),
+            Seq("part_b"))
+          .select(col("part_a"), col("part_b"), col("pair_cnt"),
+            col("cnt_a"), col("cnt_b"),
+            round((col("pair_cnt") * lit(nBaskets)).cast("double") /
+              (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+          .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+          .limit(30)
+      },
+      Some("""WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS nb FROM bp),
+        | cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM bp GROUP BY 1),
+        | pr AS (SELECT a.p AS pa, b.p AS pb FROM bp a
+        |   JOIN bp b ON a.ok = b.ok AND a.p < b.p),
+        | pc AS (SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        |   FROM pr GROUP BY 1, 2)
+        | SELECT pa AS part_a, pb AS part_b, pair_cnt,
+        |  ca.c AS cnt_a, cb.c AS cnt_b,
+        |  round(CAST(pair_cnt * nb AS DOUBLE)
+        |    / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+        | FROM pc JOIN cnt ca ON ca.p = pc.pa
+        |  JOIN cnt cb ON cb.p = pc.pb CROSS JOIN n
+        | WHERE pair_cnt >= 3
+        | ORDER BY lift DESC, part_a, part_b LIMIT 30"""
+        .stripMargin.replace("\n", " "))),
+
     // TPC-H Q7 shape (volume shipping between nation PAIRS): the
     // disjunctive cross-dimension join — customer nation and supplier
     // nation must form one of two ordered country pairs, expressed as
