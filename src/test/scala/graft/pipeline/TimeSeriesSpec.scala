@@ -203,6 +203,33 @@ class TimeSeriesSpec extends SparkSpec {
       (105L, 6L, 1L)))          // two clicks at ts 30 -> greatest tie
   }
 
+  test("nearestJoin: randomized parity with the brute-force argmin") {
+    // deterministic pseudo-random data incl. duplicate timestamps
+    val left = (1 to 120).map { i =>
+      (1000L + i, s"u${i % 7}", ((i * 37) % 50).toLong)
+    }
+    val right = (1 to 80).map { i =>
+      (2000L + i, s"u${i % 9}", ((i * 53 + 11) % 50).toLong, i * 1.5)
+    }
+    val got = TimeSeries.nearestJoin(
+      left.toDF("event_id", "user_id", "ts_us"),
+      right.toDF("event_id", "user_id", "ts_us", "value"),
+      "user_id", "ts_us", "event_id", "event_id",
+      Seq("event_id", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // brute force with the contract's tie rules: min |dt|, then
+    // earlier ts, then GREATEST right id
+    val byKey = right.groupBy(_._2)
+    val want = left.map { case (lid, k, lts) =>
+      val cands = byKey.getOrElse(k, Seq.empty)
+      lid -> (if (cands.isEmpty) -1L
+        else cands.minBy(c =>
+          (math.abs(c._3 - lts), c._3, -c._1))._1)
+    }.toMap
+    assert(got == want)
+  }
+
   test("linearTrend: hand-computed slope/R², zero-variance guard, partition-stable") {
     // up: y = 2x exactly (scaled slope 2*10000), r2 = 1
     // down: y = 4 - 2x, r2 = 1; flat time (den = 0) -> 0/0 guards
