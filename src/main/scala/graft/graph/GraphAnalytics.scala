@@ -2856,7 +2856,9 @@ object GraphAnalytics {
     * like" features to nodes for a downstream model. Seeded with
     * h₀ = deg·`scale` (degree is the canonical structural feature;
     * `scale` keeps precision through the integer mean), carried as
-    * LONG — the same exact-arithmetic convention as every fixed-point
+    * LONG with the neighborhood sum accumulated in DECIMAL(38,0)
+    * (matching the oracle's HUGEINT — hub sums can exceed a LONG) —
+    * the same exact-arithmetic convention as every fixed-point
     * entry, making the unrolled oracle hash-exact where float means
     * never could be.
     *
@@ -2890,9 +2892,15 @@ object GraphAnalytics {
         .select(col("b").as("id"), col("h"))
       val next = state.select(col("id"), col("h"))
         .unionAll(msgs)
-        .groupBy("id").agg(sum("h").as("hs"))
+        // accumulate in DECIMAL(38,0): a hub-heavy graph (~1e6-degree
+        // nodes) can overflow a LONG sum, which non-ANSI Spark wraps
+        // silently while the HUGEINT oracle errors loudly — the exact
+        // asymmetry the repo's decimal convention exists to avoid
+        .groupBy("id")
+        .agg(sum(col("h").cast("decimal(38,0)")).as("hs"))
         .join(deg, Seq("id"))
-        .select(col("id"), expr("hs div (deg + 1)").as("h"))
+        .select(col("id"),
+          expr("hs div (deg + 1)").cast("long").as("h"))
         .localCheckpoint(false)
       state = next
     }
@@ -2918,7 +2926,7 @@ object GraphAnalytics {
       sb ++= s", m$i AS MATERIALIZED (SELECT u.b AS id, s.h " +
         s"FROM $prev s JOIN u ON u.a = s.id)"
       sb ++= s", h$i AS MATERIALIZED (SELECT t.id, " +
-        s"CAST(SUM(t.h) AS BIGINT) // (d.deg + 1) AS h FROM " +
+        s"CAST(SUM(t.h) // (d.deg + 1) AS BIGINT) AS h FROM " +
         s"(SELECT id, h FROM $prev UNION ALL SELECT id, h FROM m$i) t " +
         s"JOIN deg d ON d.id = t.id GROUP BY t.id, d.deg)"
     }

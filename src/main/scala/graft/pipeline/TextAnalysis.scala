@@ -722,9 +722,14 @@ object TextAnalysis {
     * [[lmScore]]: bigram counts come from a TRAIN split (deterministic
     * md5-hash bucket of doc_id — the portable [[Sketches.hash32]], so
     * the split replays in the oracle, unlike xxhash64) and only TEST
-    * docs are scored, with Laplace smoothing
+    * docs are scored, with add-one smoothing
     * ln((c(big)+1) / (c(pre)+V)) so unseen bigrams contribute a real
-    * penalty instead of a join miss. This is the perplexity-filter
+    * penalty instead of a join miss. NOTE: V here is the number of
+    * DISTINCT TRAIN PREFIX CONTEXTS (`cp.count()` below), not the
+    * unigram vocabulary of textbook Laplace smoothing — a deliberate,
+    * cross-engine-consistent variant (the oracle computes the same V);
+    * with bigram prefixes the two differ only by words appearing
+    * solely in document-final position. This is the perplexity-filter
     * shape an actual pipeline runs (scoring corpus ≠ model corpus —
     * in-corpus scoring rewards exactly the degenerate repetitive docs
     * it should demote).
@@ -856,8 +861,12 @@ object TextAnalysis {
     * (left-to-right, non-overlapping, resume AFTER the consumed match)
     * implement precisely BPE's greedy application — including the
     * `aaaa` case, where `‹a›‹a›‹a›‹a›` correctly fuses to `‹aa›‹aa›`
-    * because the first match consumes both delimiters. Symbols never
-    * contain the delimiter chars, so no false boundary match exists.
+    * because the first match consumes both delimiters. The exclusion
+    * "symbols never contain the delimiter chars" is ENFORCED, not
+    * assumed: word types containing U+2039/U+203A ('‹'/'›' — real
+    * single-angle quotation marks in French/German text) are dropped
+    * before wrapping, identically in both engines, so no false
+    * boundary match can corrupt pair counts or the '‹'-count tally.
     *
     * Scale shape: the corpus-sized work is ONE tokenize + word-type
     * count shuffle (the classic BPE-on-types trick — everything after
@@ -888,6 +897,10 @@ object TextAnalysis {
   : Seq[(Int, String, String, String, Long)] = {
     require(rounds >= 1 && rounds <= 64, "bpeMerges rounds must be 1..64")
     var w = df.select(explode(tokens(col(textCol))).as("word"))
+      // enforce the delimiter exclusion (see doc): a word type that
+      // itself contains '‹'/'›' would wrap into false symbol
+      // boundaries, so such types are dropped — in BOTH engines
+      .filter(!col("word").contains("‹") && !col("word").contains("›"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("word"), "(.)", "‹$1›").as("w"), col("cnt"))
       .localCheckpoint(true)
@@ -949,6 +962,8 @@ object TextAnalysis {
       s"corpus exhausted after ${merges.size} merges; oracle unrolls $rounds")
     val dc = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("word"))
+      // same delimiter exclusion as training (see bpeMerges doc)
+      .filter(!col("word").contains("‹") && !col("word").contains("›"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // reused: type extraction + the join back
     val wrapped = dc.select("word").distinct()
@@ -976,7 +991,8 @@ object TextAnalysis {
   def bpeEncodeStatsSql(rounds: Int = 8): String = {
     val sb = new StringBuilder(bpeTrainCtesSql(rounds))
     sb ++= """, dw AS (SELECT doc_id, unnest(list_filter(""" +
-      """regexp_split_to_array(lower(text), '\s+'), x -> x != '')) """ +
+      """regexp_split_to_array(lower(text), '\s+'), """ +
+      """x -> x != '' AND NOT contains(x, '‹') AND NOT contains(x, '›'))) """ +
       "AS word FROM documents)"
     sb ++= ", dc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c " +
       "FROM dw GROUP BY 1, 2)"
@@ -1015,7 +1031,8 @@ object TextAnalysis {
     val sb = new StringBuilder
     sb ++= "WITH t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
       "(SELECT unnest(list_filter(regexp_split_to_array(lower(text), " +
-      """'\s+'), x -> x != '')) AS w FROM documents) GROUP BY 1), """
+      """'\s+'), x -> x != '' AND NOT contains(x, '‹') """ +
+      """AND NOT contains(x, '›'))) AS w FROM documents) GROUP BY 1), """
     sb ++= """w0 AS (SELECT regexp_replace(w, '(.)', '‹\1›', 'g') AS w, """ +
       "cnt FROM t)"
     for (r <- 1 to rounds) {

@@ -347,6 +347,22 @@ class TextAnalysisSpec extends SparkSpec {
     val o = TextAnalysis.bpeMerges(one, "text", rounds = 10)
       .collect().map(_.getString(3)).toSeq
     assert(o == Seq("ab", "abc"))
+    // delimiter exclusion: word types containing '‹'/'›' (real
+    // single-angle quotation marks, e.g. French «guillemets simples»)
+    // are DROPPED before wrapping — they would otherwise create false
+    // symbol boundaries. Corpus = the low corpus + a ‹quoted› word:
+    // merges must be identical to the clean corpus's.
+    val dirty = Seq((1L, "low low lower ‹abc› x‹y")).toDF("doc_id", "text")
+    val dm = TextAnalysis.bpeMerges(dirty, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(dm == Seq((1, "l", "o", "lo", 3L), (2, "lo", "w", "low", 3L),
+      (3, "e", "r", "er", 1L)))
+    // encode side: the dirty words contribute neither words nor tokens
+    val de = TextAnalysis.bpeEncodeStats(dirty, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // low low lower -> low(1 sym)x2 + low|e|r -> low,er = 2 syms
+    assert(de == Seq((1L, 3L, 4L)))
   }
 
   test("fuzzyLookup: ed<=1 matches via delete keys; transpositions excluded") {
