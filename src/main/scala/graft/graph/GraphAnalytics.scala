@@ -2939,8 +2939,11 @@ object GraphAnalytics {
     * of Louvain (Blondel et al. 2008), in the deterministic synchronous
     * formulation: per round every node evaluates, against the CURRENT
     * partition, the modularity gain of adopting each neighbor
-    * community (or staying), and all nodes move simultaneously to
-    * their argmax. The gain comparison is EXACT integer arithmetic:
+    * community — or STAYING, an explicit candidate scored at
+    * k_{i,own∖i} (0 for a singleton) so a node with only
+    * negative-gain moves keeps its community — and the active half of
+    * the nodes move simultaneously to their argmax (see the parity
+    * gate below). The gain comparison is EXACT integer arithmetic:
     * for node i and candidate community C (i notionally removed),
     * ΔQ(i→C) ranks by  2m·k_{i,C} − k_i·Σtot_{C∖i}  — the standard
     * formula with the constant 1/2m² factor dropped (rank-invariant) —
@@ -2954,11 +2957,16 @@ object GraphAnalytics {
     * mode (one giant label swallowing a hub-heavy graph) is exactly
     * what the k_i·Σtot penalty prevents.
     *
-    * Synchronous moves can oscillate on symmetric structures (the
-    * LPA bipartite caveat); the fixed-round horizon bounds that like
-    * every fixed-point entry. Full Louvain iterates this phase with
-    * graph contraction — the [[minimumSpanningForest]] meta-graph
-    * machinery is the contraction template if multi-level is needed.
+    * Plain simultaneous argmax OSCILLATES on symmetric structures
+    * (two mutually-best nodes trade labels forever — measured on a
+    * ring of triangles, where it never coalesces a single triangle);
+    * each round therefore activates a pseudo-random HALF of the nodes
+    * (portable md5-based [[graft.pipeline.Sketches.hash32]] of
+    * (id, round) — per-round rehashing, so any symmetric pair lands
+    * in different halves within a few rounds, which a fixed 2-class
+    * parity cannot guarantee) — the Jones-Plassmann-style randomized
+    * schedule parallel Louvain implementations use. Full multi-level
+    * Louvain = this phase + graph contraction: [[louvainTwoLevel]].
     *
     * Scale shape per round: one O(V) label⋈degree partial agg
     * (community masses, community-count-sized), one E-scale probe of
@@ -2999,7 +3007,7 @@ object GraphAnalytics {
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     graft.core.Checkpoints.withLoopShuffle(edges.sparkSession,
       nV, twoM) {
-      for (_ <- 1 to rounds) {
+      for (r <- 1 to rounds) {
         // community degree mass under the current partition
         val tot = labels.join(deg, Seq("id"))
           .groupBy("lbl").agg(sum("deg").as("tot"))
@@ -3008,7 +3016,16 @@ object GraphAnalytics {
           .join(bc(labels.select(col("id").as("b"), col("lbl"))), Seq("b"))
           .groupBy(col("a").as("id"), col("lbl"))
           .agg(count(lit(1)).as("kic"))
-        val cand = kic
+        // the STAY candidate (r9): own community at kic =
+        // k_{i,own∖i} — 0 for a singleton, so a node with only
+        // negative-gain moves keeps its community instead of being
+        // forced to the least-bad neighbor (MAX dedups the stay row
+        // against the neighbor-derived one when present)
+        val cand0 = kic
+          .unionByName(labels.select(col("id"), col("lbl"),
+            lit(0L).as("kic")))
+          .groupBy("id", "lbl").agg(max("kic").as("kic"))
+        val cand = cand0
           .join(bc(tot), Seq("lbl"))
           .join(bc(deg.select(col("id"), col("deg").as("ka"))), Seq("id"))
           .join(bc(labels.select(col("id"), col("lbl").as("la"))), Seq("id"))
@@ -3016,10 +3033,22 @@ object GraphAnalytics {
             expr(s"CAST(${twoM}L AS DECIMAL(38,0)) * kic" +
               " - CAST(ka AS DECIMAL(38,0))" +
               " * (tot - IF(la = lbl, ka, 0L))").as("score"))
-        labels = cand
+        val win = cand
           .groupBy("id")
           .agg(min(struct((-col("score")).as("ns"), col("lbl").as("l"))).as("w"))
-          .select(col("id"), col("w.l").as("lbl"))
+          .select(col("id"), col("w.l").as("wl"))
+        // hash-parity move gate (r9): only half the nodes (portable
+        // md5 parity of id, alternating by round) adopt their argmax —
+        // the Jones-Plassmann-style schedule parallel Louvain uses to
+        // stop the synchronous two-node swap oscillation that plain
+        // simultaneous argmax produces on symmetric structures (a
+        // bridged pair would otherwise trade labels forever)
+        labels = labels.join(win, Seq("id"))
+          .select(col("id"),
+            when(pmod(graft.pipeline.Sketches.hash32(
+              concat(col("id"), lit(s"#$r"))), lit(2L)) === lit(0L),
+              col("wl"))
+              .otherwise(col("lbl")).as("lbl"))
           .localCheckpoint(false)
       }
     }
@@ -3029,7 +3058,14 @@ object GraphAnalytics {
   /** DuckDB oracle for [[louvainOneLevel]] — the identical rounds
     * unrolled (HUGEINT score, same tie-break).
     */
-  def louvainSql(edgesSql: String, rounds: Int = 3): String = {
+  def louvainSql(edgesSql: String, rounds: Int = 3): String =
+    louvainCtesSql(edgesSql, rounds) +
+      s" SELECT id, lbl AS community FROM l$rounds ORDER BY id"
+
+  /** The level-1 CTE chain (g0/deg/mm/l0..l`rounds`) shared by
+    * [[louvainSql]] and [[louvainTwoLevelSql]].
+    */
+  private def louvainCtesSql(edgesSql: String, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"WITH e AS ($edgesSql), "
     sb ++= "pairs AS MATERIALIZED (SELECT DISTINCT src, dst FROM e), "
@@ -3046,16 +3082,174 @@ object GraphAnalytics {
       sb ++= s", kic$r AS MATERIALIZED (SELECT g.a AS id, lb.lbl, " +
         s"CAST(COUNT(*) AS BIGINT) AS kic " +
         s"FROM g0 g JOIN $p lb ON lb.id = g.b GROUP BY 1, 2)"
+      sb ++= s", cu$r AS MATERIALIZED (SELECT id, lbl, MAX(kic) AS kic " +
+        s"FROM (SELECT id, lbl, kic FROM kic$r " +
+        s"UNION ALL SELECT id, lbl, CAST(0 AS BIGINT) FROM $p) " +
+        "GROUP BY 1, 2)"
       sb ++= s", cand$r AS MATERIALIZED (SELECT k.id, k.lbl, " +
         "CAST(mm.twom AS HUGEINT) * k.kic - CAST(d.deg AS HUGEINT) * " +
         "(t.tot - CASE WHEN la.lbl = k.lbl THEN d.deg ELSE 0 END) AS score " +
-        s"FROM kic$r k JOIN tot$r t ON t.lbl = k.lbl " +
+        s"FROM cu$r k JOIN tot$r t ON t.lbl = k.lbl " +
         s"JOIN deg d ON d.id = k.id JOIN $p la ON la.id = k.id CROSS JOIN mm)"
-      sb ++= s", l$r AS MATERIALIZED (SELECT id, lbl FROM (" +
+      sb ++= s", lw$r AS MATERIALIZED (SELECT id, lbl FROM (" +
         s"SELECT id, lbl, row_number() OVER (PARTITION BY id " +
         s"ORDER BY score DESC, lbl) AS rn FROM cand$r) WHERE rn = 1)"
+      sb ++= s", l$r AS MATERIALIZED (SELECT l.id, " +
+        s"CASE WHEN (${graft.pipeline.Sketches.hash32Sql(s"l.id || '#$r'")})" +
+        s" % 2 = 0 THEN w.lbl ELSE l.lbl END AS lbl " +
+        s"FROM $p l JOIN lw$r w ON w.id = l.id)"
     }
-    sb ++= s" SELECT id, lbl AS community FROM l$rounds ORDER BY id"
+    sb.toString
+  }
+
+  /** FULL (two-level) Louvain — [[louvainOneLevel]] composed with the
+    * standard graph-contraction second pass (Blondel et al. 2008 §2):
+    * level-1 communities become WEIGHTED meta-nodes (edge weight =
+    * number of inter-community edge orientations, self-loops carry the
+    * intra-community mass so weighted degree and 2m are preserved
+    * exactly), and the same modularity-ascending move phase runs on
+    * the meta-graph. This is where the resolution limit
+    * (Fortunato & Barthélemy 2007) gets crossed: merges that no
+    * single-node move can reach — e.g. adjacent small cliques in a
+    * large ring — happen here as one meta-node move.
+    *
+    * The meta move phase is the weighted generalization of the
+    * level-1 phase, with the same two stabilizers (STAY candidate,
+    * hash-parity move gate — see [[louvainOneLevel]]), all replayed
+    * exactly by the unrolled two-level oracle.
+    *
+    * Scale shape: level 1 as [[louvainOneLevel]]; the contraction is
+    * ONE E-scale probe of the stored undirected index against the
+    * O(V) label table + a community²-bounded (in practice ~E-meta)
+    * partial agg; every level-2 round runs on the META graph —
+    * community-count-sized state, inter-community-edge-sized probes —
+    * which at 100 TB is orders of magnitude below V. Returns
+    * (id, community) for every original node.
+    */
+  def louvainTwoLevel(edges: DataFrame, rounds1: Int = 3,
+                      rounds2: Int = 4,
+                      pairsDistinct: Boolean = false,
+                      undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+    require(rounds1 >= 1 && rounds2 >= 1,
+      "louvainTwoLevel needs rounds1, rounds2 >= 1")
+    val parentCached = undirectedPairs &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0 = if (undirectedPairs)
+      edges.select(col("src").as("a"), col("dst").as("b"))
+    else {
+      val pairs0 =
+        if (pairsDistinct) edges.select(col("src"), col("dst"))
+        else edges.select(col("src"), col("dst")).distinct()
+      pairs0.select(col("src").as("a"), col("dst").as("b"))
+        .union(pairs0.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+    }
+    val und = if (parentCached) und0 else und0.localCheckpoint(true)
+    val l1 = louvainOneLevel(
+      und.select(col("a").as("src"), col("b").as("dst")),
+      rounds = rounds1, undirectedPairs = true)
+      .select(col("id"), col("community").as("c1"))
+      .localCheckpoint(true)
+    // contraction: meta edge weight = count of (both-orientation)
+    // und rows between the two communities; self-loops (ca = cb)
+    // carry the intra mass, so Σw = 2m and wdeg(C) = Σ_{u∈C} deg(u)
+    val metaE = und
+      .join(l1.select(col("id").as("a"), col("c1").as("ca")), Seq("a"))
+      .join(l1.select(col("id").as("b"), col("c1").as("cb")), Seq("b"))
+      .groupBy(col("ca").as("a"), col("cb").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val mdeg = metaE.groupBy(col("a").as("id"))
+      .agg(sum("w").as("deg"))
+      .localCheckpoint(true)
+    val twoM = metaE.agg(coalesce(sum("w"), lit(0L))).first().getLong(0)
+    var lbl2 = mdeg.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(false)
+    val nMeta = mdeg.count()
+    val small = nMeta <= 1000000L
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    for (r <- 1 to rounds2) {
+      val tot = lbl2.join(mdeg, Seq("id"))
+        .groupBy("lbl").agg(sum("deg").as("tot"))
+      val kic = metaE.filter(col("a") =!= col("b"))
+        .join(bc(lbl2.select(col("id").as("b"), col("lbl"))), Seq("b"))
+        .groupBy(col("a").as("id"), col("lbl"))
+        .agg(sum("w").as("kic"))
+      // the STAY candidate: own community at kic = k_{i,own∖i}
+      // (MAX dedups it against the neighbor-derived row when present)
+      val cand0 = kic
+        .unionByName(lbl2.select(col("id"), col("lbl"),
+          lit(0L).as("kic")))
+        .groupBy("id", "lbl").agg(max("kic").as("kic"))
+      val cand = cand0
+        .join(bc(tot), Seq("lbl"))
+        .join(bc(mdeg.select(col("id"), col("deg").as("ka"))), Seq("id"))
+        .join(bc(lbl2.select(col("id"), col("lbl").as("la"))), Seq("id"))
+        .select(col("id"), col("lbl"),
+          expr(s"CAST(${twoM}L AS DECIMAL(38,0)) * kic" +
+            " - CAST(ka AS DECIMAL(38,0))" +
+            " * (tot - IF(la = lbl, ka, 0L))").as("score"))
+      val win = cand
+        .groupBy("id")
+        .agg(min(struct((-col("score")).as("ns"), col("lbl").as("l"))).as("w"))
+        .select(col("id"), col("w.l").as("wl"))
+      lbl2 = lbl2.join(win, Seq("id"))
+        .select(col("id"),
+          when(pmod(graft.pipeline.Sketches.hash32(
+            concat(col("id"), lit(s"#$r"))), lit(2L)) === lit(0L),
+            col("wl"))
+            .otherwise(col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    l1.join(bc(lbl2.select(col("id").as("c1"), col("lbl").as("community"))),
+        Seq("c1"))
+      .select(col("id"), col("community"))
+  }
+
+  /** DuckDB oracle for [[louvainTwoLevel]] — the level-1 chain of
+    * [[louvainSql]] plus the contraction and the weighted meta rounds
+    * (stay candidate, hash-parity move gate) unrolled identically.
+    */
+  def louvainTwoLevelSql(edgesSql: String, rounds1: Int = 3,
+                         rounds2: Int = 4): String = {
+    val sb = new StringBuilder(louvainCtesSql(edgesSql, rounds1))
+    sb ++= s", me AS MATERIALIZED (SELECT la.lbl AS a, lb.lbl AS b, " +
+      "CAST(COUNT(*) AS BIGINT) AS w FROM g0 g " +
+      s"JOIN l$rounds1 la ON la.id = g.a " +
+      s"JOIN l$rounds1 lb ON lb.id = g.b GROUP BY 1, 2)"
+    sb ++= ", md AS MATERIALIZED (SELECT a AS id, " +
+      "CAST(SUM(w) AS BIGINT) AS deg FROM me GROUP BY 1)"
+    sb ++= ", mm2 AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) " +
+      "AS twom FROM me)"
+    sb ++= ", m0 AS MATERIALIZED (SELECT id, id AS lbl FROM md)"
+    for (r <- 1 to rounds2) {
+      val p = s"m${r - 1}"
+      sb ++= s", mt$r AS MATERIALIZED (SELECT l.lbl, " +
+        s"CAST(SUM(d.deg) AS BIGINT) AS tot " +
+        s"FROM $p l JOIN md d USING (id) GROUP BY 1)"
+      sb ++= s", mk$r AS MATERIALIZED (SELECT g.a AS id, lb.lbl, " +
+        s"CAST(SUM(g.w) AS BIGINT) AS kic FROM me g " +
+        s"JOIN $p lb ON lb.id = g.b WHERE g.a <> g.b GROUP BY 1, 2)"
+      sb ++= s", mc$r AS MATERIALIZED (SELECT id, lbl, MAX(kic) AS kic " +
+        s"FROM (SELECT id, lbl, kic FROM mk$r " +
+        s"UNION ALL SELECT id, lbl, CAST(0 AS BIGINT) FROM $p) " +
+        "GROUP BY 1, 2)"
+      sb ++= s", ms$r AS MATERIALIZED (SELECT c.id, c.lbl, " +
+        "CAST(mm2.twom AS HUGEINT) * c.kic - CAST(d.deg AS HUGEINT) * " +
+        "(t.tot - CASE WHEN la.lbl = c.lbl THEN d.deg ELSE 0 END) " +
+        s"AS score FROM mc$r c JOIN mt$r t ON t.lbl = c.lbl " +
+        s"JOIN md d ON d.id = c.id JOIN $p la ON la.id = c.id " +
+        "CROSS JOIN mm2)"
+      sb ++= s", mw$r AS MATERIALIZED (SELECT id, lbl FROM (" +
+        "SELECT id, lbl, row_number() OVER (PARTITION BY id " +
+        s"ORDER BY score DESC, lbl) AS rn FROM ms$r) WHERE rn = 1)"
+      sb ++= s", m$r AS MATERIALIZED (SELECT l.id, " +
+        s"CASE WHEN (${graft.pipeline.Sketches.hash32Sql(s"l.id || '#$r'")})" +
+        s" % 2 = 0 THEN w.lbl ELSE l.lbl END AS lbl " +
+        s"FROM $p l JOIN mw$r w ON w.id = l.id)"
+    }
+    sb ++= s" SELECT l.id, m.lbl AS community FROM l$rounds1 l " +
+      s"JOIN m$rounds2 m ON m.id = l.lbl ORDER BY l.id"
     sb.toString
   }
 }

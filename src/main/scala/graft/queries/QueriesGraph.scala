@@ -618,16 +618,30 @@ object QueriesGraph {
         undirectedPairs = true),
       Some(GraphAnalytics.relatedSql(E, seedId = "C1", k = 20))),
 
-    // Modularity-ascending community detection (r8d): the Louvain
-    // local-moving phase, synchronous + deterministic — every node
-    // moves to the neighbor community maximizing the exact integer
-    // gain rank 2m·k_iC − k_i·Σtot (DECIMAL-safe), ties (score desc,
-    // community asc). The degree-mass penalty is what LPA lacks.
+    // Modularity-ascending community detection (r8d, hardened r9):
+    // the Louvain local-moving phase, synchronous + deterministic —
+    // a per-round hash-selected half of the nodes move to the
+    // candidate community (neighbor or STAY) maximizing the exact
+    // integer gain rank 2m·k_iC − k_i·Σtot (DECIMAL-safe), ties
+    // (score desc, community asc). The half-move schedule stops the
+    // symmetric-pair swap oscillation plain synchronous argmax has.
     ("graph_louvain",
       (s, d) => GraphAnalytics.louvainOneLevel(
-          CodeGraph.undPairs(s, d), rounds = 3, undirectedPairs = true)
+          CodeGraph.undPairs(s, d), rounds = 4, undirectedPairs = true)
         .orderBy("id"),
-      Some(GraphAnalytics.louvainSql(E, rounds = 3))),
+      Some(GraphAnalytics.louvainSql(E, rounds = 4))),
+
+    // Full multi-level Louvain (r9): level-1 communities contract to a
+    // weighted meta-graph and the move phase re-runs there — the pass
+    // that crosses the resolution limit (merges no single-node move
+    // reaches). Stay candidate + hash-parity move gate, both replayed
+    // by the unrolled two-level oracle.
+    ("graph_louvain_full",
+      (s, d) => GraphAnalytics.louvainTwoLevel(
+          CodeGraph.undPairs(s, d), rounds1 = 4, rounds2 = 4,
+          undirectedPairs = true)
+        .orderBy("id"),
+      Some(GraphAnalytics.louvainTwoLevelSql(E, rounds1 = 4, rounds2 = 4))),
 
     // Partition quality: Newman modularity of the LPA communities as
     // one exact rational — the oracle replays the whole chain (all 4

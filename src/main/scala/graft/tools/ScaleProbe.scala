@@ -114,6 +114,16 @@ object ScaleProbe {
         // r8e: the h-index fixed point — per round one state probe +
         // a neighbor-local rank window; expected ~E growth
         time("coreness")(GraphAnalytics.coreness(und,
+          rounds = 4, undirectedPairs = true)),
+        // r9: the V<=1M broadcast→shuffle fallback family — at 10×
+        // (V=8M) these run their never-before-measured shuffle paths
+        time("louvain")(GraphAnalytics.louvainOneLevel(und,
+          rounds = 3, undirectedPairs = true)),
+        time("mis")(GraphAnalytics.maximalIndependentSet(und,
+          rounds = 4, undirectedPairs = true)),
+        time("hits")(GraphAnalytics.hitsFixedPoint(pairs,
+          iters = 5, pairsDistinct = true)),
+        time("lpa")(GraphAnalytics.labelPropagation(und,
           rounds = 4, undirectedPairs = true))
       ).flatten.toMap
       pairs.unpersist(); und.unpersist()

@@ -540,6 +540,66 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(rs("x1") != rs("y1"), "bridged stars keep separate communities")
   }
 
+  test("louvainTwoLevel: ring of triangles — level 2 merges what level 1 cannot") {
+    // The resolution-limit fixture (Fortunato & Barthélemy 2007): a
+    // ring of 10 triangles joined by single bridges. Level 1 finds the
+    // 10 triangles (no single-node move can merge two of them), but
+    // modularity INCREASES when adjacent triangles merge once the ring
+    // is long enough (2m·e12 > k1·k2 ⟺ 8r > 64 ⟺ r > 8) — a move only
+    // the contracted meta-graph pass can make.
+    val n = 10
+    val tri = (0 until n).flatMap { i =>
+      Seq((s"t${i}a", s"t${i}b"), (s"t${i}b", s"t${i}c"),
+        (s"t${i}a", s"t${i}c"))
+    }
+    val bridges = (0 until n).map(i => (s"t${i}c", s"t${(i + 1) % n}a"))
+    val g = (tri ++ bridges).toDF("src", "dst")
+    val l1 = GraphAnalytics.louvainOneLevel(g, rounds = 6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // level 1: each triangle is one community; 10 distinct communities
+    for (i <- 0 until n)
+      assert(Set(l1(s"t${i}a"), l1(s"t${i}b"), l1(s"t${i}c")).size == 1,
+        s"triangle $i coalesced at level 1")
+    assert(l1.values.toSet.size == n, s"level 1 = $n communities")
+    val l2 = GraphAnalytics.louvainTwoLevel(g, rounds1 = 6, rounds2 = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // level 2 must not SPLIT a triangle...
+    for (i <- 0 until n)
+      assert(Set(l2(s"t${i}a"), l2(s"t${i}b"), l2(s"t${i}c")).size == 1,
+        s"triangle $i intact at level 2")
+    // ...and must MERGE at least one adjacent pair
+    val nComm2 = l2.values.toSet.size
+    assert(nComm2 < n, s"level 2 merged triangles: $nComm2 < $n")
+    // merged groups are contiguous arcs of the ring: every community's
+    // triangle set, if > 1 triangle, contains an adjacent pair
+    val byComm = (0 until n).groupBy(i => l2(s"t${i}a"))
+    for ((c, tris) <- byComm if tris.size > 1)
+      assert(tris.exists(i => tris.contains((i + 1) % n) ||
+        tris.contains((i + n - 1) % n)),
+        s"community $c = $tris holds ring-adjacent triangles")
+    // deterministic across partitionings (integer scores + md5 parity)
+    val p1 = GraphAnalytics.louvainTwoLevel(g.repartition(1),
+      rounds1 = 6, rounds2 = 4).orderBy("id").collect().map(_.toSeq).toSeq
+    val p7 = GraphAnalytics.louvainTwoLevel(g.repartition(7),
+      rounds1 = 6, rounds2 = 4).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(p1 == p7)
+    // the STAY candidate: a 2-clique barbell must NOT merge at level 2
+    // (merging two equal K4s across one bridge lowers modularity —
+    // without the stay candidate the meta-pass would swap/merge them)
+    val left = Seq("a1", "a2", "a3", "a4")
+    val right = Seq("b1", "b2", "b3", "b4")
+    def clique(vs: Seq[String]) =
+      for { x <- vs; y <- vs if x < y } yield (x, y)
+    val barbell = (clique(left) ++ clique(right) :+ ("a1", "b1"))
+      .toDF("src", "dst")
+    val rb = GraphAnalytics.louvainTwoLevel(barbell, rounds1 = 4,
+      rounds2 = 4).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rb("a1") != rb("b1"), "equal cliques stay separate at level 2")
+    assert(left.map(rb).distinct.size == 1 &&
+      right.map(rb).distinct.size == 1)
+  }
+
   test("featureProp: mean aggregation exact on a star; deterministic") {
     // star h-{x1,x2,x3}: deg h=3, leaves 1. h0: h=3M, x=1M.
     // iter1: h(h) = (3M + 3*1M) div 4 = 1.5M
