@@ -189,6 +189,63 @@ object GraphAlgos {
     dist
   }
 
+  /** [[ssspWeighted]] + CANONICAL PATH RECONSTRUCTION — the missing
+    * half of the reference's traversal surface (`TraversalResult`
+    * always carries paths, /root/reference/src/query/traversal.zig:251-320):
+    * for every reached node, one deterministic minimum-weight path
+    * from the source, as a `->`-joined id string.
+    *
+    * The predecessor is NOT carried through the relaxation rounds —
+    * that would make it a function of round discovery order. Instead
+    * it is derived from the CONVERGED distances in one post-pass:
+    * pred(v) = min{ u : dist(u) + w(u,v) = dist(v) } (the min-id
+    * tight edge), a pure function of (graph, source) that any engine
+    * can replay — which is what makes a recursive-CTE oracle
+    * possible. Walking preds from v terminates at the source because
+    * dist strictly decreases along tight edges (w ≥ 1).
+    *
+    * Path assembly is POINTER DOUBLING, not a per-hop walk: each
+    * round every node's (ancestor, segment) pair jumps through its
+    * ancestor's pair, so L-hop paths finish in ⌈log₂ L⌉ rounds of
+    * O(V) self-joins — the shape that survives deep graphs at scale
+    * where an L-round walk would not.
+    *
+    * Returns (id, dist, pred, path); pred is null for the source.
+    */
+  def ssspWithPaths(edges: DataFrame, sourceId: String,
+                    maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(false) // reused: relaxation rounds + tight-edge pass
+    val dist = ssspWeighted(e, sourceId, maxIters).localCheckpoint(true)
+    val pred = e
+      .join(dist.select(col("id").as("src"), col("dist").as("du")), Seq("src"))
+      .join(dist.select(col("id").as("dst"), col("dist").as("dv")), Seq("dst"))
+      .filter(col("du") + col("w") === col("dv"))
+      .groupBy(col("dst").as("id")).agg(min(col("src")).as("pred"))
+      .localCheckpoint(true)
+    var walk = dist.join(pred, Seq("id"), "left")
+      .select(col("id"), col("pred").as("anc"), col("id").as("seg"))
+      .localCheckpoint(false)
+    // ⌈log₂ maxIters⌉ + 1 saturating jumps cover any ≤maxIters-hop path
+    val rounds = 32 - java.lang.Integer.numberOfLeadingZeros(
+      math.max(1, maxIters)) + 1
+    for (_ <- 1 to rounds) {
+      val j = walk.select(col("id").as("anc"), col("anc").as("anc2"),
+        col("seg").as("seg2"))
+      walk = walk.join(j, Seq("anc"), "left")
+        .select(col("id"),
+          when(col("seg2").isNotNull, col("anc2"))
+            .otherwise(col("anc")).as("anc"),
+          when(col("seg2").isNotNull,
+            concat(col("seg2"), lit("->"), col("seg")))
+            .otherwise(col("seg")).as("seg"))
+        .localCheckpoint(false)
+    }
+    dist.join(walk.select(col("id"), col("seg").as("path")), Seq("id"))
+      .join(pred, Seq("id"), "left")
+      .select(col("id"), col("dist"), col("pred"), col("path"))
+  }
+
   /** Time-respecting reachability over the VERSIONED edge set —
     * earliest-arrival temporal paths (Wu et al., VLDB 2014 shape): a
     * path may only traverse an edge version whose `sequence` is ≥ the

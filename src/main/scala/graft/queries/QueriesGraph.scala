@@ -343,6 +343,45 @@ object QueriesGraph {
         | SELECT id, MIN(dist) AS dist FROM r GROUP BY id ORDER BY id"""
         .stripMargin.replace("\n", " "))),
 
+    // SSSP with canonical path reconstruction (r9): the reference's
+    // traversal surface always carries paths (TraversalResult.paths);
+    // here every reached node reports one deterministic min-weight
+    // path. pred(v) = min-id tight edge from the CONVERGED distances
+    // (a pure function of graph+source — replayable), assembled by
+    // pointer doubling; the oracle walks the same pred table with a
+    // recursive CTE.
+    ("sssp_paths",
+      (s, d) => GraphAlgos.ssspWithPaths(
+        CodeGraph.edgePairs(s, d).withColumn("w",
+          lit(1L) + (expr("CAST(substring(src, 2, 100) AS BIGINT)")
+            + expr("CAST(substring(dst, 2, 100) AS BIGINT)")) % 7),
+        sourceId = "O0").orderBy("id"),
+      Some(s"""WITH RECURSIVE base AS ($E),
+        | e AS (SELECT DISTINCT src, dst,
+        |   1 + (CAST(substr(src, 2) AS BIGINT)
+        |        + CAST(substr(dst, 2) AS BIGINT)) % 7 AS w
+        |  FROM base),
+        | r AS (
+        |  SELECT 'O0' AS id, CAST(0 AS BIGINT) AS dist
+        |  UNION ALL
+        |  SELECT e.dst, r.dist + e.w FROM r JOIN e ON e.src = r.id
+        | ),
+        | d AS (SELECT id, MIN(dist) AS dist FROM r GROUP BY id),
+        | p AS (SELECT e.dst AS id, MIN(e.src) AS pred FROM e
+        |   JOIN d du ON du.id = e.src JOIN d dv ON dv.id = e.dst
+        |   WHERE du.dist + e.w = dv.dist GROUP BY e.dst),
+        | walk AS (
+        |  SELECT d.id AS id, d.id AS cur, CAST(d.id AS VARCHAR) AS path
+        |  FROM d
+        |  UNION ALL
+        |  SELECT w.id, p.pred, p.pred || '->' || w.path
+        |  FROM walk w JOIN p ON p.id = w.cur
+        | )
+        | SELECT w.id, d.dist, p2.pred, w.path FROM walk w
+        | JOIN d ON d.id = w.id LEFT JOIN p p2 ON p2.id = w.id
+        | WHERE w.cur = 'O0' ORDER BY w.id"""
+        .stripMargin.replace("\n", " "))),
+
     ("context_query",
       (s, d) => ContextQuery.execute(
         CodeGraph.nodeBlocks(s, d), CodeGraph.edges(s, d),

@@ -89,6 +89,36 @@ class GraphAlgosSpec extends SparkSpec {
     assert(got == Map("a" -> 0L, "b" -> 2L, "c" -> 4L, "d" -> 3L))
   }
 
+  test("ssspWithPaths: canonical min-id tie-break; long path reconstructs; unreachable absent") {
+    import spark.implicits._
+    // weighted diamond s->{a,b}->t, both routes cost 2: the canonical
+    // pred of t is min(a,b) = a, so the path goes via a — plus a
+    // heavier direct edge s->t (5) that must lose, and a longer-but-
+    // lighter chain to x exercising multi-hop reconstruction.
+    val we = Seq(
+      ("s", "a", 1L), ("s", "b", 1L), ("a", "t", 1L), ("b", "t", 1L),
+      ("s", "t", 5L),
+      ("t", "x1", 1L), ("x1", "x2", 1L), ("x2", "x3", 1L),
+      ("q", "r", 1L) // not reachable from s
+    ).toDF("src", "dst", "w")
+    val got = GraphAlgos.ssspWithPaths(we, "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getString(2)).orNull, r.getString(3))))
+      .toMap
+    assert(got.keySet == Set("s", "a", "b", "t", "x1", "x2", "x3"))
+    assert(got("s") == ((0L, null, "s")))
+    assert(got("a") == ((1L, "s", "s->a")))
+    assert(got("b") == ((1L, "s", "s->b")))
+    assert(got("t") == ((2L, "a", "s->a->t"))) // min-id tie-break
+    assert(got("x3") == ((5L, "x2", "s->a->t->x1->x2->x3")))
+    // deterministic across partitionings
+    val p1 = GraphAlgos.ssspWithPaths(we.repartition(1), "s")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val p7 = GraphAlgos.ssspWithPaths(we.repartition(7), "s")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(p1 == p7)
+  }
+
   test("temporalReach: sequence monotonicity gates paths; tombstones don't flow") {
     // a -5-> b -3-> c : arriving at b at 5, the 3-edge is in the past
     // -> c unreachable. a -2-> d -7-> c : time-respecting -> c at 7.
