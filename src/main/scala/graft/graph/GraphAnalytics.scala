@@ -2207,6 +2207,10 @@ object GraphAnalytics {
       else {
         val p = edges.select(col("src"), col("dst")).distinct()
         p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+          // distinct: Spark union is UNION ALL — reciprocal input
+          // pairs (a,b)+(b,a) would double every und row, silently
+          // doubling sigma/degree counts (the oracles' UNION dedups)
+          .distinct()
       }
     // cost note: ~2×(ecc+1) BFS levels of per-level scheduling latency
     // — the intrinsic double-sweep price (the alternative is V BFS
@@ -2297,6 +2301,10 @@ object GraphAnalytics {
       else {
         val p = edges.select(col("src"), col("dst")).distinct()
         p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+          // distinct: Spark union is UNION ALL — reciprocal input
+          // pairs (a,b)+(b,a) would double every und row, silently
+          // doubling sigma/degree counts (the oracles' UNION dedups)
+          .distinct()
       }
     val und = if (parentCached) und0
       else und0.repartition(col("src"))
@@ -2388,39 +2396,16 @@ object GraphAnalytics {
       else {
         val p = edges.select(col("src"), col("dst")).distinct()
         p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+          // distinct: Spark union is UNION ALL — reciprocal input
+          // pairs (a,b)+(b,a) would double every und row, silently
+          // doubling sigma/degree counts (the oracles' UNION dedups)
+          .distinct()
       }
     val und = if (parentCached) und0
       else und0.repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val bcastRows = 100000L
-      // ---- forward: per-level frames (seed, id, sigma) ----
-      val lvl0 = seeds.toDF("seed")
-        .select(col("seed"), col("seed").as("id"), lit(1L).as("sigma"))
-        .distinct().localCheckpoint(false)
-      val levels = scala.collection.mutable.ArrayBuffer(lvl0)
-      var visited = lvl0.select("seed", "id")
-      var frontierN = lvl0.count()
-      var visitedN = frontierN
-      for (_ <- 1 to maxDepth if frontierN > 0) {
-        val prev = levels.last
-        val from = if (frontierN <= bcastRows) broadcast(prev) else prev
-        val seen0 = visited.select(col("seed").as("vs"), col("id").as("vid"))
-        // visited-set broadcast gated on ITS size, not the frontier's
-        // (same reasoning as harmonicFromSeeds: a collapsed frontier
-        // after a huge level must not broadcast the cumulative set)
-        val seen = if (visitedN <= bcastRows) broadcast(seen0) else seen0
-        val next = from.join(und, from("id") === und("src"))
-          .select(col("seed"), col("dst").as("id"), col("sigma"))
-          .join(seen, col("seed") === col("vs") && col("id") === col("vid"),
-            "left_anti")
-          .groupBy("seed", "id").agg(sum("sigma").as("sigma"))
-          .localCheckpoint(false)
-        levels += next
-        visited = visited.union(next.select("seed", "id"))
-        frontierN = next.count()
-        visitedN += frontierN
-      }
+      val levels = brandesForward(und, seeds, maxDepth)
       // ---- backward: g per level, deepest first (horizon level g=0) ----
       val deepest = levels.length - 1
       var gAbove = levels(deepest).select(col("seed"), col("id"),
@@ -2447,6 +2432,127 @@ object GraphAnalytics {
       }
       contrib.reduce(_ unionByName _)
         .groupBy("id").agg(sum("c").as("stress"))
+    } finally if (!parentCached) und.unpersist()
+  }
+
+  /** The Brandes FORWARD phase shared by [[stressFromSeeds]] and
+    * [[betweennessFromSeeds]]: per-level (seed, id, sigma) frames over
+    * the given undirected pair view — σ = number of shortest paths
+    * from the seed, folded per level over frontier edges, new nodes
+    * only (the multi-source labeled-BFS frontier shape of
+    * [[harmonicFromSeeds]]).
+    */
+  private def brandesForward(und: DataFrame, seeds: Seq[String],
+                             maxDepth: Int)
+  : scala.collection.mutable.ArrayBuffer[DataFrame] = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val bcastRows = 100000L
+    val lvl0 = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("id"), lit(1L).as("sigma"))
+      .distinct().localCheckpoint(false)
+    val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var visited = lvl0.select("seed", "id")
+    var frontierN = lvl0.count()
+    var visitedN = frontierN
+    for (_ <- 1 to maxDepth if frontierN > 0) {
+      val prev = levels.last
+      val from = if (frontierN <= bcastRows) broadcast(prev) else prev
+      val seen0 = visited.select(col("seed").as("vs"), col("id").as("vid"))
+      // visited-set broadcast gated on ITS size, not the frontier's
+      // (same reasoning as harmonicFromSeeds: a collapsed frontier
+      // after a huge level must not broadcast the cumulative set)
+      val seen = if (visitedN <= bcastRows) broadcast(seen0) else seen0
+      val next = from.join(und, from("id") === und("src"))
+        .select(col("seed"), col("dst").as("id"), col("sigma"))
+        .join(seen, col("seed") === col("vs") && col("id") === col("vid"),
+          "left_anti")
+        .groupBy("seed", "id").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(false)
+      levels += next
+      visited = visited.union(next.select("seed", "id"))
+      frontierN = next.count()
+      visitedN += frontierN
+    }
+    levels
+  }
+
+  /** Sampled BETWEENNESS centrality — the standard fractional-
+    * dependency Brandes accumulation (Brandes 2001, δ-recursion)
+    * that [[stressFromSeeds]]' integer variant approximates:
+    * δ_s(v) = Σ_{w ∈ DAG-succ(v)} (σ_sv / σ_sw) · (1 + δ_s(w)),
+    * betweenness(v) = Σ_seeds δ_s(v) — the one centrality a
+    * graph-features pipeline asks for that integer arithmetic cannot
+    * express (the dependency quotients are true rationals).
+    *
+    * Because float dependency sums are ORDER-SENSITIVE, this is a
+    * deliberate rows-only entry (no hash-exact DuckDB oracle can
+    * exist); its values are pinned by a randomized brute-force
+    * equivalence spec (`GraphAnalyticsSpec`, the [[minimumSpanningForest]]
+    * verification pattern) against an in-memory reference Brandes.
+    *
+    * Scale shape identical to stress: shared forward σ phase, then
+    * maxDepth frontier-sized equi-joins backward, per-seed state
+    * neighborhood-bounded. Returns (id, betweenness ROUND 6) for
+    * every non-seed node reached by ≥1 seed.
+    */
+  def betweennessFromSeeds(edges: DataFrame, seeds: Seq[String],
+                           maxDepth: Int = 3,
+                           undirectedPairs: Boolean = false): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 12, "maxDepth must be 1..12")
+    require(seeds.nonEmpty, "betweennessFromSeeds needs at least one seed")
+    val parentCached = undirectedPairs &&
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val und0 =
+      if (undirectedPairs) edges.select(col("src"), col("dst"))
+      else {
+        val p = edges.select(col("src"), col("dst")).distinct()
+        p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+          // distinct: Spark union is UNION ALL — reciprocal input
+          // pairs (a,b)+(b,a) would double every und row, silently
+          // doubling sigma/degree counts (the oracles' UNION dedups)
+          .distinct()
+      }
+    val und = if (parentCached) und0
+      else und0.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val levels = brandesForward(und, seeds, maxDepth)
+      val deepest = levels.length - 1
+      if (deepest == 0) // isolated seeds: nothing reached, empty result
+        levels(0).select(col("id"), lit(0.0).as("betweenness")).limit(0)
+      else {
+      // horizon level: δ = 0 (no descendants inside the horizon)
+      var dAbove = levels(deepest).select(col("seed"), col("id"),
+        col("sigma"), lit(0.0).as("delta"))
+      val contrib = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      contrib += levels(deepest).select(col("id"), lit(0.0).as("c"))
+      for (d <- (deepest - 1) to 1 by -1) {
+        val lv = levels(d)
+        val childD = dAbove.select(col("seed").as("cs"),
+          col("id").as("cid"), col("sigma").as("csig"),
+          col("delta").as("cdelta"))
+        // Σ (1+δ_w)/σ_w over DAG successors; σ_v multiplies after the
+        // fold (constant per group — keeps the agg a single sum)
+        val dHere = lv.select(col("seed"), col("id"))
+          .join(und, col("id") === und("src"))
+          .join(childD,
+            col("seed") === col("cs") && col("dst") === col("cid"))
+          .groupBy("seed", "id")
+          .agg(sum((col("cdelta") + lit(1.0)) /
+            col("csig").cast("double")).as("dpart"))
+        val dFull = lv.select(col("seed"), col("id"), col("sigma"))
+          .join(dHere, Seq("seed", "id"), "left")
+          .select(col("seed"), col("id"), col("sigma"),
+            (coalesce(col("dpart"), lit(0.0)) *
+              col("sigma").cast("double")).as("delta"))
+          .localCheckpoint(false)
+        contrib += dFull.select(col("id"), col("delta").as("c"))
+        dAbove = dFull.select("seed", "id", "sigma", "delta")
+      }
+      contrib.reduce(_ unionByName _)
+        .groupBy("id").agg(round(sum("c"), 6).as("betweenness"))
+      }
     } finally if (!parentCached) und.unpersist()
   }
 

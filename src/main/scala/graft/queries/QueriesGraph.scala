@@ -880,6 +880,20 @@ object QueriesGraph {
       Some(GraphAnalytics.stressSql(E,
         seeds = Seq("C1", "S1", "N3", "R1"), maxDepth = 3))),
 
+    // Sampled BETWEENNESS centrality (r9): the standard fractional
+    // Brandes δ-accumulation (what stress approximates with integers).
+    // Float dependency sums are order-sensitive, so NO hash-exact
+    // oracle can exist — deliberate rows-only entry, values pinned by
+    // the randomized brute-force Brandes spec in GraphAnalyticsSpec
+    // (the graph_msf verification pattern). Same seeds + horizon as
+    // graph_stress, so the two centralities are directly comparable.
+    ("graph_betweenness",
+      (s, d) => GraphAnalytics.betweennessFromSeeds(
+          CodeGraph.undPairs(s, d), seeds = Seq("C1", "S1", "N3", "R1"),
+          maxDepth = 3, undirectedPairs = true)
+        .orderBy("id"),
+      None),
+
     // Time-travel traversal (r7): BFS over the MVCC edge set AS OF a
     // sequence horizon — the composition the reference's LSM engine
     // performs on every historical read (read-at-sequence semantics,

@@ -540,6 +540,61 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(rs("x1") != rs("y1"), "bridged stars keep separate communities")
   }
 
+  test("betweennessFromSeeds: randomized brute-force Brandes equivalence") {
+    // The graph_msf verification pattern: the entry has no SQL oracle
+    // (float dependency sums are order-sensitive), so pin its values
+    // against an in-memory reference Brandes on random graphs.
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(6)
+      val edges = (1 to 40).map(_ =>
+          (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}"))
+        .filter { case (a, b) => a != b }.distinct
+      val seeds = Seq.fill(3)(s"v${rnd.nextInt(n)}").distinct
+      val maxDepth = 1 + rnd.nextInt(4)
+      val got = GraphAnalytics.betweennessFromSeeds(
+          edges.toDF("src", "dst"), seeds, maxDepth)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // reference Brandes on the undirected view, depth-truncated
+      val adj = (edges ++ edges.map(_.swap)).distinct
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+        .withDefaultValue(Seq.empty)
+      val want = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      val reached = scala.collection.mutable.Set.empty[String]
+      for (s <- seeds) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> 1.0)
+          .withDefaultValue(0.0)
+        var frontier = Seq(s)
+        var d = 0
+        while (frontier.nonEmpty && d < maxDepth) {
+          d += 1
+          val nxt = scala.collection.mutable.Map.empty[String, Double]
+          for (u <- frontier; v <- adj(u) if !dist.contains(v))
+            nxt(v) = nxt.getOrElse(v, 0.0) + sigma(u)
+          frontier = nxt.keys.toSeq.sorted
+          for ((v, sg) <- nxt) { dist(v) = d; sigma(v) = sg }
+        }
+        reached ++= dist.keys.filter(_ != s)
+        val delta = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(0.0)
+        for (v <- dist.keys.toSeq.sortBy(dist).reverse if dist(v) >= 1) {
+          for (w <- adj(v) if dist.get(w).contains(dist(v) + 1))
+            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+          want(v) += delta(v)
+        }
+        // seed-level nodes at depth 0 excluded; nodes AT the horizon
+        // have delta 0 but are reported (reached, zero interior role)
+      }
+      assert(got.keySet == reached.toSet,
+        s"trial $trial: reached sets differ: ${got.keySet} vs $reached")
+      for (v <- reached)
+        assert(math.abs(got(v) - want(v)) < 1e-6,
+          s"trial $trial node $v: got ${got(v)} want ${want(v)}")
+    }
+  }
+
   test("louvainTwoLevel: ring of triangles — level 2 merges what level 1 cannot") {
     // The resolution-limit fixture (Fortunato & Barthélemy 2007): a
     // ring of 10 triangles joined by single bridges. Level 1 finds the
