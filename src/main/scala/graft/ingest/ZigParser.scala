@@ -29,12 +29,12 @@ import scala.collection.mutable.ArrayBuffer
   *     `current_function` stays null in a test — keeping them is what
   *     makes `show --relation callers` find test coverage, the same
   *     contract the toy-language parser already ships).
-  *   - top-level / container-level `const` / `var` declarations
-  *     (`:443-524`). Deviation, documented: the reference emits units
-  *     for LOCAL variables inside function bodies too ("filtering by
-  *     scope should happen at a higher level"); this extractor scopes
-  *     declarations to file/container level — locals are graph noise no
-  *     downstream reference query consumes.
+  *   - `const` / `var` declarations at EVERY scope (`:443-524`) —
+  *     including function-local ones, exactly as the reference's
+  *     walker does ("create unit regardless of scope; filtering by
+  *     scope should happen at a higher level", `:499-500`), with
+  *     `parentContainer` = the innermost TYPE container (never the
+  *     enclosing function, matching `current_container` semantics).
   *
   * Lexical honesty comes from a cleaning pre-pass: `//` comments,
   * string/char literals, and `\\` multiline-string lines are blanked
@@ -89,7 +89,6 @@ object ZigParser extends SourceParser {
       stack.reverseIterator.collectFirst {
         case Frame(k, ub, _) if k == "function" || k == "test" => ub
       }
-    def insideFunction: Boolean = currentCallTarget.isDefined
 
     // `@...(` builtins are not calls (zig_parser.zig:404-414)
     def addCalls(text: String, to: UnitBuilder): Unit =
@@ -144,11 +143,17 @@ object ZigParser extends SourceParser {
         addCalls(rest, ub)
         if (opened) pending = Some(Frame("test", ub, depth))
         consumedTo = end
-      } else if (!insideFunction &&
-          ConstVarRe.findFirstMatchIn(line).isDefined) {
+      } else if (ConstVarRe.findFirstMatchIn(line).isDefined) {
         val m = ConstVarRe.findFirstMatchIn(line).get
         builders += UnitBuilder(m.group(1), m.group(2), parentContainer,
           lineNo, lineNo)
+        // the reference emits FUNCTION-LOCAL declarations too — "create
+        // unit regardless of scope; filtering by scope should happen at
+        // a higher level" (zig_parser.zig:499-500) — with
+        // parent_container = innermost TYPE container (never the fn).
+        // The initializer's call-sites still attach to the enclosing
+        // function, as the walker's current_function attribution does.
+        currentCallTarget.foreach(t => addCalls(line, t))
       } else {
         currentCallTarget.foreach(t => addCalls(line, t))
       }

@@ -342,14 +342,15 @@ object QueriesIngest {
       },
       Some("""SELECT * FROM (VALUES
         | ('edge', 'calls', CAST(63 AS BIGINT)),
-        | ('edge', 'calls_method', 341),
+        | ('edge', 'calls_method', 351),
         | ('edge', 'imports', 28),
         | ('edge', 'method_of', 144),
-        | ('unit', 'const', 96),
+        | ('unit', 'const', 523),
         | ('unit', 'function', 182),
         | ('unit', 'import', 53),
         | ('unit', 'test', 46),
-        | ('unit', 'type', 51)
+        | ('unit', 'type', 51),
+        | ('unit', 'var', 175)
         |) t(kind, name, n) ORDER BY kind, name"""
         .stripMargin.replace("\n", " "))),
 

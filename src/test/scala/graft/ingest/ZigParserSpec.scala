@@ -62,7 +62,8 @@ class ZigParserSpec extends AnyFunSuite {
         |}
         |""".stripMargin
     val us = parse(src)
-    assert(us.map(_.unitType) == Seq("test"))
+    // the local `const engine` is a unit too (reference scope rule)
+    assert(us.map(_.unitType) == Seq("test", "const"))
     assert(us.head.name == "query roundtrip")
     assert(us.head.unitId == "src/x.zig:test:1")
     assert(us.head.edges.contains(ParsedEdge("calls", "setup_engine")))
@@ -138,21 +139,37 @@ class ZigParserSpec extends AnyFunSuite {
         |fn after() void {}
         |""".stripMargin
     val us = parse(src)
-    assert(us.map(_.name) == Seq("banner", "after"))
+    // s and c are local-const units (reference scope rule); the point
+    // here is that the literal text disturbs neither depth nor calls
+    assert(us.map(_.name) == Seq("banner", "s", "c", "after"))
     assert(us(0).lineEnd == 8)
   }
 
-  test("local vars inside fn bodies are not units (documented deviation)") {
+  test("function-local const/var emit units like the reference walker") {
+    // zig_parser.zig:499-500: "create unit regardless of scope" —
+    // locals are units too, parentContainer = innermost TYPE container
+    // (never the enclosing function), and the initializer's call-sites
+    // still attach to the enclosing function.
     val src =
-      """fn f() void {
-        |    const local = 1;
-        |    var also_local: u8 = 0;
-        |}
+      """const S = struct {
+        |    fn f() void {
+        |        const local = helper();
+        |        var also_local: u8 = 0;
+        |    }
+        |};
         |const global = 2;
         |""".stripMargin
     val us = parse(src)
     assert(us.map(u => (u.unitType, u.name)) ==
-      Seq(("function", "f"), ("const", "global")))
+      Seq(("type", "S"), ("function", "f"), ("const", "local"),
+        ("var", "also_local"), ("const", "global")))
+    val local = us.find(_.name == "local").get
+    assert(local.parentContainer == "S") // the container, not fn f
+    assert(us.find(_.name == "global").get.parentContainer == "")
+    // the call inside local's initializer belongs to f
+    val f = us.find(_.name == "f").get
+    assert(f.edges.exists(e =>
+      e.edgeType == "calls" && e.targetName == "helper"))
   }
 
   test("non-code .zig-free files fall through DispatchParser to document") {
