@@ -17,6 +17,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // Long-suite driver hygiene (r9): the app/SQL status stores
+      // otherwise retain up to 1000 executions' full plan graphs and
+      // every job/stage record across ~220 entries × 3 iters × dozens
+      // of jobs each — steady heap growth whose GC pressure inflates
+      // exactly the driver-latency-bound iterative family late in the
+      // suite (the r6/r7/r8 "flagged in-suite, refuted isolated"
+      // pattern). Cap retention so entry N's timing does not depend on
+      // how many entries ran before it.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.ui.dagGraph.retainedRootRDDs", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up (untimed), mirroring the reference bench harness's warmup

@@ -93,6 +93,57 @@ object WorkspaceStore {
     writeAtomic(st.edges, s"$root/edges")
   }
 
+  /** EXCLUSIVE WRITE LOCK for the mutating commands (r9). Temp+rename
+    * makes each table swap atomic PER WRITER, but link/unlink/sync are
+    * read-modify-write over all three tables: two concurrent syncs
+    * could both read epoch N and both write N+1, silently losing one
+    * writer's rows. Mutations therefore serialize on a lock file
+    * created with overwrite=false (atomic create-exclusive on HDFS;
+    * best-effort on the local Hadoop FS — the documented contract is
+    * cooperating writers through this API, and the lock converts the
+    * silent-interleave failure into either serialization or a loud
+    * error). A crashed holder's lock goes stale after `staleMs` and is
+    * broken by the next acquirer; acquisition past `waitMs` fails
+    * LOUDLY naming the lock path rather than proceeding unprotected.
+    * The reference reaches the same single-writer guarantee through
+    * its daemon: all CLI mutations funnel through one server process
+    * (`cli_protocol.zig`); a shared filesystem has to earn it with a
+    * lock instead.
+    */
+  private[api] def withWriteLock[T](spark: SparkSession, stateDir: String,
+                                    waitMs: Long = 60000L,
+                                    staleMs: Long = 600000L)(f: => T): T = {
+    val lockPath = new Path(stateRoot(stateDir) + "/_lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lockPath.getParent)
+    val deadline = System.currentTimeMillis() + waitMs
+    var held = false
+    while (!held) {
+      try {
+        val out = fs.create(lockPath, false) // throws if it exists
+        out.write((s"${java.lang.ProcessHandle.current().pid()} " +
+          s"${System.currentTimeMillis()}").getBytes("UTF-8"))
+        out.close()
+        held = true
+      } catch {
+        case _: java.io.IOException =>
+          val st = try Some(fs.getFileStatus(lockPath))
+                   catch { case _: java.io.IOException => None }
+          st match {
+            case Some(s) if System.currentTimeMillis() - s.getModificationTime
+                > staleMs =>
+              fs.delete(lockPath, false) // stale holder: break and retry
+            case _ if System.currentTimeMillis() > deadline =>
+              throw new IllegalStateException(
+                s"workspace store is locked by another writer: $lockPath " +
+                  s"(waited ${waitMs} ms; delete the file if the holder is dead)")
+            case _ => Thread.sleep(200)
+          }
+      }
+    }
+    try f finally fs.delete(lockPath, false)
+  }
+
   /** Current (non-tombstoned, latest-sequence) blocks/edges view for the
     * query commands — what `find/show/trace` run against once any
     * workspace is linked. Scoped to LIVE workspaces: an `unlink`
@@ -158,7 +209,7 @@ object WorkspaceStore {
   def link(spark: SparkSession, stateDir: String, name: String, rootPath: String,
            include: Seq[String] = Seq("**"), exclude: Seq[String] = Nil,
            parser: SourceParser = DispatchParser,
-           nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = {
+           nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = withWriteLock(spark, stateDir) {
     import spark.implicits._
     val st = load(spark, stateDir)
     val (blocks, edges, nFiles) = ingestTree(spark, name, rootPath, include, exclude, parser)
@@ -198,7 +249,7 @@ object WorkspaceStore {
     * registry tombstone hides the workspace from `status` and the
     * query view while its history stays time-travelable.
     */
-  def unlink(spark: SparkSession, stateDir: String, name: String): DataFrame = {
+  def unlink(spark: SparkSession, stateDir: String, name: String): DataFrame = withWriteLock(spark, stateDir) {
     import spark.implicits._
     val st = load(spark, stateDir)
     val known = Schemas.currentView(st.registry)
@@ -223,7 +274,7 @@ object WorkspaceStore {
     */
   def sync(spark: SparkSession, stateDir: String, names: Seq[String],
            parser: SourceParser = DispatchParser,
-           nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = {
+           nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = withWriteLock(spark, stateDir) {
     import spark.implicits._
     val st = load(spark, stateDir)
     val reg = Schemas.currentView(st.registry)

@@ -116,6 +116,53 @@ class CliWorkspaceSpec extends SparkSpec {
     assert(Cli.executeWorkspace(spark, state, Cli.StatusCmd()).count() == 1L)
   }
 
+  test("concurrent syncs serialize on the write lock; stale locks break; timeout is loud") {
+    val tree = writeTree(
+      "a.zig" -> "fn alpha() {\n  beta()\n}\n",
+      "b.zig" -> "fn beta() {\n}\n")
+    val state = tmpState()
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(tree.getAbsolutePath, "p"))
+    val afterLink = WorkspaceStore.load(spark, state).blocks.count()
+
+    // two simultaneous no-op syncs: both must complete (serialized by
+    // the lock, not interleaved) and neither may write epoch rows —
+    // without the lock both read epoch N and both write N+1, and one
+    // writer's table swap clobbers the other's
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            Cli.executeWorkspace(spark, state, Cli.SyncCmd(Some("p")))
+              .collect().head.getAs[Long]("blocks_synced")
+        })
+      }
+      val deltas = futs.map(_.get(120, TimeUnit.SECONDS))
+      assert(deltas == Seq(0L, 0L), s"both syncs no-op: $deltas")
+    } finally pool.shutdownNow()
+    // the store is intact: registry current view = 1 row, blocks table
+    // did not grow, and the lock was released
+    assert(WorkspaceStore.load(spark, state).blocks.count() == afterLink)
+    val lock = new java.io.File(
+      WorkspaceStore.stateRoot(state) + "/_lock")
+    assert(!lock.exists(), "lock released after both writers finish")
+
+    // a LIVE foreign lock times out loudly (short wait), naming the path
+    java.nio.file.Files.write(lock.toPath, "9999 now".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      WorkspaceStore.withWriteLock(spark, state, waitMs = 400L) { 42 }
+    }
+    assert(e.getMessage.contains("_lock"))
+
+    // a STALE lock (old mtime) is broken and the writer proceeds
+    lock.setLastModified(System.currentTimeMillis() - 3600 * 1000L)
+    val r = WorkspaceStore.withWriteLock(spark, state, waitMs = 5000L,
+      staleMs = 600000L) { 7 }
+    assert(r == 7)
+    assert(!lock.exists())
+  }
+
   test("sync is incremental: no-op syncs write zero block rows") {
     val tree = writeTree(
       "a.zig" -> "fn alpha() {\n}\n",
