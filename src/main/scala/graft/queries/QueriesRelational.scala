@@ -1065,24 +1065,19 @@ object QueriesRelational {
     // types rows — the window runs on the tiny rollup, never raw
     // events), ranked by |delta|. The change-detection report every
     // metrics review starts with; all-integer until the final ratio.
+    // The rollup is EventStreams.periodCents — mergeable counters that
+    // also run as a live streaming aggregation (TopMoversStreamSpec
+    // pins stream ≡ batch across arbitrary micro-batch splits).
     ("events_top_movers",
-      (s, d) => {
-        val wk = Tables.eventsNorm(s, d)
-          .withColumn("week", expr("(ts_ns div 1000) div 604800000000"))
-          .groupBy("event_type", "week")
-          .agg(sum(round(col("value") * 100, 0).cast("long"))
-            .as("cents"))
-        val w = Window.partitionBy("event_type").orderBy("week")
-        wk.withColumn("prev_cents", lag("cents", 1).over(w))
-          .filter(col("prev_cents").isNotNull)
-          .withColumn("delta_cents", col("cents") - col("prev_cents"))
-          .withColumn("pct_change", when(col("prev_cents") === 0L, 0.0)
-            .otherwise(round(col("delta_cents").cast("double") /
-              col("prev_cents").cast("double"), 6)))
-          .orderBy(abs(col("delta_cents")).desc, col("event_type"),
-            col("week"))
-          .limit(20)
-      },
+      (s, d) => EventStreams.topMovers(
+          EventStreams.periodCents(
+            Tables.eventsNorm(s, d)
+              .withColumn("ts_us", expr("ts_ns div 1000")),
+            keyCol = "event_type", tsUsCol = "ts_us", valCol = "value"),
+          k = 20)
+        .select(col("key").as("event_type"), col("period").as("week"),
+          col("cents"), col("prev_cents"), col("delta_cents"),
+          col("pct_change")),
       Some("""WITH wk AS (SELECT event_type,
         |   epoch_us(ts) // 604800000000 AS week,
         |   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -1218,19 +1213,15 @@ object QueriesRelational {
     // active. Two partial-agg shuffles (per-user min, then distinct
     // (cohort, period, user)) + one count — the standard retention
     // matrix, output cohorts × periods sized.
+    // The activity dedup is EventStreams.userHourActivity — it also
+    // runs as a streaming dropDuplicates (RetentionStreamSpec pins
+    // stream ≡ batch across arbitrary micro-batch splits).
     ("events_retention",
-      (s, d) => {
-        val e = Tables.eventsNorm(s, d)
-          .select(col("user_id"), expr("ts_ns div 3600000000000").as("hr"))
-        val cohorts = e.groupBy("user_id").agg(min("hr").as("cohort"))
-        e.join(cohorts, Seq("user_id"))
-          .select(col("cohort"), (col("hr") - col("cohort")).as("period"),
-            col("user_id"))
-          .distinct()
-          .groupBy("cohort", "period")
-          .agg(count(lit(1)).as("n_users"))
-          .orderBy("cohort", "period")
-      },
+      (s, d) => EventStreams.retentionMatrix(
+          EventStreams.userHourActivity(
+            Tables.eventsNorm(s, d)
+              .withColumn("ts_us", expr("ts_ns div 1000"))))
+        .orderBy("cohort", "period"),
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr
         |   FROM events),
         | c AS (SELECT user_id, MIN(hr) AS cohort FROM e GROUP BY user_id),

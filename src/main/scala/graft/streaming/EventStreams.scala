@@ -301,6 +301,69 @@ object EventStreams {
     *
     * `delay_us` is an exact integer µs delta, engine-portable.
     */
+  /** The MERGEABLE core of `events_top_movers` (r9): integer-cents
+    * revenue per (key, period). A plain groupBy-sum of mergeable
+    * counters, so the identical function is (a) the rollup inside the
+    * oracle-checked batch entry and (b) a live streaming aggregation
+    * (complete/update mode) whose state updates across micro-batches —
+    * the momentSums pattern. The lag/rank head ([[topMovers]]) runs on
+    * the AGGREGATED series (periods × keys rows), batch-side either way.
+    */
+  def periodCents(df: DataFrame, keyCol: String, tsUsCol: String,
+                  valCol: String,
+                  periodUs: Long = 604800000000L): DataFrame =
+    df.groupBy(col(keyCol).as("key"),
+        expr(s"$tsUsCol div ${periodUs}L").as("period"))
+      .agg(sum(round(col(valCol) * 100, 0).cast("long")).as("cents"))
+
+  /** Period-over-period movers over a [[periodCents]] rollup: lag(1)
+    * delta per key, ranked by |delta|, top k. Runs on the tiny
+    * aggregated series — never raw events.
+    */
+  def topMovers(rollup: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("period")
+    rollup.withColumn("prev_cents", lag("cents", 1).over(w))
+      .filter(col("prev_cents").isNotNull)
+      .withColumn("delta_cents", col("cents") - col("prev_cents"))
+      .withColumn("pct_change", when(col("prev_cents") === 0L, 0.0)
+        .otherwise(round(col("delta_cents").cast("double") /
+          col("prev_cents").cast("double"), 6)))
+      .orderBy(abs(col("delta_cents")).desc, col("key"), col("period"))
+      .limit(k)
+  }
+
+  /** The MERGEABLE core of `events_retention` (r9): the distinct
+    * (user, hour-bucket) activity pairs. Dedup state is mergeable, so
+    * this runs as a streaming `dropDuplicates` (append mode) as well
+    * as a batch distinct; everything downstream ([[retentionMatrix]])
+    * operates on the deduped activity table — users × active-hours
+    * sized, orders of magnitude below raw events at 100 TB.
+    */
+  def userHourActivity(df: DataFrame, userCol: String = "user_id",
+                       tsUsCol: String = "ts_us",
+                       bucketUs: Long = 3600000000L): DataFrame =
+    df.select(col(userCol).as("user_id"),
+        expr(s"$tsUsCol div ${bucketUs}L").as("hr"))
+      .dropDuplicates("user_id", "hr")
+
+  /** Cohort retention matrix over a [[userHourActivity]] table: users
+    * bucketed by first-active hour; per (cohort, periods-since) cell,
+    * distinct active users. Two partial-agg shuffles + one count.
+    */
+  def retentionMatrix(activity: DataFrame): DataFrame = {
+    // rename the cohort side's key: the self-join otherwise carries the
+    // same attribute ids in both children (surfaces as "conflicting
+    // references" when the input is a sink-backed view)
+    val cohorts = activity.groupBy("user_id").agg(min("hr").as("cohort"))
+      .select(col("user_id").as("c_user"), col("cohort"))
+    activity.join(cohorts, col("user_id") === col("c_user"))
+      .select(col("cohort"), (col("hr") - col("cohort")).as("period"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort", "period")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
                       withinSec: Long = 3600): DataFrame = {
     val l = clicks.select(col("user_id"), col("event_id").as("click_id"),
