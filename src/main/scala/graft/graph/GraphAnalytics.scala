@@ -3117,44 +3117,43 @@ object GraphAnalytics {
         // community degree mass under the current partition
         val tot = labels.join(deg, Seq("id"))
           .groupBy("lbl").agg(sum("deg").as("tot"))
-        // k_{i,C}: edges from i into each neighbor community
-        val kic = und
+        // k_{i,C}: edges from i into each neighbor community, with the
+        // STAY candidate (r9) riding the SAME aggregation as 0-count
+        // rows (own community is always a candidate, at k_{i,own∖i} —
+        // 0 for a singleton — so a node with only negative-gain moves
+        // keeps its community instead of being forced to the
+        // least-bad neighbor); one exchange, not a union + re-agg
+        val cand0 = und
           .join(bc(labels.select(col("id").as("b"), col("lbl"))), Seq("b"))
-          .groupBy(col("a").as("id"), col("lbl"))
-          .agg(count(lit(1)).as("kic"))
-        // the STAY candidate (r9): own community at kic =
-        // k_{i,own∖i} — 0 for a singleton, so a node with only
-        // negative-gain moves keeps its community instead of being
-        // forced to the least-bad neighbor (MAX dedups the stay row
-        // against the neighbor-derived one when present)
-        val cand0 = kic
+          .select(col("a").as("id"), col("lbl"), lit(1L).as("cnt"))
           .unionByName(labels.select(col("id"), col("lbl"),
-            lit(0L).as("kic")))
-          .groupBy("id", "lbl").agg(max("kic").as("kic"))
+            lit(0L).as("cnt")))
+          .groupBy("id", "lbl").agg(sum("cnt").as("kic"))
         val cand = cand0
           .join(bc(tot), Seq("lbl"))
           .join(bc(deg.select(col("id"), col("deg").as("ka"))), Seq("id"))
           .join(bc(labels.select(col("id"), col("lbl").as("la"))), Seq("id"))
-          .select(col("id"), col("lbl"),
+          .select(col("id"), col("lbl"), col("la"),
             expr(s"CAST(${twoM}L AS DECIMAL(38,0)) * kic" +
               " - CAST(ka AS DECIMAL(38,0))" +
               " * (tot - IF(la = lbl, ka, 0L))").as("score"))
-        val win = cand
-          .groupBy("id")
-          .agg(min(struct((-col("score")).as("ns"), col("lbl").as("l"))).as("w"))
-          .select(col("id"), col("w.l").as("wl"))
         // hash-parity move gate (r9): only half the nodes (portable
-        // md5 parity of id, alternating by round) adopt their argmax —
-        // the Jones-Plassmann-style schedule parallel Louvain uses to
+        // md5 parity of (id, round)) adopt their argmax — the
+        // Jones-Plassmann-style schedule parallel Louvain uses to
         // stop the synchronous two-node swap oscillation that plain
         // simultaneous argmax produces on symmetric structures (a
-        // bridged pair would otherwise trade labels forever)
-        labels = labels.join(win, Seq("id"))
+        // bridged pair would otherwise trade labels forever). `la`
+        // rides the argmax fold (constant per id), so the update
+        // needs no join back against the label table.
+        labels = cand
+          .groupBy("id")
+          .agg(min(struct((-col("score")).as("ns"), col("lbl").as("l"))).as("w"),
+            max(col("la")).as("la"))
           .select(col("id"),
             when(pmod(graft.pipeline.Sketches.hash32(
               concat(col("id"), lit(s"#$r"))), lit(2L)) === lit(0L),
-              col("wl"))
-              .otherwise(col("lbl")).as("lbl"))
+              col("w.l"))
+              .otherwise(col("la")).as("lbl"))
           .localCheckpoint(false)
       }
     }
@@ -3235,7 +3234,8 @@ object GraphAnalytics {
   def louvainTwoLevel(edges: DataFrame, rounds1: Int = 3,
                       rounds2: Int = 4,
                       pairsDistinct: Boolean = false,
-                      undirectedPairs: Boolean = false): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+                      undirectedPairs: Boolean = false,
+                      metaDriverMax: Long = 1000000L): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
     require(rounds1 >= 1 && rounds2 >= 1,
       "louvainTwoLevel needs rounds1, rounds2 >= 1")
     val parentCached = undirectedPairs &&
@@ -3251,9 +3251,15 @@ object GraphAnalytics {
         .distinct()
     }
     val und = if (parentCached) und0 else und0.localCheckpoint(true)
+    // level 1 gets the ORIGINAL frame + flags: a derived select would
+    // lose the parent's storage level and force louvainOneLevel to
+    // re-materialize the E-sized undirected view a second time
     val l1 = louvainOneLevel(
-      und.select(col("a").as("src"), col("b").as("dst")),
-      rounds = rounds1, undirectedPairs = true)
+      if (parentCached) edges
+      else und.select(col("a").as("src"), col("b").as("dst")),
+      rounds = rounds1, pairsDistinct = pairsDistinct,
+      undirectedPairs = undirectedPairs ||
+        !parentCached) // und is already the symmetrized view
       .select(col("id"), col("community").as("c1"))
       .localCheckpoint(true)
     // contraction: meta edge weight = count of (both-orientation)
@@ -3271,45 +3277,113 @@ object GraphAnalytics {
     val twoM = metaE.agg(coalesce(sum("w"), lit(0L))).first().getLong(0)
     var lbl2 = mdeg.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(false)
-    val nMeta = mdeg.count()
-    val small = nMeta <= 1000000L
-    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    for (r <- 1 to rounds2) {
-      val tot = lbl2.join(mdeg, Seq("id"))
-        .groupBy("lbl").agg(sum("deg").as("tot"))
-      val kic = metaE.filter(col("a") =!= col("b"))
-        .join(bc(lbl2.select(col("id").as("b"), col("lbl"))), Seq("b"))
-        .groupBy(col("a").as("id"), col("lbl"))
-        .agg(sum("w").as("kic"))
-      // the STAY candidate: own community at kic = k_{i,own∖i}
-      // (MAX dedups it against the neighbor-derived row when present)
-      val cand0 = kic
-        .unionByName(lbl2.select(col("id"), col("lbl"),
-          lit(0L).as("kic")))
-        .groupBy("id", "lbl").agg(max("kic").as("kic"))
-      val cand = cand0
-        .join(bc(tot), Seq("lbl"))
-        .join(bc(mdeg.select(col("id"), col("deg").as("ka"))), Seq("id"))
-        .join(bc(lbl2.select(col("id"), col("lbl").as("la"))), Seq("id"))
-        .select(col("id"), col("lbl"),
-          expr(s"CAST(${twoM}L AS DECIMAL(38,0)) * kic" +
-            " - CAST(ka AS DECIMAL(38,0))" +
-            " * (tot - IF(la = lbl, ka, 0L))").as("score"))
-      val win = cand
-        .groupBy("id")
-        .agg(min(struct((-col("score")).as("ns"), col("lbl").as("l"))).as("w"))
-        .select(col("id"), col("w.l").as("wl"))
-      lbl2 = lbl2.join(win, Seq("id"))
-        .select(col("id"),
-          when(pmod(graft.pipeline.Sketches.hash32(
-            concat(col("id"), lit(s"#$r"))), lit(2L)) === lit(0L),
-            col("wl"))
-            .otherwise(col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+    val nMetaE = metaE.count()
+    val spark = edges.sparkSession
+    if (nMetaE <= metaDriverMax) {
+      // DRIVER FINISHER (the minimumSpanningForest convention): the
+      // contracted graph is metadata-sized by construction — collect
+      // it once and run the move rounds locally instead of paying
+      // ~5 tiny distributed stages × rounds2 of pure driver latency.
+      // Identical semantics (exact integer score in BigInt, same
+      // tie-break, same (id, round) hash parity); the distributed
+      // fallback below stays for a meta-graph past the gate and is
+      // pinned equal by the spec.
+      val rows = metaE.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val deg = new scala.collection.mutable.HashMap[String, Long]
+      rows.foreach { case (a, _, w) => deg(a) = deg.getOrElse(a, 0L) + w }
+      val lbl = new scala.collection.mutable.HashMap[String, String]
+      deg.keys.foreach(k => lbl(k) = k)
+      val tm = BigInt(twoM)
+      for (r <- 1 to rounds2) {
+        val tot = new scala.collection.mutable.HashMap[String, Long]
+        for ((id, d) <- deg) {
+          val c = lbl(id); tot(c) = tot.getOrElse(c, 0L) + d
+        }
+        val kic = new scala.collection.mutable.HashMap[(String, String), Long]
+        val nbrC = new scala.collection.mutable.HashMap[
+          String, scala.collection.mutable.TreeSet[String]]
+        rows.foreach { case (a, b, w) =>
+          if (a != b) {
+            val c = lbl(b)
+            val k = (a, c); kic(k) = kic.getOrElse(k, 0L) + w
+            nbrC.getOrElseUpdate(a,
+              scala.collection.mutable.TreeSet.empty[String]) += c
+          }
+        }
+        val next = new scala.collection.mutable.HashMap[String, String]
+        for (id <- deg.keys) {
+          val la = lbl(id)
+          val ka = BigInt(deg(id))
+          val cands = (nbrC.get(id).map(_.toSet).getOrElse(Set.empty)
+            + la).toSeq.sorted
+          var bestLbl = ""
+          var bestScore: BigInt = null
+          for (c <- cands) {
+            val k = BigInt(kic.getOrElse((id, c), 0L))
+            val t = BigInt(tot(c)) - (if (c == la) ka else BigInt(0))
+            val score = tm * k - ka * t
+            if (bestScore == null || score > bestScore) {
+              bestScore = score; bestLbl = c
+            } // ties: first in lbl-asc iteration wins (same as min-struct)
+          }
+          next(id) = if (hash32Local(s"$id#$r") % 2L == 0L) bestLbl else la
+        }
+        next.foreach { case (k, v) => lbl(k) = v }
+      }
+      import spark.implicits._
+      val lblDf = lbl.toSeq.toDF("c1", "community")
+      l1.join(broadcast(lblDf), Seq("c1"))
+        .select(col("id"), col("community"))
+    } else {
+      val small = nMetaE <= 8000000L
+      def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+      for (r <- 1 to rounds2) {
+        val tot = lbl2.join(mdeg, Seq("id"))
+          .groupBy("lbl").agg(sum("deg").as("tot"))
+        // stay rows ride the kic aggregation as weight-0 rows; `la`
+        // rides the argmax fold — same one-exchange shape as level 1
+        val cand0 = metaE.filter(col("a") =!= col("b"))
+          .join(bc(lbl2.select(col("id").as("b"), col("lbl"))), Seq("b"))
+          .select(col("a").as("id"), col("lbl"), col("w").as("cnt"))
+          .unionByName(lbl2.select(col("id"), col("lbl"),
+            lit(0L).as("cnt")))
+          .groupBy("id", "lbl").agg(sum("cnt").as("kic"))
+        val cand = cand0
+          .join(bc(tot), Seq("lbl"))
+          .join(bc(mdeg.select(col("id"), col("deg").as("ka"))), Seq("id"))
+          .join(bc(lbl2.select(col("id"), col("lbl").as("la"))), Seq("id"))
+          .select(col("id"), col("lbl"), col("la"),
+            expr(s"CAST(${twoM}L AS DECIMAL(38,0)) * kic" +
+              " - CAST(ka AS DECIMAL(38,0))" +
+              " * (tot - IF(la = lbl, ka, 0L))").as("score"))
+        lbl2 = cand
+          .groupBy("id")
+          .agg(min(struct((-col("score")).as("ns"), col("lbl").as("l"))).as("w"),
+            max(col("la")).as("la"))
+          .select(col("id"),
+            when(pmod(graft.pipeline.Sketches.hash32(
+              concat(col("id"), lit(s"#$r"))), lit(2L)) === lit(0L),
+              col("w.l"))
+              .otherwise(col("la")).as("lbl"))
+          .localCheckpoint(false)
+      }
+      l1.join(bc(lbl2.select(col("id").as("c1"), col("lbl").as("community"))),
+          Seq("c1"))
+        .select(col("id"), col("community"))
     }
-    l1.join(bc(lbl2.select(col("id").as("c1"), col("lbl").as("community"))),
-        Seq("c1"))
-      .select(col("id"), col("community"))
+  }
+
+  /** Driver-side replica of [[graft.pipeline.Sketches.hash32]]:
+    * first 8 hex chars of md5(s) parsed base-16, + 1. Used by the
+    * louvainTwoLevel driver finisher so its move parity is
+    * bit-identical to the distributed path's and the oracle's.
+    */
+  private def hash32Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) + 1L
   }
 
   /** DuckDB oracle for [[louvainTwoLevel]] — the level-1 chain of

@@ -638,6 +638,13 @@ class GraphAnalyticsSpec extends SparkSpec {
     val p7 = GraphAnalytics.louvainTwoLevel(g.repartition(7),
       rounds1 = 6, rounds2 = 4).orderBy("id").collect().map(_.toSeq).toSeq
     assert(p1 == p7)
+    // the DRIVER FINISHER and the distributed meta rounds are the same
+    // function: forcing the fallback (metaDriverMax = 0) must replay
+    // the identical labels (BigInt score ≡ DECIMAL(38,0), local md5
+    // parity ≡ Sketches.hash32, first-in-sorted-order ≡ min-struct)
+    val dist = GraphAnalytics.louvainTwoLevel(g, rounds1 = 6, rounds2 = 4,
+      metaDriverMax = 0L).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(dist == p1)
     // the STAY candidate: a 2-clique barbell must NOT merge at level 2
     // (merging two equal K4s across one bridge lowers modularity —
     // without the stay candidate the meta-pass would swap/merge them)
