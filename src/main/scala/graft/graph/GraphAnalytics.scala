@@ -1056,12 +1056,34 @@ object GraphAnalytics {
     */
   def modularity(edges: DataFrame, rounds: Int = 4,
                  pairsDistinct: Boolean = false,
-                 undirectedPairs: Boolean = false): DataFrame = {
-    val labels = labelPropagation(edges, rounds, pairsDistinct, undirectedPairs)
-      .withColumnRenamed("community", "lbl")
-      .localCheckpoint(true)
-    // canonical a < b undirected edges from the same input view
-    val und = if (undirectedPairs)
+                 undirectedPairs: Boolean = false): DataFrame =
+    modularityOfLabels(
+      labelPropagation(edges, rounds, pairsDistinct, undirectedPairs)
+        .withColumnRenamed("community", "lbl")
+        .localCheckpoint(true),
+      undView(edges, pairsDistinct, undirectedPairs))
+
+  /** Newman modularity of the [[louvainOneLevel]] partition — the
+    * quality metric for the modularity-ASCENDING phase, same exact
+    * rational as [[modularity]]; the oracle replays the full unrolled
+    * louvain chain (stay candidate, parity gate) plus the metric.
+    */
+  def louvainModularity(edges: DataFrame, rounds: Int = 4,
+                        pairsDistinct: Boolean = false,
+                        undirectedPairs: Boolean = false): DataFrame =
+    modularityOfLabels(
+      louvainOneLevel(edges, rounds, pairsDistinct, undirectedPairs)
+        .withColumnRenamed("community", "lbl")
+        .localCheckpoint(true),
+      undView(edges, pairsDistinct, undirectedPairs))
+
+  /** The symmetrized distinct pair view shared by the modularity
+    * metrics (both orientations; self-loops kept for the degree-slot
+    * remainder).
+    */
+  private def undView(edges: DataFrame, pairsDistinct: Boolean,
+                      undirectedPairs: Boolean): DataFrame =
+    if (undirectedPairs)
       edges.select(col("src").as("a"), col("dst").as("b"))
     else {
       val p0 =
@@ -1071,6 +1093,13 @@ object GraphAnalytics {
         .union(p0.select(col("dst").as("a"), col("src").as("b")))
         .distinct()
     }
+
+  /** The metric body shared by [[modularity]] and [[louvainModularity]]:
+    * Q = (4mA − B)/4m² over a checkpointed (id, lbl) table and the
+    * symmetrized pair view.
+    */
+  private def modularityOfLabels(labels: DataFrame,
+                                 und: DataFrame): DataFrame = {
     val canon = und.filter(col("a") < col("b")).localCheckpoint(true)
     // the label table broadcasts only while V-bounded (same threshold
     // as the LPA rounds themselves); above it the joins shuffle — the
@@ -1124,7 +1153,7 @@ object GraphAnalytics {
     graft.core.Checkpoints.drop(labels)
     graft.core.Checkpoints.drop(canon)
     graft.core.Checkpoints.drop(labeled)
-    val spark = edges.sparkSession
+    val spark = labels.sparkSession
     import spark.implicits._
     // the single double division, rounded with the same round() the
     // rest of the oracle surface uses (and the same operand order as
@@ -1139,19 +1168,31 @@ object GraphAnalytics {
     * unrolled LPA chain.
     */
   def modularitySql(edgesSql: String, rounds: Int = 4): String =
-    lpaCtes(edgesSql, rounds) +
-      s""", canon AS (SELECT a, b FROM g0 WHERE a < b),
-         | mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM canon),
-         | ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra FROM canon c
-         |  JOIN l$rounds x ON x.id = c.a JOIN l$rounds y ON y.id = c.b
-         |  WHERE x.lbl = y.lbl),
-         | dg AS (SELECT g0.a AS id, COUNT(*) AS deg FROM g0 GROUP BY 1),
-         | dc AS (SELECT l.lbl, SUM(d.deg) AS dsum FROM dg d
-         |  JOIN l$rounds l ON l.id = d.id GROUP BY 1),
-         | bb AS (SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS b FROM dc)
-         | SELECT m, intra AS intra_edges,
-         |  round((4.0 * m * intra - b) / (4.0 * m * m), 6) AS modularity
-         | FROM mm, ia, bb""".stripMargin.replace("\n", " ")
+    lpaCtes(edgesSql, rounds) + modularityTailSql(s"l$rounds")
+
+  /** DuckDB oracle for [[louvainModularity]] — the unrolled louvain
+    * chain of [[louvainSql]] plus the identical metric tail.
+    */
+  def louvainModularitySql(edgesSql: String, rounds: Int = 4): String =
+    louvainCtesSql(edgesSql, rounds) + modularityTailSql(s"l$rounds")
+
+  /** The Q = (4mA − B)/4m² metric tail over a label CTE (id, lbl),
+    * shared by [[modularitySql]] and [[louvainModularitySql]] (both
+    * chains expose the same `g0` symmetrized pair CTE).
+    */
+  private def modularityTailSql(lblCte: String): String =
+    s""", qcanon AS (SELECT a, b FROM g0 WHERE a < b),
+       | qm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM qcanon),
+       | qia AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra FROM qcanon c
+       |  JOIN $lblCte x ON x.id = c.a JOIN $lblCte y ON y.id = c.b
+       |  WHERE x.lbl = y.lbl),
+       | qdg AS (SELECT g0.a AS id, COUNT(*) AS deg FROM g0 GROUP BY 1),
+       | qdc AS (SELECT l.lbl, SUM(d.deg) AS dsum FROM qdg d
+       |  JOIN $lblCte l ON l.id = d.id GROUP BY 1),
+       | qbb AS (SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS b FROM qdc)
+       | SELECT m, intra AS intra_edges,
+       |  round((4.0 * m * intra - b) / (4.0 * m * m), 6) AS modularity
+       | FROM qm, qia, qbb""".stripMargin.replace("\n", " ")
 
   /** DuckDB oracle for [[connectedComponents]]: `rounds` unrolled
     * (neighbor-min + jump) steps, every CTE materialized (each l_t is

@@ -690,6 +690,16 @@ object QueriesGraph {
         CodeGraph.undPairs(s, d), rounds = 4, undirectedPairs = true),
       Some(GraphAnalytics.modularitySql(E, rounds = 4))),
 
+    // Partition quality of the LOUVAIN communities (r9): same exact
+    // rational, over the stabilized modularity-ascending phase — the
+    // direct quality comparison against graph_modularity's LPA
+    // partition on identical input. Oracle replays the full louvain
+    // chain (stay candidate, parity gate) plus the metric.
+    ("graph_louvain_modularity",
+      (s, d) => GraphAnalytics.louvainModularity(
+        CodeGraph.undPairs(s, d), rounds = 4, undirectedPairs = true),
+      Some(GraphAnalytics.louvainModularitySql(E, rounds = 4))),
+
     // Minimum spanning forest (Borůvka, deterministic (w, a, b) total
     // order → unique MSF = Kruskal's result, which the randomized spec
     // pins). No SQL oracle: MSF needs iterated contraction, beyond
