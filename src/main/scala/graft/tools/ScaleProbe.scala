@@ -130,11 +130,17 @@ object ScaleProbe {
       r
     }
 
-    val s1 = run("1x", 800000L, 1200000L)
-    val s10 = run("10x", 8000000L, 12000000L)
-    println(f"${"algo"}%-12s ${"1x"}%8s ${"10x"}%8s  ratio")
-    for (k <- algos if s1.contains(k) && s10.contains(k))
-      println(f"$k%-12s ${s1(k)}%8.2f ${s10(k)}%8.2f  ${s10(k) / s1(k)}%5.2f")
+    // scales are multipliers of the sf0.1-like base (V=800k, E=1.2M);
+    // override with SPARK_GRAFT_PROBE_SCALES="1,30" for deeper probes
+    val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,10")
+      .split(",").map(_.trim.toLong).toSeq
+    val runs = scales.map(m =>
+      m -> run(s"${m}x", 800000L * m, 1200000L * m))
+    val (m0, s0) = runs.head
+    println(f"${"algo"}%-12s ${s"${m0}x"}%8s ${s"${runs.last._1}x"}%8s  ratio")
+    for (k <- algos if runs.forall(_._2.contains(k)))
+      println(f"$k%-12s ${s0(k)}%8.2f ${runs.last._2(k)}%8.2f  " +
+        f"${runs.last._2(k) / s0(k)}%5.2f")
     spark.stop()
   }
 }
