@@ -53,7 +53,7 @@ object Cli {
     "nation", "region", "order", "part")
   private val Relations = Set("callers", "callees", "imports", "exports")
   private val Directions = Set("callers", "callees")
-  private val Formats = Set("text", "json", "csv")
+  private val Formats = Set("text", "json", "csv", "llm")
 
   private val KnownFlags = Set("type", "name", "workspace", "max-results",
     "relation", "target", "max-depth", "format", "direction",
@@ -209,8 +209,18 @@ object Cli {
   def execute(blocks: DataFrame, edges: DataFrame, cmd: Command): DataFrame =
     cmd match {
       case FindCmd(t, n, ws, k, _) =>
+        // find returns BLOCKS: the full reference block surface
+        // (id/sequence/source_uri/content, `BlockInfo.from_block`
+        // protocol.zig:436-449) when the store carries those columns —
+        // the llm renderer and the binary FindResponse consume them
+        val have = blocks.columns.toSet
+        val cols = Seq("id") ++
+          (if (have("sequence")) Seq("sequence") else Nil) ++
+          Seq("unit_type", "unit_id") ++
+          (if (have("source_uri")) Seq("source_uri") else Nil) ++
+          Seq("content")
         NameResolver.findByName(blocks, ws, canonicalType(t), n)
-          .select("id", "unit_type", "unit_id", "content")
+          .select(cols.map(col): _*)
           .orderBy("id").limit(k)
       case ShowCmd(rel, target, ws, depth, _) =>
         // target may be a name of any unit type or a raw id: resolve by
@@ -300,6 +310,7 @@ object Cli {
     * max_results, never a full table.
     */
   def render(df: DataFrame, format: String): String = format match {
+    case "llm" => renderLlm(df)
     case "json" => df.toJSON.collect().mkString("[", ",", "]")
     case "csv" =>
       val cols = df.columns
@@ -319,6 +330,75 @@ object Cli {
       def line(vals: Seq[String]): String =
         vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("  ")
       (line(cols.toIndexedSeq) +: rows.map(r => line(r))).mkString("\n")
+  }
+
+  /** `format_for_llm` — the reference's LLM-context rendering of a
+    * block result (`/root/reference/src/query/operations.zig:156-175`):
+    * a `Retrieved N blocks:` header, then each block framed as
+    *
+    * {{{
+    * --- BEGIN CONTEXT BLOCK ---
+    * Block {i} (ID: {id}):
+    * Source: {source_uri}
+    * Sequence: {sequence}
+    * Metadata: {metadata_json}
+    * Content: {content}
+    * --- END CONTEXT BLOCK ---
+    * }}}
+    *
+    * Column mapping: `id`/`content`/`sequence` print directly;
+    * Source prefers `source_uri` then `file_path` then the reference's
+    * own placeholder shape (it always has a URI; for frames that carry
+    * none we print `unknown`); every REMAINING column becomes a key in
+    * the Metadata JSON object in frame column order — the analogue of
+    * the reference's free-form `metadata_json`, which its ingestion
+    * fills with exactly these unit attributes
+    * (`src/ingestion/ingest_directory.zig` metadata assembly). Missing
+    * `sequence` prints 0. Deterministic: a pure function of the frame's
+    * (ordered, capped) rows, so it is oracle-able as a 1-row string —
+    * see the `cli_format_llm` entry.
+    */
+  def renderLlm(df: DataFrame): String = {
+    val cols = df.columns
+    val idx = cols.zipWithIndex.toMap
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val core = Set("id", "source_uri", "file_path", "sequence", "content")
+    val metaCols = cols.filterNot(core)
+    val rows = df.collect()
+    val sb = new StringBuilder
+    sb ++= s"Retrieved ${rows.length} blocks:\n\n"
+    var i = 1
+    for (r <- rows) {
+      def str(c: String): Option[String] =
+        idx.get(c).flatMap(j => Option(r.get(j)).map(_.toString))
+      sb ++= "--- BEGIN CONTEXT BLOCK ---\n"
+      sb ++= s"Block $i (ID: ${str("id").getOrElse("")}):\n"
+      sb ++= s"Source: ${str("source_uri").orElse(str("file_path")).getOrElse("unknown")}\n"
+      sb ++= s"Sequence: ${str("sequence").getOrElse("0")}\n"
+      val meta = metaCols.map { c =>
+        val v = idx.get(c).map(r.get).orNull
+        val rendered = v match {
+          case null => "null"
+          case b: Boolean => b.toString
+          case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+          case other => "\"" + jsonEsc(other.toString) + "\""
+        }
+        "\"" + jsonEsc(c) + "\":" + rendered
+      }.mkString("{", ",", "}")
+      sb ++= s"Metadata: $meta\n"
+      sb ++= s"Content: ${str("content").getOrElse("")}\n"
+      sb ++= "--- END CONTEXT BLOCK ---\n\n"
+      i += 1
+    }
+    sb.result()
   }
 
   /** Thin main: `runMain graft.api.Cli <sfDir> find --type ... ` —

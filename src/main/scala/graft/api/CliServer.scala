@@ -71,9 +71,30 @@ final class CliServer(spark: SparkSession, stateDir: String, port: Int = 0,
       }
     }
 
+  /** Protocol sniff: a binary client's first 4 bytes are the LE magic
+    * (0x4C 0x55 0x41 0x4B); the line vocabulary is lowercase command
+    * words, so no valid line request starts with that sequence. The
+    * peeked bytes are pushed back either way.
+    */
   private def handle(conn: java.net.Socket): Unit = {
+    val raw = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(conn.getInputStream), 4)
+    val head = new Array[Byte](4)
+    var got = 0
+    var eof = false
+    while (got < 4 && !eof) {
+      val r = raw.read(head, got, 4 - got)
+      if (r < 0) eof = true else got += r
+    }
+    if (got > 0) raw.unread(head, 0, got)
+    if (eof && got == 0) return
+    val magicLe = Array[Byte](0x4C, 0x55, 0x41, 0x4B)
+    if (got == 4 && java.util.Arrays.equals(head, magicLe)) {
+      handleBinary(raw, conn.getOutputStream)
+      return
+    }
     val in = new java.io.BufferedReader(
-      new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      new java.io.InputStreamReader(raw, "UTF-8"))
     val out = new java.io.PrintWriter(
       new java.io.OutputStreamWriter(conn.getOutputStream, "UTF-8"), true)
     var line = in.readLine()
@@ -89,6 +110,173 @@ final class CliServer(spark: SparkSession, stateDir: String, port: Int = 0,
       line = if (running) in.readLine() else null
     }
   }
+
+  /** The reference's binary protocol loop
+    * (`/root/reference/src/server/cli_protocol.zig:40-90` dispatch):
+    * framed request in, framed response out, one connection until EOF.
+    * Request semantics mirror the reference handlers exactly:
+    * find parses the `workspace:X type:Y name:Z` structured query
+    * (`:231-245`), show_callers/callees are depth-bounded traversals
+    * returning blocks with an EMPTY edge array (`:334` — the reference
+    * passes `&[_]GraphEdge{}` too), trace picks callees when `source`
+    * is non-empty else callers (`:402`), and link/sync/unlink map to
+    * the workspace store. A malformed header answers
+    * `error_response(invalid_request)` and closes, like
+    * `MessageHeader.validate` failing the connection.
+    */
+  private def handleBinary(in: java.io.InputStream,
+                           rawOut: java.io.OutputStream): Unit = {
+    import BinaryProtocol._
+    val out = new java.io.BufferedOutputStream(rawOut)
+    var open = true
+    while (open && running) {
+      readMessage(in) match {
+        case Left("eof") => open = false
+        case Left(err) =>
+          writeMessage(out, MsgType.ErrorResponse,
+            encodeErrorResponse(ErrorResponse(ErrorCode.InvalidRequest, err)))
+          open = false
+        case Right((h, payload)) =>
+          val (t, p) =
+            try respondBinary(h.msgType, payload)
+            catch {
+              case e: Throwable =>
+                (MsgType.ErrorResponse, encodeErrorResponse(ErrorResponse(
+                  ErrorCode.ServerError,
+                  s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")))
+            }
+          writeMessage(out, t, p)
+      }
+    }
+  }
+
+  /** One request → (response type, response payload). */
+  private def respondBinary(msgType: Int,
+                            payload: Array[Byte]): (Int, Array[Byte]) = {
+    import BinaryProtocol._
+    def err(code: Int, msg: String): (Int, Array[Byte]) =
+      (MsgType.ErrorResponse, encodeErrorResponse(ErrorResponse(code, msg)))
+    def operation(df: org.apache.spark.sql.DataFrame): (Int, Array[Byte]) = {
+      df.collect() // execute for effect; workspace results are tiny
+      (MsgType.OperationResponse,
+        encodeOperationResponse(OperationResponse(success = true, "ok")))
+    }
+    def queryBlocks(cmd: Cli.Command): org.apache.spark.sql.DataFrame =
+      if (WorkspaceStore.exists(spark, stateDir)) {
+        val (blocks, edges) = WorkspaceStore.currentGraph(spark, stateDir)
+        Cli.execute(blocks, edges, cmd)
+      } else Cli.execute(
+        graft.graph.CodeGraph.nodeBlocks(spark, stateDir),
+        graft.graph.CodeGraph.edges(spark, stateDir), cmd)
+    msgType match {
+      case MsgType.PingRequest =>
+        (MsgType.PongResponse, Array.emptyByteArray)
+      case MsgType.FindRequest =>
+        decodeFindRequest(payload) match {
+          case Left(m) => err(ErrorCode.InvalidRequest, m)
+          case Right(req) =>
+            // structured query `workspace:X type:Y name:Z`
+            // (cli_protocol.zig:231-245); bare text is the name and the
+            // type defaults to function
+            var ws = ""; var etype = "function"; var name = req.query
+            req.query.split(" ").foreach { part =>
+              if (part.startsWith("workspace:")) ws = part.drop(10)
+              else if (part.startsWith("type:")) etype = part.drop(5)
+              else if (part.startsWith("name:")) name = part.drop(5)
+            }
+            val df = queryBlocks(Cli.FindCmd(etype, name, ws,
+              math.min(req.maxResults, MaxBlocksPerResponse)))
+            (MsgType.FindResponse, encodeFindResponse(CliServer.blockInfos(df)))
+        }
+      case MsgType.ShowCallersRequest | MsgType.ShowCalleesRequest =>
+        decodeShowRequest(payload) match {
+          case Left(m) => err(ErrorCode.InvalidRequest, m)
+          case Right(req) =>
+            val rel = if (msgType == MsgType.ShowCallersRequest) "callers"
+                      else "callees"
+            val df = queryBlocks(Cli.ShowCmd(rel, req.target,
+              maxDepth = math.max(req.maxDepth, 1)))
+            (MsgType.ShowResponse,
+              encodeShowResponse(CliServer.blockInfos(df), Nil))
+        }
+      case MsgType.TraceRequest =>
+        decodeTraceRequest(payload) match {
+          case Left(m) => err(ErrorCode.InvalidRequest, m)
+          case Right(req) =>
+            // source non-empty => callees from source, else callers of
+            // target (cli_protocol.zig:401-402)
+            val (dir, entity) =
+              if (req.source.nonEmpty) ("callees", req.source)
+              else ("callers", req.target)
+            if (entity.isEmpty)
+              err(ErrorCode.InvalidRequest, "Either source or target must be specified")
+            else {
+              val df = queryBlocks(
+                Cli.TraceCmd(dir, entity, math.max(req.maxDepth, 1)))
+              val rows = df.collect()
+              val pathIdx = df.columns.indexOf("path")
+              val depthIdx = df.columns.indexOf("depth")
+              val paths = rows.toSeq.map { r =>
+                val nodes = r.getString(pathIdx).split("->").toSeq
+                TracePath(nodes.map(blockIdBytes),
+                  r.getInt(depthIdx))
+              }
+              (MsgType.TraceResponse, encodeTraceResponse(paths))
+            }
+        }
+      case MsgType.LinkRequest =>
+        decodeLinkRequest(payload) match {
+          case Left(m) => err(ErrorCode.InvalidRequest, m)
+          case Right(req) =>
+            val name = if (req.name.nonEmpty) req.name
+                       else new java.io.File(req.path).getName
+            operation(Cli.executeWorkspace(spark, stateDir,
+              Cli.LinkCmd(req.path, name)))
+        }
+      case MsgType.SyncRequest =>
+        decodeSyncRequest(payload) match {
+          case Left(m) => err(ErrorCode.InvalidRequest, m)
+          case Right(req) =>
+            operation(Cli.executeWorkspace(spark, stateDir,
+              Cli.SyncCmd(Some(req.name))))
+        }
+      case MsgType.UnlinkRequest | MsgType.ClearWorkspaceRequest =>
+        // both reuse the SyncRequest payload layout (cli_protocol.zig:473,497)
+        decodeSyncRequest(payload) match {
+          case Left(m) => err(ErrorCode.InvalidRequest, m)
+          case Right(req) =>
+            operation(Cli.executeWorkspace(spark, stateDir,
+              Cli.UnlinkCmd(req.name)))
+        }
+      case MsgType.StatusRequest =>
+        val rows = Cli.executeWorkspace(spark, stateDir,
+          Cli.StatusCmd(verbose = true)).collect()
+        val statusCode = Map("synced" -> 0, "needs_sync" -> 1,
+          "sync_error" -> 2, "never_synced" -> 3)
+        val infos = rows.toSeq.take(MaxWorkspacesPerStatus).map { r =>
+          WorkspaceInfo(
+            name = r.getAs[String]("workspace"),
+            path = r.getAs[String]("root_path"),
+            blockCount = r.getAs[Long]("block_count").toInt,
+            edgeCount = r.getAs[Long]("edge_count").toInt,
+            lastSyncTimestamp = 0L,
+            syncStatus = statusCode.getOrElse(r.getAs[String]("sync_status"), 3),
+            storageBytes = r.getAs[Long]("storage_bytes"))
+        }
+        val resp = StatusResponse(
+          blockCount = infos.map(_.blockCount.toLong).sum,
+          edgeCount = infos.map(_.edgeCount.toLong).sum,
+          sstableCount = 0, memtableSize = 0L,
+          totalDiskUsage = infos.map(_.storageBytes).sum,
+          uptimeSeconds = (System.nanoTime() - startedNanos) / 1000000000L,
+          workspaces = infos)
+        (MsgType.StatusResponse, encodeStatusResponse(resp))
+      case other =>
+        err(ErrorCode.UnknownCommand, f"unknown message type 0x$other%04X")
+    }
+  }
+
+  private val startedNanos = System.nanoTime()
 
   private def dispatch(toks: Seq[String]): String =
     try Cli.parse(toks) match {
@@ -145,6 +333,33 @@ object CliServer {
       out.println(line)
       Option(in.readLine()).getOrElse("")
     } finally s.close()
+  }
+
+  /** Pack a (bounded) block-result frame into wire `BlockInfo`s —
+    * `BlockInfo.from_block` (protocol.zig:436-449): id, source URI
+    * (the [[Cli.renderLlm]] column conventions: `source_uri` then
+    * `file_path` then `unknown`), 256-byte content preview, and the
+    * metadata size as the byte length of the same metadata JSON the
+    * llm renderer assembles from the non-core columns.
+    */
+  private[api] def blockInfos(
+      df: org.apache.spark.sql.DataFrame): Seq[BinaryProtocol.BlockInfo] = {
+    val cols = df.columns
+    val idx = cols.zipWithIndex.toMap
+    val core = Set("id", "source_uri", "file_path", "sequence", "content")
+    val metaCols = cols.filterNot(core)
+    df.collect().toSeq.map { r =>
+      def str(c: String): Option[String] =
+        idx.get(c).flatMap(j => Option(r.get(j)).map(_.toString))
+      val metaJson = metaCols.map(c =>
+        "\"" + c + "\":\"" + str(c).getOrElse("") + "\"")
+        .mkString("{", ",", "}")
+      BinaryProtocol.BlockInfo(
+        BinaryProtocol.blockIdBytes(str("id").getOrElse("")),
+        str("source_uri").orElse(str("file_path")).getOrElse("unknown"),
+        str("content").getOrElse(""),
+        metaJson.getBytes("UTF-8").length)
+    }
   }
 
   private[api] def errorJson(msg: String): String =

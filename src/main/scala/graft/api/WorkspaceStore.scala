@@ -65,6 +65,16 @@ object WorkspaceStore {
 
   def load(spark: SparkSession, stateDir: String): State = {
     val root = stateRoot(stateDir)
+    // Drop any cached file listing for the store before planning a
+    // read: Spark's shared FileStatusCache survives a writer's
+    // delete+rename table swap, so without this a reader that follows
+    // a swap (its own earlier read, or another process's sync — the
+    // failure the write lock serializes but cannot cache-invalidate)
+    // plans against part files that no longer exist and dies with
+    // FAILED_READ_FILE mid-scan. Metadata-scale: invalidates driver
+    // cache entries only, lists nothing.
+    try spark.catalog.refreshByPath(root)
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
     State(
       readOrEmpty(spark, s"$root/registry", registrySchema),
       readOrEmpty(spark, s"$root/blocks", blocksSchema),
@@ -84,6 +94,9 @@ object WorkspaceStore {
     if (fs.exists(destPath)) fs.delete(destPath, true)
     if (!fs.rename(tmp, destPath))
       throw new java.io.IOException(s"rename $tmp -> $destPath failed")
+    // invalidate this session's cached listing of the swapped table —
+    // the other half of the stale-FileStatusCache fix in [[load]]
+    spark.catalog.refreshByPath(dest)
   }
 
   private def save(stateDir: String, st: State): Unit = {

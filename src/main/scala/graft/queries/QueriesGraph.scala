@@ -444,10 +444,43 @@ object QueriesGraph {
       (s, d) => Cli.execute(CodeGraph.nodeBlocks(s, d), CodeGraph.edges(s, d),
         Cli.FindCmd("nation", "N3", workspace = "tpch", maxResults = 10)),
       Some(s"""WITH nb AS ($NB)
-        | SELECT id, unit_type, unit_id, content FROM nb
+        | SELECT id, CAST(sequence AS BIGINT) AS sequence,
+        |  unit_type, unit_id, content FROM nb
         | WHERE workspace = 'tpch' AND unit_type = 'nation'
         |  AND (string_split(unit_id, ':'))[-1] = 'N3'
         | ORDER BY id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    // `format_for_llm` (reference operations.zig:156-175): the
+    // LLM-context rendering of the same find result, pinned byte-exact
+    // as a 1-row string — the oracle rebuilds the framed text with
+    // string_agg over the identically-ordered block list. The fixture
+    // blocks carry sequence (always 1) but no source_uri in the find
+    // projection, so Source prints its documented fallback.
+    ("cli_format_llm",
+      (s, d) => {
+        import s.implicits._
+        val df = Cli.execute(CodeGraph.nodeBlocks(s, d), CodeGraph.edges(s, d),
+          Cli.FindCmd("nation", "N3", workspace = "tpch", maxResults = 10))
+        Seq(Cli.render(df, "llm")).toDF("rendered")
+      },
+      Some(s"""WITH nb AS ($NB),
+        | sel AS (SELECT id, sequence, unit_type, unit_id, content FROM nb
+        |  WHERE workspace = 'tpch' AND unit_type = 'nation'
+        |   AND (string_split(unit_id, ':'))[-1] = 'N3'
+        |  ORDER BY id LIMIT 10),
+        | numbered AS (SELECT *, row_number() OVER (ORDER BY id) AS rn,
+        |   count(*) OVER () AS n FROM sel)
+        | SELECT 'Retrieved ' || n || ' blocks:' || chr(10) || chr(10) ||
+        |  string_agg('--- BEGIN CONTEXT BLOCK ---' || chr(10) ||
+        |   'Block ' || rn || ' (ID: ' || id || '):' || chr(10) ||
+        |   'Source: unknown' || chr(10) ||
+        |   'Sequence: ' || sequence || chr(10) ||
+        |   'Metadata: {"unit_type":"' || unit_type || '","unit_id":"' ||
+        |    unit_id || '"}' || chr(10) ||
+        |   'Content: ' || content || chr(10) ||
+        |   '--- END CONTEXT BLOCK ---' || chr(10) || chr(10), ''
+        |   ORDER BY rn) AS rendered
+        | FROM numbered GROUP BY n""".stripMargin.replace("\n", " "))),
 
     // `show --relation callers --target N3 --max-depth 2`: name/id seed
     // resolution + incoming traversal + block packaging.

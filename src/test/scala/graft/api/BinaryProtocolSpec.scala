@@ -1,0 +1,176 @@
+package graft.api
+
+import graft.SparkSpec
+import BinaryProtocol._
+
+/** The framed binary wire protocol (`/root/reference/src/cli/protocol.zig`):
+  * layout pins (struct sizes the reference asserts at comptime),
+  * encode/decode round-trips, and an e2e binary conversation against a
+  * live [[CliServer]] — the same socket also still speaks the line
+  * protocol (sniffed by magic), which the last test exercises.
+  */
+class BinaryProtocolSpec extends SparkSpec {
+
+  test("layout pins: header is 16 bytes, GraphEdge 40, extern struct sizes") {
+    // protocol.zig:17 comptime assert
+    assert(encodeHeader(Header(MsgType.PingRequest, 0L)).length == 16)
+    assert(EdgeSize == 40) // types.zig:554 SERIALIZED_SIZE
+    assert(BlockInfoSize == 536) // 16+256+2+256+2+2+2 extern layout
+    assert(WorkspaceInfoSize == 416)
+    assert(FindRequestSize == 2056)
+    assert(TraceRequestSize == 4104)
+    assert(SyncRequestSize == 136)
+    assert(FindResponseSize == 4 + 1000 * 536)
+    // header bytes: LE magic 'KAUL', version 1
+    val h = encodeHeader(Header(MsgType.FindRequest, 7L))
+    assert(h.take(4).toSeq == Seq[Byte](0x4C, 0x55, 0x41, 0x4B))
+    assert(h(4) == 1 && h(5) == 0)
+    assert(decodeHeader(h) == Right(Header(MsgType.FindRequest, 7L)))
+  }
+
+  test("header validation mirrors MessageHeader.validate") {
+    val good = encodeHeader(Header(MsgType.PingRequest, 0L))
+    val badMagic = good.clone(); badMagic(0) = 0x00
+    assert(decodeHeader(badMagic) == Left("InvalidMagic"))
+    val badVer = good.clone(); badVer(4) = 9
+    assert(decodeHeader(badVer) == Left("VersionMismatch"))
+    assert(decodeHeader(good.take(10)).isLeft)
+  }
+
+  test("request codecs round-trip and enforce the reference's sizes") {
+    val f = FindRequest("workspace:w type:function name:alpha", 50, includeMetadata = true)
+    assert(decodeFindRequest(encodeFindRequest(f)) == Right(f))
+    assert(decodeFindRequest(Array.fill(10)(0.toByte)) ==
+      Left("Invalid find request size")) // handler's size check (cli_protocol.zig:220)
+    val s = ShowRequest("beta", 3, 1000)
+    assert(decodeShowRequest(encodeShowRequest(s)) == Right(s))
+    val t = TraceRequest("alpha", "", 5, includeAllPaths = false)
+    assert(decodeTraceRequest(encodeTraceRequest(t)) == Right(t))
+    val l = LinkRequest("/tmp/proj", "proj")
+    assert(decodeLinkRequest(encodeLinkRequest(l)) == Right(l))
+    val y = SyncRequest("proj", force = true)
+    assert(decodeSyncRequest(encodeSyncRequest(y)) == Right(y))
+    // oversize query truncates at the cap rather than corrupting
+    val big = FindRequest("x" * 5000, 1, includeMetadata = false)
+    val rt = decodeFindRequest(encodeFindRequest(big))
+    assert(rt.exists(_.query.length == MaxQueryLength))
+  }
+
+  test("response codecs round-trip; find response is the full fixed struct") {
+    val blocks = Seq(
+      BlockInfo(blockIdBytes("N3"), "graft://tpch:nation:N3", "preview", 42),
+      BlockInfo(blockIdBytes("0123456789abcdef0123456789abcdef"), "file://x#L1-L2", "c" * 300, 7))
+    val enc = encodeFindResponse(blocks)
+    assert(enc.length == FindResponseSize) // reference sends @sizeOf, tail zeroed
+    val dec = decodeFindResponse(enc).toOption.get
+    assert(dec.length == 2)
+    assert(blockIdText(dec.head.idBytes) == "N3")
+    assert(blockIdText(dec(1).idBytes) == "0123456789abcdef0123456789abcdef")
+    assert(dec(1).contentPreview.length == 256) // preview capped like from_block
+    assert(dec.head.metadataSize == 42)
+
+    val (sb, se) = decodeShowResponse(encodeShowResponse(blocks,
+      Seq(WireEdge(blockIdBytes("a"), blockIdBytes("b"), edgeTypeCode("calls"))))).toOption.get
+    assert(sb.length == 2 && se.length == 1 && se.head.edgeType == 7)
+
+    val paths = Seq(TracePath(Seq("a", "b", "c").map(blockIdBytes), 2))
+    val tr = decodeTraceResponse(encodeTraceResponse(paths)).toOption.get
+    assert(tr.length == 1 && tr.head.totalDistance == 2 &&
+      tr.head.nodes.map(blockIdText) == Seq("a", "b", "c"))
+
+    val op = OperationResponse(success = true, "linked")
+    assert(decodeOperationResponse(encodeOperationResponse(op)) == Right(op))
+    val er = ErrorResponse(ErrorCode.InvalidRequest, "bad")
+    assert(decodeErrorResponse(encodeErrorResponse(er)) == Right(er))
+
+    val st = StatusResponse(10L, 20L, 0, 0L, 4096L, 5L,
+      Seq(WorkspaceInfo("proj", "/tmp/proj", 10, 20, 0L, 3, 4096L)))
+    assert(decodeStatusResponse(encodeStatusResponse(st)) == Right(st))
+  }
+
+  test("binary conversation over the wire: ping, link, find, show, trace, status, unlink") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bin").toFile
+    val f = new java.io.File(root, "lib.zig")
+    java.nio.file.Files.write(f.toPath,
+      "fn alpha() void {\n    beta();\n}\nfn beta() void {\n    return;\n}\n"
+        .getBytes("UTF-8"))
+    val state = java.nio.file.Files.createTempDirectory("graft-bin-state")
+      .toFile.getAbsolutePath
+    val srv = new CliServer(spark, state).start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      try {
+        val out = sock.getOutputStream
+        val in = sock.getInputStream
+        def call(t: Int, payload: Array[Byte]): (Header, Array[Byte]) = {
+          writeMessage(out, t, payload)
+          readMessage(in).fold(e => fail(s"read failed: $e"), identity)
+        }
+
+        // ping -> pong, empty payload (server sends header-only)
+        val (ph, pp) = call(MsgType.PingRequest, Array.emptyByteArray)
+        assert(ph.msgType == MsgType.PongResponse && pp.isEmpty)
+
+        // link the tree
+        val (lh, lp) = call(MsgType.LinkRequest,
+          encodeLinkRequest(LinkRequest(root.getAbsolutePath, "proj")))
+        assert(lh.msgType == MsgType.OperationResponse)
+        assert(decodeOperationResponse(lp).exists(_.success))
+
+        // structured find query (cli_protocol.zig:231-245)
+        val (fh, fp) = call(MsgType.FindRequest,
+          encodeFindRequest(FindRequest("workspace:proj type:function name:alpha", 10)))
+        assert(fh.msgType == MsgType.FindResponse)
+        val found = decodeFindResponse(fp).toOption.get
+        assert(found.nonEmpty)
+        assert(found.head.uri.contains("lib.zig"), found.head.uri)
+
+        // show callers of beta -> includes alpha's block; empty edges
+        val (sh, sp) = call(MsgType.ShowCallersRequest,
+          encodeShowRequest(ShowRequest("beta", 2)))
+        assert(sh.msgType == MsgType.ShowResponse)
+        val (sblocks, sedges) = decodeShowResponse(sp).toOption.get
+        assert(sblocks.length == 2 && sedges.isEmpty)
+
+        // trace callees from alpha -> a path alpha->beta
+        val (th, tp) = call(MsgType.TraceRequest,
+          encodeTraceRequest(TraceRequest("alpha", "", 3)))
+        assert(th.msgType == MsgType.TraceResponse)
+        val paths = decodeTraceResponse(tp).toOption.get
+        assert(paths.exists(_.totalDistance == 1), paths.map(_.totalDistance))
+
+        // status carries the workspace info
+        val (uh, up) = call(MsgType.StatusRequest, Array.emptyByteArray)
+        assert(uh.msgType == MsgType.StatusResponse)
+        val status = decodeStatusResponse(up).toOption.get
+        assert(status.workspaces.map(_.name) == Seq("proj"))
+        assert(status.blockCount >= 2L)
+
+        // unlink reuses the sync payload layout (cli_protocol.zig:497)
+        val (dh, dp) = call(MsgType.UnlinkRequest,
+          encodeSyncRequest(SyncRequest("proj")))
+        assert(dh.msgType == MsgType.OperationResponse)
+        assert(decodeOperationResponse(dp).exists(_.success))
+
+        // an unknown type answers error_response(unknown_command)
+        val (eh, ep) = call(0x0777, Array.emptyByteArray)
+        assert(eh.msgType == MsgType.ErrorResponse)
+        assert(decodeErrorResponse(ep).exists(_.code == ErrorCode.UnknownCommand))
+
+        // a wrong-size payload answers invalid_request, connection survives
+        val (wh, wp) = call(MsgType.FindRequest, Array.fill(3)(1.toByte))
+        assert(wh.msgType == MsgType.ErrorResponse)
+        assert(decodeErrorResponse(wp).exists(_.code == ErrorCode.InvalidRequest))
+        val (ph2, _) = call(MsgType.PingRequest, Array.emptyByteArray)
+        assert(ph2.msgType == MsgType.PongResponse)
+      } finally sock.close()
+
+      // the SAME server still speaks the line protocol (magic sniff)
+      assert(CliServer.request("127.0.0.1", srv.boundPort, "ping")
+        .contains("\"pong\""))
+    } finally {
+      srv.stop()
+      f.delete(); root.delete()
+    }
+  }
+}

@@ -91,6 +91,34 @@ class CliSpec extends SparkSpec {
     assert(csv.linesIterator.toSeq == Seq("name,n", "a,1", "\"b,c\",2"))
   }
 
+  test("render llm frames blocks like format_for_llm") {
+    // full block shape: source_uri + sequence print directly, the
+    // remaining non-core columns become the Metadata JSON in column
+    // order (operations.zig:156-175 field order)
+    val df = Seq(
+      ("b1", "file://a.zig#L1-L3", 7L, "fn a", "function", "ws:fn:a"),
+      ("b2", "file://b.zig#L9-L12", 8L, "say \"hi\"\nline2", "function", "ws:fn:b"))
+      .toDF("id", "source_uri", "sequence", "content", "unit_type", "unit_id")
+    val out = Cli.render(df, "llm")
+    assert(out.startsWith("Retrieved 2 blocks:\n\n"))
+    assert(out.contains("--- BEGIN CONTEXT BLOCK ---\nBlock 1 (ID: b1):\n" +
+      "Source: file://a.zig#L1-L3\nSequence: 7\n" +
+      "Metadata: {\"unit_type\":\"function\",\"unit_id\":\"ws:fn:a\"}\n" +
+      "Content: fn a\n--- END CONTEXT BLOCK ---\n\n"))
+    // content is passed through verbatim (the reference streams raw
+    // bytes); only METADATA values are JSON-escaped
+    assert(out.contains("Content: say \"hi\"\nline2\n--- END CONTEXT BLOCK ---"))
+    assert(out.split("--- BEGIN CONTEXT BLOCK ---").length == 3)
+    // frames with no source/sequence columns print the fallbacks
+    val bare = Cli.render(Seq(("x", "c")).toDF("id", "content"), "llm")
+    assert(bare.contains("Source: unknown\nSequence: 0\nMetadata: {}\n"))
+    // --format llm parses
+    assert(Cli.parse(Seq("find", "--type", "function", "--name", "x",
+      "--format", "llm")).exists {
+      case c: Cli.FindCmd => c.format == "llm"; case _ => false
+    })
+  }
+
   test("estimate_cost mirrors the reference formula and limits") {
     import graft.query.ContextQuery
     import graft.graph.{Direction, EdgeFilter}
