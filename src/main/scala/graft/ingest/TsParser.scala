@@ -42,13 +42,12 @@ import scala.collection.mutable.ArrayBuffer
   *     Function-local bindings are skipped — the same documented scope
   *     deviation as every other extractor.
   *
-  * Cleaning blanks `//`, `/* */`, `'…'`, `"…"`, and template literals
-  * `` `…` `` (multi-line, INCLUDING `${}` interpolations — calls inside
-  * an interpolation are invisible to the scan, a documented loss).
-  * Regex literals are NOT specially lexed: `/` is ambiguous with
-  * division without a real token stream, so a regex containing `//` or
-  * a quote can over-blank its own line — the standard line-grade
-  * trade-off, confined to the line.
+  * Cleaning blanks `//`, `/* */`, `'…'`, `"…"`, template literals
+  * `` `…` `` (multi-line; code inside `${}` interpolations is
+  * PRESERVED so interpolated call-sites reach the scan), and regex
+  * literals (prev-token disambiguated from division, char classes and
+  * flags included) — see [[clean]] for the lexer detail and the one
+  * residual line-grade trade-off.
   */
 object TsParser extends SourceParser {
 
@@ -276,40 +275,85 @@ object TsParser extends SourceParser {
     (sb.toString, start, false, "")
   }
 
+  /** After these words a `/` starts a regex literal, not division —
+    * the standard prev-token disambiguation every JS lexer uses
+    * (e.g. `return /x/.test(s)`, `case /y/ :`).
+    */
+  private val RegexPrecedingKeywords = Set(
+    "return", "typeof", "case", "in", "of", "instanceof", "new",
+    "delete", "void", "do", "else", "yield", "await", "throw")
+
   /** Blank comments and string literals, preserving line structure:
     * `//` to EOL, `/* */` across lines, `'…'` and `"…"` with escapes
-    * (newline-terminated), and multi-line template literals `` `…` ``
-    * blanked whole — `${}` interpolations included (documented loss:
-    * code inside an interpolation is invisible).
+    * (newline-terminated), and multi-line template literals. Code
+    * inside template `${}` interpolations is PRESERVED verbatim (with
+    * the `${`/`}` delimiters blanked), so call-sites in interpolated
+    * strings reach the scan; nesting (templates in interpolations in
+    * templates) is tracked with a brace-counter stack. Regex literals
+    * are lexed with the standard prev-token heuristic — a `/` after a
+    * value (identifier, `)`, `]`, literal) is division, after an
+    * operator/opening-bracket/regex-preceding keyword it opens a
+    * regex — and blanked including char classes (where `/` does not
+    * terminate) and flags, so a regex containing quotes or `//` no
+    * longer over-blanks its line. Known residual trade-off (line-grade
+    * scanner, documented): an arrow function literal inside an
+    * interpolation on a `const x = …` line can make the binding
+    * classify as a function.
     */
   private[ingest] def clean(content: String): Array[String] = {
     val out = new Array[Char](content.length)
     var i = 0
-    // 0 normal, 1 "…", 2 '…', 3 // comment, 4 /* */, 5 `…`
+    // 0 normal, 1 "…", 2 '…', 3 // comment, 4 /* */, 5 `…`,
+    // 6 /regex/, 7 [charclass] inside a regex
     var state = 0
+    // one brace counter per open `${` interpolation (innermost last)
+    val interp = ArrayBuffer.empty[Int]
+    // last significant code char emitted in state 0 (' ' = none);
+    // a string/template/regex literal counts as a value (']')
+    var prevSig = ' '
+    val word = new StringBuilder // identifier ending at prevSig
+    def isWordChar(c: Char) = c == '_' || c == '$' || c.isLetterOrDigit
+    def regexCanStart: Boolean =
+      if (prevSig == ' ') true
+      else if (isWordChar(prevSig)) RegexPrecedingKeywords(word.toString)
+      else "([{,;=:!&|?+-*%<>^~".indexOf(prevSig) >= 0
     while (i < content.length) {
       val c = content(i)
       if (c == '\n') {
         out(i) = '\n'
-        if (state == 1 || state == 2 || state == 3) state = 0
+        if (state == 1 || state == 2 || state == 3 ||
+          state == 6 || state == 7) state = 0
       } else state match {
         case 0 =>
           if (c == '/' && i + 1 < content.length && content(i + 1) == '/') {
             out(i) = ' '; state = 3
           } else if (c == '/' && i + 1 < content.length && content(i + 1) == '*') {
             out(i) = ' '; out(i + 1) = ' '; state = 4; i += 1
-          } else if (c == '"') { out(i) = ' '; state = 1 }
+          } else if (c == '/' && regexCanStart) { out(i) = ' '; state = 6 }
+          else if (c == '"') { out(i) = ' '; state = 1 }
           else if (c == '\'') { out(i) = ' '; state = 2 }
           else if (c == '`') { out(i) = ' '; state = 5 }
-          else out(i) = c
+          else if (c == '}' && interp.nonEmpty && interp.last == 0) {
+            out(i) = ' '; interp.remove(interp.length - 1); state = 5
+          } else {
+            out(i) = c
+            if (!c.isWhitespace) {
+              if (c == '{' && interp.nonEmpty)
+                interp(interp.length - 1) += 1
+              else if (c == '}' && interp.nonEmpty)
+                interp(interp.length - 1) -= 1
+              prevSig = c
+              if (isWordChar(c)) word.append(c) else word.clear()
+            }
+          }
         case 1 =>
           out(i) = ' '
           if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
-          else if (c == '"') state = 0
+          else if (c == '"') { state = 0; prevSig = ']'; word.clear() }
         case 2 =>
           out(i) = ' '
           if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
-          else if (c == '\'') state = 0
+          else if (c == '\'') { state = 0; prevSig = ']'; word.clear() }
         case 4 =>
           out(i) = ' '
           if (c == '*' && i + 1 < content.length && content(i + 1) == '/') {
@@ -318,7 +362,25 @@ object TsParser extends SourceParser {
         case 5 =>
           out(i) = ' '
           if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
-          else if (c == '`') state = 0
+          else if (c == '`') { state = 0; prevSig = ']'; word.clear() }
+          else if (c == '$' && i + 1 < content.length && content(i + 1) == '{') {
+            out(i + 1) = ' '; i += 1; interp += 0; state = 0
+          }
+        case 6 =>
+          out(i) = ' '
+          if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
+          else if (c == '[') state = 7
+          else if (c == '/') {
+            // consume flags, then the literal reads as a value
+            while (i + 1 < content.length && content(i + 1).isLetter) {
+              out(i + 1) = ' '; i += 1
+            }
+            state = 0; prevSig = ']'; word.clear()
+          }
+        case 7 =>
+          out(i) = ' '
+          if (c == '\\' && i + 1 < content.length) { out(i + 1) = ' '; i += 1 }
+          else if (c == ']') state = 6
         case _ => out(i) = ' '
       }
       i += 1

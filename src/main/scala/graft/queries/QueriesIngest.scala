@@ -189,12 +189,16 @@ object QueriesIngest {
       |    this.addr = validate(addr)
       |  }
       |  fetch(path: string): string {
-      |    return axios.get(validate(this.addr) + path)
+      |    return axios.get(`${validate(this.addr)}${path}`)
       |  }
       |}
       |
       |export function validate(addr: string): string {
       |  return parse(addr)
+      |}
+      |
+      |export function strip(s: string): string {
+      |  return s.replace(/['"]+/g, validate(s))
       |}
       |
       |export const shorten = (s: string) => s.slice(0, 8)
@@ -508,7 +512,10 @@ object QueriesIngest {
 
     // TypeScript/JavaScript extractor (r8d): classes as lexical
     // containers (constructor + method), arrow-function bindings as
-    // functions, default/named imports, jest-style tests.
+    // functions, default/named imports, jest-style tests. The fixture
+    // pins the r9 lexer fidelity: `fetch` reaches validate only
+    // through a template `${}` interpolation, and `strip` only past a
+    // quote-bearing regex literal on the same line.
     ("ingest_ts_units",
       (s, d) => Ingest.parseFiles(demoTsFiles(s), DispatchParser)
         .toDF().select(col("unitId").as("unit_id"),
@@ -525,12 +532,15 @@ object QueriesIngest {
         | ('api/client.ts:import:axios', 'import', 'axios', ''),
         | ('api/client.ts:import:codec', 'import', 'codec', ''),
         | ('api/client.ts:shorten', 'function', 'shorten', ''),
+        | ('api/client.ts:strip', 'function', 'strip', ''),
         | ('api/client.ts:validate', 'function', 'validate', '')
         |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
         .stripMargin.replace("\n", " "))),
 
     // Callers of `validate` on the TS demo: both class members guard
-    // with it, and the test reaches it through the method call.
+    // with it (fetch only via an interpolated call-site), strip calls
+    // it past a regex literal, and the test reaches it through the
+    // method call.
     ("ingest_ts_callers",
       (s, d) => {
         import graft.api.Cli
@@ -545,6 +555,7 @@ object QueriesIngest {
         | (0, 'api/client.ts:validate'),
         | (1, 'api/client.ts:Client:constructor'),
         | (1, 'api/client.ts:Client:fetch'),
+        | (1, 'api/client.ts:strip'),
         | (2, 'api/client.test.ts:test:3')
         |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),

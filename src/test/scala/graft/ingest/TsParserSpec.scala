@@ -125,8 +125,52 @@ class TsParserSpec extends AnyFunSuite {
     val us = parse(src)
     assert(us.count(_.unitType == "function") == 1)
     assert(us.exists(u => u.unitType == "function" && u.name == "real"))
-    // the interpolation call is invisible (documented loss)
+    // the top-level interpolation call has no enclosing function to
+    // attach to; see the next test for in-function interpolation calls
     assert(!us.flatMap(_.edges).exists(_.targetName == "callsInside"))
+  }
+
+  test("cleaning: interpolation code is visible to the call scan") {
+    val src =
+      """export function greet(name: string): string {
+        |  return `hello ${fmt(name)} and ${outer(`${inner(name)}`)}!`
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    val greet = us.find(_.name == "greet").get
+    // calls inside ${} reach the scan, including a nested template's
+    assert(greet.edges.contains(ParsedEdge("calls", "fmt")))
+    assert(greet.edges.contains(ParsedEdge("calls", "outer")))
+    assert(greet.edges.contains(ParsedEdge("calls", "inner")))
+    // the literal text between interpolations stays blanked
+    assert(!greet.edges.exists(_.targetName == "hello"))
+  }
+
+  test("cleaning: regex literals lex as literals, division still divides") {
+    val src =
+      """export function strip(s: string): string {
+        |  return s.replace(/['"]+/g, clip(s))
+        |}
+        |export function half(n: number): number {
+        |  return n / two(n)
+        |}
+        |export function last(s: string): string {
+        |  return /[/]end$/.exec(s) ? tail(s) : s
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    // a regex containing quotes must not open a string state and blank
+    // the rest of its line (the pre-r9 over-blanking loss)
+    assert(us.find(_.name == "strip").get.edges
+      .contains(ParsedEdge("calls", "clip")))
+    // after a value, / is division — the call after it survives
+    assert(us.find(_.name == "half").get.edges
+      .contains(ParsedEdge("calls", "two")))
+    // char-class / does not terminate; method call on the literal and
+    // the ternary branches still scan
+    val last = us.find(_.name == "last").get
+    assert(last.edges.contains(ParsedEdge("calls_method", "exec")))
+    assert(last.edges.contains(ParsedEdge("calls", "tail")))
   }
 
   test("DispatchParser routes .ts/.js to TsParser") {
