@@ -526,9 +526,10 @@ object GraphAnalytics {
   }
 
   /** Connected components by min-label propagation with pointer
-    * jumping, DataFrame-native (the scale path; the GraphX Pregel
-    * variant backs [[graft.pipeline.Dedup.dupGroups]] — this one needs
-    * no graph re-materialization and its oracle is plain SQL).
+    * jumping, DataFrame-native (the scale path — needs no graph
+    * re-materialization, its oracle is plain SQL, and since r9 it also
+    * backs [[graft.pipeline.Dedup.dupGroups]], retiring the former
+    * GraphX Pregel twin).
     *
     * Each round does two label-shrinking steps:
     *   1. neighbor-min:  l(v) <- min(l(v), min over neighbors l(u))

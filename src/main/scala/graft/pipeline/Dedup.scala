@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -320,12 +319,26 @@ object Dedup {
     * the dedup pipeline (candidates → verify → cluster → keep one per
     * group): connected components over the pair graph, each doc labelled
     * with the minimum doc id of its group (that min IS the canonical
-    * survivor). Numeric doc ids serve directly as GraphX vertex ids —
-    * no hash mapping, no collision surface — and GraphX's
-    * connectedComponents already labels by minimum vertex id, so the
-    * canonical choice falls out of the algorithm. Scale: CC is the
-    * standard O(diameter) Pregel iteration; near-dup components are
-    * tiny (diameter ~2-3), so it converges in a few supersteps.
+    * survivor; ids cast to long, so the min is numeric).
+    *
+    * r9 retires the former GraphX Pregel twin; the one semantic now has
+    * the repo's standard hybrid shape (the
+    * [[graft.graph.GraphAnalytics.minimumSpanningForest]]
+    * `metaDriverMax` argument): VERIFIED near-dup pairs are the tiny
+    * tail of the dedup pipeline — banding already collapsed the corpus
+    * to collision candidates and Jaccard verification pruned those —
+    * so at ≤ `driverMax` pairs (two longs each, tens of MB) the
+    * component labelling is metadata-scale and runs as ONE collect +
+    * driver union-find (path-halving), exactly like the MSF driver
+    * tail and the distributed-rank offset collects. Above the gate
+    * (a 100-TB corpus with pathological duplication), the
+    * DataFrame-native pointer-jumping
+    * [[graft.graph.GraphAnalytics.connectedComponents]] takes over —
+    * the same engine `graph_components` benches and the randomized
+    * union-find spec pins (near-dup components have diameter ~2-3;
+    * the default 6 rounds cover any diameter up to ~126). Both paths
+    * produce the identical min-label answer (DedupSpec pins them
+    * against each other on the same pair set).
     */
   /** Eval-set contamination scan (the decontamination step every
     * training pipeline runs before a data release): train docs sharing
@@ -351,13 +364,34 @@ object Dedup {
   }
 
   def dupGroups(pairs: DataFrame, idACol: String = "id_a",
-                idBCol: String = "id_b"): DataFrame = {
+                idBCol: String = "id_b",
+                driverMax: Int = 1000000): DataFrame = {
     val spark = pairs.sparkSession
-    import spark.implicits._
-    val edgeRdd = pairs.select(col(idACol).cast("long"), col(idBCol).cast("long"))
-      .as[(Long, Long)].rdd.map { case (a, b) => GxEdge(a, b, ()) }
-    val cc = GxGraph.fromEdges(edgeRdd, ()).connectedComponents()
-    cc.vertices.toDF("doc_id", "group_id")
+    val e = pairs.select(col(idACol).cast("long").as("src"),
+      col(idBCol).cast("long").as("dst"))
+    // ONE action sizes the gate AND fetches the pairs when they fit:
+    // head(max+1) early-exits per partition, so the common (tiny) case
+    // costs exactly one pipeline pass with no checkpoint/count round
+    val got = e.head(driverMax + 1)
+    if (got.length <= driverMax) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      got.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // roots are unioned min-first, so find() is already the group min
+      val labelled = parent.keysIterator.map(id => (id, find(id))).toSeq
+      spark.createDataFrame(labelled).toDF("doc_id", "group_id")
+    } else
+      // over the gate: the full pair set re-derives distributed (the
+      // head() above stopped early, so nothing is reusable anyway)
+      graft.graph.GraphAnalytics.connectedComponents(e)
+        .select(col("id").as("doc_id"), col("component").as("group_id"))
   }
 
   /** n-gram Jaccard verification of an explicit candidate-pair set —

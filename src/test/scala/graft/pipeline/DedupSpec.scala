@@ -126,6 +126,22 @@ class DedupSpec extends SparkSpec {
     assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dupGroups driver union-find ≡ distributed CC past the gate") {
+    // randomized pair graphs; driverMax = 0 forces the distributed
+    // pointer-jumping path, which must label identically
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(60)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+      val viaDriver = Dedup.dupGroups(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaCc = Dedup.dupGroups(pairs, driverMax = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == viaCc, s"trial $trial")
+    }
+  }
+
   test("contamination finds shared shingles train-vs-eval, counts distinct") {
     val train = Seq(
       (10L, "the quick brown fox jumps high"),   // shares "the quick brown"
