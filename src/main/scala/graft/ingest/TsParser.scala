@@ -308,13 +308,13 @@ object TsParser extends SourceParser {
     var state = 0
     // one brace counter per open `${` interpolation (innermost last)
     val interp = ArrayBuffer.empty[Int]
-    // last significant code char emitted in state 0 (' ' = none);
+    // last significant code char emitted in state 0 (' ' = none);
     // a string/template/regex literal counts as a value (']')
-    var prevSig = ' '
+    var prevSig = ' '
     val word = new StringBuilder // identifier ending at prevSig
     def isWordChar(c: Char) = c == '_' || c == '$' || c.isLetterOrDigit
     def regexCanStart: Boolean =
-      if (prevSig == ' ') true
+      if (prevSig == ' ') true
       else if (isWordChar(prevSig)) RegexPrecedingKeywords(word.toString)
       else "([{,;=:!&|?+-*%<>^~".indexOf(prevSig) >= 0
     while (i < content.length) {
