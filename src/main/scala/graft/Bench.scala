@@ -74,6 +74,20 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var failedTime = 0.0
     var zeroSuccess = 0
+    // Per-entry stage counter (r9c): the execution SHAPE that tells the
+    // driver-latency-bound iterative family (many tiny stages) apart
+    // from data-parallel entries — the cohort split the regression gate
+    // normalizes within, see below.
+    val stageCounter = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          stageCounter.addAndGet(j.stageInfos.size); ()
+        }
+      })
+    val stagesPerEntry =
+      scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = Queries.benchNames.flatMap { name =>
       // untimed storage reset between queries: checkpointed RDDs from
       // completed queries otherwise unpersist only when the
@@ -86,6 +100,7 @@ object Bench {
       // broadcast/accumulator debris.
       graft.core.Checkpoints.sweepAnonymous(spark)
       System.gc()
+      stageCounter.set(0)
       val attempts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { run(name, sfDir); Right((System.nanoTime() - t0) / 1e9) }
@@ -96,6 +111,7 @@ object Bench {
             Left((System.nanoTime() - t0) / 1e9)
         }
       }
+      stagesPerEntry(name) = stageCounter.get() / iters
       failedTime += attempts.collect { case Left(t) => t }.sum
       val times = attempts.collect { case Right(t) => t }.sorted
       if (times.isEmpty) zeroSuccess += 1
@@ -152,15 +168,46 @@ object Bench {
         .map(_.group(1))
     }
     val gateArmed = baseSf.forall(b => sfDir.endsWith(b) || b.endsWith(sfDir))
+    def medianOf(xs: Seq[Double]): Option[Double] = {
+      val s = xs.sorted
+      if (s.isEmpty) None else Some(s(s.size / 2))
+    }
     val ratios = (if (gateArmed) results else Nil).flatMap { case (k, v) =>
       baseline.get(k).filter(_ >= 0.5).map(b => v / b)
     }.sorted
     val speedFactor =
       if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    // COHORT normalization (r9c): one global speed factor is not
+    // enough — VM instances differ non-uniformly. Measured on two
+    // same-day boxes: every data-parallel entry at ratio ~1.0 while the
+    // ENTIRE driver-latency-bound iterative family ran 1.5-2.7x its
+    // baseline with identical jobs/stages/tasks, including four
+    // entries whose code had not changed all round (kcore 2.2x,
+    // coreness 1.8x, msf 1.6x, pagerank 1.6x isolated). A global
+    // median of ~1.0 then "confirms" cohort members that merely moved
+    // with their cohort. The cohort is identified MECHANICALLY by
+    // execution shape — entries averaging >= 40 stages/iteration are
+    // scheduling-bound (the iterative family runs 40-90 tiny stages;
+    // scan/shuffle entries run < ~25) — and each flagged entry is
+    // gated against ITS cohort's median ratio. Falls back to the
+    // global factor when the cohort has < 5 baselined samples (a
+    // median of 2 entries is not a distribution).
+    val IterStages = 40
+    def iterCohort(k: String): Boolean =
+      stagesPerEntry.getOrElse(k, 0) >= IterStages
+    val iterSpeedFactor = medianOf(
+      (if (gateArmed) results else Nil).collect {
+        case (k, v) if iterCohort(k) && baseline.get(k).exists(_ >= 0.5) =>
+          v / baseline(k)
+      }).filter(_ => (if (gateArmed) results else Nil)
+        .count(r => iterCohort(r._1) && baseline.get(r._1).exists(_ >= 0.5)) >= 5)
+      .getOrElse(speedFactor)
+    def factorFor(k: String): Double =
+      if (iterCohort(k)) iterSpeedFactor else speedFactor
     val regressions = (if (gateArmed) results else Nil).flatMap {
       case (k, v) =>
         baseline.get(k)
-          .filter(b => b >= 1.0 && v > b * speedFactor * 1.5)
+          .filter(b => b >= 1.0 && v > b * factorFor(k) * 1.5)
           .map(b => k -> (b, v))
     }
     // RECHECK pass (r8): box contention concentrates in the
@@ -193,8 +240,8 @@ object Bench {
       val rv = if (times.isEmpty) v else times((times.size - 1) / 2)
       k -> (b, v, rv, times.nonEmpty)
     }
-    val confirmed = rechecks.filter { case (_, (b, _, rv, measured)) =>
-      measured && rv > b * speedFactor * 1.5
+    val confirmed = rechecks.filter { case (k, (b, _, rv, measured)) =>
+      measured && rv > b * factorFor(k) * 1.5
     }
     val regs = rechecks.map { case (k, (b, v, rv, _)) =>
       jstr(k) + ":[" + b + "," + v + "," + rv + "]"
@@ -211,7 +258,7 @@ object Bench {
     val sfAlert =
       if (ratios.nonEmpty && (speedFactor > 2.0 || speedFactor < 0.5)) "true"
       else "false"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
     println(line)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write
