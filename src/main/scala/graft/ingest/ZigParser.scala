@@ -277,5 +277,7 @@ object DispatchParser extends SourceParser {
       TsParser.parse(filePath, content)
     else if (filePath.endsWith(".java"))
       JavaParser.parse(filePath, content)
+    else if (filePath.endsWith(".rs"))
+      RustParser.parse(filePath, content)
     else SimpleParser.parse(filePath, content)
 }

@@ -260,6 +260,49 @@ object QueriesIngest {
       Ingest.FileDoc("api/client.test.ts", demoTsTest)).toDS()
   }
 
+  // Rust demo codebase for the RustParser entries (r9): a struct with
+  // an impl block (methods attach via the impl's SELF type), a
+  // top-level const, a guarded constructor (the callers-trace spine),
+  // a use import, and a #[test]-armed fn reaching the constructor.
+  private val demoRustStore =
+    """use std::collections::HashMap;
+      |
+      |pub struct Store {
+      |    map: HashMap<String, String>,
+      |}
+      |
+      |pub const RETRIES: u32 = 3;
+      |
+      |impl Store {
+      |    pub fn open(addr: &str) -> Store {
+      |        Store::from(validate(addr))
+      |    }
+      |    pub fn get(&self, key: &str) -> String {
+      |        self.map.lookup(key)
+      |    }
+      |}
+      |
+      |fn validate(addr: &str) -> String {
+      |    normalize(addr)
+      |}
+      |""".stripMargin
+
+  private val demoRustTest =
+    """use crate::store::Store;
+      |
+      |#[test]
+      |fn opens_store() {
+      |    let s = Store::open("x");
+      |    s.get("k");
+      |}
+      |""".stripMargin
+
+  private def demoRustFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(Ingest.FileDoc("svc/store.rs", demoRustStore),
+      Ingest.FileDoc("svc/store_test.rs", demoRustTest)).toDS()
+  }
+
   /** Deterministic on-disk tree for the directory-source entry: code
     * files that pass the globs, a doc file, a glob-excluded vendor file,
     * an oversized file (> 1 MiB cap) and an empty file (both must be
@@ -600,6 +643,47 @@ object QueriesIngest {
         | (0, 'app/Store.java:Store:validate'),
         | (1, 'app/Store.java:Store:open'),
         | (2, 'app/StoreTest.java:test:5')
+        |) t(depth, unit_id) ORDER BY depth, unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // RUST extraction (r9): the seventh real language — methods attach
+    // via impl-block SELF types (not lexical nesting), #[test]-armed
+    // fns, use imports incl. braced lists, macro call-sites excluded.
+    ("ingest_rust_units",
+      (s, d) => Ingest.parseFiles(demoRustFiles(s), DispatchParser)
+        .toDF().select(col("unitId").as("unit_id"),
+          col("unitType").as("unit_type"), col("name"),
+          col("parentContainer").as("parent"))
+        .orderBy("unit_id"),
+      Some("""SELECT * FROM (VALUES
+        | ('svc/store.rs:RETRIES', 'const', 'RETRIES', ''),
+        | ('svc/store.rs:Store', 'type', 'Store', ''),
+        | ('svc/store.rs:Store:get', 'function', 'get', 'Store'),
+        | ('svc/store.rs:Store:open', 'function', 'open', 'Store'),
+        | ('svc/store.rs:import:HashMap', 'import', 'HashMap', ''),
+        | ('svc/store.rs:validate', 'function', 'validate', ''),
+        | ('svc/store_test.rs:import:Store', 'import', 'Store', ''),
+        | ('svc/store_test.rs:test:4', 'test', 'opens_store', '')
+        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Callers of `validate` on the Rust demo: the impl constructor
+    // that guards with it, then the #[test] fn reaching it through
+    // `Store::open` — parser → resolver → blocks/edges → BFS.
+    ("ingest_rust_callers",
+      (s, d) => {
+        import graft.api.Cli
+        val units = Ingest.parseFiles(demoRustFiles(s), DispatchParser)
+        val blocks = Ingest.unitsToBlocks(units, "rustdemo")
+        val edges = SemanticResolver.edgesAsBlocks(units, "rustdemo")
+        Cli.execute(blocks, edges,
+          Cli.ShowCmd("callers", "validate", "rustdemo", maxDepth = 2))
+          .select("depth", "unit_id").orderBy("depth", "unit_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        | (0, 'svc/store.rs:validate'),
+        | (1, 'svc/store.rs:Store:open'),
+        | (2, 'svc/store_test.rs:test:4')
         |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),
 

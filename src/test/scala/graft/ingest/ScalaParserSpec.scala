@@ -228,7 +228,7 @@ class ScalaParserSpec extends AnyFunSuite {
       val src = sb.toString
       // every parser: total (returns, never throws) with sane units
       for (p <- Seq(ScalaParser, ZigParser, SimpleParser, DispatchParser,
-          PythonParser, GoParser, TsParser, JavaParser)) {
+          PythonParser, GoParser, TsParser, JavaParser, RustParser)) {
         val us = p.parse(s"f$trial.x", src)
         us.foreach { u =>
           assert(u.lineStart >= 1, s"trial $trial: lineStart ${u.lineStart}")
