@@ -279,5 +279,7 @@ object DispatchParser extends SourceParser {
       JavaParser.parse(filePath, content)
     else if (filePath.endsWith(".rs"))
       RustParser.parse(filePath, content)
+    else if (filePath.endsWith(".c") || filePath.endsWith(".h"))
+      CParser.parse(filePath, content)
     else SimpleParser.parse(filePath, content)
 }

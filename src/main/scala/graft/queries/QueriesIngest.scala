@@ -303,6 +303,52 @@ object QueriesIngest {
       Ingest.FileDoc("svc/store_test.rs", demoRustTest)).toDS()
   }
 
+  // C demo codebase for the CParser entries (r9): includes, an
+  // object-like and a function-like macro (the macro GUARDS with the
+  // validator, so macro call-graph resolution is part of the trace),
+  // a struct definition, a guarded constructor, and a check function
+  // reaching the constructor from a second translation unit.
+  private val demoCStore =
+    """#include <stdio.h>
+      |#include "store.h"
+      |
+      |#define MAX_CONNS 8
+      |#define GUARD(x) validate(x)
+      |
+      |static int retries = 3;
+      |
+      |struct store {
+      |    int conns;
+      |};
+      |
+      |struct store *open_store(const char *addr) {
+      |    return wrap(validate(addr));
+      |}
+      |
+      |int get_item(struct store *s, const char *key) {
+      |    return lookup(s, key);
+      |}
+      |
+      |static char *validate(const char *addr) {
+      |    return normalize(addr);
+      |}
+      |""".stripMargin
+
+  private val demoCCheck =
+    """#include "store.h"
+      |
+      |int check_open(void) {
+      |    struct store *s = open_store("x");
+      |    return get_item(s, "k");
+      |}
+      |""".stripMargin
+
+  private def demoCFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(Ingest.FileDoc("svc/store.c", demoCStore),
+      Ingest.FileDoc("svc/store_check.c", demoCCheck)).toDS()
+  }
+
   /** Deterministic on-disk tree for the directory-source entry: code
     * files that pass the globs, a doc file, a glob-excluded vendor file,
     * an oversized file (> 1 MiB cap) and an empty file (both must be
@@ -684,6 +730,52 @@ object QueriesIngest {
         | (0, 'svc/store.rs:validate'),
         | (1, 'svc/store.rs:Store:open'),
         | (2, 'svc/store_test.rs:test:4')
+        |) t(depth, unit_id) ORDER BY depth, unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // C extraction (r9): the eighth real language — structural
+    // function-definition detection (prototypes skipped), function-like
+    // macros as callable units, typedef tail names, include imports.
+    ("ingest_c_units",
+      (s, d) => Ingest.parseFiles(demoCFiles(s), DispatchParser)
+        .toDF().select(col("unitId").as("unit_id"),
+          col("unitType").as("unit_type"), col("name"),
+          col("parentContainer").as("parent"))
+        .orderBy("unit_id"),
+      Some("""SELECT * FROM (VALUES
+        | ('svc/store.c:GUARD', 'function', 'GUARD', ''),
+        | ('svc/store.c:MAX_CONNS', 'const', 'MAX_CONNS', ''),
+        | ('svc/store.c:get_item', 'function', 'get_item', ''),
+        | ('svc/store.c:import:stdio', 'import', 'stdio', ''),
+        | ('svc/store.c:import:store', 'import', 'store', ''),
+        | ('svc/store.c:open_store', 'function', 'open_store', ''),
+        | ('svc/store.c:retries', 'var', 'retries', ''),
+        | ('svc/store.c:store', 'type', 'store', ''),
+        | ('svc/store.c:validate', 'function', 'validate', ''),
+        | ('svc/store_check.c:check_open', 'function', 'check_open', ''),
+        | ('svc/store_check.c:import:store', 'import', 'store', '')
+        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Callers of `validate` on the C demo: BOTH the constructor and
+    // the function-like GUARD macro call it (macro units make macro
+    // call-graphs resolvable), then the second translation unit's
+    // check function reaches it through open_store.
+    ("ingest_c_callers",
+      (s, d) => {
+        import graft.api.Cli
+        val units = Ingest.parseFiles(demoCFiles(s), DispatchParser)
+        val blocks = Ingest.unitsToBlocks(units, "cdemo")
+        val edges = SemanticResolver.edgesAsBlocks(units, "cdemo")
+        Cli.execute(blocks, edges,
+          Cli.ShowCmd("callers", "validate", "cdemo", maxDepth = 2))
+          .select("depth", "unit_id").orderBy("depth", "unit_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        | (0, 'svc/store.c:validate'),
+        | (1, 'svc/store.c:GUARD'),
+        | (1, 'svc/store.c:open_store'),
+        | (2, 'svc/store_check.c:check_open')
         |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),
 

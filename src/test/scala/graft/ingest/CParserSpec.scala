@@ -1,0 +1,113 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-shape tests for the C extractor — same harness shape as the
+  * other seven parser specs.
+  */
+class CParserSpec extends AnyFunSuite {
+
+  private def parse(src: String) = CParser.parse("src/x.c", src)
+
+  test("includes, defines, functions, globals: the declared surface") {
+    val src =
+      """#include <stdio.h>
+        |#include "util/helpers.h"
+        |
+        |#define MAX_CONNS 8
+        |#define GUARD(x) validate(x)
+        |
+        |static int retries = 3;
+        |const char *proto = "tcp";
+        |
+        |struct store {
+        |    int conns;
+        |};
+        |
+        |struct store *open_store(const char *addr) {
+        |    return wrap(validate(addr));
+        |}
+        |
+        |static char *validate(const char *addr) {
+        |    return normalize(addr);
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("import", "stdio"), ("import", "helpers"),
+      ("const", "MAX_CONNS"), ("function", "GUARD"),
+      ("var", "retries"), ("const", "proto"),
+      ("type", "store"),
+      ("function", "open_store"), ("function", "validate")))
+    // the function-like macro's replacement text is call-scanned
+    assert(us.find(_.name == "GUARD").get.edges
+      .contains(ParsedEdge("calls", "validate")))
+    val open = us.find(_.name == "open_store").get
+    assert(open.edges.contains(ParsedEdge("calls", "validate")))
+    assert(open.edges.contains(ParsedEdge("calls", "wrap")))
+    assert(open.lineStart == 14 && open.lineEnd == 16)
+    assert(us.find(_.name == "validate").get.edges
+      .contains(ParsedEdge("calls", "normalize")))
+  }
+
+  test("prototypes and forward declarations emit nothing") {
+    val src =
+      """static char *validate(const char *addr);
+        |struct store;
+        |int get_item(struct store *s,
+        |             const char *key);
+        |int real_fn(void) {
+        |    return probe();
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(_.name) == Seq("real_fn"))
+    assert(us.head.edges.contains(ParsedEdge("calls", "probe")))
+  }
+
+  test("typedefs: one-liner, struct tail name, function pointer") {
+    val src =
+      """typedef unsigned long word_t;
+        |typedef struct {
+        |    int id;
+        |} handle_t;
+        |typedef struct node {
+        |    struct node *next;
+        |} node_t;
+        |typedef void (*callback_t)(int code);
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("type", "word_t"), ("type", "handle_t"),
+      ("type", "node"), ("type", "node_t"), ("type", "callback_t")))
+  }
+
+  test("cleaning: comments and strings hide ghosts; locals are skipped") {
+    val src =
+      """// int ghost1(void) {}
+        |/* int ghost2(void) {
+        |   still comment */
+        |const char *s = "int ghost3(void) {}";
+        |int real(void) {
+        |    int local = 1;
+        |    char c = '{';
+        |    return keep(local);
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.count(_.unitType == "function") == 1)
+    assert(us.find(_.name == "real").get.edges
+      .contains(ParsedEdge("calls", "keep")))
+    assert(!us.exists(_.name.startsWith("ghost")))
+    assert(!us.exists(_.name == "local"))
+  }
+
+  test("DispatchParser routes .c and .h to CParser") {
+    for (ext <- Seq("c", "h")) {
+      val us = DispatchParser.parse(s"a/b.$ext",
+        "int f(void) {\n    return g();\n}\n")
+      assert(us.map(_.unitType) == Seq("function"), ext)
+      assert(us.head.edges.contains(ParsedEdge("calls", "g")))
+    }
+  }
+}

@@ -228,7 +228,8 @@ class ScalaParserSpec extends AnyFunSuite {
       val src = sb.toString
       // every parser: total (returns, never throws) with sane units
       for (p <- Seq(ScalaParser, ZigParser, SimpleParser, DispatchParser,
-          PythonParser, GoParser, TsParser, JavaParser, RustParser)) {
+          PythonParser, GoParser, TsParser, JavaParser, RustParser,
+          CParser)) {
         val us = p.parse(s"f$trial.x", src)
         us.foreach { u =>
           assert(u.lineStart >= 1, s"trial $trial: lineStart ${u.lineStart}")
