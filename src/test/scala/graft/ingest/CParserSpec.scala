@@ -110,4 +110,32 @@ class CParserSpec extends AnyFunSuite {
       assert(us.head.edges.contains(ParsedEdge("calls", "g")))
     }
   }
+
+  test("dogfood: parses real glibc headers without losing its footing") {
+    // system headers are the adversarial C the extractor will actually
+    // meet: deep preprocessor nesting, attribute macros, prototypes
+    val inc = new java.io.File("/usr/include")
+    assume(inc.isDirectory)
+    for (name <- Seq("string.h", "stdlib.h", "errno.h")) {
+      val f = new java.io.File(inc, name)
+      assume(f.exists())
+      val src = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val us = CParser.parse(name, src)
+      assert(us.nonEmpty, name)
+      us.foreach { u =>
+        assert(u.lineStart >= 1 && u.lineEnd >= u.lineStart,
+          s"$name ${u.unitId}")
+        assert(u.unitId.nonEmpty && u.unitType.nonEmpty, name)
+      }
+    }
+    // a couple of decades-stable facts, not version-pinned minutiae
+    val sh = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(inc, "string.h").toPath), "UTF-8")
+    val us = CParser.parse("string.h", sh)
+    assert(us.exists(u => u.unitType == "const" && u.name == "_STRING_H"))
+    assert(us.exists(_.unitType == "import")) // features.h et al.
+    // prototypes must NOT register as function definitions
+    assert(!us.exists(u => u.unitType == "function" && u.name == "strcpy"))
+  }
 }

@@ -168,4 +168,29 @@ class RustParserSpec extends AnyFunSuite {
     assert(us.map(_.unitType) == Seq("function"))
     assert(us.head.edges.contains(ParsedEdge("calls", "g")))
   }
+
+  test("dogfood: parses a real third-party Rust test file") {
+    // pydantic-core's packaged integration test: real-world #[cfg]
+    // attributes, a tests mod, multi-line raw strings, closures
+    val f = new java.io.File(
+      "/root/miniconda/pkgs/pydantic-core-2.46.2-py313h6e1b9ff_0/" +
+        "info/test/tests/test.rs")
+    assume(f.exists())
+    val src = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val us = RustParser.parse("tests/test.rs", src)
+    // the three #[test] fns register as tests; #[cfg(test)] does not
+    // arm (it is a cfg attribute, not a test attribute)
+    assert(us.filter(_.unitType == "test").map(_.name) == Seq(
+      "test_build_schema_serializer", "test_literal_schema",
+      "test_segfault_for_recursive_schemas"))
+    // the braced use list binds each item; the glob keeps the module
+    val imports = us.filter(_.unitType == "import").map(_.name)
+    for (n <- Seq("SchemaSerializer", "SchemaValidator", "WarningsArg",
+        "c_str", "prelude", "PyDict"))
+      assert(imports.contains(n), n)
+    us.foreach { u =>
+      assert(u.lineStart >= 1 && u.lineEnd >= u.lineStart, u.unitId)
+    }
+  }
 }
