@@ -213,7 +213,7 @@ class ScalaParserSpec extends AnyFunSuite {
     // reproduce; the alphabet is weighted toward the parsers' control
     // characters (braces, quotes, slashes, backslashes, newlines).
     val alphabet =
-      "{}()[]\"'\\/*\n\n ;=>:,.@_abcdefXYZ09 \t`#$" +
+      "{}()[]\"'\\/*\n\n ;=>:,.@_abcdefXYZ09 \t`#$!-" +
         "fn def val var class object trait test import const type " +
         "from func go package async lambda public static final void record "
     var seed = 0x9E3779B97F4A7C15L
