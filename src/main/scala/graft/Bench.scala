@@ -74,20 +74,42 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var failedTime = 0.0
     var zeroSuccess = 0
-    // Per-entry stage counter (r9c): the execution SHAPE that tells the
-    // driver-latency-bound iterative family (many tiny stages) apart
-    // from data-parallel entries — the cohort split the regression gate
-    // normalizes within, see below.
-    val stageCounter = new java.util.concurrent.atomic.AtomicInteger
+    // Per-entry stage attribution (r9c, hardened r10): the execution
+    // SHAPE that tells the driver-latency-bound iterative family (many
+    // tiny stages) apart from data-parallel entries — the cohort split
+    // the regression gate normalizes within, see below. Attribution
+    // goes through a DRIVER-THREAD LOCAL PROPERTY stamped before each
+    // entry (AQE's stage-materialization threads inherit local
+    // properties via SQLExecution.withThreadLocalCaptured, so broadcast
+    // jobs carry it too) and a concurrent per-entry map, instead of a
+    // shared counter read-and-reset per entry: listener events arrive
+    // asynchronously on the bus, and a late onJobStart from entry N
+    // must never be credited to entry N+1 and flip its cohort.
+    val EntryProp = "graft.bench.entry"
+    val stagesByEntry =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          stageCounter.addAndGet(j.stageInfos.size); ()
+          val k = Option(j.properties)
+            .flatMap(p => Option(p.getProperty(EntryProp))).getOrElse("?")
+          stagesByEntry.merge(k, j.stageInfos.size,
+            (a, b) => Integer.valueOf(a + b)); ()
         }
       })
-    val stagesPerEntry =
-      scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val itersUsed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // WALL-CLOCK BUDGET (r10): the r9 suite outgrew the driver's bench
+    // window (BENCH_r09.json: rc=124, no parsed totals — a worthless
+    // artifact). Past the budget the tail degrades to fewer iterations
+    // per entry instead of the whole run dying: a 1-iter median for
+    // the tail is a weaker measurement, but infinitely stronger than
+    // none, and the `iters_used` map discloses exactly which entries
+    // were trimmed. Budget counts TIMED seconds (the driver's window
+    // also pays sbt/JVM/warmup, so the default leaves headroom).
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.toDouble).getOrElse(420.0)
+    var timedSoFar = 0.0
     val results = Queries.benchNames.flatMap { name =>
       // untimed storage reset between queries: checkpointed RDDs from
       // completed queries otherwise unpersist only when the
@@ -100,8 +122,14 @@ object Bench {
       // broadcast/accumulator debris.
       graft.core.Checkpoints.sweepAnonymous(spark)
       System.gc()
-      stageCounter.set(0)
-      val attempts = (1 to iters).map { _ =>
+      val itersEff =
+        if (budget <= 0) iters
+        else if (timedSoFar > budget) 1
+        else if (timedSoFar > 0.75 * budget) iters min 2
+        else iters
+      itersUsed(name) = itersEff
+      spark.sparkContext.setLocalProperty(EntryProp, name)
+      val attempts = (1 to itersEff).map { _ =>
         val t0 = System.nanoTime()
         try { run(name, sfDir); Right((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -111,12 +139,21 @@ object Bench {
             Left((System.nanoTime() - t0) / 1e9)
         }
       }
-      stagesPerEntry(name) = stageCounter.get() / iters
+      spark.sparkContext.setLocalProperty(EntryProp, null)
+      timedSoFar += attempts.map(_.fold(identity, identity)).sum
       failedTime += attempts.collect { case Left(t) => t }.sum
       val times = attempts.collect { case Right(t) => t }.sorted
       if (times.isEmpty) zeroSuccess += 1
       if (times.nonEmpty) Some(name -> times(times.size / 2)) else None
     }
+    // snapshot AFTER the main loop (late listener events for the last
+    // entry may still be in flight for a few ms — an undercount risk
+    // bounded to one entry; never a cross-credit) and BEFORE the
+    // recheck pass reruns flagged entries, which would double-count.
+    val stagesPerEntry: collection.Map[String, Int] =
+      itersUsed.map { case (name, n) =>
+        name -> (Option(stagesByEntry.get(name)).fold(0)(_.intValue) / (n max 1))
+      }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -258,7 +295,10 @@ object Bench {
     val sfAlert =
       if (ratios.nonEmpty && (speedFactor > 2.0 || speedFactor < 0.5)) "true"
       else "false"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters}"""
+    val trimmed = itersUsed.collect {
+      case (k, n) if n < iters => jstr(k) + ":" + n
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed}"""
     println(line)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write

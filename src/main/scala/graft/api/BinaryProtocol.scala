@@ -181,10 +181,19 @@ object BinaryProtocol {
       java.util.Arrays.copyOf(b, 16)
     }
 
+  /** Inverse of [[blockIdBytes]] for the ids this engine produces:
+    * zero-PADDED printable bytes decode as the short text id; anything
+    * else — including 16 printable bytes with NO padding, which is what
+    * a 32-hex engine id whose raw bytes happen to be ASCII looks like —
+    * renders as 32 hex digits, so engine-id string round-trips are
+    * stable. (A genuine 16-char text id is the one shape that renders
+    * as hex instead; the fixture vocabulary never reaches 16 chars.)
+    */
   def blockIdText(bytes: Array[Byte]): String = {
     val printable = bytes.takeWhile(_ != 0)
-    if (printable.forall(b => b >= 0x20 && b < 0x7f) &&
-        bytes.drop(printable.length).forall(_ == 0) && printable.nonEmpty)
+    if (printable.nonEmpty && printable.length < 16 &&
+        printable.forall(b => b >= 0x20 && b < 0x7f) &&
+        bytes.drop(printable.length).forall(_ == 0))
       new String(printable, UTF_8)
     else bytes.map(b => f"${b & 0xff}%02x").mkString
   }

@@ -71,25 +71,22 @@ final class CliServer(spark: SparkSession, stateDir: String, port: Int = 0,
       }
     }
 
-  /** Protocol sniff: a binary client's first 4 bytes are the LE magic
-    * (0x4C 0x55 0x41 0x4B); the line vocabulary is lowercase command
-    * words, so no valid line request starts with that sequence. The
-    * peeked bytes are pushed back either way.
+  /** Protocol sniff on the FIRST byte only: the binary magic starts
+    * 0x4C ('L', LE 'KAUL'), while every line-protocol command word is
+    * lowercase — so one byte disambiguates. Peeking more would block a
+    * line client that sends fewer than 4 bytes and waits for a reply
+    * (an empty line, a 1-2 char command) forever. The peeked byte is
+    * pushed back either way; a stray 'L' from a malformed line client
+    * lands in the binary handler's header validation and gets a framed
+    * error, the same contract as any malformed binary frame.
     */
   private def handle(conn: java.net.Socket): Unit = {
     val raw = new java.io.PushbackInputStream(
-      new java.io.BufferedInputStream(conn.getInputStream), 4)
-    val head = new Array[Byte](4)
-    var got = 0
-    var eof = false
-    while (got < 4 && !eof) {
-      val r = raw.read(head, got, 4 - got)
-      if (r < 0) eof = true else got += r
-    }
-    if (got > 0) raw.unread(head, 0, got)
-    if (eof && got == 0) return
-    val magicLe = Array[Byte](0x4C, 0x55, 0x41, 0x4B)
-    if (got == 4 && java.util.Arrays.equals(head, magicLe)) {
+      new java.io.BufferedInputStream(conn.getInputStream), 1)
+    val first = raw.read()
+    if (first < 0) return
+    raw.unread(first)
+    if (first == 0x4C) {
       handleBinary(raw, conn.getOutputStream)
       return
     }
@@ -259,7 +256,7 @@ final class CliServer(spark: SparkSession, stateDir: String, port: Int = 0,
             path = r.getAs[String]("root_path"),
             blockCount = r.getAs[Long]("block_count").toInt,
             edgeCount = r.getAs[Long]("edge_count").toInt,
-            lastSyncTimestamp = 0L,
+            lastSyncTimestamp = r.getAs[Long]("synced_at"),
             syncStatus = statusCode.getOrElse(r.getAs[String]("sync_status"), 3),
             storageBytes = r.getAs[Long]("storage_bytes"))
         }

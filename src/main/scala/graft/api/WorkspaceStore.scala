@@ -345,9 +345,14 @@ object WorkspaceStore {
         coalesce(col("edge_count"), lit(0L)).as("edge_count"),
         when(coalesce(col("synced_at"), lit(0L)) === 0L, "never_synced")
           .when(lit(nowSeconds) - col("synced_at") <= 3600L, "synced")
-          .otherwise("needs_sync").as("sync_status"))
+          .otherwise("needs_sync").as("sync_status"),
+        // the raw epoch seconds behind sync_status: binary status
+        // clients render it as last_sync (the reference's
+        // WorkspaceInfo.last_sync_timestamp carries the real value,
+        // not 0 — format_time_ago over it, protocol.zig:53)
+        coalesce(col("synced_at"), lit(0L)).as("synced_at"))
       .orderBy("workspace")
-    if (!verbose) base
+    if (!verbose) base.drop("synced_at")
     else base.withColumn("storage_bytes",
       col("block_count") * lit(2048L) + col("edge_count") * lit(64L))
   }

@@ -1072,9 +1072,22 @@ object GraphAnalytics {
   def louvainModularity(edges: DataFrame, rounds: Int = 4,
                         pairsDistinct: Boolean = false,
                         undirectedPairs: Boolean = false): DataFrame =
+    louvainModularityOf(
+      louvainOneLevel(edges, rounds, pairsDistinct, undirectedPairs),
+      edges, pairsDistinct, undirectedPairs)
+
+  /** [[louvainModularity]] over an ALREADY-COMPUTED louvain partition
+    * (id, community) — the metric tail alone. Lets a caller that has
+    * the partition as a stored artifact (the session QueryCache, a
+    * written table) score it without re-running the move rounds: the
+    * r9 bench suite paid the identical level-1 chain three times
+    * across the louvain family, ~12% of suite wall-clock.
+    */
+  def louvainModularityOf(labels: DataFrame, edges: DataFrame,
+                          pairsDistinct: Boolean = false,
+                          undirectedPairs: Boolean = false): DataFrame =
     modularityOfLabels(
-      louvainOneLevel(edges, rounds, pairsDistinct, undirectedPairs)
-        .withColumnRenamed("community", "lbl")
+      labels.withColumnRenamed("community", "lbl")
         .localCheckpoint(true),
       undView(edges, pairsDistinct, undirectedPairs))
 
@@ -3277,9 +3290,40 @@ object GraphAnalytics {
                       rounds2: Int = 4,
                       pairsDistinct: Boolean = false,
                       undirectedPairs: Boolean = false,
-                      metaDriverMax: Long = 1000000L): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
-    require(rounds1 >= 1 && rounds2 >= 1,
-      "louvainTwoLevel needs rounds1, rounds2 >= 1")
+                      metaDriverMax: Long = 1000000L,
+                      l1Precomputed: Option[DataFrame] = None): DataFrame =
+    louvainLevels(edges, rounds1, rounds2, maxLevels = 2,
+      pairsDistinct = pairsDistinct, undirectedPairs = undirectedPairs,
+      metaDriverMax = metaDriverMax, l1Precomputed = l1Precomputed)
+
+  /** FULL Blondel recursion (r10 — generalizes the r9 two-level pass):
+    * contract-then-move LEVELS until no meta-node moves or `maxLevels`
+    * is reached, the published algorithm's outer loop (Blondel et al.
+    * 2008 §2). Level k ≥ 3 contracts the LEVEL-(k−1) META GRAPH by its
+    * own move labels — meta-edge-scale work, never a second pass over
+    * the original edges — so a deep community hierarchy (billion-node
+    * web graphs) costs one E-scale contraction total plus
+    * geometrically-shrinking meta phases. Early exit is safe for the
+    * unrolled oracle: a level that moves nothing yields the identity
+    * mapping, and every subsequent unrolled level replays that
+    * identity (same meta graph, same parity schedule), so engine and
+    * oracle agree whether or not the engine kept looping.
+    *
+    * Each level's move phase carries the r9 stabilizers (STAY
+    * candidate, md5 (id, round) hash-parity half-move gate) and the
+    * same exact-integer score; the round parity is per (meta-id,
+    * round) and deliberately level-independent, replayed identically
+    * by [[louvainLevelsSql]].
+    */
+  def louvainLevels(edges: DataFrame, rounds1: Int = 3,
+                    roundsMeta: Int = 4,
+                    maxLevels: Int = 3,
+                    pairsDistinct: Boolean = false,
+                    undirectedPairs: Boolean = false,
+                    metaDriverMax: Long = 1000000L,
+                    l1Precomputed: Option[DataFrame] = None): DataFrame = graft.core.Checkpoints.withoutAqe(edges.sparkSession) {
+    require(rounds1 >= 1 && roundsMeta >= 1 && maxLevels >= 2,
+      "louvainLevels needs rounds1, roundsMeta >= 1 and maxLevels >= 2")
     val parentCached = undirectedPairs &&
       edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val und0 = if (undirectedPairs)
@@ -3295,24 +3339,80 @@ object GraphAnalytics {
     val und = if (parentCached) und0 else und0.localCheckpoint(true)
     // level 1 gets the ORIGINAL frame + flags: a derived select would
     // lose the parent's storage level and force louvainOneLevel to
-    // re-materialize the E-sized undirected view a second time
-    val l1 = louvainOneLevel(
-      if (parentCached) edges
-      else und.select(col("a").as("src"), col("b").as("dst")),
-      rounds = rounds1, pairsDistinct = pairsDistinct,
-      undirectedPairs = undirectedPairs ||
-        !parentCached) // und is already the symmetrized view
-      .select(col("id"), col("community").as("c1"))
-      .localCheckpoint(true)
-    // contraction: meta edge weight = count of (both-orientation)
-    // und rows between the two communities; self-loops (ca = cb)
-    // carry the intra mass, so Σw = 2m and wdeg(C) = Σ_{u∈C} deg(u)
-    val metaE = und
+    // re-materialize the E-sized undirected view a second time.
+    // `l1Precomputed` (must be louvainOneLevel(same edges, rounds1)'s
+    // (id, community) output, typically the session-cached stored
+    // partition) skips the level-1 chain entirely — the caller's frame
+    // is already persisted, so no re-checkpoint.
+    val l1 = l1Precomputed match {
+      case Some(pre) => pre.select(col("id"), col("community").as("c1"))
+      case None => louvainOneLevel(
+          if (parentCached) edges
+          else und.select(col("a").as("src"), col("b").as("dst")),
+          rounds = rounds1, pairsDistinct = pairsDistinct,
+          undirectedPairs = undirectedPairs ||
+            !parentCached) // und is already the symmetrized view
+        .select(col("id"), col("community").as("c1"))
+        .localCheckpoint(true)
+    }
+    // contraction (level 2): meta edge weight = count of
+    // (both-orientation) und rows between the two communities;
+    // self-loops (ca = cb) carry the intra-community mass, so Σw = 2m
+    // and wdeg(C) = Σ_{u∈C} deg(u). The ONE E-scale probe of the run.
+    var metaE = und
       .join(l1.select(col("id").as("a"), col("c1").as("ca")), Seq("a"))
       .join(l1.select(col("id").as("b"), col("c1").as("cb")), Seq("b"))
       .groupBy(col("ca").as("a"), col("cb").as("b"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
+    // mapping: original id → community at the deepest finished level
+    var mapping = l1
+    var level = 2
+    var continueLoop = true
+    while (continueLoop) {
+      val (lbl, small) = weightedMetaMove(
+        edges.sparkSession, metaE, roundsMeta, metaDriverMax)
+      def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+      mapping = mapping
+        .join(bc(lbl.select(col("id").as("c1"), col("lbl").as("cnext"))),
+          Seq("c1"))
+        .select(col("id"), col("cnext").as("c1"))
+      level += 1
+      if (level > maxLevels) continueLoop = false
+      else {
+        // fixpoint test: a level where NO meta node adopted a different
+        // community cannot enable further merges — stop. One tiny
+        // driver action on the meta-V-sized label table.
+        val moved = lbl.filter(col("id") =!= col("lbl")).limit(1).count() > 0
+        if (!moved) continueLoop = false
+        else {
+          // contract the META graph by its own labels — meta-scale only
+          metaE = metaE
+            .join(bc(lbl.select(col("id").as("a"), col("lbl").as("ca"))), Seq("a"))
+            .join(bc(lbl.select(col("id").as("b"), col("lbl").as("cb"))), Seq("b"))
+            .groupBy(col("ca").as("a"), col("cb").as("b"))
+            .agg(sum("w").as("w"))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    mapping.select(col("id"), col("c1").as("community"))
+  }
+
+  /** One weighted modularity-ascending move phase over a meta graph
+    * (a, b, w) — the loop body of [[louvainLevels]], with the r9
+    * driver finisher: a metadata-sized contracted graph (≤
+    * `metaDriverMax` meta-edges, the minimumSpanningForest convention)
+    * is collected once and the rounds run locally instead of paying
+    * ~5 tiny distributed stages × rounds of pure driver latency —
+    * identical semantics (exact integer score in BigInt, same
+    * tie-break, same (id, round) md5 parity), spec-pinned equal to the
+    * distributed fallback that runs past the gate. Returns the final
+    * (id, lbl) label table and whether it is broadcast-small.
+    */
+  private def weightedMetaMove(spark: org.apache.spark.sql.SparkSession,
+                               metaE: DataFrame, rounds: Int,
+                               metaDriverMax: Long): (DataFrame, Boolean) = {
     val mdeg = metaE.groupBy(col("a").as("id"))
       .agg(sum("w").as("deg"))
       .localCheckpoint(true)
@@ -3320,16 +3420,7 @@ object GraphAnalytics {
     var lbl2 = mdeg.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(false)
     val nMetaE = metaE.count()
-    val spark = edges.sparkSession
     if (nMetaE <= metaDriverMax) {
-      // DRIVER FINISHER (the minimumSpanningForest convention): the
-      // contracted graph is metadata-sized by construction — collect
-      // it once and run the move rounds locally instead of paying
-      // ~5 tiny distributed stages × rounds2 of pure driver latency.
-      // Identical semantics (exact integer score in BigInt, same
-      // tie-break, same (id, round) hash parity); the distributed
-      // fallback below stays for a meta-graph past the gate and is
-      // pinned equal by the spec.
       val rows = metaE.collect().map(r =>
         (r.getString(0), r.getString(1), r.getLong(2)))
       val deg = new scala.collection.mutable.HashMap[String, Long]
@@ -3337,7 +3428,7 @@ object GraphAnalytics {
       val lbl = new scala.collection.mutable.HashMap[String, String]
       deg.keys.foreach(k => lbl(k) = k)
       val tm = BigInt(twoM)
-      for (r <- 1 to rounds2) {
+      for (r <- 1 to rounds) {
         val tot = new scala.collection.mutable.HashMap[String, Long]
         for ((id, d) <- deg) {
           val c = lbl(id); tot(c) = tot.getOrElse(c, 0L) + d
@@ -3374,13 +3465,11 @@ object GraphAnalytics {
         next.foreach { case (k, v) => lbl(k) = v }
       }
       import spark.implicits._
-      val lblDf = lbl.toSeq.toDF("c1", "community")
-      l1.join(broadcast(lblDf), Seq("c1"))
-        .select(col("id"), col("community"))
+      (broadcast(lbl.toSeq.toDF("id", "lbl")), true)
     } else {
       val small = nMetaE <= 8000000L
       def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-      for (r <- 1 to rounds2) {
+      for (r <- 1 to rounds) {
         val tot = lbl2.join(mdeg, Seq("id"))
           .groupBy("lbl").agg(sum("deg").as("tot"))
         // stay rows ride the kic aggregation as weight-0 rows; `la`
@@ -3410,12 +3499,9 @@ object GraphAnalytics {
               .otherwise(col("la")).as("lbl"))
           .localCheckpoint(false)
       }
-      l1.join(bc(lbl2.select(col("id").as("c1"), col("lbl").as("community"))),
-          Seq("c1"))
-        .select(col("id"), col("community"))
+      (lbl2, small)
     }
   }
-
   /** Driver-side replica of [[graft.pipeline.Sketches.hash32]]:
     * first 8 hex chars of md5(s) parsed base-16, + 1. Used by the
     * louvainTwoLevel driver finisher so its move parity is
@@ -3472,6 +3558,74 @@ object GraphAnalytics {
     }
     sb ++= s" SELECT l.id, m.lbl AS community FROM l$rounds1 l " +
       s"JOIN m$rounds2 m ON m.id = l.lbl ORDER BY l.id"
+    sb.toString
+  }
+
+  /** DuckDB oracle for [[louvainLevels]] — the level-1 chain of
+    * [[louvainSql]] plus EVERY meta level's contraction and weighted
+    * move rounds unrolled (stay candidate, (id, round) hash-parity
+    * gate, HUGEINT score). Unconditional unrolling is sound against
+    * the engine's early exit: a no-move level is the identity mapping
+    * and every later unrolled level replays it (see
+    * [[louvainLevels]]).
+    */
+  def louvainLevelsSql(edgesSql: String, rounds1: Int = 3,
+                       roundsMeta: Int = 4, levels: Int = 3): String = {
+    require(levels >= 2)
+    val sb = new StringBuilder(louvainCtesSql(edgesSql, rounds1))
+    for (k <- 2 to levels) {
+      // contraction: level 2 probes the original pair view by the
+      // level-1 labels; level k >= 3 contracts level (k-1)'s meta graph
+      if (k == 2)
+        sb ++= s", e2 AS MATERIALIZED (SELECT la.lbl AS a, lb.lbl AS b, " +
+          "CAST(COUNT(*) AS BIGINT) AS w FROM g0 g " +
+          s"JOIN l$rounds1 la ON la.id = g.a " +
+          s"JOIN l$rounds1 lb ON lb.id = g.b GROUP BY 1, 2)"
+      else
+        sb ++= s", e$k AS MATERIALIZED (SELECT la.lbl AS a, lb.lbl AS b, " +
+          s"CAST(SUM(g.w) AS BIGINT) AS w FROM e${k - 1} g " +
+          s"JOIN x${k - 1}_$roundsMeta la ON la.id = g.a " +
+          s"JOIN x${k - 1}_$roundsMeta lb ON lb.id = g.b GROUP BY 1, 2)"
+      sb ++= s", d$k AS MATERIALIZED (SELECT a AS id, " +
+        s"CAST(SUM(w) AS BIGINT) AS deg FROM e$k GROUP BY 1)"
+      sb ++= s", v$k AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) " +
+        s"AS twom FROM e$k)"
+      sb ++= s", x${k}_0 AS MATERIALIZED (SELECT id, id AS lbl FROM d$k)"
+      for (r <- 1 to roundsMeta) {
+        val p = s"x${k}_${r - 1}"
+        sb ++= s", t${k}_$r AS MATERIALIZED (SELECT l.lbl, " +
+          s"CAST(SUM(d.deg) AS BIGINT) AS tot " +
+          s"FROM $p l JOIN d$k d USING (id) GROUP BY 1)"
+        sb ++= s", k${k}_$r AS MATERIALIZED (SELECT g.a AS id, lb.lbl, " +
+          s"CAST(SUM(g.w) AS BIGINT) AS kic FROM e$k g " +
+          s"JOIN $p lb ON lb.id = g.b WHERE g.a <> g.b GROUP BY 1, 2)"
+        sb ++= s", c${k}_$r AS MATERIALIZED (SELECT id, lbl, MAX(kic) AS kic " +
+          s"FROM (SELECT id, lbl, kic FROM k${k}_$r " +
+          s"UNION ALL SELECT id, lbl, CAST(0 AS BIGINT) FROM $p) " +
+          "GROUP BY 1, 2)"
+        sb ++= s", s${k}_$r AS MATERIALIZED (SELECT c.id, c.lbl, " +
+          s"CAST(v$k.twom AS HUGEINT) * c.kic - CAST(d.deg AS HUGEINT) * " +
+          "(t.tot - CASE WHEN la.lbl = c.lbl THEN d.deg ELSE 0 END) " +
+          s"AS score FROM c${k}_$r c JOIN t${k}_$r t ON t.lbl = c.lbl " +
+          s"JOIN d$k d ON d.id = c.id JOIN $p la ON la.id = c.id " +
+          s"CROSS JOIN v$k)"
+        sb ++= s", w${k}_$r AS MATERIALIZED (SELECT id, lbl FROM (" +
+          "SELECT id, lbl, row_number() OVER (PARTITION BY id " +
+          s"ORDER BY score DESC, lbl) AS rn FROM s${k}_$r) WHERE rn = 1)"
+        sb ++= s", x${k}_$r AS MATERIALIZED (SELECT l.id, " +
+          s"CASE WHEN (${graft.pipeline.Sketches.hash32Sql(s"l.id || '#$r'")})" +
+          s" % 2 = 0 THEN w.lbl ELSE l.lbl END AS lbl " +
+          s"FROM $p l JOIN w${k}_$r w ON w.id = l.id)"
+      }
+    }
+    // compose the per-level mappings down to original ids
+    sb ++= s" SELECT l.id, x${levels}_$roundsMeta.lbl AS community " +
+      s"FROM l$rounds1 l " +
+      s"JOIN x2_$roundsMeta ON x2_$roundsMeta.id = l.lbl"
+    for (k <- 3 to levels)
+      sb ++= s" JOIN x${k}_$roundsMeta ON x${k}_$roundsMeta.id " +
+        s"= x${k - 1}_$roundsMeta.lbl"
+    sb ++= " ORDER BY l.id"
     sb.toString
   }
 }

@@ -27,8 +27,10 @@ import scala.collection.mutable.ArrayBuffer
   *     `#define F(x) …` → `function` unit whose replacement text is
   *     call-scanned — macro call-sites ARE `F(…)`-shaped, so defining
   *     them as functions lets [[SemanticResolver]] connect macro
-  *     callers exactly like function callers (multi-line `\`
-  *     continuations keep only the first line's calls — documented).
+  *     callers exactly like function callers. `\`-continued macros
+  *     are joined to one logical line first (C17 §5.1.1.2 phase 2),
+  *     so a multi-line replacement list contributes ALL its calls
+  *     and its body lines are never mis-scanned as file-scope code.
   *   - `struct/enum/union Name { … }` definitions → `type` units;
   *     `typedef … name;` one-liners (incl. function-pointer
   *     `(*name)` forms) and `typedef struct { … } name;` tail names →
@@ -52,10 +54,10 @@ import scala.collection.mutable.ArrayBuffer
   * (the [[GoParser]] import-path rule).
   *
   * What the line grade gives up vs a real C front end: K&R-style
-  * definitions (no return type) and multi-line macro bodies lose
-  * units/edges, preprocessor conditionals are not evaluated (both
-  * arms' declarations are seen). What it gains: zero native
-  * dependencies and per-partition parallelism inside `flatMap`.
+  * definitions (no return type) lose units, preprocessor
+  * conditionals are not evaluated (both arms' declarations are
+  * seen). What it gains: zero native dependencies and per-partition
+  * parallelism inside `flatMap`.
   */
 object CParser extends SourceParser {
 
@@ -112,11 +114,31 @@ object CParser extends SourceParser {
       val lineNo = i + 1
       var consumedTo = i
       var pending: Option[Frame] = None
+      var isPreproc = false
       val atTop = depth == 0 && !insideFunction
 
       if (line.trim.startsWith("#")) {
         // preprocessor lines: includes and defines declare, the rest
-        // (#if/#endif/#pragma/…) are transparent to the scan
+        // (#if/#endif/#pragma/…) are transparent to the scan. A
+        // `\`-continued directive is ONE logical line (C17 §5.1.1.2
+        // phase 2): join the continuations so a multi-line
+        // function-like macro's WHOLE replacement list is call-scanned
+        // (was: first line only — dropped real call-graph edges in
+        // config-macro-heavy codebases like glibc), and consume them
+        // so macro-body lines are never re-scanned as file-scope code.
+        // Macro-body braces never shift file-scope depth (the brace
+        // count below skips preprocessor lines — `#define BEGIN {`
+        // would otherwise corrupt the scope stack).
+        isPreproc = true
+        var pEnd = i
+        while (pEnd < cleanedLines.length - 1 &&
+            cleanedLines(pEnd).replaceAll("""\s+$""", "").endsWith("\\"))
+          pEnd += 1
+        consumedTo = pEnd
+        val joined =
+          if (pEnd == i) line
+          else (i to pEnd).map(cleanedLines(_)
+            .replaceAll("""\\\s*$""", " ")).mkString(" ")
         IncludeRe.findFirstMatchIn(origLines(i)) match {
           case Some(m) =>
             val base = m.group(1).split('/').last
@@ -125,18 +147,20 @@ object CParser extends SourceParser {
               builders += UnitBuilder("import", name, "", lineNo, lineNo,
                 ArrayBuffer(ParsedEdge("imports", name)))
           case None =>
-            DefineRe.findFirstMatchIn(line).foreach { m =>
+            DefineRe.findFirstMatchIn(joined).foreach { m =>
               val name = m.group(1)
               if (m.group(2) != null) {
                 // function-like macro: unit + call scan of the
                 // replacement text past the parameter list
-                val ub = UnitBuilder("function", name, "", lineNo, lineNo)
+                val ub = UnitBuilder("function", name, "",
+                  lineNo, pEnd + 1)
                 builders += ub
-                val afterParams = line.drop(line.indexOf('(') + 1)
+                val afterParams = joined.drop(joined.indexOf('(') + 1)
                   .dropWhile(_ != ')').drop(1)
                 addCalls(afterParams, ub)
               } else
-                builders += UnitBuilder("const", name, "", lineNo, lineNo)
+                builders += UnitBuilder("const", name, "",
+                  lineNo, pEnd + 1)
             }
         }
       } else if (typedefOpen &&
@@ -205,7 +229,7 @@ object CParser extends SourceParser {
 
       var j = i
       while (j <= consumedTo) {
-        depth += netBraces(cleanedLines(j))
+        depth += (if (isPreproc) 0 else netBraces(cleanedLines(j)))
         while (stack.nonEmpty && depth <= stack.last.boundary) {
           stack.last.ub.lineEnd = j + 1
           stack.remove(stack.length - 1)

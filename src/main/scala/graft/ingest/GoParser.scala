@@ -41,11 +41,16 @@ import scala.collection.mutable.ArrayBuffer
   * are read from the ORIGINAL line (the one place a string literal IS
   * the declaration, like Zig's `@import("...")`).
   *
-  * What a line-grade scan gives up vs `go/ast`: closure literals don't
-  * nest scopes (their calls attach to the enclosing func — same
-  * observable contract), generic instantiations `f[T](x)` lose the
-  * call edge. What it gains: zero native dependencies and
-  * per-partition parallelism inside `flatMap`.
+  * Closure literals BOUND to a name (`x := func(…) {…}`,
+  * `var f = func(…) …`) are `function` units with their own call
+  * scope — the TsParser arrow-binding rule (r10). Anonymous literals
+  * (`go func() {…}()`, callback arguments) still attach their calls
+  * to the enclosing function.
+  *
+  * What a line-grade scan gives up vs `go/ast`: generic
+  * instantiations `f[T](x)` lose the call edge. What it gains: zero
+  * native dependencies and per-partition parallelism inside
+  * `flatMap`.
   */
 object GoParser extends SourceParser {
 
@@ -59,6 +64,10 @@ object GoParser extends SourceParser {
   private val GroupOpenRe = """^\s*(import|const|var|type)\s*\(\s*$""".r
   private val ImportLineRe = """^\s*(?:(\w+|\.)\s+)?"([^"]+)"""".r
   private val ConstVarRe = """^\s*(const|var)\s+([A-Za-z_]\w*)""".r
+  // a binding whose RHS is a func literal: `x := func(`, `x = func(`,
+  // `var x = func(` — the Go shape of TsParser's arrow-binding rule
+  private val FuncBindRe =
+    """^\s*(?:var\s+)?([A-Za-z_]\w*)\s*:?=\s*func\s*[(\[]""".r
   private val IdentLineRe = """^\s*([A-Za-z_]\w*)""".r
   private val TypeSpecRe = """^\s*([A-Za-z_]\w*)(?:\[[^\]]*\])?\s+\S""".r
 
@@ -155,6 +164,22 @@ object GoParser extends SourceParser {
           " ( "), ub)
         addCalls(rest, ub)
         if (opened) pending = Some(Frame(kind, ub, depth))
+        else ub.lineEnd = end + 1
+        consumedTo = end
+      } else if (FuncBindRe.findFirstMatchIn(line).isDefined) {
+        // closure literal bound to a name (`handler := func(w, r) {…}`,
+        // `var f = func(…) …`) → a `function` unit named by the
+        // binding, exactly TsParser's arrow-binding rule (r10; was: the
+        // literal was invisible and its calls bled into the enclosing
+        // function — the one extractor gap a modern Go codebase hits
+        // constantly). Body calls attach to the closure's own frame.
+        val name = FuncBindRe.findFirstMatchIn(line).get.group(1)
+        val ub = UnitBuilder("function", name, "", lineNo, lineNo)
+        builders += ub
+        val (sig, end, opened, rest) = joinDecl(cleanedLines, i)
+        addCalls(sig.replaceFirst("""^.*?func\s*\(""", " ( "), ub)
+        addCalls(rest, ub)
+        if (opened) pending = Some(Frame("function", ub, depth))
         else ub.lineEnd = end + 1
         consumedTo = end
       } else if (!insideFunction && TypeRe.findFirstMatchIn(line).isDefined) {

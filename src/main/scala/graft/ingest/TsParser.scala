@@ -311,16 +311,29 @@ object TsParser extends SourceParser {
     // last significant code char emitted in state 0 (' ' = none);
     // a string/template/regex literal counts as a value (']')
     var prevSig = ' '
-    val word = new StringBuilder // identifier ending at prevSig
+    val word = new StringBuilder // LAST COMPLETE identifier ending at prevSig
+    // whitespace seen since `word` was completed: the next word char
+    // starts a NEW identifier, so the buffer resets then — not at the
+    // whitespace itself (the completed word must survive the gap for
+    // `x in /re/`-style keyword checks), and never mid-word. Without
+    // the gap flag consecutive identifiers concatenated ("x in" →
+    // "xin"), missing regexes after in/of/instanceof and misfiring
+    // after keyword-named property accesses (`a.in / 2`).
+    var wordGap = false
+    // the word began right after `.` → a PROPERTY named like a keyword
+    // (`a.in`), never the keyword itself
+    var wordAfterDot = false
     def isWordChar(c: Char) = c == '_' || c == '$' || c.isLetterOrDigit
     def regexCanStart: Boolean =
       if (prevSig == ' ') true
-      else if (isWordChar(prevSig)) RegexPrecedingKeywords(word.toString)
+      else if (isWordChar(prevSig))
+        !wordAfterDot && RegexPrecedingKeywords(word.toString)
       else "([{,;=:!&|?+-*%<>^~".indexOf(prevSig) >= 0
     while (i < content.length) {
       val c = content(i)
       if (c == '\n') {
         out(i) = '\n'
+        if (word.nonEmpty) wordGap = true // newline is a word gap too
         if (state == 1 || state == 2 || state == 3 ||
           state == 6 || state == 7) state = 0
       } else state match {
@@ -342,9 +355,14 @@ object TsParser extends SourceParser {
                 interp(interp.length - 1) += 1
               else if (c == '}' && interp.nonEmpty)
                 interp(interp.length - 1) -= 1
+              if (isWordChar(c)) {
+                if (wordGap) word.clear()
+                if (word.isEmpty) wordAfterDot = prevSig == '.'
+                word.append(c)
+              } else word.clear()
               prevSig = c
-              if (isWordChar(c)) word.append(c) else word.clear()
-            }
+              wordGap = false
+            } else if (word.nonEmpty) wordGap = true
           }
         case 1 =>
           out(i) = ' '

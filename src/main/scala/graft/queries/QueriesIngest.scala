@@ -156,6 +156,11 @@ object QueriesIngest {
       |
       |func validate(addr string) {
       |}
+      |
+      |var renderer = func(key string) string {
+      |	validate(key)
+      |	return key
+      |}
       |""".stripMargin
 
   private val demoGoTest =
@@ -313,7 +318,11 @@ object QueriesIngest {
       |#include "store.h"
       |
       |#define MAX_CONNS 8
-      |#define GUARD(x) validate(x)
+      |#define GUARD(x)          \
+      |    do {                  \
+      |        validate(x);      \
+      |        log_retry(x);     \
+      |    } while (0)
       |
       |static int retries = 3;
       |
@@ -575,13 +584,17 @@ object QueriesIngest {
         | ('svc/store.go:Store', 'type', 'Store', ''),
         | ('svc/store.go:Store:Get', 'function', 'Get', 'Store'),
         | ('svc/store.go:import:fmt', 'import', 'fmt', ''),
+        | ('svc/store.go:renderer', 'function', 'renderer', ''),
         | ('svc/store.go:validate', 'function', 'validate', ''),
         | ('svc/store_test.go:test:3', 'test', 'TestOpen', '')
         |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
         .stripMargin.replace("\n", " "))),
 
     // Callers of `validate` on the Go demo: the exported constructor
-    // that guards with it, then the test that covers the constructor.
+    // that guards with it, PLUS the `renderer` closure binding (r10 —
+    // func-literal bindings are function units with their own call
+    // scope, the TsParser arrow rule), then the test that covers the
+    // constructor.
     ("ingest_go_callers",
       (s, d) => {
         import graft.api.Cli
@@ -595,6 +608,7 @@ object QueriesIngest {
       Some("""SELECT * FROM (VALUES
         | (0, 'svc/store.go:validate'),
         | (1, 'svc/store.go:Open'),
+        | (1, 'svc/store.go:renderer'),
         | (2, 'svc/store_test.go:test:3')
         |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),
@@ -760,7 +774,10 @@ object QueriesIngest {
     // Callers of `validate` on the C demo: BOTH the constructor and
     // the function-like GUARD macro call it (macro units make macro
     // call-graphs resolvable), then the second translation unit's
-    // check function reaches it through open_store.
+    // check function reaches it through open_store. GUARD's validate
+    // call sits on a `\`-CONTINUATION line (r10): the depth-1 GUARD
+    // row exists only because multi-line macros are joined before the
+    // call scan — the golden pins the fix end-to-end.
     ("ingest_c_callers",
       (s, d) => {
         import graft.api.Cli

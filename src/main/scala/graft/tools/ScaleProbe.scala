@@ -124,7 +124,24 @@ object ScaleProbe {
         time("hits")(GraphAnalytics.hitsFixedPoint(pairs,
           iters = 5, pairsDistinct = true)),
         time("lpa")(GraphAnalytics.labelPropagation(und,
-          rounds = 4, undirectedPairs = true))
+          rounds = 4, undirectedPairs = true)),
+        // r10: the three r9/r10 headliners that lacked probe rows —
+        // the contraction join + weighted meta phase (at 10× the meta
+        // graph crosses the 1M-edge driver gate, exercising the
+        // distributed fallback), the sampled Brandes accumulation, and
+        // the pointer-doubling path assembly (⌈log₂L⌉ O(V) self-joins)
+        time("louvain2")(GraphAnalytics.louvainLevels(und,
+          rounds1 = 3, roundsMeta = 4, maxLevels = 2,
+          undirectedPairs = true)),
+        time("betweenness")(GraphAnalytics.betweennessFromSeeds(und,
+          seeds = Seq("n0", "n1", "n2", "n3"), maxDepth = 3,
+          undirectedPairs = true)),
+        time("ssspaths")(graft.graph.GraphAlgos.ssspWithPaths(
+          pairs.select(col("src"), col("dst"))
+            .withColumn("w", lit(1L) +
+              (expr("CAST(substring(src, 2, 100) AS BIGINT)")
+                + expr("CAST(substring(dst, 2, 100) AS BIGINT)")) % 7),
+          sourceId = "n0"))
       ).flatten.toMap
       pairs.unpersist(); und.unpersist()
       r

@@ -28,6 +28,86 @@ class BinaryProtocolSpec extends SparkSpec {
     assert(decodeHeader(h) == Right(Header(MsgType.FindRequest, 7L)))
   }
 
+  test("golden frames: byte literals hand-derived from the declared layouts") {
+    // Every expected byte below is computed BY HAND from the reference's
+    // declared struct layouts (protocol.zig:140 MessageHeader,
+    // :299 FindRequest, :434 BlockInfo extern, :707 ErrorResponse) —
+    // never from this repo's encoder — closing the
+    // self-consistent-but-wrong risk of round-trip-only tests: the
+    // decoder is also fed the hand-written frames directly.
+
+    // ping: magic 'KAUL' LE (4C 55 41 4B), version 1, type 0x0009,
+    // payload_size 0 — the complete 16-byte frame
+    val pingGold = Array(
+      0x4C, 0x55, 0x41, 0x4B, 0x01, 0x00, 0x09, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(encodeHeader(Header(MsgType.PingRequest, 0L)).sameElements(pingGold))
+    assert(decodeHeader(pingGold) == Right(Header(MsgType.PingRequest, 0L)))
+
+    // FindRequest("main", 2): query_len u16=4, max_results u16=2,
+    // include_metadata=1, _padding[3], query[2048]="main"+NULs;
+    // header type 0x0001, payload_size 2056 = 0x0808
+    val findHeaderGold = Array(
+      0x4C, 0x55, 0x41, 0x4B, 0x01, 0x00, 0x01, 0x00,
+      0x08, 0x08, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    val findPrefixGold = Array(
+      0x04, 0x00, 0x02, 0x00, 0x01, 0x00, 0x00, 0x00,
+      'm', 'a', 'i', 'n').map(_.toByte)
+    val findGold = findPrefixGold ++ Array.fill[Byte](2056 - 12)(0)
+    val enc = encodeFindRequest(FindRequest("main", 2))
+    assert(enc.sameElements(findGold))
+    assert(encodeHeader(Header(MsgType.FindRequest, enc.length.toLong))
+      .sameElements(findHeaderGold))
+    assert(decodeFindRequest(findGold) ==
+      Right(FindRequest("main", 2, includeMetadata = true)))
+
+    // ErrorResponse(not_found=4, "no"): error_code u32, message[256],
+    // message_len u16, _padding[2] — 264 bytes
+    val errGold = Array[Byte](0x04, 0, 0, 0, 'n', 'o') ++
+      Array.fill[Byte](254)(0) ++ Array[Byte](0x02, 0, 0, 0)
+    assert(errGold.length == 264)
+    assert(encodeErrorResponse(ErrorResponse(ErrorCode.NotFound, "no"))
+      .sameElements(errGold))
+    assert(decodeErrorResponse(errGold) ==
+      Right(ErrorResponse(ErrorCode.NotFound, "no")))
+
+    // FindResponse with ONE block: block_count u32=1, then BlockInfo
+    // (extern): id_bytes[16] = "N3"+NULs (non-hex id travels as
+    // zero-padded UTF-8), uri[256]="u", uri_len u16=1,
+    // content_preview[256]="hi", len u16=2, metadata_size u16=0,
+    // _padding[2]; the struct serializes at FULL capacity with the
+    // 999 unused slots zeroed (serialize_find_response memsets)
+    val blockGold =
+      Array[Byte](1, 0, 0, 0) ++                         // block_count
+      (Array[Byte]('N', '3') ++ Array.fill[Byte](14)(0)) ++ // id_bytes
+      (Array[Byte]('u') ++ Array.fill[Byte](255)(0)) ++  // uri
+      Array[Byte](1, 0) ++                               // uri_len
+      (Array[Byte]('h', 'i') ++ Array.fill[Byte](254)(0)) ++ // preview
+      Array[Byte](2, 0) ++                               // preview_len
+      Array[Byte](0, 0) ++                               // metadata_size
+      Array[Byte](0, 0) ++                               // _padding
+      Array.fill[Byte](999 * 536)(0)                     // unused slots
+    assert(blockGold.length == FindResponseSize)
+    val oneBlock = Seq(BlockInfo(blockIdBytes("N3"), "u", "hi", 0))
+    assert(encodeFindResponse(oneBlock).sameElements(blockGold))
+    val dec = decodeFindResponse(blockGold).toOption.get
+    assert(dec.length == 1 && blockIdText(dec.head.idBytes) == "N3" &&
+      dec.head.uri == "u" && dec.head.contentPreview == "hi")
+
+    // GraphEdge wire slot (types.zig:554): src[16] + dst[16] +
+    // edge_type u16 + 6 reserved = 40-byte stride after the block
+    // region in ShowResponse (offset 8 + 1000*536)
+    val show = encodeShowResponse(Nil,
+      Seq(WireEdge(blockIdBytes("N3"), blockIdBytes("O7"),
+        edgeTypeCode("calls"))))
+    val base = 8 + 1000 * 536
+    val edgeGold =
+      (Array[Byte]('N', '3') ++ Array.fill[Byte](14)(0)) ++
+      (Array[Byte]('O', '7') ++ Array.fill[Byte](14)(0)) ++
+      Array[Byte](7, 0) ++ Array.fill[Byte](6)(0) // calls = 7
+    assert(show.slice(base, base + 40).sameElements(edgeGold))
+  }
+
   test("header validation mirrors MessageHeader.validate") {
     val good = encodeHeader(Header(MsgType.PingRequest, 0L))
     val badMagic = good.clone(); badMagic(0) = 0x00

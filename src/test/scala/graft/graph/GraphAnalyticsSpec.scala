@@ -662,6 +662,64 @@ class GraphAnalyticsSpec extends SparkSpec {
       right.map(rb).distinct.size == 1)
   }
 
+  test("louvainLevels: ring of 40 triangles — level 3 merges what level 2 cannot") {
+    // Deeper resolution-limit fixture: with r = 40 triangles
+    // (m = 160, 2m = 320) merging single triangles pays at level 2
+    // (320 > 8·8) and merging triangle-ARCS still pays at level 3
+    // (320 > 16·16 for pairs), while the two-level pass stops at
+    // whatever arcs its 4 meta rounds reach — the hierarchy only the
+    // contract-then-move LOOP can descend.
+    val n = 40
+    val tri = (0 until n).flatMap { i =>
+      Seq((s"t${i}a", s"t${i}b"), (s"t${i}b", s"t${i}c"),
+        (s"t${i}a", s"t${i}c"))
+    }
+    val bridges = (0 until n).map(i => (s"t${i}c", s"t${(i + 1) % n}a"))
+    val g = (tri ++ bridges).toDF("src", "dst")
+    def comms(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val l2 = comms(GraphAnalytics.louvainTwoLevel(g, rounds1 = 8, rounds2 = 4))
+    val l3 = comms(GraphAnalytics.louvainLevels(g, rounds1 = 8,
+      roundsMeta = 4, maxLevels = 3))
+    // the load-bearing claim: the THIRD contract-then-move level finds
+    // merges the two-level pass cannot — strictly fewer communities.
+    // (On a 40-ring the half-move schedule can legitimately leave a
+    // boundary node attached to the neighboring arc, so exact
+    // arc-partition shape is NOT asserted — only the hierarchy depth.)
+    val n2 = l2.values.toSet.size
+    val n3 = l3.values.toSet.size
+    assert(n2 < n, s"level 2 merged something: $n2 < $n")
+    assert(n3 < n2, s"level 3 merged beyond level 2: $n3 < $n2")
+    // maxLevels = 2 IS louvainTwoLevel (the wrapper is the same code)
+    val two = GraphAnalytics.louvainLevels(g, rounds1 = 8, roundsMeta = 4,
+      maxLevels = 2).orderBy("id").collect().map(_.toSeq).toSeq
+    val tl = GraphAnalytics.louvainTwoLevel(g, rounds1 = 8, rounds2 = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(two == tl)
+    // deterministic across partitionings; driver finisher ≡ distributed
+    val p1 = GraphAnalytics.louvainLevels(g.repartition(1), rounds1 = 8,
+      roundsMeta = 4, maxLevels = 3).orderBy("id").collect().map(_.toSeq).toSeq
+    val p7 = GraphAnalytics.louvainLevels(g.repartition(7), rounds1 = 8,
+      roundsMeta = 4, maxLevels = 3).orderBy("id").collect().map(_.toSeq).toSeq
+    val dist = GraphAnalytics.louvainLevels(g, rounds1 = 8, roundsMeta = 4,
+      maxLevels = 3, metaDriverMax = 0L).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(p1 == p7 && dist == p1)
+    // EARLY EXIT: on the equal-clique barbell level 2 moves nothing
+    // (the STAY candidate holds both cliques), so maxLevels = 3 must
+    // return the two-level answer — the fixpoint loop stopped
+    val left = Seq("a1", "a2", "a3", "a4")
+    val right = Seq("b1", "b2", "b3", "b4")
+    def clique(vs: Seq[String]) =
+      for { x <- vs; y <- vs if x < y } yield (x, y)
+    val barbell = (clique(left) ++ clique(right) :+ ("a1", "b1"))
+      .toDF("src", "dst")
+    val b3 = GraphAnalytics.louvainLevels(barbell, rounds1 = 4,
+      roundsMeta = 4, maxLevels = 3).orderBy("id").collect().map(_.toSeq).toSeq
+    val b2 = GraphAnalytics.louvainTwoLevel(barbell, rounds1 = 4,
+      rounds2 = 4).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(b3 == b2)
+  }
+
   test("featureProp: mean aggregation exact on a star; deterministic") {
     // star h-{x1,x2,x3}: deg h=3, leaves 1. h0: h=3M, x=1M.
     // iter1: h(h) = (3M + 3*1M) div 4 = 1.5M

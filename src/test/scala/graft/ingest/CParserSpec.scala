@@ -50,6 +50,39 @@ class CParserSpec extends AnyFunSuite {
       .contains(ParsedEdge("calls", "normalize")))
   }
 
+  test("multi-line function-like macros: whole replacement list scanned") {
+    val src =
+      """#define RETRY(op, n)            \
+        |    do {                        \
+        |        if (!try_once(op))      \
+        |            backoff(n);         \
+        |    } while (0)
+        |
+        |#define BANNER "multi \
+        |line string"
+        |
+        |static int live = 1;
+        |
+        |int drive(void) {
+        |    RETRY(live, 3);
+        |    return 0;
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    // the continuation lines are consumed: no spurious units from the
+    // macro body, the unbalanced do/while braces don't corrupt scope
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("function", "RETRY"), ("const", "BANNER"),
+      ("var", "live"), ("function", "drive")))
+    val retry = us.find(_.name == "RETRY").get
+    // calls from ALL continued lines, not just the first
+    assert(retry.edges.contains(ParsedEdge("calls", "try_once")))
+    assert(retry.edges.contains(ParsedEdge("calls", "backoff")))
+    assert(retry.lineStart == 1 && retry.lineEnd == 5)
+    assert(us.find(_.name == "drive").get.edges
+      .contains(ParsedEdge("calls", "RETRY")))
+  }
+
   test("prototypes and forward declarations emit nothing") {
     val src =
       """static char *validate(const char *addr);

@@ -138,6 +138,36 @@ class GoParserSpec extends AnyFunSuite {
     assert(callees.contains("apply") && callees.contains("inner"))
   }
 
+  test("named closure bindings are function units with their own scope") {
+    val src =
+      """package p
+        |
+        |var top = func(a int) int {
+        |	return shape(a)
+        |}
+        |
+        |func drive(n int) int {
+        |	double := func(x int) int {
+        |		return grow(x)
+        |	}
+        |	return double(n) + after(n)
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("function", "top"), ("function", "drive"), ("function", "double")))
+    // the closure's body calls belong to the CLOSURE, not the host
+    assert(us.find(_.name == "top").get.edges
+      .contains(ParsedEdge("calls", "shape")))
+    assert(us.find(_.name == "double").get.edges
+      .contains(ParsedEdge("calls", "grow")))
+    val drive = us.find(_.name == "drive").get
+    assert(!drive.edges.exists(_.targetName == "grow"))
+    // the host still records its own call-sites, incl. the closure's
+    assert(drive.edges.contains(ParsedEdge("calls", "double")))
+    assert(drive.edges.contains(ParsedEdge("calls", "after")))
+  }
+
   test("non-code text falls back to one document unit") {
     val us = GoParser.parse("README.go", "words only\n")
     assert(us.map(_.unitType) == Seq("document"))

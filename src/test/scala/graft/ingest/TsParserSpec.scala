@@ -173,6 +173,27 @@ class TsParserSpec extends AnyFunSuite {
     assert(last.edges.contains(ParsedEdge("calls", "tail")))
   }
 
+  test("cleaning: keyword checks see the LAST identifier, not a concatenation") {
+    val src =
+      """export function pick(k: string, o: object): boolean {
+        |  return k in /['"]/.source ? yes(k) : no(k)
+        |}
+        |export function ratio(a: Box): number {
+        |  return a.in / scale(a)
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    // `k in /re/`: the word buffer must hold "in" (not "kin"), so the
+    // slash opens a regex — the ternary's calls survive the blanking
+    val pick = us.find(_.name == "pick").get
+    assert(pick.edges.contains(ParsedEdge("calls", "yes")))
+    assert(pick.edges.contains(ParsedEdge("calls", "no")))
+    // `a.in / scale(a)`: after a property ACCESS named like a keyword
+    // the slash is division, so the call after it survives
+    assert(us.find(_.name == "ratio").get.edges
+      .contains(ParsedEdge("calls", "scale")))
+  }
+
   test("DispatchParser routes .ts/.js to TsParser") {
     for (ext <- Seq("ts", "tsx", "js", "jsx", "mjs")) {
       val us = DispatchParser.parse(s"a/b.$ext",
