@@ -109,6 +109,15 @@ object Bench {
     // also pays sbt/JVM/warmup, so the default leaves headroom).
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
       .map(_.toDouble).getOrElse(420.0)
+    // LONG-ENTRY rule: once an entry has consumed this many timed
+    // seconds, stop iterating it (median = what ran). Re-running a
+    // 20 s graph analytic three times buys variance reduction the
+    // per-entry gate doesn't need (compute dominates JIT noise at
+    // that size) at a wall-clock price the driver's window can't
+    // afford — the r9 suite died at rc=124 mostly on exactly these
+    // entries' 2nd and 3rd iterations. Disclosed via `iters_trimmed`.
+    val longEntry = sys.env.get("SPARK_GRAFT_BENCH_LONG_SEC")
+      .map(_.toDouble).getOrElse(15.0)
     var timedSoFar = 0.0
     val results = Queries.benchNames.flatMap { name =>
       // untimed storage reset between queries: checkpointed RDDs from
@@ -127,18 +136,26 @@ object Bench {
         else if (timedSoFar > budget) 1
         else if (timedSoFar > 0.75 * budget) iters min 2
         else iters
-      itersUsed(name) = itersEff
       spark.sparkContext.setLocalProperty(EntryProp, name)
-      val attempts = (1 to itersEff).map { _ =>
+      val attempts =
+        scala.collection.mutable.ArrayBuffer.empty[Either[Double, Double]]
+      var entryTime = 0.0
+      var it = 0
+      while (it < itersEff && (it == 0 || longEntry <= 0 ||
+          entryTime < longEntry)) {
         val t0 = System.nanoTime()
-        try { run(name, sfDir); Right((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name,
-              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-            Left((System.nanoTime() - t0) / 1e9)
-        }
+        attempts += (
+          try { run(name, sfDir); Right((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              errors.getOrElseUpdate(name,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+              Left((System.nanoTime() - t0) / 1e9)
+          })
+        entryTime += attempts.last.fold(identity, identity)
+        it += 1
       }
+      itersUsed(name) = attempts.length
       spark.sparkContext.setLocalProperty(EntryProp, null)
       timedSoFar += attempts.map(_.fold(identity, identity)).sum
       failedTime += attempts.collect { case Left(t) => t }.sum

@@ -53,8 +53,11 @@ import scala.collection.mutable.ArrayBuffer
   * header IS the declaration and is re-read from the original line
   * (the [[GoParser]] import-path rule).
   *
-  * What the line grade gives up vs a real C front end: K&R-style
-  * definitions (no return type) lose units, preprocessor
+  * K&R-style definitions (`int foo(a, b) int a; int b; { … }`) are
+  * recognized when the text between the closing paren and the body
+  * brace is pure declaration material (r10).
+  *
+  * What the line grade gives up vs a real C front end: preprocessor
   * conditionals are not evaluated (both arms' declarations are
   * seen). What it gains: zero native dependencies and per-partition
   * parallelism inside `flatMap`.
@@ -188,7 +191,21 @@ object CParser extends SourceParser {
           addCalls(rest, ub)
           pending = Some(Frame("function", ub, depth))
           consumedTo = end
-        } // else: prototype — a declaration, not a definition
+        } else knrBody(cleanedLines, i) match {
+          // K&R-style definition (r10): parameter DECLARATIONS between
+          // `)` and `{` — `int foo(a, b) int a; int b; { … }`. joinDecl
+          // stopped at the first param-decl `;` and called it a
+          // prototype; if everything between the closing paren and a
+          // `{` is declaration material, it is a definition after all.
+          case Some((bodyLine, rest2)) =>
+            val name = FuncRe.findFirstMatchIn(line).get.group(1)
+            val ub = UnitBuilder("function", name, "", lineNo, lineNo)
+            builders += ub
+            addCalls(rest2, ub)
+            pending = Some(Frame("function", ub, depth))
+            consumedTo = bodyLine
+          case None => () // prototype — a declaration, not a definition
+        }
       } else if (atTop && StructRe.findFirstMatchIn(line).isDefined) {
         val m = StructRe.findFirstMatchIn(line).get
         // a definition opens a body; `struct foo;` forward decls and
@@ -250,6 +267,54 @@ object CParser extends SourceParser {
 
   private def netBraces(l: String): Int =
     l.count(_ == '{') - l.count(_ == '}')
+
+  /** K&R definition detector: from `start`, consume the parameter
+    * list, then accept ONLY declaration material (identifiers, `,`,
+    * `*`, brackets, `;`, whitespace) until a `{` — the old-style
+    * `int foo(a, b) int a; int b; {` shape. Returns the body-brace
+    * line and the text after the brace, or None (a real prototype, or
+    * anything else). Lookahead bounded at 20 lines.
+    */
+  private def knrBody(lines: Array[String], start: Int)
+      : Option[(Int, String)] = {
+    var j = start
+    var paren = 0
+    var closed = false
+    var sawDecl = false
+    // the K&R body brace stands ALONE after the final param decl's
+    // `;` — material between the last `;` and `{` (e.g. a following
+    // `struct store {` definition) means this was a prototype plus
+    // unrelated declarations, not a K&R body
+    var sinceSemi = false
+    while (j < lines.length && j < start + 20) {
+      val l = lines(j)
+      var k = 0
+      while (k < l.length) {
+        val c = l(k)
+        if (!closed) c match {
+          case '(' | '[' => paren += 1
+          case ')' | ']' =>
+            paren -= 1
+            if (paren == 0 && c == ')') closed = true
+          case ';' | '{' | '}' => return None
+          case _ => ()
+        } else c match {
+          case '{' =>
+            return if (sawDecl && !sinceSemi) Some((j, l.drop(k + 1)))
+              else None
+          case ';' => sinceSemi = false
+          case ',' | '*' | '[' | ']' => ()
+          case w if w.isWhitespace => ()
+          case w if w == '_' || w.isLetterOrDigit =>
+            sawDecl = true; sinceSemi = true
+          case _ => return None
+        }
+        k += 1
+      }
+      j += 1
+    }
+    None
+  }
 
   /** Join cleaned lines from `start` until the definition's body `{`
     * at paren-depth 0; a `;` at depth 0 first means a prototype

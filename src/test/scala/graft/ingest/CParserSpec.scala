@@ -98,6 +98,43 @@ class CParserSpec extends AnyFunSuite {
     assert(us.head.edges.contains(ParsedEdge("calls", "probe")))
   }
 
+  test("K&R definitions: param declarations between ) and { still define") {
+    val src =
+      """int legacy_sum(a, b)
+        |int a;
+        |int b;
+        |{
+        |    return checked_add(a, b);
+        |}
+        |
+        |int modern(int x);
+        |
+        |int driver(void) {
+        |    return legacy_sum(1, 2);
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    // the K&R shape defines; the true prototype still doesn't
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("function", "legacy_sum"), ("function", "driver")))
+    val legacy = us.find(_.name == "legacy_sum").get
+    assert(legacy.edges.contains(ParsedEdge("calls", "checked_add")))
+    assert(legacy.lineStart == 1 && legacy.lineEnd == 6)
+    assert(us.find(_.name == "driver").get.edges
+      .contains(ParsedEdge("calls", "legacy_sum")))
+    // NOT K&R: a prototype followed by globals and a struct BODY —
+    // the brace is not alone after a `;`, so nothing is swallowed
+    val neg = parse(
+      """int f(void);
+        |int retries;
+        |struct store {
+        |    int conns;
+        |};
+        |""".stripMargin)
+    assert(neg.map(u => (u.unitType, u.name)) ==
+      Seq(("var", "retries"), ("type", "store")))
+  }
+
   test("typedefs: one-liner, struct tail name, function pointer") {
     val src =
       """typedef unsigned long word_t;
