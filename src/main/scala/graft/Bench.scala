@@ -108,7 +108,7 @@ object Bench {
     // were trimmed. Budget counts TIMED seconds (the driver's window
     // also pays sbt/JVM/warmup, so the default leaves headroom).
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
-      .map(_.toDouble).getOrElse(420.0)
+      .map(_.toDouble).getOrElse(300.0)
     // LONG-ENTRY rule: once an entry has consumed this many timed
     // seconds, stop iterating it (median = what ran). Re-running a
     // 20 s graph analytic three times buys variance reduction the
@@ -277,13 +277,22 @@ object Bench {
     // speed-adjusted threshold lands in regressions_confirmed. Cost:
     // three extra iterations for flagged entries only.
     val rechecks = regressions.map { case (k, (b, v)) =>
-      val times = (1 to 3).flatMap { _ =>
+      // the long-entry rule applies here too: a heavy entry's
+      // baseline is itself 1-2-iteration-derived, so a like-for-like
+      // recheck needs no more
+      val raw = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var rcTime = 0.0
+      var rcIt = 0
+      while (rcIt < 3 && (rcIt == 0 || longEntry <= 0 || rcTime < longEntry)) {
         graft.core.Checkpoints.sweepAnonymous(spark)
         System.gc()
         val t0 = System.nanoTime()
-        try { run(k, sfDir); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }.sorted
+        try { run(k, sfDir); raw += (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => () }
+        rcTime += (System.nanoTime() - t0) / 1e9
+        rcIt += 1
+      }
+      val times = raw.sorted
       // LOWER-middle median: with a transiently-failed iteration the
       // two survivors must not round UP to the max (that biases toward
       // confirming — the opposite of what an adjudication pass is

