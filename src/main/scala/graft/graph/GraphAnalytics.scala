@@ -3571,6 +3571,44 @@ object GraphAnalytics {
     */
   def louvainLevelsSql(edgesSql: String, rounds1: Int = 3,
                        roundsMeta: Int = 4, levels: Int = 3): String = {
+    val sb = new StringBuilder(
+      louvainLevelCtes(edgesSql, rounds1, roundsMeta, levels))
+    // compose the per-level mappings down to original ids
+    sb ++= s" SELECT l.id, x${levels}_$roundsMeta.lbl AS community " +
+      s"FROM l$rounds1 l " +
+      s"JOIN x2_$roundsMeta ON x2_$roundsMeta.id = l.lbl"
+    for (k <- 3 to levels)
+      sb ++= s" JOIN x${k}_$roundsMeta ON x${k}_$roundsMeta.id " +
+        s"= x${k - 1}_$roundsMeta.lbl"
+    sb ++= " ORDER BY l.id"
+    sb.toString
+  }
+
+  /** DuckDB oracle for the LEVEL-MAPPING view (id, c1..cN) — the
+    * dendrogram every level of [[louvainLevels]] produces, exposed by
+    * the `graph_louvain_hierarchy` entry. Shares the unrolled CTE
+    * chain with [[louvainLevelsSql]].
+    */
+  def louvainHierarchySql(edgesSql: String, rounds1: Int = 3,
+                          roundsMeta: Int = 4, levels: Int = 3): String = {
+    val sb = new StringBuilder(
+      louvainLevelCtes(edgesSql, rounds1, roundsMeta, levels))
+    sb ++= s" SELECT l.id, l.lbl AS c1"
+    for (k <- 2 to levels) sb ++= s", x${k}_$roundsMeta.lbl AS c$k"
+    sb ++= s" FROM l$rounds1 l " +
+      s"JOIN x2_$roundsMeta ON x2_$roundsMeta.id = l.lbl"
+    for (k <- 3 to levels)
+      sb ++= s" JOIN x${k}_$roundsMeta ON x${k}_$roundsMeta.id " +
+        s"= x${k - 1}_$roundsMeta.lbl"
+    sb ++= " ORDER BY l.id"
+    sb.toString
+  }
+
+  /** The unrolled level-1 + meta-level CTE chain shared by
+    * [[louvainLevelsSql]] and [[louvainHierarchySql]].
+    */
+  private def louvainLevelCtes(edgesSql: String, rounds1: Int,
+                               roundsMeta: Int, levels: Int): String = {
     require(levels >= 2)
     val sb = new StringBuilder(louvainCtesSql(edgesSql, rounds1))
     for (k <- 2 to levels) {
@@ -3618,14 +3656,6 @@ object GraphAnalytics {
           s"FROM $p l JOIN w${k}_$r w ON w.id = l.id)"
       }
     }
-    // compose the per-level mappings down to original ids
-    sb ++= s" SELECT l.id, x${levels}_$roundsMeta.lbl AS community " +
-      s"FROM l$rounds1 l " +
-      s"JOIN x2_$roundsMeta ON x2_$roundsMeta.id = l.lbl"
-    for (k <- 3 to levels)
-      sb ++= s" JOIN x${k}_$roundsMeta ON x${k}_$roundsMeta.id " +
-        s"= x${k - 1}_$roundsMeta.lbl"
-    sb ++= " ORDER BY l.id"
     sb.toString
   }
 }

@@ -88,6 +88,20 @@ object QueriesGraph {
         undirectedPairs = true, l1Precomputed = Some(louvainL1(s, d)))
     }
 
+  /** The level-3 partition, stored like its parents — read by
+    * `graph_louvain_deep` and joined by `graph_louvain_hierarchy`.
+    * Built by resuming from [[louvainL2]] (levels compose — see
+    * there); the first consumer pays one contraction + one weighted
+    * move phase, everyone after reads the artifact.
+    */
+  private def louvainL3(s: SparkSession, d: String): DataFrame =
+    storedArtifact(s, s"graft|louvain_l3|$d|r4x4x4") {
+      GraphAnalytics.louvainLevels(
+        CodeGraph.undPairs(s, d), rounds1 = 4, roundsMeta = 4,
+        maxLevels = 2, undirectedPairs = true,
+        l1Precomputed = Some(louvainL2(s, d)))
+    }
+
   /** The 4-round min-label component table, session-cached for the
     * same reason — `graph_components` and `graph_msf_invariants` run
     * the identical chain on the identical stored pair view.
@@ -796,12 +810,24 @@ object QueriesGraph {
     // oracle is the fully-unrolled 3-level SQL, which pins the
     // resume-equivalence end to end.
     ("graph_louvain_deep",
-      (s, d) => GraphAnalytics.louvainLevels(
-          CodeGraph.undPairs(s, d), rounds1 = 4, roundsMeta = 4,
-          maxLevels = 2, undirectedPairs = true,
-          l1Precomputed = Some(louvainL2(s, d)))
-        .orderBy("id"),
+      (s, d) => louvainL3(s, d).orderBy("id"),
       Some(GraphAnalytics.louvainLevelsSql(E, rounds1 = 4,
+        roundsMeta = 4, levels = 3))),
+
+    // The DENDROGRAM view (r10): every node with its community at all
+    // three levels — the surface a hierarchical-community consumer
+    // actually reads (drill-down, level-picked resolution). Three
+    // stored-artifact joins; the oracle re-derives all three levels
+    // from scratch, so this entry also cross-pins the three artifacts
+    // against each other every correctness run.
+    ("graph_louvain_hierarchy",
+      (s, d) => louvainL1(s, d).select(col("id"), col("community").as("c1"))
+        .join(louvainL2(s, d).select(col("id"), col("community").as("c2")),
+          Seq("id"))
+        .join(louvainL3(s, d).select(col("id"), col("community").as("c3")),
+          Seq("id"))
+        .orderBy("id"),
+      Some(GraphAnalytics.louvainHierarchySql(E, rounds1 = 4,
         roundsMeta = 4, levels = 3))),
 
     // Partition quality: Newman modularity of the LPA communities as
