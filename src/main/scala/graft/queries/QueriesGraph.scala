@@ -44,26 +44,13 @@ object QueriesGraph {
     * let every consumer (contraction, quality metric) read the stored
     * copy.
     */
-  /** Memoize an iterative algorithm's result as a PARQUET-BACKED
-    * stored artifact through the session [[graft.query.QueryCache]]
-    * (write-invalidated, LRU+TTL). The write+read-back is load-bearing,
-    * not a convenience: the loops' results sit on `localCheckpoint`
-    * lineage, which the harness's between-entry `sweepAnonymous`
-    * severs — a later consumer that misses the in-memory cache would
-    * die on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (observed). A
-    * parquet-rooted plan recomputes safely from disk forever, and is
-    * exactly what a 100-TB deployment does with these artifacts: write
-    * the partition/forest once at build time, every consumer reads the
-    * stored copy.
+  /** Parquet-backed session artifacts (see
+    * [[graft.query.QueryCache.storedArtifact]] for why the
+    * write+read-back is load-bearing).
     */
   private def storedArtifact(s: SparkSession, key: String)
                             (build: => DataFrame): DataFrame =
-    graft.query.QueryCache.forSession(s).getOrElseUpdate(key) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-artifact-").toString
-      build.write.mode("overwrite").parquet(dir)
-      s.read.parquet(dir)
-    }
+    graft.query.QueryCache.storedArtifact(s, key)(build)
 
   private def louvainL1(s: SparkSession, d: String): DataFrame =
     storedArtifact(s, s"graft|louvain_l1|$d|r4") {

@@ -106,6 +106,28 @@ object QueryCache {
   private val perSession = new java.util.LinkedHashMap[SparkSession, QueryCache](
     16, 0.75f, /* accessOrder = */ true)
 
+  /** Memoize a derived table as a PARQUET-BACKED stored artifact in
+    * the session cache (write-invalidated, LRU+TTL like every entry).
+    * The write+read-back is load-bearing, not a convenience: an
+    * iterative algorithm's result sits on `localCheckpoint` lineage,
+    * which harness storage sweeps sever between queries — a later
+    * consumer that misses the in-memory cache then dies on
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (observed r10). A
+    * parquet-rooted plan recomputes safely from disk forever, and is
+    * what a 100-TB deployment does with these artifacts anyway: write
+    * the partition/forest once at build time, every consumer reads
+    * the stored copy. On invalidation the next call rebuilds into a
+    * fresh temp directory (the stale one dies with the JVM's tmp).
+    */
+  def storedArtifact(spark: SparkSession, key: String)
+                    (build: => DataFrame): DataFrame =
+    forSession(spark).getOrElseUpdate(key) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-artifact-").toString
+      build.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+
   def forSession(spark: SparkSession): QueryCache = perSession.synchronized {
     sweepStopped()
     var c = perSession.get(spark)

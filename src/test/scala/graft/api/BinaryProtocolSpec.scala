@@ -108,6 +108,44 @@ class BinaryProtocolSpec extends SparkSpec {
     assert(show.slice(base, base + 40).sameElements(edgeGold))
   }
 
+  test("golden frames: StatusResponse extern layout, field by field") {
+    // protocol.zig StatusResponse + WorkspaceInfo are `extern struct`s
+    // — the one place the reference's x86 memory IS the wire bytes.
+    // Every byte hand-derived from the declared field order
+    // (u64 block/edge counts, u32 sstable + 4 pad, three u64s,
+    // u32 workspace_count + 4 pad; WorkspaceInfo: name[128],
+    // path[256], u32+u32, i64 last_sync, u8 status + 7 pad, u64).
+    def u32(v: Long) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u64(v: Long) = u32(v & 0xffffffffL) ++ u32((v >>> 32) & 0xffffffffL)
+    def fixed(s: String, cap: Int) =
+      s.getBytes("UTF-8") ++ Array.fill[Byte](cap - s.length)(0)
+    val wsGold =
+      fixed("ws", 128) ++ fixed("/w", 256) ++
+      u32(3) ++ u32(2) ++                  // block_count, edge_count
+      u64(1700000000L) ++                  // last_sync_timestamp
+      Array[Byte](0) ++ Array.fill[Byte](7)(0) ++ // synced + _padding
+      u64(6656L)                           // storage_bytes
+    assert(wsGold.length == 416)
+    val gold =
+      u64(3) ++ u64(2) ++                  // block_count, edge_count
+      u32(1) ++ Array.fill[Byte](4)(0) ++  // sstable_count + _padding1
+      u64(4096L) ++ u64(8192L) ++ u64(60L) ++
+      u32(1) ++ Array.fill[Byte](4)(0) ++  // workspace_count + _padding2
+      wsGold ++ Array.fill[Byte](9 * 416)(0) // unused slots, memset 0
+    assert(gold.length == StatusResponseSize)
+    val resp = StatusResponse(3L, 2L, 1, 4096L, 8192L, 60L,
+      Seq(WorkspaceInfo("ws", "/w", 3, 2, 1700000000L, 0, 6656L)))
+    assert(encodeStatusResponse(resp).sameElements(gold))
+    // and the DECODER accepts the hand-written bytes
+    val dec = decodeStatusResponse(gold).toOption.get
+    assert(dec.blockCount == 3L && dec.uptimeSeconds == 60L)
+    val w = dec.workspaces.head
+    assert(w.name == "ws" && w.path == "/w" &&
+      w.lastSyncTimestamp == 1700000000L && w.storageBytes == 6656L)
+  }
+
   test("header validation mirrors MessageHeader.validate") {
     val good = encodeHeader(Header(MsgType.PingRequest, 0L))
     val badMagic = good.clone(); badMagic(0) = 0x00
