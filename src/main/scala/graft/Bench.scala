@@ -44,11 +44,42 @@ object Bench {
     def run(name: String, dir: String): Unit =
       Queries.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+    // The warmup pass is embarrassingly parallel (each entry is an
+    // independent tiny job on the sf0.001 fixture; local[32] has the
+    // task slots) and UNTIMED — but it was costing ~40% of the bench's
+    // WALL clock run sequentially, which is exactly the budget the
+    // driver's external window pays (r9's rc=124 artifact). A small
+    // pool overlaps the driver-latency-bound entries' scheduling gaps;
+    // a time budget backstops the whole phase (a cancelled warmup only
+    // means that entry's first timed iteration pays its own JIT).
+    val tWarm0 = System.nanoTime()
     val warmDir = "/root/testdata/sf0.001"
-    Queries.benchNames.foreach { name =>
-      try run(name, warmDir)
-      catch { case _: Throwable => () }
+    locally {
+      val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_THREADS", "8")
+        .toInt max 1
+      val budgetMs = (sys.env.get("SPARK_GRAFT_BENCH_WARM_SEC")
+        .map(_.toDouble).getOrElse(240.0) * 1000).toLong
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val runQ: (String, String) => Unit = run // the Runnable shadows `run`
+      val futures = Queries.benchNames.map { name =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try runQ(name, warmDir)
+            catch { case _: Throwable => () }
+        })
+      }
+      futures.foreach { f =>
+        val leftMs =
+          budgetMs - (System.nanoTime() - tWarm0) / 1000000
+        try f.get(leftMs max 1,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { case _: Throwable => f.cancel(true) }
+      }
+      pool.shutdownNow()
+      val _ = pool.awaitTermination(10,
+        java.util.concurrent.TimeUnit.SECONDS)
     }
+    val tMat0 = System.nanoTime()
     try {
       graft.graph.CodeGraph.edges(spark, sfDir).count()
       graft.graph.CodeGraph.nodeBlocks(spark, sfDir).count()
@@ -70,6 +101,7 @@ object Bench {
     // iterations when there were any; EVERY failed attempt's wall-clock
     // time is added to "value", so throwing can never shrink the
     // reported total; n_failed counts queries with ZERO successes.
+    val tTimed0 = System.nanoTime()
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt max 1
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var failedTime = 0.0
@@ -276,6 +308,7 @@ object Bench {
     // committed baselines were taken); only that median exceeding the
     // speed-adjusted threshold lands in regressions_confirmed. Cost:
     // three extra iterations for flagged entries only.
+    val tRecheck0 = System.nanoTime()
     val rechecks = regressions.map { case (k, (b, v)) =>
       // the long-entry rule applies here too: a heavy entry's
       // baseline is itself 1-2-iteration-derived, so a like-for-like
@@ -324,7 +357,16 @@ object Bench {
     val trimmed = itersUsed.collect {
       case (k, n) if n < iters => jstr(k) + ":" + n
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed}"""
+    // wall-clock phase breakdown — the r9 driver timeout was diagnosed
+    // blind (suite seconds were known, wall overhead was not); the
+    // artifact now carries where its wall went
+    def ph(t0: Long, t1: Long): Double =
+      math.round((t1 - t0) / 1e7) / 100.0
+    val tEnd = System.nanoTime()
+    val phases = s"""{"warm":${ph(tWarm0, tMat0)},"materialize":${
+      ph(tMat0, tTimed0)},"timed":${ph(tTimed0, tRecheck0)},"recheck":${
+      ph(tRecheck0, tEnd)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed,"phases":$phases}"""
     println(line)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write

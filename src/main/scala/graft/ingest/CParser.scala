@@ -58,9 +58,14 @@ import scala.collection.mutable.ArrayBuffer
   * brace is pure declaration material (r10).
   *
   * What the line grade gives up vs a real C front end: preprocessor
-  * conditionals are not evaluated (both arms' declarations are
-  * seen). What it gains: zero native dependencies and per-partition
-  * parallelism inside `flatMap`.
+  * conditionals with MACRO conditions are not evaluated (both arms'
+  * declarations are seen) — but LITERAL arms are decided (r10):
+  * `#if 0 … #endif` dead-code blocks are skipped whole (no
+  * declarations, no call-sites, no brace counting — dead code is
+  * routinely unbalanced), `#if 1`'s `#else` arm likewise, with
+  * `#elif`/`#else` chains tracked per nesting level. What it gains:
+  * zero native dependencies and per-partition parallelism inside
+  * `flatMap`.
   */
 object CParser extends SourceParser {
 
@@ -110,6 +115,39 @@ object CParser extends SourceParser {
     def addCalls(text: String, to: UnitBuilder): Unit =
       ParserScaffold.addCalls(text, to, Keywords, Set.empty)
 
+    // Preprocessor-conditional tracking (r10): a lexical scan cannot
+    // evaluate macro conditions (both arms are seen — documented), but
+    // LITERAL arms are decidable: `#if 0 … #endif` is the classic
+    // dead-code comment and its contents — declarations, call-sites,
+    // and (worst) unbalanced braces — must not reach the scan. Per
+    // level: (suppress THIS arm, a previous arm was literally taken).
+    val condStack = ArrayBuffer.empty[(Boolean, Boolean)]
+    def suppressed: Boolean = condStack.exists(_._1)
+    def condDirective(d: String, arg: String): Boolean = d match {
+      case "if" =>
+        condStack += ((arg == "0", arg == "1")); true
+      case "ifdef" | "ifndef" =>
+        condStack += ((false, false)); true
+      case "elif" =>
+        if (condStack.nonEmpty) {
+          val (_, took) = condStack.last
+          condStack(condStack.length - 1) =
+            (took || arg == "0", took || arg == "1")
+        }
+        true
+      case "else" =>
+        if (condStack.nonEmpty) {
+          val (_, took) = condStack.last
+          condStack(condStack.length - 1) = (took, took)
+        }
+        true
+      case "endif" =>
+        if (condStack.nonEmpty) condStack.remove(condStack.length - 1)
+        true
+      case _ => false
+    }
+    val DirectiveRe = """^\s*#\s*(\w+)\s*(\S*)""".r
+
     var depth = 0
     var i = 0
     while (i < cleanedLines.length) {
@@ -120,7 +158,25 @@ object CParser extends SourceParser {
       var isPreproc = false
       val atTop = depth == 0 && !insideFunction
 
-      if (line.trim.startsWith("#")) {
+      if (line.trim.startsWith("#") && {
+        val m = DirectiveRe.findFirstMatchIn(line)
+        m.exists(mm => condDirective(mm.group(1), mm.group(2)))
+      }) {
+        // a conditional directive: stack updated above, the line itself
+        // declares nothing and counts no braces (continuations joined
+        // into the directive, same as every other # line)
+        isPreproc = true
+        var pEnd = i
+        while (pEnd < cleanedLines.length - 1 &&
+            cleanedLines(pEnd).replaceAll("""\s+$""", "").endsWith("\\"))
+          pEnd += 1
+        consumedTo = pEnd
+      } else if (suppressed) {
+        // inside a literally-dead arm: no declarations, no call-sites,
+        // and crucially no brace counting (dead code is routinely
+        // unbalanced)
+        isPreproc = true
+      } else if (line.trim.startsWith("#")) {
         // preprocessor lines: includes and defines declare, the rest
         // (#if/#endif/#pragma/…) are transparent to the scan. A
         // `\`-continued directive is ONE logical line (C17 §5.1.1.2

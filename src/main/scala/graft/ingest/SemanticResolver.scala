@@ -29,6 +29,14 @@ object SemanticResolver {
     * Ambiguous global names resolve to the lexicographically-smallest
     * unit_id (deterministic across cluster layouts; the reference's
     * insertion-order tie-break is single-threaded luck).
+    *
+    * `method_of` edges resolve against TYPE units only (r10): their
+    * targets are containers by construction (the parsers emit them
+    * with the enclosing class's name), and a C++/Java constructor —
+    * a FUNCTION unit named like its class, inside that class — must
+    * not scope-shadow the type a sibling method attaches to. Call
+    * edges keep the full table: `Store(…)` call-sites resolving to
+    * the constructor is exactly right.
     */
   def resolveEdges(units: Dataset[ParsedUnit]): DataFrame = {
     val raw = units.toDF()
@@ -40,20 +48,31 @@ object SemanticResolver {
         col("edge.targetName").as("target_name"))
 
     val symbols = symbolTable(units)
+    val typeSymbols = symbolTable(units.filter(_.unitType == "type"))
     // deterministic pick per (name, container) and per name
-    val scoped = symbols.groupBy("name", "container")
-      .agg(min("unitId").as("scoped_unit_id"))
-    val global = symbols.groupBy("name")
-      .agg(min("unitId").as("global_unit_id"))
+    def scoped(t: DataFrame, prefix: String) = t.groupBy("name", "container")
+      .agg(min("unitId").as(s"${prefix}_scoped_id"))
+      .withColumnRenamed("name", s"${prefix}_sname")
+      .withColumnRenamed("container", s"${prefix}_scontainer")
+    def global(t: DataFrame, prefix: String) = t.groupBy("name")
+      .agg(min("unitId").as(s"${prefix}_global_id"))
+      .withColumnRenamed("name", s"${prefix}_gname")
 
+    val isMethodOf = col("edge_type") === "method_of"
     raw
-      .join(broadcast(scoped),
-        raw("target_name") === scoped("name") &&
-          raw("src_container") === scoped("container"), "left")
-      .join(broadcast(global.withColumnRenamed("name", "gname")),
-        col("target_name") === col("gname"), "left")
+      .join(broadcast(scoped(symbols, "a")),
+        col("target_name") === col("a_sname") &&
+          col("src_container") === col("a_scontainer"), "left")
+      .join(broadcast(global(symbols, "a")),
+        col("target_name") === col("a_gname"), "left")
+      .join(broadcast(scoped(typeSymbols, "t")),
+        col("target_name") === col("t_sname") &&
+          col("src_container") === col("t_scontainer"), "left")
+      .join(broadcast(global(typeSymbols, "t")),
+        col("target_name") === col("t_gname"), "left")
       .withColumn("dst_unit_id",
-        coalesce(col("scoped_unit_id"), col("global_unit_id")))
+        when(isMethodOf, coalesce(col("t_scoped_id"), col("t_global_id")))
+          .otherwise(coalesce(col("a_scoped_id"), col("a_global_id"))))
       .filter(col("dst_unit_id").isNotNull)
       .filter(col("dst_unit_id") =!= col("src_unit_id")) // no self-edges
       .select("src_unit_id", "dst_unit_id", "edge_type")

@@ -281,5 +281,12 @@ object DispatchParser extends SourceParser {
       RustParser.parse(filePath, content)
     else if (filePath.endsWith(".c") || filePath.endsWith(".h"))
       CParser.parse(filePath, content)
+    else if (filePath.endsWith(".cpp") || filePath.endsWith(".cc") ||
+        filePath.endsWith(".cxx") || filePath.endsWith(".hpp") ||
+        filePath.endsWith(".hh") || filePath.endsWith(".hxx"))
+      // `.h` stays with CParser: C projects own that extension and the
+      // C grammar (K&R, typedef tails) is tuned for it; a C++ header
+      // in `.h` still extracts its C-shaped surface there
+      CppParser.parse(filePath, content)
     else SimpleParser.parse(filePath, content)
 }

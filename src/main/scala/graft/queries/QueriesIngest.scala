@@ -358,6 +358,62 @@ object QueriesIngest {
       Ingest.FileDoc("svc/store_check.c", demoCCheck)).toDS()
   }
 
+  // C++ demo codebase for the CppParser entries (r10): a namespace
+  // (transparent scope), a class with an in-class constructor (whose
+  // initializer list must NOT scan as calls), an in-class method, an
+  // in-class PROTOTYPE defined out-of-line (`Store::open` — the
+  // Go-receiver shape: exactly one unit), a file-scope free function,
+  // and a gtest TEST reaching the class through a `using` import.
+  private val demoCppStore =
+    """#include <cstdio>
+      |#include "store.hpp"
+      |
+      |#define MAX_CONNS 8
+      |
+      |namespace svc {
+      |
+      |constexpr int kRetries = 3;
+      |
+      |class Store {
+      | public:
+      |  Store(const char* addr) : addr_(addr) { validate(addr); }
+      |  int get(const char* key) {
+      |    return lookup(addr_, key);
+      |  }
+      |  static Store* open(const char* addr);
+      | private:
+      |  const char* addr_;
+      |};
+      |
+      |Store* Store::open(const char* addr) {
+      |  return new Store(validate(addr));
+      |}
+      |
+      |static const char* validate(const char* addr) {
+      |  return normalize(addr);
+      |}
+      |
+      |}  // namespace svc
+      |""".stripMargin
+
+  private val demoCppTest =
+    """#include "store.hpp"
+      |#include <gtest/gtest.h>
+      |
+      |using svc::Store;
+      |
+      |TEST(StoreTest, OpensStore) {
+      |  Store* s = Store::open("x");
+      |  EXPECT_EQ(0, s->get("k"));
+      |}
+      |""".stripMargin
+
+  private def demoCppFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(Ingest.FileDoc("svc/store.cpp", demoCppStore),
+      Ingest.FileDoc("svc/store_test.cpp", demoCppTest)).toDS()
+  }
+
   /** Deterministic on-disk tree for the directory-source entry: code
     * files that pass the globs, a doc file, a glob-excluded vendor file,
     * an oversized file (> 1 MiB cap) and an empty file (both must be
@@ -793,6 +849,59 @@ object QueriesIngest {
         | (1, 'svc/store.c:GUARD'),
         | (1, 'svc/store.c:open_store'),
         | (2, 'svc/store_check.c:check_open')
+        |) t(depth, unit_id) ORDER BY depth, unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // C++ extraction (r10): the ninth real language — closes the
+    // reference's DEFAULT ingest surface (ingest_directory.zig:185-195
+    // includes .cpp/.hpp). Classes as containers, namespace-transparent
+    // scoping, out-of-line `Cls::method` definitions, gtest TESTs,
+    // using-imports.
+    ("ingest_cpp_units",
+      (s, d) => Ingest.parseFiles(demoCppFiles(s), DispatchParser)
+        .toDF().select(col("unitId").as("unit_id"),
+          col("unitType").as("unit_type"), col("name"),
+          col("parentContainer").as("parent"))
+        .orderBy("unit_id"),
+      Some("""SELECT * FROM (VALUES
+        | ('svc/store.cpp:MAX_CONNS', 'const', 'MAX_CONNS', ''),
+        | ('svc/store.cpp:Store', 'type', 'Store', ''),
+        | ('svc/store.cpp:Store:Store', 'function', 'Store', 'Store'),
+        | ('svc/store.cpp:Store:addr_', 'const', 'addr_', 'Store'),
+        | ('svc/store.cpp:Store:get', 'function', 'get', 'Store'),
+        | ('svc/store.cpp:Store:open', 'function', 'open', 'Store'),
+        | ('svc/store.cpp:import:cstdio', 'import', 'cstdio', ''),
+        | ('svc/store.cpp:import:store', 'import', 'store', ''),
+        | ('svc/store.cpp:kRetries', 'const', 'kRetries', ''),
+        | ('svc/store.cpp:validate', 'function', 'validate', ''),
+        | ('svc/store_test.cpp:import:Store', 'import', 'Store', ''),
+        | ('svc/store_test.cpp:import:gtest', 'import', 'gtest', ''),
+        | ('svc/store_test.cpp:import:store', 'import', 'store', ''),
+        | ('svc/store_test.cpp:test:6', 'test', 'StoreTest.OpensStore', '')
+        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        .stripMargin.replace("\n", " "))),
+
+    // Callers of `validate` on the C++ demo: the in-class constructor
+    // (initializer list excluded from the scan — only the body's call
+    // counts) and the out-of-line `Store::open` definition guard with
+    // it; the gtest TEST reaches it through `Store::open(` — a
+    // `::`-qualified call-site scanning as its last segment — at
+    // depth 2. Parser → resolver → blocks/edges → BFS.
+    ("ingest_cpp_callers",
+      (s, d) => {
+        import graft.api.Cli
+        val units = Ingest.parseFiles(demoCppFiles(s), DispatchParser)
+        val blocks = Ingest.unitsToBlocks(units, "cppdemo")
+        val edges = SemanticResolver.edgesAsBlocks(units, "cppdemo")
+        Cli.execute(blocks, edges,
+          Cli.ShowCmd("callers", "validate", "cppdemo", maxDepth = 2))
+          .select("depth", "unit_id").orderBy("depth", "unit_id")
+      },
+      Some("""SELECT * FROM (VALUES
+        | (0, 'svc/store.cpp:validate'),
+        | (1, 'svc/store.cpp:Store:Store'),
+        | (1, 'svc/store.cpp:Store:open'),
+        | (2, 'svc/store_test.cpp:test:6')
         |) t(depth, unit_id) ORDER BY depth, unit_id"""
         .stripMargin.replace("\n", " "))),
 

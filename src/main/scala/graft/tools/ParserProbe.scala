@@ -87,6 +87,23 @@ object ParserProbe {
          |    x * $i + s.len() as u32
          |}
          |""".stripMargin
+    case "cpp" =>
+      s"""#include "util_$i.hpp"
+         |namespace svc_$i {
+         |constexpr int kMax$i = $i;
+         |class Mod$i {
+         | public:
+         |  Mod$i(int v) : v_(v) { check_$i(v); }
+         |  int outer_$i(int x) { return inner_$i(x) + run_$i(x); }
+         | private:
+         |  int v_;
+         |};
+         |static int inner_$i(int x) {
+         |    // int ghost() {}
+         |    return x * $i;
+         |}
+         |}
+         |""".stripMargin
     case _ => // c
       s"""#include "util_$i.h"
          |#define MAX_$i $i
@@ -107,7 +124,7 @@ object ParserProbe {
     val langs = Seq(
       "zig" -> ZigParser, "scala" -> ScalaParser, "py" -> PythonParser,
       "go" -> GoParser, "ts" -> TsParser, "java" -> JavaParser,
-      "rs" -> RustParser, "c" -> CParser)
+      "rs" -> RustParser, "c" -> CParser, "cpp" -> CppParser)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

@@ -135,6 +135,39 @@ class CParserSpec extends AnyFunSuite {
       Seq(("var", "retries"), ("type", "store")))
   }
 
+  test("literal preprocessor arms: #if 0 dead code is skipped whole") {
+    val src =
+      """#if 0
+        |int dead_fn(void) {
+        |    haunt();
+        |}
+        |struct ghost {
+        |#else
+        |int live_fn(void) {
+        |    return keep();
+        |}
+        |#endif
+        |
+        |#if 1
+        |int also_live(void) { return 1; }
+        |#else
+        |int dead_else(void) { return 2; }
+        |#endif
+        |
+        |#ifdef CONFIG_X
+        |int arm_a(void) { return 3; }
+        |#else
+        |int arm_b(void) { return 4; }
+        |#endif
+        |""".stripMargin
+    val us = parse(src)
+    // #if 0 arm skipped (even with unbalanced braces), #else live;
+    // #if 1 live, its #else dead; macro conditions keep both arms
+    assert(us.map(_.name) == Seq("live_fn", "also_live", "arm_a", "arm_b"))
+    assert(us.find(_.name == "live_fn").get.edges
+      .contains(ParsedEdge("calls", "keep")))
+  }
+
   test("typedefs: one-liner, struct tail name, function pointer") {
     val src =
       """typedef unsigned long word_t;

@@ -1,0 +1,289 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-shape tests for the C++ extractor — same harness shape as
+  * the other eight parser specs.
+  */
+class CppParserSpec extends AnyFunSuite {
+
+  private def parse(src: String) = CppParser.parse("src/x.cpp", src)
+
+  test("namespaces, classes, methods, out-of-line definitions") {
+    val src =
+      """#include <cstdio>
+        |#include "store.hpp"
+        |
+        |namespace svc {
+        |
+        |constexpr int kRetries = 3;
+        |
+        |class Store {
+        | public:
+        |  Store(const char* addr) : addr_(addr) { validate(addr); }
+        |  int get(const char* key) {
+        |    return lookup(addr_, key);
+        |  }
+        |  static Store* open(const char* addr);
+        | private:
+        |  const char* addr_;
+        |};
+        |
+        |Store* Store::open(const char* addr) {
+        |  return new Store(validate(addr));
+        |}
+        |
+        |static const char* validate(const char* addr) {
+        |  return normalize(addr);
+        |}
+        |
+        |}  // namespace svc
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("import", "cstdio", ""), ("import", "store", ""),
+      ("const", "kRetries", ""),
+      ("type", "Store", ""),
+      ("function", "Store", "Store"),   // in-class constructor
+      ("function", "get", "Store"),
+      ("const", "addr_", "Store"),
+      ("function", "open", "Store"),    // out-of-line definition
+      ("function", "validate", "")))
+    // the in-class `static Store* open(...);` prototype yields no unit:
+    // exactly ONE `open`, from the out-of-line definition
+    assert(us.count(_.name == "open") == 1)
+    val ctor = us.find(u => u.name == "Store" && u.unitType == "function").get
+    assert(ctor.edges.contains(ParsedEdge("calls", "validate")))
+    assert(ctor.edges.contains(ParsedEdge("method_of", "Store")))
+    val open = us.find(_.name == "open").get
+    assert(open.edges.contains(ParsedEdge("calls", "validate")))
+    assert(open.edges.contains(ParsedEdge("method_of", "Store")))
+    assert(open.lineStart == 19 && open.lineEnd == 21)
+    assert(us.find(_.name == "get").get.edges
+      .contains(ParsedEdge("calls", "lookup")))
+  }
+
+  test("gtest TEST registration, using-imports, using-aliases") {
+    val src =
+      """#include "store.hpp"
+        |#include <gtest/gtest.h>
+        |
+        |using svc::Store;
+        |using Clock = std::chrono::steady_clock;
+        |using namespace std;
+        |
+        |TEST(StoreTest, OpensStore) {
+        |  Store* s = Store::open("x");
+        |  EXPECT_EQ(0, s->get("k"));
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("import", "store"), ("import", "gtest"),
+      ("import", "Store"), ("type", "Clock"),
+      ("test", "StoreTest.OpensStore")))
+    val t = us.find(_.unitType == "test").get
+    assert(t.unitId == "src/x.cpp:test:8")
+    // `Store::open(` scans as a call to `open`; `->get(` as a plain call
+    assert(t.edges.contains(ParsedEdge("calls", "open")))
+    assert(t.edges.contains(ParsedEdge("calls", "get")))
+  }
+
+  test("templates, enum class, destructors, fields") {
+    val src =
+      """template <typename T>
+        |T max2(T a, T b) {
+        |  return pick(a, b);
+        |}
+        |
+        |template <class T> class Vec {
+        | public:
+        |  ~Vec() { release(); }
+        |  int size_ = 0;
+        |};
+        |
+        |enum class Color { Red, Green };
+        |
+        |struct Point {
+        |  int x;
+        |  int y;
+        |};
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("function", "max2", ""),
+      ("type", "Vec", ""),
+      ("function", "~Vec", "Vec"),
+      ("var", "size_", "Vec"),
+      ("type", "Color", ""),
+      ("type", "Point", ""),
+      ("var", "x", "Point"),
+      ("var", "y", "Point")))
+    assert(us.find(_.name == "max2").get.edges
+      .contains(ParsedEdge("calls", "pick")))
+    assert(us.find(_.name == "~Vec").get.edges
+      .contains(ParsedEdge("calls", "release")))
+    // enum bodies hold constants, not members: no Red/Green units
+    assert(!us.exists(_.name == "Red"))
+  }
+
+  test("GNU-style heads: return type and qualifier on their own lines") {
+    val src =
+      """namespace svc {
+        |
+        |class Ring {
+        | public:
+        |  _MACRO_QUALIFIER
+        |  void
+        |  push(int v);
+        |  int
+        |  pop() {
+        |    return take_last();
+        |  }
+        |};
+        |
+        |void
+        |Ring::
+        |push(int v) {
+        |  grow(v);
+        |}
+        |
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("type", "Ring", ""),
+      ("function", "pop", "Ring"),
+      ("function", "push", "Ring"))) // out-of-line; in-class prototype skipped
+    assert(us.find(_.name == "pop").get.edges
+      .contains(ParsedEdge("calls", "take_last")))
+    assert(us.find(_.name == "push").get.edges
+      .contains(ParsedEdge("calls", "grow")))
+  }
+
+  test("prototypes, forward declarations, friends emit nothing") {
+    val src =
+      """class Store;
+        |int free_fn(int x);
+        |
+        |class Keeper {
+        |  friend class Store;
+        |  void helper();
+        |  int run() { return helper_impl(); }
+        |};
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("type", "Keeper"), ("function", "run")))
+    assert(us.find(_.name == "run").get.edges
+      .contains(ParsedEdge("calls", "helper_impl")))
+  }
+
+  test("cleaning: raw strings, digit separators, comments hide ghosts") {
+    val src =
+      """// int ghost1() {}
+        |/* int ghost2() {
+        |   still comment */
+        |const char* s = R"(int ghost3() {} ")";
+        |const long big = 1'000'000;
+        |int real() {
+        |  char c = '{';
+        |  return keep(big);
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.count(_.unitType == "function") == 1)
+    assert(us.find(_.name == "real").get.edges
+      .contains(ParsedEdge("calls", "keep")))
+    assert(!us.exists(_.name.startsWith("ghost")))
+    assert(us.exists(u => u.unitType == "const" && u.name == "big"))
+    assert(us.exists(u => u.unitType == "const" && u.name == "s"))
+  }
+
+  test("preprocessor: function-like macros still join continuations") {
+    val src =
+      """#define GUARD(x)          \
+        |    do {                  \
+        |        validate(x);      \
+        |    } while (0)
+        |
+        |void drive() {
+        |  GUARD(1);
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("function", "GUARD"), ("function", "drive")))
+    assert(us.find(_.name == "GUARD").get.edges
+      .contains(ParsedEdge("calls", "validate")))
+    assert(us.find(_.name == "drive").get.edges
+      .contains(ParsedEdge("calls", "GUARD")))
+  }
+
+  test("literal preprocessor arms: #if 0 dead code is skipped whole") {
+    val src =
+      """#if 0
+        |class Ghost {
+        |  void haunt() { boo(); }
+        |#else
+        |class Live {
+        | public:
+        |  int ping() { return pong(); }
+        |};
+        |#endif
+        |""".stripMargin
+    val us = parse(src)
+    // the dead arm's unbalanced class brace must not corrupt scope:
+    // Live parses at file scope with its method attached
+    assert(us.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("type", "Live", ""), ("function", "ping", "Live")))
+    assert(us.find(_.name == "ping").get.edges
+      .contains(ParsedEdge("calls", "pong")))
+  }
+
+  test("DispatchParser routes the C++ extension family to CppParser") {
+    for (ext <- Seq("cpp", "cc", "cxx", "hpp", "hh", "hxx")) {
+      val us = DispatchParser.parse(s"a/b.$ext",
+        "class K {\n public:\n  int f() { return g(); }\n};\n")
+      assert(us.map(u => (u.unitType, u.name)) ==
+        Seq(("type", "K"), ("function", "f")), ext)
+      assert(us.last.edges.contains(ParsedEdge("calls", "g")), ext)
+    }
+    // `.h` still routes to CParser (C owns the extension)
+    val h = DispatchParser.parse("a/b.h", "int f(void);\nint g(void) { return 1; }\n")
+    assert(h.map(_.name) == Seq("g"))
+  }
+
+  test("dogfood: parses real libstdc++ headers without losing its footing") {
+    // template-saturated real C++ is the adversarial input this
+    // extractor will actually meet: SFINAE, attribute macros,
+    // preprocessor guards, out-of-line template member definitions
+    val base = new java.io.File("/usr/include/c++")
+    assume(base.isDirectory)
+    val ver = base.listFiles().headOption.getOrElse(fail("no libstdc++"))
+    for (name <- Seq("bits/stl_vector.h", "bits/stl_pair.h")) {
+      val f = new java.io.File(ver, name)
+      assume(f.exists())
+      val src = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val us = CppParser.parse(name, src)
+      assert(us.nonEmpty, name)
+      us.foreach { u =>
+        assert(u.lineStart >= 1 && u.lineEnd >= u.lineStart,
+          s"$name ${u.unitId}")
+        assert(u.unitId.nonEmpty && u.unitType.nonEmpty, name)
+      }
+    }
+    // decades-stable facts, not version-pinned minutiae
+    val sv = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(ver, "bits/stl_vector.h").toPath), "UTF-8")
+    val us = CppParser.parse("bits/stl_vector.h", sv)
+    assert(us.exists(u => u.unitType == "type" && u.name == "vector"))
+    assert(us.exists(u => u.unitType == "function" &&
+      u.name == "push_back" && u.parentContainer == "vector"))
+    val sp = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(ver, "bits/stl_pair.h").toPath), "UTF-8")
+    val up = CppParser.parse("bits/stl_pair.h", sp)
+    assert(up.exists(u => u.unitType == "type" && u.name == "pair"))
+  }
+}

@@ -97,6 +97,29 @@ class IngestSpec extends SparkSpec {
     assert(edges.contains(("src/util.zig:helper", "src/util.zig:log", "calls")))
   }
 
+  test("method_of resolves to the TYPE even when a constructor shadows it") {
+    // C++/Java shape: the constructor is a FUNCTION named like its
+    // class INSIDE that class — scoped resolution would bind a sibling
+    // method's `method_of Store` to the ctor, detaching it from the
+    // type. method_of must resolve against type units only, while a
+    // `Store(…)` CALL from inside the class still means the ctor.
+    val cpp = Seq(Ingest.FileDoc("s.cpp",
+      """class Store {
+        | public:
+        |  Store(int c) { validate(c); }
+        |  int get(int k) { return k; }
+        |};
+        |Store* make() { return new Store(1); }
+        |void validate(int c) {}
+        |""".stripMargin)).toDS()
+    val edges = SemanticResolver.resolveEdges(Ingest.parseFiles(cpp, DispatchParser))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(edges.contains(("s.cpp:Store:get", "s.cpp:Store", "method_of")))
+    assert(edges.contains(("s.cpp:Store:Store", "s.cpp:Store", "method_of")))
+    assert(edges.contains(("s.cpp:make", "s.cpp:Store", "calls"))) // global: min id = type
+    assert(!edges.contains(("s.cpp:Store:get", "s.cpp:Store:Store", "method_of")))
+  }
+
   test("unresolved targets drop instead of failing") {
     val orphan = Seq(Ingest.FileDoc("a.zig", "fn f() {\n  ghost()\n}\n")).toDS()
     val edges = SemanticResolver.resolveEdges(Ingest.parseFiles(orphan, SimpleParser))

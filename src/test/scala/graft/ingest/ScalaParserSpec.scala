@@ -213,9 +213,10 @@ class ScalaParserSpec extends AnyFunSuite {
     // reproduce; the alphabet is weighted toward the parsers' control
     // characters (braces, quotes, slashes, backslashes, newlines).
     val alphabet =
-      "{}()[]\"'\\/*\n\n ;=>:,.@_abcdefXYZ09 \t`#$!-" +
+      "{}()[]\"'\\/*\n\n ;=>:,.@_abcdefXYZ09 \t`#$!-~<" +
         "fn def val var class object trait test import const type " +
-        "from func go package async lambda public static final void record "
+        "from func go package async lambda public static final void record " +
+        "namespace template using TEST R\" :: if endif "
     var seed = 0x9E3779B97F4A7C15L
     def nextInt(bound: Int): Int = {
       seed = seed * 6364136223846793005L + 1442695040888963407L
@@ -229,7 +230,7 @@ class ScalaParserSpec extends AnyFunSuite {
       // every parser: total (returns, never throws) with sane units
       for (p <- Seq(ScalaParser, ZigParser, SimpleParser, DispatchParser,
           PythonParser, GoParser, TsParser, JavaParser, RustParser,
-          CParser)) {
+          CParser, CppParser)) {
         val us = p.parse(s"f$trial.x", src)
         us.foreach { u =>
           assert(u.lineStart >= 1, s"trial $trial: lineStart ${u.lineStart}")
