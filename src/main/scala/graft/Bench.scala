@@ -131,28 +131,33 @@ object Bench {
         }
       })
     val itersUsed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    // WALL-CLOCK BUDGET (r10): the r9 suite outgrew the driver's bench
-    // window (BENCH_r09.json: rc=124, no parsed totals — a worthless
-    // artifact). Past the budget the tail degrades to fewer iterations
-    // per entry instead of the whole run dying: a 1-iter median for
-    // the tail is a weaker measurement, but infinitely stronger than
-    // none, and the `iters_used` map discloses exactly which entries
-    // were trimmed. Budget counts TIMED seconds (the driver's window
-    // also pays sbt/JVM/warmup, so the default leaves headroom).
+    // TIMED-SUITE BUDGET (r10, restructured r10b): the r9 suite outgrew
+    // the driver's bench window (BENCH_r09.json: rc=124 — a worthless
+    // artifact). The r10a scheme degraded the TAIL's iterations as the
+    // budget ran out, which couples an entry's precision to its suite
+    // position and still let a slow box blow the window (measured: a
+    // box with the iterative cohort at 1.27× ran 645 timed seconds
+    // against a 300 budget, because early entries burned 3 iterations
+    // before the cutoff engaged). COVERAGE-FIRST instead: pass 1 times
+    // every entry exactly once (the floor — the artifact is complete no
+    // matter what), then extra passes spend whatever budget remains on
+    // re-iterating entries below the long-entry threshold, so a slow
+    // box costs precision uniformly, never coverage, and timed wall is
+    // bounded by ~floor + budget. `iters_trimmed` discloses per entry.
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
-      .map(_.toDouble).getOrElse(300.0)
+      .map(_.toDouble).getOrElse(600.0)
     // LONG-ENTRY rule: once an entry has consumed this many timed
     // seconds, stop iterating it (median = what ran). Re-running a
-    // 20 s graph analytic three times buys variance reduction the
-    // per-entry gate doesn't need (compute dominates JIT noise at
-    // that size) at a wall-clock price the driver's window can't
-    // afford — the r9 suite died at rc=124 mostly on exactly these
-    // entries' 2nd and 3rd iterations. Disclosed via `iters_trimmed`.
+    // 20 s graph analytic buys variance reduction the per-entry gate
+    // doesn't need (compute dominates JIT noise at that size) at a
+    // wall-clock price the driver's window can't afford.
     val longEntry = sys.env.get("SPARK_GRAFT_BENCH_LONG_SEC")
       .map(_.toDouble).getOrElse(15.0)
     var timedSoFar = 0.0
-    val results = Queries.benchNames.flatMap { name =>
-      // untimed storage reset between queries: checkpointed RDDs from
+    val attemptsByEntry = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Either[Double, Double]]]
+    def timeEntry(name: String): Unit = {
+      // untimed storage reset between timings: checkpointed RDDs from
       // completed queries otherwise unpersist only when the
       // ContextCleaner collects their weak refs — storage fills as the
       // suite progresses and later queries bench their spill behavior
@@ -160,36 +165,47 @@ object Bench {
       // late in the suite, back to 2 s isolated). The sweep drops
       // anonymous leftovers deterministically (named Dataset caches —
       // the warmed store views — survive); the gc nudge still covers
-      // broadcast/accumulator debris.
+      // broadcast/accumulator debris. Matches how the recheck pass and
+      // the committed baselines' isolated probes are taken.
       graft.core.Checkpoints.sweepAnonymous(spark)
       System.gc()
-      val itersEff =
-        if (budget <= 0) iters
-        else if (timedSoFar > budget) 1
-        else if (timedSoFar > 0.75 * budget) iters min 2
-        else iters
       spark.sparkContext.setLocalProperty(EntryProp, name)
-      val attempts =
-        scala.collection.mutable.ArrayBuffer.empty[Either[Double, Double]]
-      var entryTime = 0.0
-      var it = 0
-      while (it < itersEff && (it == 0 || longEntry <= 0 ||
-          entryTime < longEntry)) {
-        val t0 = System.nanoTime()
-        attempts += (
-          try { run(name, sfDir); Right((System.nanoTime() - t0) / 1e9) }
-          catch {
-            case e: Throwable =>
-              errors.getOrElseUpdate(name,
-                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-              Left((System.nanoTime() - t0) / 1e9)
-          })
-        entryTime += attempts.last.fold(identity, identity)
-        it += 1
-      }
-      itersUsed(name) = attempts.length
+      val t0 = System.nanoTime()
+      val r =
+        try { run(name, sfDir); Right((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            Left((System.nanoTime() - t0) / 1e9)
+        }
       spark.sparkContext.setLocalProperty(EntryProp, null)
-      timedSoFar += attempts.map(_.fold(identity, identity)).sum
+      attemptsByEntry.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty) += r
+      timedSoFar += r.fold(identity, identity)
+    }
+    // pass 1 — coverage floor
+    Queries.benchNames.foreach(timeEntry)
+    // passes 2..iters — precision, budget permitting
+    var pass = 1
+    var progressed = true
+    while (pass < iters && progressed &&
+        (budget <= 0 || timedSoFar < budget)) {
+      progressed = false
+      for (name <- Queries.benchNames
+           if budget <= 0 || timedSoFar < budget) {
+        val a = attemptsByEntry(name)
+        val spent = a.map(_.fold(identity, identity)).sum
+        if (a.length < iters && (longEntry <= 0 || spent < longEntry)) {
+          timeEntry(name)
+          progressed = true
+        }
+      }
+      pass += 1
+    }
+    val results = Queries.benchNames.flatMap { name =>
+      val attempts = attemptsByEntry(name)
+      itersUsed(name) = attempts.length
       failedTime += attempts.collect { case Left(t) => t }.sum
       val times = attempts.collect { case Right(t) => t }.sorted
       if (times.isEmpty) zeroSuccess += 1
@@ -308,22 +324,40 @@ object Bench {
     // committed baselines were taken); only that median exceeding the
     // speed-adjusted threshold lands in regressions_confirmed. Cost:
     // three extra iterations for flagged entries only.
+    // The recheck pass is itself budgeted (r10b): a slow-box run can
+    // raise a wall of raw flags, and re-timing every one 3× is exactly
+    // the wall-clock the driver's window doesn't have (measured: 108 s
+    // of rechecks in one run). Worst ratio first, so the most suspect
+    // flags get adjudicated before the budget runs out; an entry the
+    // budget skips stays a RAW flag (never confirmed without a
+    // measurement) and `rechecks_skipped` discloses the count.
+    val recheckBudget = sys.env.get("SPARK_GRAFT_BENCH_RECHECK_SEC")
+      .map(_.toDouble).getOrElse(120.0)
+    var recheckSpent = 0.0
+    var rechecksSkipped = 0
     val tRecheck0 = System.nanoTime()
-    val rechecks = regressions.map { case (k, (b, v)) =>
+    val rechecks = regressions
+      .sortBy { case (_, (b, v)) => -(v / b) }
+      .map { case (k, (b, v)) =>
       // the long-entry rule applies here too: a heavy entry's
       // baseline is itself 1-2-iteration-derived, so a like-for-like
       // recheck needs no more
       val raw = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var rcTime = 0.0
-      var rcIt = 0
-      while (rcIt < 3 && (rcIt == 0 || longEntry <= 0 || rcTime < longEntry)) {
-        graft.core.Checkpoints.sweepAnonymous(spark)
-        System.gc()
-        val t0 = System.nanoTime()
-        try { run(k, sfDir); raw += (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => () }
-        rcTime += (System.nanoTime() - t0) / 1e9
-        rcIt += 1
+      if (recheckBudget > 0 && recheckSpent > recheckBudget) {
+        rechecksSkipped += 1
+      } else {
+        var rcTime = 0.0
+        var rcIt = 0
+        while (rcIt < 3 && (rcIt == 0 || longEntry <= 0 || rcTime < longEntry)) {
+          graft.core.Checkpoints.sweepAnonymous(spark)
+          System.gc()
+          val t0 = System.nanoTime()
+          try { run(k, sfDir); raw += (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => () }
+          rcTime += (System.nanoTime() - t0) / 1e9
+          rcIt += 1
+        }
+        recheckSpent += rcTime
       }
       val times = raw.sorted
       // LOWER-middle median: with a transiently-failed iteration the
@@ -366,7 +400,7 @@ object Bench {
     val phases = s"""{"warm":${ph(tWarm0, tMat0)},"materialize":${
       ph(tMat0, tTimed0)},"timed":${ph(tTimed0, tRecheck0)},"recheck":${
       ph(tRecheck0, tEnd)}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed,"phases":$phases}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed,"rechecks_skipped":$rechecksSkipped,"phases":$phases}"""
     println(line)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write
