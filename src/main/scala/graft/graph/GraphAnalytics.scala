@@ -1466,13 +1466,10 @@ object GraphAnalytics {
     * loudly and the struct-keyed formulation (this function's git
     * history) is the drop-in fallback.
     */
-  def linkPredTopK(pairs: DataFrame, k: Int = 100, maxDeg: Int = 1000,
-                   canonical: Boolean = false,
-                   score: String = "jaccard"): DataFrame = {
-    require(k >= 1, "linkPredTopK needs k >= 1")
-    require(maxDeg >= 2, "linkPredTopK needs maxDeg >= 2")
-    require(score == "jaccard" || score == "ra",
-      s"linkPredTopK score must be 'jaccard' or 'ra', got '$score'")
+  /** Canonical deduped (a, b) pairs, a < b — the link-prediction
+    * candidate machine's input normalization.
+    */
+  private def lpCanon(pairs: DataFrame, canonical: Boolean): DataFrame = {
     val canon0 =
       if (canonical) pairs.select(col("src").as("a"), col("dst").as("b"))
       else pairs.filter(col("src") =!= col("dst"))
@@ -1482,10 +1479,22 @@ object GraphAnalytics {
     // read by the dictionary build and the coded-pair join; materialize
     // once unless the caller's view is already persisted (the
     // stored-index path, e.g. CodeGraph.edgePairs/coPairs)
-    val canon =
-      if (pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-          && canonical) canon0
-      else canon0.localCheckpoint(true)
+    if (pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+        && canonical) canon0
+    else canon0.localCheckpoint(true)
+  }
+
+  /** The (id, code) dictionary half of the link-prediction index:
+    * contiguous 0..V-1 codes in id order (rank is monotone, so id
+    * order and code order agree — the tie-break device downstream).
+    * Artifact-shaped (r10): `graph_linkpred` and `graph_ra_linkpred`
+    * run the identical O(E) index build before their scoring phases
+    * diverge, so the queries layer stores dict+adj once per session
+    * (the 100-TB deployment writes this index at ingest, like the
+    * bucketed edge table it derives from).
+    */
+  def linkPredDict(pairs: DataFrame, canonical: Boolean = false): DataFrame = {
+    val canon = lpCanon(pairs, canonical)
     val nodes = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id"))).distinct()
     val (ranked, v) = graft.pipeline.Sampling.globalRankBy(
@@ -1493,28 +1502,63 @@ object GraphAnalytics {
     require(v < (1L << 31),
       s"linkPredTopK packs node codes into one LONG (v*2^32 + w); " +
         s"V=$v exceeds 2^31 — use the struct-keyed fallback")
-    val dict = ranked.select(col("id"), col("pos").as("code"))
-      .localCheckpoint(true)
+    ranked.select(col("id"), col("pos").as("code"))
+  }
+
+  /** The coded sorted-adjacency half of the index: (code, sorted
+    * neighbor codes), both edge orientations merged.
+    */
+  def linkPredAdj(pairs: DataFrame, dict: DataFrame,
+                  canonical: Boolean = false): DataFrame = {
+    val canon = lpCanon(pairs, canonical)
+    val P = 4294967296L
+    val smallV = dict.count() <= 2000000L
+    def dictAs(idCol: String, out: String) = {
+      val d = dict.select(col("id").as(idCol), col("code").as(out))
+      if (smallV) broadcast(d) else d
+    }
+    // coded canonical pairs: rank is monotone in id, so a < b (strings)
+    // implies ac < bc (codes) and the packed key is canonical too
+    val canonC = canon
+      .join(dictAs("a", "ac"), Seq("a")).join(dictAs("b", "bc"), Seq("b"))
+      .select((col("ac") * P + col("bc")).as("pk"))
+    // NB: `div` (integer division), never `/` — the float quotient
+    // loses mantissa bits for pk near 2^63
+    canonC
+      .select(expr(s"pk div ${P}L").as("id"), (col("pk") % P).as("nb"))
+      .union(canonC.select((col("pk") % P).as("id"),
+        expr(s"pk div ${P}L").as("nb")))
+      .groupBy("id").agg(sort_array(collect_set(col("nb"))).as("adj"))
+  }
+
+  def linkPredTopK(pairs: DataFrame, k: Int = 100, maxDeg: Int = 1000,
+                   canonical: Boolean = false,
+                   score: String = "jaccard",
+                   index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    require(k >= 1, "linkPredTopK needs k >= 1")
+    require(maxDeg >= 2, "linkPredTopK needs maxDeg >= 2")
+    require(score == "jaccard" || score == "ra",
+      s"linkPredTopK score must be 'jaccard' or 'ra', got '$score'")
+    // (dict, adj) — precomputed stored artifacts when the caller has
+    // them (the two bench entries share one index build per session),
+    // built-and-checkpointed here otherwise (specs, probes)
+    val (dict, adj) = index.getOrElse {
+      val dct = linkPredDict(pairs, canonical).localCheckpoint(true)
+      (dct, linkPredAdj(pairs, dct, canonical).localCheckpoint(true))
+    }
+    val v = dict.count()
     val smallV = v <= 2000000L
     def dictAs(idCol: String, out: String) = {
       val d = dict.select(col("id").as(idCol), col("code").as(out))
       if (smallV) broadcast(d) else d
     }
     val P = 4294967296L // 2^32
-    // coded canonical pairs: rank is monotone in id, so a < b (strings)
-    // implies ac < bc (codes) and the packed key is canonical too
-    val canonC = canon
-      .join(dictAs("a", "ac"), Seq("a")).join(dictAs("b", "bc"), Seq("b"))
-      .select((col("ac") * P + col("bc")).as("pk"))
-      .localCheckpoint(true)
-    // NB: `div` (integer division), never `/` — the float quotient
-    // loses mantissa bits for pk near 2^63
-    val adj = canonC
-      .select(expr(s"pk div ${P}L").as("id"), (col("pk") % P).as("nb"))
-      .union(canonC.select((col("pk") % P).as("id"),
-        expr(s"pk div ${P}L").as("nb")))
-      .groupBy("id").agg(sort_array(collect_set(col("nb"))).as("adj"))
-      .localCheckpoint(true)
+    // the canonical packed edge set, re-derived map-side from the
+    // adjacency (set semantics agree: adj was built via collect_set)
+    val canonC = adj
+      .select(col("id"), explode(col("adj")).as("nb"))
+      .filter(col("id") < col("nb"))
+      .select((col("id") * P + col("nb")).as("pk"))
     val deg = adj.select(col("id"), size(col("adj")).cast("long").as("deg"))
     val adjGen = adj.filter(size(col("adj")).between(2, maxDeg))
     // one exchange for the whole candidate machine (the wedge-count

@@ -99,6 +99,32 @@ object QueriesGraph {
         rounds = 4, undirectedPairs = true)
     }
 
+  /** The link-prediction (dict, adj) index as stored artifacts (r10):
+    * `graph_linkpred` and `graph_ra_linkpred` share one O(E) build —
+    * global-rank dictionary + coded sorted adjacency — before their
+    * scoring phases diverge; a 100-TB deployment writes this index at
+    * ingest alongside the bucketed edge table it derives from.
+    */
+  private def linkIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    // canon is its own artifact so the dict and adj builds don't each
+    // re-pay the O(E) distinct (they read the stored copy; `canonical
+    // = true` consumes it as-is)
+    val canon = storedArtifact(s, s"graft|lp_canon|$d") {
+      CodeGraph.edgePairs(s, d).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .distinct()
+    }
+    val dict = storedArtifact(s, s"graft|lp_dict|$d") {
+      GraphAnalytics.linkPredDict(canon, canonical = true)
+    }
+    val adj = storedArtifact(s, s"graft|lp_adj|$d") {
+      GraphAnalytics.linkPredAdj(canon, dict, canonical = true)
+    }
+    (dict, adj)
+  }
+
   /** Recursive min-depth BFS oracle. `step` is the SELECT list + JOIN
     * condition for one expansion, e.g. outgoing: join on e.src = r.id,
     * emit e.dst. LIMIT 10000 mirrors the engine's `maxResults` cap with
@@ -736,7 +762,7 @@ object QueriesGraph {
     // + TakeOrderedAndProject.
     ("graph_linkpred",
       (s, d) => GraphAnalytics.linkPredTopK(CodeGraph.edgePairs(s, d),
-        k = 100, maxDeg = 100),
+        k = 100, maxDeg = 100, index = Some(linkIndex(s, d))),
       Some(GraphAnalytics.linkPredSql(E, k = 100, maxDeg = 100))),
 
     // Resource-allocation link scoring (r8): same candidate machine,
@@ -747,7 +773,8 @@ object QueriesGraph {
     // that are merely popular.
     ("graph_ra_linkpred",
       (s, d) => GraphAnalytics.linkPredTopK(CodeGraph.edgePairs(s, d),
-        k = 100, maxDeg = 100, score = "ra"),
+        k = 100, maxDeg = 100, score = "ra",
+        index = Some(linkIndex(s, d))),
       Some(GraphAnalytics.linkPredRaSql(E, k = 100, maxDeg = 100))),
 
     // Community detection: synchronous label propagation with a total
