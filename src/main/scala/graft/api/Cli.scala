@@ -29,7 +29,7 @@ object Cli {
                             format: String = "text",
                             allPaths: Boolean = false) extends Command
   final case class LinkCmd(path: String, name: String,
-                           include: Seq[String] = Seq("**"),
+                           include: Seq[String] = graft.ingest.Ingest.DefaultInclude,
                            exclude: Seq[String] = Nil,
                            format: String = "text") extends Command
   final case class UnlinkCmd(name: String, format: String = "text") extends Command
@@ -139,7 +139,8 @@ object Cli {
           val dfltName = p.reverse.dropWhile(_ == '/').reverse
             .split('/').lastOption.filter(_.nonEmpty).getOrElse(p)
           LinkCmd(p, flags.getOrElse("name", dfltName),
-            globs("include", Seq("**")), globs("exclude", Nil), format)
+            globs("include", graft.ingest.Ingest.DefaultInclude),
+            globs("exclude", Nil), format)
         }
       case "unlink" =>
         flags.get("name").toRight("unlink requires --name")

@@ -220,7 +220,8 @@ object WorkspaceStore {
     * one-row summary frame for rendering.
     */
   def link(spark: SparkSession, stateDir: String, name: String, rootPath: String,
-           include: Seq[String] = Seq("**"), exclude: Seq[String] = Nil,
+           include: Seq[String] = Ingest.DefaultInclude,
+           exclude: Seq[String] = Nil,
            parser: SourceParser = DispatchParser,
            nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = withWriteLock(spark, stateDir) {
     import spark.implicits._
@@ -298,7 +299,9 @@ object WorkspaceStore {
     var cur = st
     val summaries = names.sorted.map { name =>
       val (blocks, edges, nFiles) =
-        ingestTree(spark, name, reg(name), Seq("**"), Nil, parser)
+        // sync re-enumerates with the same DEFAULT surface link used —
+        // a re-sync must not widen the workspace to files link excluded
+        ingestTree(spark, name, reg(name), Ingest.DefaultInclude, Nil, parser)
       val curWs = Schemas.currentView(cur.blocks)
         .filter(col("workspace") === name)
       // INCREMENTAL (r8): only new-or-changed units become epoch rows —

@@ -107,6 +107,25 @@ object Ingest {
   private def escapeGlob(p: String): String =
     p.flatMap(c => if ("*?{}[]\\".indexOf(c) >= 0) s"\\$c" else c.toString)
 
+  /** Default include surface when the caller passes no globs — the
+    * reference's `should_include_file` rule (`ingest_directory.zig:
+    * 185-195`: EMPTY include patterns mean the source-extension list
+    * `.zig .c .cpp .h .hpp .rs .go .py .js .ts`, NOT everything),
+    * extended with the extensions the nine-extractor family
+    * dispatches (`.scala .sc .java .tsx .jsx .mjs .cc .cxx .hh
+    * .hxx`). A bare `link <dir>` therefore ingests the tree's CODE —
+    * vendored tarballs, images, and lockfiles stay out of the store,
+    * exactly as a reference user expects. Pass explicit globs
+    * (`**` included) to widen.
+    */
+  val DefaultInclude: Seq[String] = Seq(
+    // the reference's own list, ingest_directory.zig:185-195
+    ".zig", ".c", ".cpp", ".h", ".hpp", ".rs", ".go", ".py", ".js", ".ts",
+    // the extractor family's additional dispatch surface
+    ".scala", ".sc", ".java", ".tsx", ".jsx", ".mjs",
+    ".cc", ".cxx", ".hh", ".hxx"
+  ).map(e => s"**/*$e")
+
   /** The real directory source, reference `ingest_directory_to_blocks`
     * enumeration (`ingest_directory.zig:37-253`): git-tracked files
     * first when the root is a work tree (ignored + untracked files
@@ -120,7 +139,7 @@ object Ingest {
     * cast (codegen'd, no UDF).
     */
   def readDirectory(spark: SparkSession, root: String,
-                    include: Seq[String] = Seq("**"),
+                    include: Seq[String] = DefaultInclude,
                     exclude: Seq[String] = Nil,
                     maxBytes: Long = MaxFileBytes): Dataset[FileDoc] = {
     import spark.implicits._
@@ -152,7 +171,7 @@ object Ingest {
     * no length metadata column to push down).
     */
   def readStreamDirectory(spark: SparkSession, root: String,
-                          include: Seq[String] = Seq("**"),
+                          include: Seq[String] = DefaultInclude,
                           exclude: Seq[String] = Nil,
                           maxBytes: Long = MaxFileBytes): Dataset[FileDoc] = {
     import spark.implicits._

@@ -38,7 +38,7 @@ object Workspace {
     * [[Ingest.readDirectory]] and delegates to [[link]].
     */
   def linkDirectory(registry: DataFrame, name: String, rootPath: String,
-                    include: Seq[String] = Seq("**"),
+                    include: Seq[String] = Ingest.DefaultInclude,
                     exclude: Seq[String] = Nil,
                     parser: SourceParser = DispatchParser)
       : (DataFrame, DataFrame, DataFrame) =
