@@ -66,9 +66,14 @@ import scala.collection.mutable.ArrayBuffer
   * quoted header IS the declaration and is re-read from the original
   * line.
   *
-  * What the line grade gives up vs a clang AST: operator overloads
-  * yield no units (their bodies' calls scan loose at class scope and
-  * drop), preprocessor conditionals with MACRO conditions are not
+  * Operator overloads (r10b) are `function` units named by their
+  * normalized spelling (`operator==`, `operator()`, `operator[]`,
+  * `operator<<`) — in-class, out-of-line (`Cls::operator==`), and
+  * free-function forms; their bodies' calls attach like any method's.
+  * Conversion operators (`operator bool()`) are skipped.
+  *
+  * What the line grade gives up vs a clang AST: conversion operators
+  * yield no units, preprocessor conditionals with MACRO conditions are not
   * evaluated (both arms' declarations are seen — literal `#if 0` /
   * `#if 1` arms ARE decided, the r10 CParser rule), constructor
   * initializer lists scan their
@@ -117,6 +122,16 @@ object CppParser extends SourceParser {
     (s"^\\s*$Mods" + """(~?[A-Za-z_]\w*)\s*\(""").r
   private val QualFnRe =
     ("""([A-Za-z_]\w*)\s*(?:<[^<>]*>)?\s*::\s*(~?[A-Za-z_]\w*)\s*\(""").r
+  // operator overloads: `operator` + a symbol run (==, <<, +, …) or
+  // the call/index forms `()`/`[]` — checked BEFORE MethodRe, which
+  // would otherwise mis-read `operator<(…)` as template arguments.
+  // Conversion operators (`operator bool()`) are skipped (documented).
+  private val OpName =
+    """operator\s*(?:\(\s*\)|\[\s*\]|[+\-*/%^&|~!=<>]{1,3})"""
+  private val OperatorRe =
+    (s"^\\s*$Mods$TypeRun(" + OpName + """)\s*\(""").r
+  private val QualOpRe =
+    ("""([A-Za-z_]\w*)\s*(?:<[^<>]*>)?\s*::\s*(""" + OpName + """)\s*\(""").r
   private val FieldRe =
     (s"^\\s*$Mods$TypeRun" + """([A-Za-z_]\w*)\s*(?:=|;|\{|\[)""").r
   private val TypedefFnPtrRe =
@@ -378,7 +393,9 @@ object CppParser extends SourceParser {
           }
         } else {
           val mline = declHead(i)
-          val mName = MethodRe.findFirstMatchIn(mline).map(_.group(1))
+          val mName = OperatorRe.findFirstMatchIn(mline)
+            .map(_.group(1).replaceAll("\\s+", ""))
+            .orElse(MethodRe.findFirstMatchIn(mline).map(_.group(1)))
             .orElse(CtorRe.findFirstMatchIn(mline).map(_.group(1))
               .filter(n => n == cls || n == s"~$cls"))
           if (mName.isDefined) {
@@ -417,12 +434,20 @@ object CppParser extends SourceParser {
           """^\s*typedef\s+(struct|class|union|enum)\b""".r
             .findFirstIn(line).isDefined
         val mline = declHead(i)
-        val qualM = QualFnRe.findFirstMatchIn(mline)
-          .filter(_ => mline.indexOf('(') >= 0 &&
-            !trimmed.startsWith("typedef"))
-          // the declarator's paren, not one buried in parameter types:
-          // accept only a match whose `(` is the head's first
-          .filter(m => mline.indexOf('(') == mline.indexOf('(', m.end - 1))
+        // out-of-line member: operator form first (its name may itself
+        // contain parens — `Cls::operator()(…)` — so the first-paren
+        // rule below cannot apply to it), then the identifier form
+        val qualM: Option[(String, String)] =
+          QualOpRe.findFirstMatchIn(mline)
+            .filter(_ => !trimmed.startsWith("typedef"))
+            .map(m => (m.group(1), m.group(2).replaceAll("\\s+", "")))
+          .orElse(QualFnRe.findFirstMatchIn(mline)
+            .filter(_ => mline.indexOf('(') >= 0 &&
+              !trimmed.startsWith("typedef"))
+            // the declarator's paren, not one buried in parameter
+            // types: accept only a match whose `(` is the head's first
+            .filter(m => mline.indexOf('(') == mline.indexOf('(', m.end - 1))
+            .map(m => (m.group(1), m.group(2))))
         if (trimmed.startsWith("typedef") &&
             TypedefFnPtrRe.findFirstMatchIn(line).isDefined) {
           builders += UnitBuilder("type",
@@ -432,8 +457,7 @@ object CppParser extends SourceParser {
           // out-of-line member: `ret Cls::name(…) { … }`
           val (sig, end, opened, rest) = joinDecl(cleanedLines, i)
           if (opened) {
-            val parent = qualM.get.group(1)
-            val name = qualM.get.group(2)
+            val (parent, name) = qualM.get
             val ub = UnitBuilder("function", name, parent, lineNo, lineNo,
               ArrayBuffer(ParsedEdge("method_of", parent)))
             builders += ub
@@ -443,12 +467,17 @@ object CppParser extends SourceParser {
           }
           consumedTo = end
         } else if (!otherTypeLed && !trimmed.startsWith("typedef") &&
-            MethodRe.findFirstMatchIn(mline).isDefined) {
+            (OperatorRe.findFirstMatchIn(mline).isDefined ||
+              MethodRe.findFirstMatchIn(mline).isDefined)) {
           // free function definition (the C structural rule, with
           // qualified/template return types allowed in the type run —
           // a `std::string f(…)` return qualifier is not an
-          // out-of-line member; those matched QualFnRe above)
-          val name = MethodRe.findFirstMatchIn(mline).get.group(1)
+          // out-of-line member; those matched QualFnRe above).
+          // Free operator overloads (`ostream& operator<<(…)`) first:
+          // MethodRe would mis-read `operator<` as template arguments.
+          val name = OperatorRe.findFirstMatchIn(mline)
+            .map(_.group(1).replaceAll("\\s+", ""))
+            .getOrElse(MethodRe.findFirstMatchIn(mline).get.group(1))
           if (!Keywords(name.stripPrefix("~"))) {
             val (sig, end, opened, rest) = joinDecl(cleanedLines, i)
             if (opened) {

@@ -220,6 +220,42 @@ class CppParserSpec extends AnyFunSuite {
       .contains(ParsedEdge("calls", "GUARD")))
   }
 
+  test("operator overloads: in-class, out-of-line, and free forms") {
+    val src =
+      """class Vec {
+        | public:
+        |  int operator[](int i) { return at(i); }
+        |  bool operator==(const Vec& o) const {
+        |    return same(o);
+        |  }
+        |  bool operator<(const Vec& o) const { return less(o); }
+        |};
+        |
+        |Vec& Vec::operator+=(const Vec& o) {
+        |  grow(o);
+        |  return *this;
+        |}
+        |
+        |std::ostream& operator<<(std::ostream& os, const Vec& v) {
+        |  return render(os, v);
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("type", "Vec", ""),
+      ("function", "operator[]", "Vec"),
+      ("function", "operator==", "Vec"),
+      ("function", "operator<", "Vec"), // the template-args trap shape
+      ("function", "operator+=", "Vec"),
+      ("function", "operator<<", "")))
+    assert(us.find(_.name == "operator==").get.edges
+      .contains(ParsedEdge("calls", "same")))
+    assert(us.find(_.name == "operator+=").get.edges
+      .contains(ParsedEdge("method_of", "Vec")))
+    assert(us.find(_.name == "operator<<").get.edges
+      .contains(ParsedEdge("calls", "render")))
+  }
+
   test("literal preprocessor arms: #if 0 dead code is skipped whole") {
     val src =
       """#if 0
