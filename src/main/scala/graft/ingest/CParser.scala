@@ -151,7 +151,10 @@ object CParser extends SourceParser {
     var depth = 0
     var i = 0
     while (i < cleanedLines.length) {
-      val line = cleanedLines(i)
+      // attribute spans defeat the structural matchers — blank them
+      // for MATCHING only (brace/paren counting uses the raw cleaned
+      // line; attribute parens are balanced, so counts agree)
+      val line = ParserScaffold.stripCAttrs(cleanedLines(i))
       val lineNo = i + 1
       var consumedTo = i
       var pending: Option[Frame] = None

@@ -230,13 +230,13 @@ object CppParser extends SourceParser {
         s.trim.nonEmpty &&
           !s.exists(c => c == '(' || c == '{' || c == '}' ||
             c == ';' || c == '=' || c == '#')
-      val first = stripTemplate(cleanedLines(idx))
+      val first = stripTemplate(ParserScaffold.stripCAttrs(cleanedLines(idx)))
       if (!headish(first)) return first
       val sb = new StringBuilder(first)
       var j = idx + 1
       var done = false
       while (!done && j < cleanedLines.length && j <= idx + 3) {
-        val nxt = stripTemplate(cleanedLines(j))
+        val nxt = stripTemplate(ParserScaffold.stripCAttrs(cleanedLines(j)))
         sb += ' '; sb ++= nxt
         if (!headish(nxt)) done = true
         j += 1
@@ -286,7 +286,7 @@ object CppParser extends SourceParser {
       // `template <…>` headers introduce but never declare: strip the
       // prefix (the remainder, if any, is the declaration); a bare
       // header line is transparent and the next line declares
-      val line = stripTemplate(rawLine)
+      val line = stripTemplate(ParserScaffold.stripCAttrs(rawLine))
       val trimmed = line.trim
 
       if (rawLine.trim.startsWith("#") && {

@@ -53,6 +53,52 @@ private[ingest] object ParserScaffold {
 
   private val CallRe = """([A-Za-z_]\w*)\s*\(""".r
 
+  /** Blank C/C++ attribute spans in a cleaned line — `[[nodiscard]]`,
+    * `__attribute__((format(printf, 1, 2)))` (balanced parens, so the
+    * nested form works), `__declspec(dllexport)` — which otherwise sit
+    * between a declaration's start and its name and defeat the
+    * structural matchers (`__attribute__` even scans as the declarator
+    * name of a `(`-led "function"). Spaces preserve column positions.
+    */
+  def stripCAttrs(line: String): String = {
+    if (!(line.contains("[[") || line.contains("__attribute__") ||
+        line.contains("__declspec"))) return line
+    val out = line.toCharArray
+    def blankParens(from: Int): Int = {
+      var k = from
+      while (k < out.length && out(k) != '(') {
+        if (!out(k).isWhitespace) return from // no parens follow
+        k += 1
+      }
+      var depth = 0
+      while (k < out.length) {
+        if (out(k) == '(') depth += 1
+        else if (out(k) == ')') depth -= 1
+        out(k) = ' '
+        k += 1
+        if (depth == 0) return k
+      }
+      k
+    }
+    var i = 0
+    while (i < out.length) {
+      if (out(i) == '[' && i + 1 < out.length && out(i + 1) == '[') {
+        val end = line.indexOf("]]", i)
+        val stop = if (end < 0) out.length else end + 2
+        var k = i
+        while (k < stop) { out(k) = ' '; k += 1 }
+        i = stop
+      } else if (line.startsWith("__attribute__", i) ||
+          line.startsWith("__declspec", i)) {
+        val kw = if (line.startsWith("__attribute__", i)) 13 else 10
+        var k = i
+        while (k < i + kw) { out(k) = ' '; k += 1 }
+        i = blankParens(k)
+      } else i += 1
+    }
+    new String(out)
+  }
+
   /** Scan `text` for call-sites and append edges to `to`: `.m(...)` →
     * `calls_method`, bare `m(...)` → `calls` (the reference's
     * distinction, zig_parser.zig:404-414); identifiers in `keywords`

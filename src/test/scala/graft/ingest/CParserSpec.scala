@@ -185,6 +185,28 @@ class CParserSpec extends AnyFunSuite {
       ("type", "node"), ("type", "node_t"), ("type", "callback_t")))
   }
 
+  test("attribute macros are transparent to the structural matchers") {
+    val src =
+      """__attribute__((visibility("default"))) int exported(int x) {
+        |    return work(x);
+        |}
+        |static int __attribute__((format(printf, 1, 2))) logf2(const char *fmt) {
+        |    return emit(fmt);
+        |}
+        |struct __attribute__((packed)) wire {
+        |    int a;
+        |};
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name)) == Seq(
+      ("function", "exported"), ("function", "logf2"),
+      ("type", "wire")))
+    assert(us.find(_.name == "exported").get.edges
+      .contains(ParsedEdge("calls", "work")))
+    // no bogus `__attribute__` function unit, even with nested parens
+    assert(!us.exists(_.name.startsWith("__attribute")))
+  }
+
   test("cleaning: comments and strings hide ghosts; locals are skipped") {
     val src =
       """// int ghost1(void) {}

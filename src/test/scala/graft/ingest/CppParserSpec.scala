@@ -220,6 +220,27 @@ class CppParserSpec extends AnyFunSuite {
       .contains(ParsedEdge("calls", "GUARD")))
   }
 
+  test("attributes are transparent: [[nodiscard]], __attribute__, __declspec") {
+    val src =
+      """[[nodiscard]] int probe() {
+        |  return peek();
+        |}
+        |class Api {
+        | public:
+        |  [[deprecated("old")]] int legacy() { return shim(); }
+        |  __declspec(dllexport) int exported() { return impl(); }
+        |};
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("function", "probe", ""),
+      ("type", "Api", ""),
+      ("function", "legacy", "Api"),
+      ("function", "exported", "Api")))
+    assert(us.find(_.name == "probe").get.edges
+      .contains(ParsedEdge("calls", "peek")))
+  }
+
   test("operator overloads: in-class, out-of-line, and free forms") {
     val src =
       """class Vec {
