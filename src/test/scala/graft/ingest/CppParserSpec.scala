@@ -343,4 +343,33 @@ class CppParserSpec extends AnyFunSuite {
     val up = CppParser.parse("bits/stl_pair.h", sp)
     assert(up.exists(u => u.unitType == "type" && u.name == "pair"))
   }
+
+  test("dogfood breadth: every libstdc++ bits/ header parses with sane units") {
+    // the full template-metaprogramming gauntlet: SFINAE headers,
+    // compiler intrinsics, _GLIBCXX macros, deep preprocessor nesting
+    val base = new java.io.File("/usr/include/c++")
+    assume(base.isDirectory)
+    val ver = base.listFiles().headOption.getOrElse(fail("no libstdc++"))
+    val bits = new java.io.File(ver, "bits")
+    assume(bits.isDirectory)
+    val headers = bits.listFiles().filter(_.getName.endsWith(".h")).sortBy(_.getName)
+    assume(headers.length > 50)
+    var units = 0
+    for (f <- headers) {
+      val src = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val us = CppParser.parse(s"bits/${f.getName}", src)
+      units += us.length
+      us.foreach { u =>
+        assert(u.lineStart >= 1 && u.lineEnd >= u.lineStart,
+          s"${f.getName} ${u.unitId}")
+        assert(u.unitId.nonEmpty && u.unitType.nonEmpty && u.name.nonEmpty,
+          f.getName)
+        assert(!u.name.startsWith("__attribute"), s"${f.getName} ${u.unitId}")
+      }
+    }
+    // the corpus is ~100+ headers of real C++; a scan that silently
+    // extracted nothing would pass per-unit invariants vacuously
+    assert(units > 2000, s"only $units units across ${headers.length} headers")
+  }
 }
