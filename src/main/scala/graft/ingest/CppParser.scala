@@ -70,10 +70,11 @@ import scala.collection.mutable.ArrayBuffer
   * normalized spelling (`operator==`, `operator()`, `operator[]`,
   * `operator<<`) — in-class, out-of-line (`Cls::operator==`), and
   * free-function forms; their bodies' calls attach like any method's.
-  * Conversion operators (`operator bool()`) are skipped.
+  * Conversion operators too (`operator bool`, `operator std::string`
+  * — no return type, the target type IS the name).
   *
-  * What the line grade gives up vs a clang AST: conversion operators
-  * yield no units, preprocessor conditionals with MACRO conditions are not
+  * What the line grade gives up vs a clang AST: preprocessor
+  * conditionals with MACRO conditions are not
   * evaluated (both arms' declarations are seen — literal `#if 0` /
   * `#if 1` arms ARE decided, the r10 CParser rule), constructor
   * initializer lists scan their
@@ -125,13 +126,17 @@ object CppParser extends SourceParser {
   // operator overloads: `operator` + a symbol run (==, <<, +, …) or
   // the call/index forms `()`/`[]` — checked BEFORE MethodRe, which
   // would otherwise mis-read `operator<(…)` as template arguments.
-  // Conversion operators (`operator bool()`) are skipped (documented).
   private val OpName =
     """operator\s*(?:\(\s*\)|\[\s*\]|[+\-*/%^&|~!=<>]{1,3})"""
   private val OperatorRe =
     (s"^\\s*$Mods$TypeRun(" + OpName + """)\s*\(""").r
   private val QualOpRe =
     ("""([A-Za-z_]\w*)\s*(?:<[^<>]*>)?\s*::\s*(""" + OpName + """)\s*\(""").r
+  // conversion operators have NO return type (the target type IS the
+  // name): `[explicit] operator bool() const { … }`
+  private val ConvOpRe =
+    (s"^\\s*$Mods" +
+      """(operator\s+[\w:]+(?:<[^<>]*>)?\s*[*&]*)\s*\(\s*\)""").r
   private val FieldRe =
     (s"^\\s*$Mods$TypeRun" + """([A-Za-z_]\w*)\s*(?:=|;|\{|\[)""").r
   private val TypedefFnPtrRe =
@@ -395,6 +400,8 @@ object CppParser extends SourceParser {
           val mline = declHead(i)
           val mName = OperatorRe.findFirstMatchIn(mline)
             .map(_.group(1).replaceAll("\\s+", ""))
+            .orElse(ConvOpRe.findFirstMatchIn(mline)
+              .map(_.group(1).replaceAll("\\s+", " ").trim))
             .orElse(MethodRe.findFirstMatchIn(mline).map(_.group(1)))
             .orElse(CtorRe.findFirstMatchIn(mline).map(_.group(1))
               .filter(n => n == cls || n == s"~$cls"))

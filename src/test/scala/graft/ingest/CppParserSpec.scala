@@ -275,6 +275,20 @@ class CppParserSpec extends AnyFunSuite {
       .contains(ParsedEdge("method_of", "Vec")))
     assert(us.find(_.name == "operator<<").get.edges
       .contains(ParsedEdge("calls", "render")))
+    // conversion operators: no return type, the target type is the name
+    val conv = parse(
+      """class Handle {
+        | public:
+        |  explicit operator bool() const { return check(); }
+        |  operator std::string() const { return repr(); }
+        |};
+        |""".stripMargin)
+    assert(conv.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("type", "Handle", ""),
+      ("function", "operator bool", "Handle"),
+      ("function", "operator std::string", "Handle")))
+    assert(conv.find(_.name == "operator bool").get.edges
+      .contains(ParsedEdge("calls", "check")))
   }
 
   test("literal preprocessor arms: #if 0 dead code is skipped whole") {
