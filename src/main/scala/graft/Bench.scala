@@ -186,6 +186,23 @@ object Bench {
     }
     // pass 1 — coverage floor
     Queries.benchNames.foreach(timeEntry)
+    // checkpoint the floor to the self-archive file: if the driver's
+    // window kills the run during the precision passes or rechecks,
+    // stdout holds no JSON at all (the r9 rc=124 failure mode), but a
+    // complete 1-iter per-entry artifact survives on disk for the
+    // round to commit. Overwritten by the full line at the end.
+    try {
+      def js(s: String) = "\"" + s.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\""
+      val qs = attemptsByEntry.flatMap { case (k, a) =>
+        a.collectFirst { case Right(t) => js(k) + ":" + t }
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_full_last.json"),
+        (s"""{"metric":"total","value":$timedSoFar,"unit":"sec",""" +
+          s""""queries":$qs,"partial":"floor-pass checkpoint","sf":"$sfDir"}""" +
+          "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // passes 2..iters — precision, budget permitting
     var pass = 1
     var progressed = true
