@@ -107,7 +107,7 @@ object QueryCache {
     16, 0.75f, /* accessOrder = */ true)
 
   /** Memoize a derived table as a PARQUET-BACKED stored artifact in
-    * the session cache (write-invalidated, LRU+TTL like every entry).
+    * the session cache (LRU+TTL like every entry).
     * The write+read-back is load-bearing, not a convenience: an
     * iterative algorithm's result sits on `localCheckpoint` lineage,
     * which harness storage sweeps sever between queries — a later
@@ -116,17 +116,45 @@ object QueryCache {
     * parquet-rooted plan recomputes safely from disk forever, and is
     * what a 100-TB deployment does with these artifacts anyway: write
     * the partition/forest once at build time, every consumer reads
-    * the stored copy. On invalidation the next call rebuilds into a
-    * fresh temp directory (the stale one dies with the JVM's tmp).
+    * the stored copy.
+    *
+    * Write invalidation drops only the MEMORY residency (r11): the
+    * cache entry dies with every other cached query result (reference
+    * semantics, `src/query/engine.zig:493-502`), but the parquet
+    * directory — the INGEST-WRITTEN index — survives, and the next
+    * call re-reads it instead of recomputing, exactly as the
+    * reference's SSTables and their indexes survive a `put_block`.
+    * CONTRACT this relies on: `key` must fully determine the artifact
+    * content (a pure function of immutable inputs — input dir +
+    * algorithm parameters — encoded in the key). Every current key
+    * embeds the testdata dir and round/parameter suffix; an artifact
+    * over MVCC-MUTABLE state must not use this API (a stale re-read
+    * would silently survive the write that outdated it).
     */
   def storedArtifact(spark: SparkSession, key: String)
                     (build: => DataFrame): DataFrame =
     forSession(spark).getOrElseUpdate(key) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-artifact-").toString
-      build.write.mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
+      val k = (spark, key)
+      val existing = artifactDirs.get(k)
+      if (existing != null &&
+          new java.io.File(existing, "_SUCCESS").exists())
+        spark.read.parquet(existing)
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-artifact-").toString
+        build.write.mode("overwrite").parquet(dir)
+        artifactDirs.put(k, dir)
+        spark.read.parquet(dir)
+      }
     }
+
+  /** Artifact parquet roots, keyed (session, key) — the on-disk half
+    * of [[storedArtifact]] that outlives cache invalidation. Entries
+    * die with their session (swept below); the directories themselves
+    * live in the JVM's tmp.
+    */
+  private val artifactDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
   def forSession(spark: SparkSession): QueryCache = perSession.synchronized {
     sweepStopped()
@@ -154,6 +182,10 @@ object QueryCache {
     val it = perSession.entrySet().iterator()
     while (it.hasNext) {
       if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
+    val ait = artifactDirs.keySet().iterator()
+    while (ait.hasNext) {
+      if (ait.next()._1.sparkContext.isStopped) ait.remove()
     }
   }
 

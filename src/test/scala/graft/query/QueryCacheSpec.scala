@@ -52,7 +52,7 @@ class QueryCacheSpec extends SparkSpec {
     assert(c.getOrElseUpdate("a")(df(7)).count() == 7)
   }
 
-  test("storedArtifact: builds once, survives a checkpoint sweep, rebuilds after invalidation") {
+  test("storedArtifact: builds once, survives a checkpoint sweep, re-reads after invalidation") {
     var builds = 0
     def build() = { builds += 1; Seq(("a", 1L), ("b", 2L))
       .toDF("id", "v").localCheckpoint(true) } // checkpoint lineage, like the loops
@@ -69,10 +69,18 @@ class QueryCacheSpec extends SparkSpec {
     a2.unpersist(true)
     assert(a2.orderBy("id").collect().map(_.getString(0)).toSeq ==
       Seq("a", "b"))
-    // write invalidation: the next call rebuilds
+    // write invalidation drops the MEMORY residency only (r11): the
+    // cache entry is gone (size drops), but the parquet directory —
+    // the ingest-written index — survives and the next call RE-READS
+    // it instead of recomputing, exactly as the reference's SSTables
+    // survive a put_block (its put invalidates the query-result cache,
+    // engine.zig:493-502, and deletes nothing on disk).
+    val sizeBefore = QueryCache.forSession(spark).size
     QueryCache.forSession(spark).invalidateAll()
-    QueryCache.storedArtifact(spark, key)(build())
-    assert(builds == 2)
+    assert(QueryCache.forSession(spark).size == 0 && sizeBefore > 0)
+    val a3 = QueryCache.storedArtifact(spark, key)(build())
+    assert(builds == 1, "post-invalidation call must re-read, not recompute")
+    assert(a3.orderBy("id").collect().map(_.getLong(1)).toSeq == Seq(1L, 2L))
   }
 
   test("MVCC write invalidates the session cache behind a real query") {
