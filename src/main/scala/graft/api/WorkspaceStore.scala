@@ -32,9 +32,24 @@ object WorkspaceStore {
 
   final case class State(registry: DataFrame, blocks: DataFrame, edges: DataFrame)
 
+  // include_globs/exclude_globs (r11, ADVICE): the surface a workspace
+  // was LINKED with must replay on sync — before this, sync always
+  // re-enumerated with Ingest.DefaultInclude, and since sync tombstones
+  // every current-view id absent from the fresh parse, a workspace
+  // linked with wider or custom globs had its out-of-default units mass-
+  // tombstoned by its first sync. Legacy registries (written before the
+  // columns existed) read as NULL here; sync falls back to `**` for
+  // those — the WIDEST surface, because a fallback must never let sync
+  // tombstone units it merely failed to re-enumerate (widening only
+  // re-adds; narrowing destroys). Migration note: a legacy store's
+  // first sync may therefore ADD document units for non-code files;
+  // re-link to pin the intended globs.
   private val registrySchema = StructType(Seq(
     StructField("id", StringType), StructField("root_path", StringType),
-    StructField("synced_at", LongType), StructField("sequence", LongType),
+    StructField("synced_at", LongType),
+    StructField("include_globs", ArrayType(StringType)),
+    StructField("exclude_globs", ArrayType(StringType)),
+    StructField("sequence", LongType),
     StructField("is_deleted", BooleanType)))
 
   private val blocksSchema = StructType(Seq(
@@ -227,8 +242,15 @@ object WorkspaceStore {
     import spark.implicits._
     val st = load(spark, stateDir)
     val (blocks, edges, nFiles) = ingestTree(spark, name, rootPath, include, exclude, parser)
+    // skipped-file visibility (r11, ADVICE): the default include list
+    // narrowed from `**` to the code-extension surface — report how
+    // many enumerated files the globs excluded so a silently narrowed
+    // link is visible in its own summary (listing-only second pass;
+    // binaryFile count prunes the content column)
+    val nAll = Ingest.readDirectory(spark, rootPath, Seq("**"), exclude).count()
     val reg2 = Mvcc.putBlocks(st.registry,
-      Seq((name, rootPath, nowSeconds)).toDF("id", "root_path", "synced_at"))
+      Seq((name, rootPath, nowSeconds, include, exclude))
+        .toDF("id", "root_path", "synced_at", "include_globs", "exclude_globs"))
     // delta-put (r8): unchanged units already in the current view (a
     // relink over live data, or a relink after unlink — unlink only
     // tombstones the REGISTRY, the block view stays live) produce no
@@ -254,8 +276,9 @@ object WorkspaceStore {
       st.edges.filter(!(col("workspace") <=> name)), edges)
     val (nBlocks, nEdges) = (blocks.count(), edges.count())
     save(stateDir, State(reg2, blocks2, edges2))
-    Seq((name, rootPath, nFiles, nBlocks, nEdges))
-      .toDF("workspace", "root_path", "files_processed", "blocks_linked", "edges_linked")
+    Seq((name, rootPath, nFiles, nAll - nFiles, nBlocks, nEdges))
+      .toDF("workspace", "root_path", "files_processed", "files_skipped",
+        "blocks_linked", "edges_linked")
   }
 
   /** `kausal unlink --name N`: tombstone the registry row. Blocks are
@@ -292,16 +315,24 @@ object WorkspaceStore {
     import spark.implicits._
     val st = load(spark, stateDir)
     val reg = Schemas.currentView(st.registry)
-      .select("id", "root_path").as[(String, String)].collect().toMap
+      .select("id", "root_path", "include_globs", "exclude_globs")
+      .as[(String, String, Option[Seq[String]], Option[Seq[String]])]
+      .collect()
+      .map(r => r._1 -> ((r._2,
+        // NULL globs = legacy registry row (pre-r11 schema): fall back
+        // to `**`, the non-destructive direction — see registrySchema
+        r._3.getOrElse(Seq("**")), r._4.getOrElse(Nil)))).toMap
     val missing = names.filterNot(reg.contains)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(s"workspace not linked: ${missing.mkString(", ")}")
     var cur = st
     val summaries = names.sorted.map { name =>
+      val (root, include, exclude) = reg(name)
       val (blocks, edges, nFiles) =
-        // sync re-enumerates with the same DEFAULT surface link used —
-        // a re-sync must not widen the workspace to files link excluded
-        ingestTree(spark, name, reg(name), Ingest.DefaultInclude, Nil, parser)
+        // sync re-enumerates with the SAME globs link registered —
+        // a re-sync must neither widen the workspace to files link
+        // excluded nor tombstone units link's wider globs included
+        ingestTree(spark, name, root, include, exclude, parser)
       val curWs = Schemas.currentView(cur.blocks)
         .filter(col("workspace") === name)
       // INCREMENTAL (r8): only new-or-changed units become epoch rows —
@@ -316,7 +347,9 @@ object WorkspaceStore {
       // null-safe filter: block tombstones carry NULL workspace
       val e2 = cur.edges.filter(!(col("workspace") <=> name)).unionByName(edges)
       val r2 = Mvcc.putBlocks(cur.registry,
-        Seq((name, reg(name), nowSeconds)).toDF("id", "root_path", "synced_at"))
+        Seq((name, root, nowSeconds, include, exclude))
+          .toDF("id", "root_path", "synced_at",
+            "include_globs", "exclude_globs"))
       cur = State(r2, b2, e2)
       (name, nFiles, delta.count(), gone.count())
     }

@@ -58,12 +58,15 @@ import scala.collection.mutable.ArrayBuffer
   * brace is pure declaration material (r10).
   *
   * What the line grade gives up vs a real C front end: preprocessor
-  * conditionals with MACRO conditions are not evaluated (both arms'
-  * declarations are seen) — but LITERAL arms are decided (r10):
-  * `#if 0 … #endif` dead-code blocks are skipped whole (no
-  * declarations, no call-sites, no brace counting — dead code is
-  * routinely unbalanced), `#if 1`'s `#else` arm likewise, with
-  * `#elif`/`#else` chains tracked per nesting level. What it gains:
+  * conditionals with MACRO conditions are not evaluated — LITERAL
+  * arms are decided (r10): `#if 0 … #endif` dead-code blocks are
+  * skipped whole (no declarations, no call-sites, no brace counting —
+  * dead code is routinely unbalanced), `#if 1`'s `#else` arm
+  * likewise, with `#elif`/`#else` chains tracked per nesting level;
+  * macro conditions take the FIRST arm and suppress the
+  * `#elif`/`#else` alternatives (first-arm-wins, r11 — a
+  * config-dependent alternative arm is invisible rather than
+  * double-counted). What it gains:
   * zero native dependencies and per-partition parallelism inside
   * `flatMap`.
   */
@@ -115,24 +118,28 @@ object CParser extends SourceParser {
     def addCalls(text: String, to: UnitBuilder): Unit =
       ParserScaffold.addCalls(text, to, Keywords, Set.empty)
 
-    // Preprocessor-conditional tracking (r10): a lexical scan cannot
-    // evaluate macro conditions (both arms are seen — documented), but
-    // LITERAL arms are decidable: `#if 0 … #endif` is the classic
-    // dead-code comment and its contents — declarations, call-sites,
-    // and (worst) unbalanced braces — must not reach the scan. Per
-    // level: (suppress THIS arm, a previous arm was literally taken).
+    // Preprocessor-conditional tracking (r10, FIRST-ARM-WINS r11):
+    // LITERAL arms are decidable — `#if 0 … #endif` is the classic
+    // dead-code comment and its contents (declarations, call-sites,
+    // and worst, unbalanced braces) must not reach the scan. Macro
+    // conditions a lexical scan cannot evaluate TAKE THE FIRST
+    // non-`#if 0` arm and suppress the `#elif`/`#else` rest: both-arm
+    // inclusion double-counted declarations and call edges in
+    // config-heavy code and let per-arm unbalanced braces (`#ifdef
+    // _WIN32 void f() { #else void f() { #endif`) corrupt scope
+    // depth. Per level: (suppress THIS arm, an arm was taken).
     val condStack = ArrayBuffer.empty[(Boolean, Boolean)]
     def suppressed: Boolean = condStack.exists(_._1)
     def condDirective(d: String, arg: String): Boolean = d match {
       case "if" =>
-        condStack += ((arg == "0", arg == "1")); true
+        condStack += ((arg == "0", arg != "0")); true
       case "ifdef" | "ifndef" =>
-        condStack += ((false, false)); true
+        condStack += ((false, true)); true
       case "elif" =>
         if (condStack.nonEmpty) {
           val (_, took) = condStack.last
           condStack(condStack.length - 1) =
-            (took || arg == "0", took || arg == "1")
+            if (took) (true, true) else (arg == "0", arg != "0")
         }
         true
       case "else" =>

@@ -27,11 +27,13 @@ import scala.collection.mutable.ArrayBuffer
   *     unit.
   *   - out-of-line member definitions `ret Cls::name(…) { … }` at
   *     file/namespace scope → `function` units with `parentContainer`
-  *     = the LAST qualifier segment + `method_of` — the Go-receiver
-  *     analogue: C++ methods routinely live outside the type's
-  *     braces. (A namespace-qualified free definition `ns::f(…)`
-  *     scans the same way — lexically indistinguishable without a
-  *     symbol table; documented.)
+  *     = the qualifier segment ADJACENT to the name + `method_of` —
+  *     the Go-receiver analogue: C++ methods routinely live outside
+  *     the type's braces. A qualifier matching a namespace THIS FILE
+  *     opened (`ns::f(…)` after `namespace ns {`) is scope, not
+  *     container: the definition scans as a FREE function (r11) — the
+  *     residual is a qualified definition whose namespace lives only
+  *     in another header.
   *   - `namespace X {` opens a TRANSPARENT scope: no unit (the Java
   *     package rule), members inside parse as file-scope with
   *     `parentContainer` "". Namespace aliases (`namespace a = b;`)
@@ -74,9 +76,11 @@ import scala.collection.mutable.ArrayBuffer
   * — no return type, the target type IS the name).
   *
   * What the line grade gives up vs a clang AST: preprocessor
-  * conditionals with MACRO conditions are not
-  * evaluated (both arms' declarations are seen — literal `#if 0` /
-  * `#if 1` arms ARE decided, the r10 CParser rule), constructor
+  * conditionals with MACRO conditions are not evaluated — literal
+  * `#if 0` / `#if 1` arms ARE decided (r10), and macro conditions
+  * take the FIRST arm, suppressing `#elif`/`#else` alternatives
+  * (first-arm-wins, r11 — so a config-dependent alternative arm is
+  * invisible rather than double-counted); constructor
   * initializer lists scan their
   * member initializers as call-shaped (unresolvable names drop in the
   * resolver; a member name resolves to its field unit), and lambdas
@@ -145,7 +149,32 @@ object CppParser extends SourceParser {
     """^\s*typedef\s+[^{;]*?([A-Za-z_]\w*)\s*;""".r
   private val TypedefTailRe =
     """^\s*\}\s*([A-Za-z_]\w*)\s*;""".r
-  private val ConstQualRe = """.*\b(const|constexpr|consteval|constinit)\b.*"""
+  // hoisted (r11): these were compiled inline per matching LINE —
+  // Pattern.compile showed up in the sampling profile
+  private val TypedefStructRe =
+    """^\s*typedef\s+(struct|class|union|enum)\b""".r
+  private val IdentRe = """[A-Za-z_]\w*""".r
+  /** Word-boundary scan for const/constexpr/consteval/constinit —
+    * the regex `.*\b(…)\b.*` form backtracks per field line (r11
+    * throughput). All four spellings share the `const` stem.
+    */
+  private def constQual(line: String): Boolean = {
+    def ident(c: Char) = c == '_' || c.isLetterOrDigit
+    var i = line.indexOf("const")
+    while (i >= 0) {
+      if (i == 0 || !ident(line.charAt(i - 1))) {
+        def wordEndsAt(len: Int): Boolean =
+          i + len == line.length || !ident(line.charAt(i + len))
+        if (wordEndsAt(5) ||
+            ((line.regionMatches(i + 5, "expr", 0, 4) ||
+              line.regionMatches(i + 5, "eval", 0, 4) ||
+              line.regionMatches(i + 5, "init", 0, 4)) && wordEndsAt(9)))
+          return true
+      }
+      i = line.indexOf("const", i + 1)
+    }
+    false
+  }
 
   /** Call-shaped but syntax: C keywords + the C++ vocabulary. */
   private val Keywords = Set(
@@ -172,6 +201,13 @@ object CppParser extends SourceParser {
     val stack = ArrayBuffer.empty[Frame]
     var typedefOpen = false
     var typedefBoundary = 0
+    // every namespace name this file has OPENED so far (C++ requires
+    // a namespace be declared before qualified use, so incremental
+    // collection suffices; nested `namespace a::b::c {` contributes
+    // each segment). Lets the qualified-definition rule tell
+    // `ns::f(…)` — a FREE function defined at namespace scope — from
+    // `Cls::method(…)` without a symbol table (r11).
+    val namespaceNames = scala.collection.mutable.Set.empty[String]
 
     def currentCallTarget: Option[UnitBuilder] =
       stack.reverseIterator.collectFirst {
@@ -230,12 +266,13 @@ object CppParser extends SourceParser {
       * through joinDecl from the original line, so a failed join
       * costs nothing.
       */
-    def declHead(idx: Int): String = {
+    def declHead(first: String, idx: Int): String = {
+      // `first` is the caller's already-stripped current line — the
+      // loop computed stripTemplate(stripCAttrs(…)) once; don't redo it
       def headish(s: String): Boolean =
         s.trim.nonEmpty &&
           !s.exists(c => c == '(' || c == '{' || c == '}' ||
             c == ';' || c == '=' || c == '#')
-      val first = stripTemplate(ParserScaffold.stripCAttrs(cleanedLines(idx)))
       if (!headish(first)) return first
       val sb = new StringBuilder(first)
       var j = idx + 1
@@ -249,22 +286,27 @@ object CppParser extends SourceParser {
       sb.toString
     }
 
-    // Preprocessor-conditional tracking (r10) — the CParser rules:
-    // literal arms are decided (`#if 0` dead code skipped whole, no
-    // brace counting; `#if 1`'s `#else` arm likewise), macro
-    // conditions keep both arms (documented).
+    // Preprocessor-conditional tracking (r10, FIRST-ARM-WINS r11) —
+    // the CParser rules: literal arms are decided (`#if 0` dead code
+    // skipped whole, no brace counting; `#if 1`'s `#else` arm
+    // likewise). Macro conditions a lexical scan cannot evaluate TAKE
+    // THE FIRST NON-`#if 0` ARM and suppress the rest: including both
+    // arms double-counted declarations and call edges in config-heavy
+    // code and let per-arm unbalanced braces (the `#ifdef _WIN32
+    // void f() { #else void f() { #endif` shape) corrupt scope depth.
+    // Per level: (suppress THIS arm, an arm was taken).
     val condStack = ArrayBuffer.empty[(Boolean, Boolean)]
     def suppressed: Boolean = condStack.exists(_._1)
     def condDirective(d: String, arg: String): Boolean = d match {
       case "if" =>
-        condStack += ((arg == "0", arg == "1")); true
+        condStack += ((arg == "0", arg != "0")); true
       case "ifdef" | "ifndef" =>
-        condStack += ((false, false)); true
+        condStack += ((false, true)); true
       case "elif" =>
         if (condStack.nonEmpty) {
           val (_, took) = condStack.last
           condStack(condStack.length - 1) =
-            (took || arg == "0", took || arg == "1")
+            if (took) (true, true) else (arg == "0", arg != "0")
         }
         true
       case "else" =>
@@ -288,6 +330,7 @@ object CppParser extends SourceParser {
       var consumedTo = i
       var pending: Option[Frame] = None
       var isPreproc = false
+      var freeName: Option[String] = None
       // `template <…>` headers introduce but never declare: strip the
       // prefix (the remainder, if any, is the declaration); a bare
       // header line is transparent and the next line declares
@@ -348,7 +391,8 @@ object CppParser extends SourceParser {
           TypedefTailRe.findFirstMatchIn(line).get.group(1),
           "", lineNo, lineNo)
         typedefOpen = false
-      } else if (TestRe.findFirstMatchIn(line).isDefined) {
+      } else if (line.contains("TEST") &&
+          TestRe.findFirstMatchIn(line).isDefined) {
         val m = TestRe.findFirstMatchIn(line).get
         val ub = UnitBuilder("test", s"${m.group(1)}.${m.group(2)}",
           "", lineNo, lineNo)
@@ -358,23 +402,30 @@ object CppParser extends SourceParser {
         if (opened) pending = Some(Frame("test", ub, depth))
         else ub.lineEnd = end + 1
         consumedTo = end
-      } else if (NamespaceAliasRe.findFirstMatchIn(line).isDefined) {
+      } else if (trimmed.startsWith("namespace") &&
+          NamespaceAliasRe.findFirstMatchIn(line).isDefined) {
         () // `namespace a = b;` binds no queryable unit
       } else if (trimmed.startsWith("namespace") ||
           trimmed.startsWith("inline namespace")) {
-        val (_, end, opened, _) = joinDecl(cleanedLines, i)
+        val (sig, end, opened, _) = joinDecl(cleanedLines, i)
         if (opened) {
+          IdentRe
+            .findAllIn(sig.substring(
+              sig.indexOf("namespace") + "namespace".length))
+            .foreach(n => if (n != "inline") namespaceNames += n)
           // transparent scope: a frame with a throwaway builder keeps
           // the depth machine honest without emitting a unit
           pending = Some(Frame("namespace",
             UnitBuilder("namespace", trimmed, "", lineNo, lineNo), depth))
           consumedTo = end
         }
-      } else if (UsingAliasRe.findFirstMatchIn(line).isDefined) {
+      } else if (trimmed.startsWith("using") &&
+          UsingAliasRe.findFirstMatchIn(line).isDefined) {
         builders += UnitBuilder("type",
           UsingAliasRe.findFirstMatchIn(line).get.group(1),
           enclosingTypeName, lineNo, lineNo)
-      } else if (UsingImportRe.findFirstMatchIn(line).isDefined) {
+      } else if (trimmed.startsWith("using") &&
+          UsingImportRe.findFirstMatchIn(line).isDefined) {
         val path = UsingImportRe.findFirstMatchIn(line).get.group(1)
         val bound = path.split("::").last.trim
         builders += UnitBuilder("import", bound, "", lineNo, lineNo,
@@ -384,8 +435,8 @@ object CppParser extends SourceParser {
       } else if (classFrame.isDefined) {
         // ---- class-body grammar ----
         val cls = classFrame.get.ub.name
-        val isTypeLed = TypeRe.findFirstMatchIn(line).isDefined &&
-          !line.contains("(")
+        val isTypeLed = typeKeywordLed(trimmed) &&
+          !line.contains("(") && TypeRe.findFirstMatchIn(line).isDefined
         if (isTypeLed) {
           typeDecl(line, lineNo, enclosingTypeName) match {
             case Some((ub, wantsFrame)) =>
@@ -396,15 +447,32 @@ object CppParser extends SourceParser {
               consumedTo = end
             case None => ()
           }
+        } else if (trimmed == "public:" || trimmed == "private:" ||
+            trimmed == "protected:") {
+          // pure access-specifier lines are transparent (r11): the
+          // declaration after one parses from its OWN line — skipping
+          // the 3-line declHead join here is both faster and gives
+          // the following member its accurate lineStart
+          ()
         } else {
-          val mline = declHead(i)
-          val mName = OperatorRe.findFirstMatchIn(mline)
-            .map(_.group(1).replaceAll("\\s+", ""))
-            .orElse(ConvOpRe.findFirstMatchIn(mline)
-              .map(_.group(1).replaceAll("\\s+", " ").trim))
-            .orElse(MethodRe.findFirstMatchIn(mline).map(_.group(1)))
-            .orElse(CtorRe.findFirstMatchIn(mline).map(_.group(1))
-              .filter(n => n == cls || n == s"~$cls"))
+          val mline = declHead(line, i)
+          // cheap character guards before the heavy TypeRun regexes:
+          // every method/ctor/operator form needs a `(`, the operator
+          // forms need the keyword — field lines (`int v_;`) and
+          // access specifiers skip all four scans (r11 throughput)
+          val hasParen = mline.indexOf('(') >= 0
+          val hasOp = hasParen && mline.contains("operator")
+          val mName =
+            if (!hasParen) None
+            else (if (hasOp)
+                OperatorRe.findFirstMatchIn(mline)
+                  .map(_.group(1).replaceAll("\\s+", ""))
+                  .orElse(ConvOpRe.findFirstMatchIn(mline)
+                    .map(_.group(1).replaceAll("\\s+", " ").trim))
+              else None)
+              .orElse(MethodRe.findFirstMatchIn(mline).map(_.group(1)))
+              .orElse(CtorRe.findFirstMatchIn(mline).map(_.group(1))
+                .filter(n => n == cls || n == s"~$cls"))
           if (mName.isDefined) {
             val name = mName.get
             if (!Keywords(name.stripPrefix("~"))) {
@@ -419,15 +487,16 @@ object CppParser extends SourceParser {
               }
               consumedTo = end
             }
-          } else if (FieldRe.findFirstMatchIn(line).isDefined &&
-              !trimmed.startsWith("friend")) {
+          } else if (!trimmed.startsWith("friend")) {
             // `friend class X;` befriends, declares nothing
-            val name = FieldRe.findFirstMatchIn(line).get.group(1)
-            if (!Keywords(name)) {
-              val kind = if (line.matches(ConstQualRe)) "const" else "var"
-              val ub = UnitBuilder(kind, name, cls, lineNo, lineNo)
-              builders += ub
-              addCalls(line.substring(line.indexOf(name) + name.length), ub)
+            FieldRe.findFirstMatchIn(line).foreach { fm =>
+              val name = fm.group(1)
+              if (!Keywords(name)) {
+                val kind = if (constQual(line)) "const" else "var"
+                val ub = UnitBuilder(kind, name, cls, lineNo, lineNo)
+                builders += ub
+                addCalls(line.substring(line.indexOf(name) + name.length), ub)
+              }
             }
           }
         }
@@ -438,19 +507,22 @@ object CppParser extends SourceParser {
         // enum-led lines commit to the type path before trying one
         val otherTypeLed = trimmed.startsWith("class") ||
           trimmed.startsWith("union") || trimmed.startsWith("enum") ||
-          """^\s*typedef\s+(struct|class|union|enum)\b""".r
-            .findFirstIn(line).isDefined
-        val mline = declHead(i)
+          TypedefStructRe.findFirstIn(line).isDefined
+        val mline = declHead(line, i)
+        // cheap character guards (r11 throughput): both qualified
+        // forms need `(` and `::`, the operator forms the keyword
+        val hasParen = mline.indexOf('(') >= 0
+        val hasOp = hasParen && mline.contains("operator")
+        val isTypedefLed = trimmed.startsWith("typedef")
         // out-of-line member: operator form first (its name may itself
         // contain parens — `Cls::operator()(…)` — so the first-paren
         // rule below cannot apply to it), then the identifier form
         val qualM: Option[(String, String)] =
-          QualOpRe.findFirstMatchIn(mline)
-            .filter(_ => !trimmed.startsWith("typedef"))
-            .map(m => (m.group(1), m.group(2).replaceAll("\\s+", "")))
+          if (!hasParen || isTypedefLed || !mline.contains("::")) None
+          else (if (hasOp) QualOpRe.findFirstMatchIn(mline)
+              .map(m => (m.group(1), m.group(2).replaceAll("\\s+", "")))
+            else None)
           .orElse(QualFnRe.findFirstMatchIn(mline)
-            .filter(_ => mline.indexOf('(') >= 0 &&
-              !trimmed.startsWith("typedef"))
             // the declarator's paren, not one buried in parameter
             // types: accept only a match whose `(` is the head's first
             .filter(m => mline.indexOf('(') == mline.indexOf('(', m.end - 1))
@@ -461,30 +533,40 @@ object CppParser extends SourceParser {
             TypedefFnPtrRe.findFirstMatchIn(line).get.group(1),
             "", lineNo, lineNo)
         } else if (qualM.isDefined && !otherTypeLed) {
-          // out-of-line member: `ret Cls::name(…) { … }`
+          // out-of-line member `ret Cls::name(…) { … }` — UNLESS the
+          // qualifier names a namespace this file opened, in which
+          // case `ns::f(…)` is a FREE function being defined at
+          // namespace scope (transparent, like defining it inside the
+          // braces): no container, no method_of (r11). A nested
+          // `ns::Cls::method(…)` still attributes to Cls — the regex
+          // captures the qualifier ADJACENT to the name.
           val (sig, end, opened, rest) = joinDecl(cleanedLines, i)
           if (opened) {
             val (parent, name) = qualM.get
-            val ub = UnitBuilder("function", name, parent, lineNo, lineNo,
-              ArrayBuffer(ParsedEdge("method_of", parent)))
+            val ub =
+              if (namespaceNames.contains(parent))
+                UnitBuilder("function", name, "", lineNo, lineNo)
+              else UnitBuilder("function", name, parent, lineNo, lineNo,
+                ArrayBuffer(ParsedEdge("method_of", parent)))
             builders += ub
             addCalls(paramsOnly(sig), ub)
             addCalls(rest, ub)
             pending = Some(Frame("function", ub, depth))
           }
           consumedTo = end
-        } else if (!otherTypeLed && !trimmed.startsWith("typedef") &&
-            (OperatorRe.findFirstMatchIn(mline).isDefined ||
-              MethodRe.findFirstMatchIn(mline).isDefined)) {
-          // free function definition (the C structural rule, with
-          // qualified/template return types allowed in the type run —
-          // a `std::string f(…)` return qualifier is not an
-          // out-of-line member; those matched QualFnRe above).
-          // Free operator overloads (`ostream& operator<<(…)`) first:
-          // MethodRe would mis-read `operator<` as template arguments.
-          val name = OperatorRe.findFirstMatchIn(mline)
-            .map(_.group(1).replaceAll("\\s+", ""))
-            .getOrElse(MethodRe.findFirstMatchIn(mline).get.group(1))
+        } else if (!otherTypeLed && !isTypedefLed && hasParen && {
+            // free function definition (the C structural rule, with
+            // qualified/template return types allowed in the type run —
+            // a `std::string f(…)` return qualifier is not an
+            // out-of-line member; those matched QualFnRe above).
+            // Free operator overloads (`ostream& operator<<(…)`) first:
+            // MethodRe would mis-read `operator<` as template arguments.
+            freeName = (if (hasOp) OperatorRe.findFirstMatchIn(mline)
+                .map(_.group(1).replaceAll("\\s+", "")) else None)
+              .orElse(MethodRe.findFirstMatchIn(mline).map(_.group(1)))
+            freeName.isDefined
+          }) {
+          val name = freeName.get
           if (!Keywords(name.stripPrefix("~"))) {
             val (sig, end, opened, rest) = joinDecl(cleanedLines, i)
             if (opened) {
@@ -496,7 +578,8 @@ object CppParser extends SourceParser {
             }
             consumedTo = end
           }
-        } else if (TypeRe.findFirstMatchIn(line).isDefined) {
+        } else if (typeKeywordLed(trimmed) &&
+            TypeRe.findFirstMatchIn(line).isDefined) {
           typeDecl(line, lineNo, "") match {
             case Some((ub, wantsFrame)) =>
               builders += ub
@@ -518,7 +601,7 @@ object CppParser extends SourceParser {
                   .foreach { g =>
                     if (!Keywords(g.group(1))) {
                       val kind =
-                        if (line.matches(ConstQualRe)) "const" else "var"
+                        if (constQual(line)) "const" else "var"
                       builders += UnitBuilder(kind, g.group(1), "",
                         lineNo, lineNo)
                     }
@@ -534,7 +617,7 @@ object CppParser extends SourceParser {
             !line.contains("(")) {
           val name = FieldRe.findFirstMatchIn(line).get.group(1)
           if (!Keywords(name)) {
-            val kind = if (line.matches(ConstQualRe)) "const" else "var"
+            val kind = if (constQual(line)) "const" else "var"
             builders += UnitBuilder(kind, name, "", lineNo, lineNo)
           }
         }
@@ -572,7 +655,7 @@ object CppParser extends SourceParser {
     // the introduced name: the LAST plain identifier in the
     // attribute/API-macro run (`class API_EXPORT Store` → Store),
     // `final` excluded
-    val names = """[A-Za-z_]\w*""".r.findAllIn(
+    val names = IdentRe.findAllIn(
       m.group(2).replaceAll("""\[\[[^\]]*\]\]|alignas\s*\([^)]*\)""", " "))
       .toSeq.filterNot(n => n == "final" || Keywords(n))
     val name = names.lastOption.getOrElse(return None)
@@ -612,6 +695,28 @@ object CppParser extends SourceParser {
 
   private def netBraces(l: String): Int =
     l.count(_ == '{') - l.count(_ == '}')
+
+  /** Exact cheap precheck for [[TypeRe]] (anchored at
+    * `^(?:typedef )?(class|struct|union|enum…)`) — skips the regex on
+    * the overwhelming majority of lines (r11 throughput).
+    */
+  private def typeKeywordLed(trimmed: String): Boolean =
+    trimmed.startsWith("class") || trimmed.startsWith("struct") ||
+      trimmed.startsWith("union") || trimmed.startsWith("enum") ||
+      trimmed.startsWith("typedef")
+
+  /** Is the `'` at `s(i)` opened by an encoding prefix (`L` / `u` /
+    * `U` / `u8`) sitting at a token boundary? Distinguishes the char
+    * literal `L'a'` from the digit separator `1'000'000` — the prefix
+    * letter is alphanumeric on the quote's left either way.
+    */
+  private def isCharPrefix(s: String, i: Int): Boolean = {
+    def ident(c: Char) = c == '_' || c.isLetterOrDigit
+    (i >= 1 && (s(i - 1) == 'L' || s(i - 1) == 'u' || s(i - 1) == 'U') &&
+      (i < 2 || !ident(s(i - 2)))) ||
+    (i >= 2 && s(i - 1) == '8' && s(i - 2) == 'u' &&
+      (i < 3 || !ident(s(i - 3))))
+  }
 
   /** Join cleaned lines from `start` until the declaration's body `{`
     * at paren-depth 0 (constructor initializer lists sit between the
@@ -684,10 +789,16 @@ object CppParser extends SourceParser {
               state = 5
             } else out(i) = c
           } else if (c == '"') { out(i) = ' '; state = 1 }
-          else if (c == '\'' && i > 0 &&
+          else if (c == '\'' && isCharPrefix(content, i)) {
+            // prefixed char literal L'a' / u'x' / U'x' / u8'x': the
+            // prefix letter would otherwise trip the digit-separator
+            // rule below, leaving the CLOSING quote to open char state
+            // and blank the rest of the line (r11, ADVICE)
+            out(i) = ' '; state = 2
+          } else if (c == '\'' && i > 0 &&
               (content(i - 1).isLetterOrDigit) &&
               i + 1 < content.length && content(i + 1).isLetterOrDigit) {
-            out(i) = ' ' // digit separator: 1'000'000
+            out(i) = ' ' // digit separator: 1'000'000 (hex too: 0xDEAD'BEEF)
           } else if (c == '\'') { out(i) = ' '; state = 2 }
           else out(i) = c
         case 1 =>

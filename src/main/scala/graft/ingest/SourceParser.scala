@@ -51,8 +51,6 @@ private[ingest] object ParserScaffold {
     */
   final case class Frame(kind: String, ub: UnitBuilder, boundary: Int)
 
-  private val CallRe = """([A-Za-z_]\w*)\s*\(""".r
-
   /** Blank C/C++ attribute spans in a cleaned line — `[[nodiscard]]`,
     * `__attribute__((format(printf, 1, 2)))` (balanced parens, so the
     * nested form works), `__declspec(dllexport)` — which otherwise sit
@@ -108,13 +106,44 @@ private[ingest] object ParserScaffold {
     */
   def addCalls(text: String, to: UnitBuilder, keywords: Set[String],
                excludedPrev: Set[Char]): Unit =
-    for (m <- CallRe.findAllMatchIn(text)) {
-      val callee = m.group(1)
-      val before = text.take(m.start).reverse.dropWhile(_ == ' ')
-      val prev = before.headOption.getOrElse(' ')
-      val edgeType = if (prev == '.') "calls_method" else "calls"
-      if (!excludedPrev.contains(prev) && !keywords(callee))
-        to.edges += ParsedEdge(edgeType, callee)
+    {
+    // hand-rolled scan of CallRe (`([A-Za-z_]\w*)\s*\(`) — this runs
+    // on every function-body line of every parser; the regex engine's
+    // matcher allocation + reset was ~10% of the whole parse in the
+    // r11 sampling profile. Semantics identical to findAllMatchIn:
+    // a token may begin at any letter/underscore (so `0x1f(` yields
+    // callee `x1f`, as the regex did), the gap before `(` admits any
+    // regex-`\s` whitespace, and `prev` looks back over spaces only.
+    def isWs(c: Char): Boolean = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\u000B' || c == '\f' || c == '\r'
+    // ASCII-exact `[A-Za-z_]` / `\w`, NOT Char.isLetter — the regex
+    // never matched unicode letters and neither may the scan
+    def isIdStart(c: Char): Boolean = c == '_' ||
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def isIdPart(c: Char): Boolean =
+      isIdStart(c) || (c >= '0' && c <= '9')
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isIdStart(c)) {
+        val start = i
+        i += 1
+        while (i < n && isIdPart(text.charAt(i))) i += 1
+        var k = i
+        while (k < n && isWs(text.charAt(k))) k += 1
+        if (k < n && text.charAt(k) == '(') {
+          val callee = text.substring(start, i)
+          var p = start - 1
+          while (p >= 0 && text.charAt(p) == ' ') p -= 1
+          val prev = if (p >= 0) text.charAt(p) else ' '
+          val edgeType = if (prev == '.') "calls_method" else "calls"
+          if (!excludedPrev.contains(prev) && !keywords(callee))
+            to.edges += ParsedEdge(edgeType, callee)
+          i = k + 1 // resume past the `(`, as the regex scan did
+        }
+      } else i += 1
+    }
     }
 
   /** Builders → ParsedUnits: the shared unit-id scheme

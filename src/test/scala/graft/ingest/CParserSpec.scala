@@ -159,11 +159,24 @@ class CParserSpec extends AnyFunSuite {
         |#else
         |int arm_b(void) { return 4; }
         |#endif
+        |
+        |#if 0
+        |int elif_dead(void) { return 5; }
+        |#elif defined(CONFIG_Y)
+        |int elif_taken(void) { return 6; }
+        |#else
+        |int elif_shadowed(void) { return 7; }
+        |#endif
         |""".stripMargin
     val us = parse(src)
     // #if 0 arm skipped (even with unbalanced braces), #else live;
-    // #if 1 live, its #else dead; macro conditions keep both arms
-    assert(us.map(_.name) == Seq("live_fn", "also_live", "arm_a", "arm_b"))
+    // #if 1 live, its #else dead; macro conditions take the FIRST arm
+    // (first-arm-wins, r11): arm_a in, arm_b suppressed — both-arm
+    // inclusion double-counted declarations and let per-arm
+    // unbalanced braces corrupt scope depth. An #elif reached with no
+    // arm yet taken is itself first-arm-wins (elif_taken), and its
+    // #else is shadowed.
+    assert(us.map(_.name) == Seq("live_fn", "also_live", "arm_a", "elif_taken"))
     assert(us.find(_.name == "live_fn").get.edges
       .contains(ParsedEdge("calls", "keep")))
   }

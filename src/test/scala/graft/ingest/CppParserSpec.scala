@@ -312,6 +312,86 @@ class CppParserSpec extends AnyFunSuite {
       .contains(ParsedEdge("calls", "pong")))
   }
 
+  test("macro conditions: first arm wins, #else arm suppressed") {
+    val src =
+      """#ifdef _WIN32
+        |void poll_impl() { win_poll(); }
+        |#else
+        |void poll_impl() { epoll_wait_loop(); }
+        |#endif
+        |
+        |#ifdef USE_TLS
+        |class Conn {
+        | public:
+        |  int send() { return tls_send(); }
+        |#else
+        |class Conn {
+        | public:
+        |  int send() { return raw_send(); }
+        |#endif
+        |};
+        |""".stripMargin
+    val us = parse(src)
+    // exactly ONE poll_impl (both-arm inclusion would double it) and
+    // ONE Conn/send pair — the second shape's per-arm unbalanced
+    // braces must not corrupt scope depth
+    assert(us.map(u => (u.unitType, u.name, u.parentContainer)) == Seq(
+      ("function", "poll_impl", ""),
+      ("type", "Conn", ""), ("function", "send", "Conn")))
+    assert(us.find(_.name == "poll_impl").get.edges
+      .contains(ParsedEdge("calls", "win_poll")))
+    assert(us.find(_.name == "send").get.edges
+      .contains(ParsedEdge("calls", "tls_send")))
+  }
+
+  test("ns::f free-function definitions are scope-qualified, not methods") {
+    val src =
+      """namespace net {
+        |class Socket {
+        | public:
+        |  int fd() const;
+        |};
+        |int connect_to(const char* host);
+        |}
+        |
+        |int net::Socket::fd() const { return fd_; }
+        |
+        |int net::connect_to(const char* host) {
+        |  return dial(host);
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    // `net::connect_to` — net is a namespace THIS file opened — is a
+    // FREE function (no container, no method_of); `net::Socket::fd`
+    // still attributes to Socket, the qualifier adjacent to the name
+    val ct = us.find(_.name == "connect_to").get
+    assert(ct.parentContainer == "" && ct.unitType == "function")
+    assert(!ct.edges.exists(_.edgeType == "method_of"))
+    assert(ct.edges.contains(ParsedEdge("calls", "dial")))
+    val fd = us.find(_.name == "fd").get
+    assert(fd.parentContainer == "Socket")
+    assert(fd.edges.contains(ParsedEdge("method_of", "Socket")))
+  }
+
+  test("prefixed char literals L'a'/u8'x' don't corrupt the line") {
+    val src =
+      """void emit() {
+        |  wchar_t w = L'"'; write_w(w);
+        |  char8_t c = u8'{'; write_c(c);
+        |  int big = 1'000'000; keep(big);
+        |}
+        |""".stripMargin
+    val us = parse(src)
+    // the literal quote/brace payloads must be blanked (no phantom
+    // string state, no scope shift) and the same-line calls survive
+    assert(us.map(_.name) == Seq("emit"))
+    val e = us.head.edges
+    assert(e.contains(ParsedEdge("calls", "write_w")))
+    assert(e.contains(ParsedEdge("calls", "write_c")))
+    assert(e.contains(ParsedEdge("calls", "keep")))
+    assert(us.head.lineEnd == 5)
+  }
+
   test("DispatchParser routes the C++ extension family to CppParser") {
     for (ext <- Seq("cpp", "cc", "cxx", "hpp", "hh", "hxx")) {
       val us = DispatchParser.parse(s"a/b.$ext",
