@@ -35,7 +35,8 @@ object QueriesGraph {
   /** The level-1 Louvain partition as a SESSION-CACHED stored artifact,
     * shared by the louvain family (`graph_louvain`, `graph_louvain_full`,
     * `graph_louvain_modularity`) through the engine's real
-    * [[graft.query.QueryCache]] — write-invalidated, LRU+TTL, the same
+    * [[graft.query.QueryCache]] — LRU+TTL; a write drops the memory
+    * residency while the parquet root survives (r11), the same
     * contract as the memoized CodeGraph store views. Before this the
     * family re-ran the identical 4-round level-1 chain three times per
     * bench/verify session (~12% of r9 suite wall-clock, the single
@@ -954,7 +955,8 @@ object QueriesGraph {
 
   /** The packed-key Borůvka forest shared by `graph_msf` and
     * `graph_msf_invariants`, unpacked back to fixture ids — memoized
-    * per session through the engine's QueryCache (write-invalidated)
+    * per session through the engine's QueryCache (a write drops the
+    * memory residency; the parquet root survives — r11)
     * so the invariants entry audits the SAME stored forest instead of
     * re-running the full Borůvka chain (r9: two ~13 s runs per
     * session for one forest).
