@@ -81,9 +81,11 @@ import scala.collection.mutable.ArrayBuffer
   * take the FIRST arm, suppressing `#elif`/`#else` alternatives
   * (first-arm-wins, r11 — so a config-dependent alternative arm is
   * invisible rather than double-counted); constructor
-  * initializer lists scan their
-  * member initializers as call-shaped (unresolvable names drop in the
-  * resolver; a member name resolves to its field unit), and lambdas
+  * initializer lists sit between the params' `)` and the body `{`
+  * and are EXCLUDED from the call scan (paramsOnly) — a ctor's
+  * member-init "calls" would dominate its real call edges — so an
+  * init-list's genuine function calls (`: x_(compute())`) are
+  * invisible; and lambdas
   * assigned at file scope don't open scopes. What it gains: zero
   * native dependencies and per-partition parallelism inside `flatMap`.
   */
