@@ -237,13 +237,26 @@ final class CliServer(spark: SparkSession, stateDir: String, port: Int = 0,
             operation(Cli.executeWorkspace(spark, stateDir,
               Cli.SyncCmd(Some(req.name))))
         }
-      case MsgType.UnlinkRequest | MsgType.ClearWorkspaceRequest =>
-        // both reuse the SyncRequest payload layout (cli_protocol.zig:473,497)
+      case MsgType.UnlinkRequest =>
+        // reuses the SyncRequest payload layout (client.zig:243)
         decodeSyncRequest(payload) match {
           case Left(m) => err(ErrorCode.InvalidRequest, m)
           case Right(req) =>
             operation(Cli.executeWorkspace(spark, stateDir,
               Cli.UnlinkCmd(req.name)))
+        }
+      case MsgType.ClearWorkspaceRequest =>
+        // EMPTY payload; clears ALL linked codebases (the reference
+        // handler rejects any payload and calls
+        // clear_all_linked_codebases — cli_protocol.zig:556-573)
+        if (payload.nonEmpty)
+          err(ErrorCode.InvalidRequest,
+            "Clear workspace request should have empty payload")
+        else {
+          WorkspaceStore.clearAll(spark, stateDir).collect()
+          (MsgType.OperationResponse, encodeOperationResponse(
+            OperationResponse(success = true,
+              "Successfully cleared all linked codebases from workspace")))
         }
       case MsgType.StatusRequest =>
         val rows = Cli.executeWorkspace(spark, stateDir,

@@ -357,6 +357,28 @@ object WorkspaceStore {
     summaries.toDF("workspace", "files_processed", "blocks_synced", "blocks_removed")
   }
 
+  /** Clear ALL linked workspaces — the wire protocol's
+    * `clear_workspace_request` (reference
+    * `src/server/cli_protocol.zig:556-573`:
+    * `clear_all_linked_codebases`, empty payload, operation
+    * response). Like [[unlink]], only the registry rows are
+    * tombstoned in one MVCC epoch + one save; blocks stay
+    * time-travelable (reference `manager.zig:192-247`). Clearing an
+    * empty registry is a no-op success, as the reference's loop over
+    * zero codebases is.
+    */
+  def clearAll(spark: SparkSession, stateDir: String): DataFrame = withWriteLock(spark, stateDir) {
+    import spark.implicits._
+    val st = load(spark, stateDir)
+    val names = Schemas.currentView(st.registry)
+      .select("id").as[String].collect().toSeq.sorted
+    if (names.nonEmpty)
+      save(stateDir,
+        st.copy(registry = Mvcc.deleteBlocks(st.registry, names)))
+    Seq((names.length.toLong, "cleared"))
+      .toDF("workspaces_cleared", "result")
+  }
+
   /** `kausal status [--verbose]`: one row per linked workspace with
     * block/edge counts and the reference's sync-status classification
     * (never_synced / synced within 1 h / needs_sync —

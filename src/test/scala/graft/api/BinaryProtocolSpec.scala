@@ -168,8 +168,7 @@ class BinaryProtocolSpec extends SparkSpec {
 
     // SyncRequest("ws", force): name[128] + name_len u16 + force u8 +
     // _padding[5] = 136 bytes; the same struct travels under
-    // sync_request 0x0007, unlink_request 0x0006 and
-    // clear_workspace_request 0x000A (client.zig:243)
+    // sync_request 0x0007 and unlink_request 0x0006 (client.zig:243)
     val syncGold = fixed("ws", 128) ++ u16(2) ++
       Array[Byte](1) ++ Array.fill[Byte](5)(0)
     assert(syncGold.length == SyncRequestSize)
@@ -178,17 +177,20 @@ class BinaryProtocolSpec extends SparkSpec {
     assert(decodeSyncRequest(syncGold) ==
       Right(SyncRequest("ws", force = true)))
     for ((t, tc) <- Seq(MsgType.SyncRequest -> 0x0007,
-        MsgType.UnlinkRequest -> 0x0006,
-        MsgType.ClearWorkspaceRequest -> 0x000A))
+        MsgType.UnlinkRequest -> 0x0006))
       assert(encodeHeader(Header(t, 136L))
         .sameElements(headerGold(tc, 136L)))
 
-    // header-only frames: status_request 0x0008 and pong 0x8006 carry
-    // zero payload — the full 16-byte frame IS the message
+    // header-only frames: status_request 0x0008, pong 0x8006, AND
+    // clear_workspace_request 0x000A (the reference handler REJECTS
+    // any payload — cli_protocol.zig:556-563) carry zero payload —
+    // the full 16-byte frame IS the message
     assert(encodeHeader(Header(MsgType.StatusRequest, 0L))
       .sameElements(headerGold(0x0008, 0L)))
     assert(encodeHeader(Header(MsgType.PongResponse, 0L))
       .sameElements(headerGold(0x8006, 0L)))
+    assert(encodeHeader(Header(MsgType.ClearWorkspaceRequest, 0L))
+      .sameElements(headerGold(0x000A, 0L)))
 
     // OperationResponse(true, "ok"): success u8 + message[256] +
     // message_len u16 + _padding[5] = 264 bytes
@@ -412,6 +414,27 @@ class BinaryProtocolSpec extends SparkSpec {
           encodeSyncRequest(SyncRequest("proj")))
         assert(dh.msgType == MsgType.OperationResponse)
         assert(decodeOperationResponse(dp).exists(_.success))
+
+        // clear_workspace: payload must be EMPTY (the reference handler
+        // rejects any bytes, cli_protocol.zig:556-563) and clears ALL
+        // linked codebases in one call
+        val (cbh, cbp) = call(MsgType.ClearWorkspaceRequest,
+          encodeSyncRequest(SyncRequest("proj")))
+        assert(cbh.msgType == MsgType.ErrorResponse)
+        assert(decodeErrorResponse(cbp)
+          .exists(_.code == ErrorCode.InvalidRequest))
+        call(MsgType.LinkRequest,
+          encodeLinkRequest(LinkRequest(root.getAbsolutePath, "p1")))
+        call(MsgType.LinkRequest,
+          encodeLinkRequest(LinkRequest(root.getAbsolutePath, "p2")))
+        val (ch, cp) = call(MsgType.ClearWorkspaceRequest,
+          Array.emptyByteArray)
+        assert(ch.msgType == MsgType.OperationResponse)
+        assert(decodeOperationResponse(cp).exists(r => r.success &&
+          r.message.contains("cleared all linked codebases")))
+        val (sh2, sp2) = call(MsgType.StatusRequest, Array.emptyByteArray)
+        assert(sh2.msgType == MsgType.StatusResponse)
+        assert(decodeStatusResponse(sp2).toOption.get.workspaces.isEmpty)
 
         // an unknown type answers error_response(unknown_command)
         val (eh, ep) = call(0x0777, Array.emptyByteArray)
