@@ -233,6 +233,19 @@ final class CliServer(spark: SparkSession, stateDir: String, port: Int = 0,
       case MsgType.SyncRequest =>
         decodeSyncRequest(payload) match {
           case Left(m) => err(ErrorCode.InvalidRequest, m)
+          case Right(req) if req.name == "--all" =>
+            // the reference's sync-all sentinel travels IN the name
+            // field (cli_protocol.zig:514-545); an empty registry is
+            // a server_error, not a no-op success
+            val n = try {
+              Cli.executeWorkspace(spark, stateDir,
+                Cli.SyncCmd(None, all = true)).count()
+            } catch { case _: IllegalArgumentException => 0L }
+            if (n == 0L) err(ErrorCode.ServerError,
+              "No linked codebases to sync")
+            else (MsgType.OperationResponse, encodeOperationResponse(
+              OperationResponse(success = true,
+                s"Successfully synced $n codebases")))
           case Right(req) =>
             operation(Cli.executeWorkspace(spark, stateDir,
               Cli.SyncCmd(Some(req.name))))

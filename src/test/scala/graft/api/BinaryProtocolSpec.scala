@@ -415,6 +415,16 @@ class BinaryProtocolSpec extends SparkSpec {
         assert(dh.msgType == MsgType.OperationResponse)
         assert(decodeOperationResponse(dp).exists(_.success))
 
+        // sync's "--all" sentinel travels in the NAME field
+        // (cli_protocol.zig:514): with nothing linked it answers the
+        // reference's server_error, with links a synced-N operation
+        val (sa0h, sa0p) = call(MsgType.SyncRequest,
+          encodeSyncRequest(SyncRequest("--all")))
+        assert(sa0h.msgType == MsgType.ErrorResponse)
+        assert(decodeErrorResponse(sa0p).exists(e =>
+          e.code == ErrorCode.ServerError &&
+            e.message == "No linked codebases to sync"))
+
         // clear_workspace: payload must be EMPTY (the reference handler
         // rejects any bytes, cli_protocol.zig:556-563) and clears ALL
         // linked codebases in one call
@@ -427,6 +437,11 @@ class BinaryProtocolSpec extends SparkSpec {
           encodeLinkRequest(LinkRequest(root.getAbsolutePath, "p1")))
         call(MsgType.LinkRequest,
           encodeLinkRequest(LinkRequest(root.getAbsolutePath, "p2")))
+        val (sah, sap) = call(MsgType.SyncRequest,
+          encodeSyncRequest(SyncRequest("--all")))
+        assert(sah.msgType == MsgType.OperationResponse)
+        assert(decodeOperationResponse(sap).exists(r => r.success &&
+          r.message == "Successfully synced 2 codebases"))
         val (ch, cp) = call(MsgType.ClearWorkspaceRequest,
           Array.emptyByteArray)
         assert(ch.msgType == MsgType.OperationResponse)
