@@ -3403,9 +3403,19 @@ object GraphAnalytics {
     // (both-orientation) und rows between the two communities;
     // self-loops (ca = cb) carry the intra-community mass, so Σw = 2m
     // and wdeg(C) = Σ_{u∈C} deg(u). The ONE E-scale probe of the run.
+    // The V-sized (id, community) mapping broadcasts under the same
+    // 1M gate the meta phase uses (r11): the static planner sees a
+    // ~V-row side above the 10 MB auto threshold and plans TWO
+    // E-scale shuffle joins plus the groupBy shuffle — broadcasting
+    // cuts the contraction to map-side joins + one shuffle (isolated
+    // 3-iter warm median 14.2 → 11.7 s for the level-3 resume); past
+    // the gate the shuffle
+    // plan is the correct 100-TB shape and stands.
+    val l1Bc = l1.count() <= metaDriverMax
+    def bcL1(df: DataFrame): DataFrame = if (l1Bc) broadcast(df) else df
     var metaE = und
-      .join(l1.select(col("id").as("a"), col("c1").as("ca")), Seq("a"))
-      .join(l1.select(col("id").as("b"), col("c1").as("cb")), Seq("b"))
+      .join(bcL1(l1.select(col("id").as("a"), col("c1").as("ca"))), Seq("a"))
+      .join(bcL1(l1.select(col("id").as("b"), col("c1").as("cb"))), Seq("b"))
       .groupBy(col("ca").as("a"), col("cb").as("b"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
