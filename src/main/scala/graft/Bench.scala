@@ -169,8 +169,14 @@ object Bench {
     // re-iterating entries below the long-entry threshold, so a slow
     // box costs precision uniformly, never coverage, and timed wall is
     // bounded by ~floor + budget. `iters_trimmed` discloses per entry.
+    // default trimmed 600 → 520 (r11): the stored-artifact builds
+    // moved into the materialize phase (~90 s wall the timed budget
+    // used to absorb), and the driver's external window killed the r9
+    // suite around ~900-1000 s wall — 520 keeps total wall at the r10
+    // envelope (measured closing run: warm 67 + mat 90 + timed ~600 +
+    // recheck 119 ≈ 876) while fast boxes still reach 2-3 iterations.
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
-      .map(_.toDouble).getOrElse(600.0)
+      .map(_.toDouble).getOrElse(520.0)
     // LONG-ENTRY rule: once an entry has consumed this many timed
     // seconds, stop iterating it (median = what ran). Re-running a
     // 20 s graph analytic buys variance reduction the per-entry gate
@@ -429,6 +435,13 @@ object Bench {
         while (rcIt < 3 && (rcIt == 0 || longEntry <= 0 || rcTime < longEntry)) {
           graft.core.Checkpoints.sweepAnonymous(spark)
           System.gc()
+          // the recheck must measure under timeEntry's conditions
+          // (r11): without the untimed prebuild, an artifact entry
+          // rechecked after a mid-suite write-invalidation pays its
+          // artifact rebuild INSIDE the adjudicating measurement
+          Queries.prebuild.get(k).foreach { pb =>
+            try pb(spark, sfDir) catch { case _: Throwable => () }
+          }
           val t0 = System.nanoTime()
           try { run(k, sfDir); raw += (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => () }
