@@ -92,6 +92,17 @@ object Bench {
       try spark.sparkContext.cancelJobGroup("graft-warmup")
       catch { case _: Throwable => () }
     }
+    // preserve the PREVIOUS run's full per-entry map before this run's
+    // floor checkpoint overwrites it (r12, archive discipline): the
+    // driver commits BENCH_full_last.json per round, but a same-round
+    // re-run used to destroy the only copy of the run before it.
+    try {
+      val last = java.nio.file.Paths.get("BENCH_full_last.json")
+      if (java.nio.file.Files.exists(last))
+        java.nio.file.Files.copy(last,
+          java.nio.file.Paths.get("BENCH_full_prev.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Throwable => () }
     val tMat0 = System.nanoTime()
     try {
       graft.graph.CodeGraph.edges(spark, sfDir).count()
@@ -118,6 +129,75 @@ object Bench {
     // the total.
     Queries.prebuild.foreach { case (_, pb) =>
       try pb(spark, sfDir) catch { case _: Throwable => () }
+    }
+    // committed per-entry baseline, parsed up front (r11): the
+    // precision pass's tie-break, the regression gate, and the
+    // sentinel ratios (r12) all read it
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File("BENCH_BASELINE.json")
+      if (!f.exists()) Map.empty
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    // the baseline is recorded at one scale factor (the "__sf" pseudo
+    // entry); timings at any other sf are incomparable to it — fixed
+    // per-entry overhead dominates small fixtures — so the gate only
+    // arms when the benched sf matches the baseline's.
+    val baseSf = {
+      val f = new java.io.File("BENCH_BASELINE.json")
+      if (!f.exists()) None
+      else """"__sf"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .map(_.group(1))
+    }
+    val gateArmed = baseSf.forall(b => sfDir.endsWith(b) || b.endsWith(sfDir))
+    // one isolated measurement under timeEntry's conditions (storage
+    // sweep + GC + untimed artifact prebuild) — shared by the sentinel
+    // phase and the recheck pass's weather retimes (r12)
+    def timeIsolated(name: String): Double = {
+      graft.core.Checkpoints.sweepAnonymous(spark)
+      System.gc()
+      Queries.prebuild.get(name).foreach { pb =>
+        try pb(spark, sfDir) catch { case _: Throwable => () }
+      }
+      val t0 = System.nanoTime()
+      try { run(name, sfDir); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    def loadavg1: Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // SENTINELS, timed FIRST (r12): per-entry seconds are only
+    // comparable within one box hour (measured 2× same-code swings
+    // both directions in one day), so every run carries a fixed
+    // 3-entry probe set — one data-parallel scan/agg, one pipeline
+    // compute, one scheduling-bound iterative — timed before the suite
+    // as isolated 3-iter lower-middle medians. `sentinel_ratio`
+    // (median of med/baseline over the set) is the run's box-speed
+    // stamp: cross-round tables divide by it instead of adjudicating
+    // hour-to-hour weather in prose.
+    val tSent0 = System.nanoTime()
+    val SentinelNames = Seq("q1_agg", "dedup_exact", "bfs_both_depth2")
+    val sentinelMed: Map[String, Double] = SentinelNames.map { n =>
+      val ts = (1 to 3).map(_ => timeIsolated(n)).filter(_ >= 0).sorted
+      n -> (if (ts.isEmpty) -1.0 else ts((ts.size - 1) / 2))
+    }.toMap
+    val sentinelRatio = {
+      // ratios only mean something at the baseline's own sf (fixed
+      // per-entry overhead dominates small fixtures) — same arming
+      // rule as the regression gate; -1 = unstamped run
+      val rs = (if (gateArmed) SentinelNames else Nil).flatMap(n =>
+        baseline.get(n).filter(_ > 0).flatMap(b =>
+          sentinelMed.get(n).filter(_ > 0).map(_ / b))).sorted
+      if (rs.isEmpty) -1.0 else rs((rs.size - 1) / 2)
     }
     // median of N timed iterations per query, like the reference harness
     // (median/p95 reporting, src/bench/harness.zig:134-142). Error
@@ -229,32 +309,6 @@ object Bench {
         scala.collection.mutable.ArrayBuffer.empty) += r
       timedSoFar += r.fold(identity, identity)
     }
-    // committed per-entry baseline, parsed up front (r11): the
-    // precision pass's tie-break and the regression gate both read it
-    val baseline: Map[String, Double] = {
-      val f = new java.io.File("BENCH_BASELINE.json")
-      if (!f.exists()) Map.empty
-      else {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    }
-    // the baseline is recorded at one scale factor (the "__sf" pseudo
-    // entry); timings at any other sf are incomparable to it — fixed
-    // per-entry overhead dominates small fixtures — so the gate only
-    // arms when the benched sf matches the baseline's.
-    val baseSf = {
-      val f = new java.io.File("BENCH_BASELINE.json")
-      if (!f.exists()) None
-      else """"__sf"\s*:\s*"([^"]+)"""".r
-        .findFirstMatchIn(new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-        .map(_.group(1))
-    }
-    val gateArmed = baseSf.forall(b => sfDir.endsWith(b) || b.endsWith(sfDir))
     // pass 1 — coverage floor
     Queries.benchNames.foreach(timeEntry)
     // checkpoint the floor to the self-archive file: if the driver's
@@ -419,6 +473,22 @@ object Bench {
       .map(_.toDouble).getOrElse(120.0)
     var recheckSpent = 0.0
     var rechecksSkipped = 0
+    // WEATHER EVIDENCE with every recheck (r12): the r11 closing
+    // artifact carried two "confirmed" regressions on code untouched
+    // all round, both refuted by isolated calm-box retimes — the
+    // recheck drew its adjudicating sample from the same bad box hour
+    // that raised the flag, and the artifact held nothing a reader
+    // could refute them with. Now every recheck records /proc/loadavg
+    // and a fixed SENTINEL-entry retime (the scheduling-bound
+    // sentinel, the cohort co-tenant noise actually hits; one
+    // isolated iteration under timeEntry conditions) taken in the
+    // same breath. A confirm whose sentinel ran > 1.3× ITS baseline
+    // is demoted to `regressions_confirmed_weather_suspect`: the box
+    // was demonstrably slow at adjudication time, so the sample
+    // cannot distinguish code from weather. A genuine code regression
+    // is unaffected — it slows the flagged entry, not the sentinel.
+    val RecheckSentinel = "bfs_both_depth2"
+    val sentBase = baseline.get(RecheckSentinel).filter(_ > 0)
     val tRecheck0 = System.nanoTime()
     val rechecks = regressions
       .sortBy { case (_, (b, v)) => -(v / b) }
@@ -427,6 +497,8 @@ object Bench {
       // baseline is itself 1-2-iteration-derived, so a like-for-like
       // recheck needs no more
       val raw = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var load = -1.0
+      var sentR = -1.0
       if (recheckBudget > 0 && recheckSpent > recheckBudget) {
         rechecksSkipped += 1
       } else {
@@ -448,7 +520,15 @@ object Bench {
           rcTime += (System.nanoTime() - t0) / 1e9
           rcIt += 1
         }
-        recheckSpent += rcTime
+        load = loadavg1
+        val s0 = System.nanoTime()
+        sentR = if (k == RecheckSentinel) {
+          // the sentinel flagging ITSELF gets no self-adjudication:
+          // its own recheck median is the retime
+          val times = raw.sorted
+          if (times.isEmpty) -1.0 else times((times.size - 1) / 2)
+        } else timeIsolated(RecheckSentinel)
+        recheckSpent += rcTime + (System.nanoTime() - s0) / 1e9
       }
       val times = raw.sorted
       // LOWER-middle median: with a transiently-failed iteration the
@@ -459,16 +539,27 @@ object Bench {
       // `regressions` (rv = in-suite value) and the throw itself is
       // already in `errors`.
       val rv = if (times.isEmpty) v else times((times.size - 1) / 2)
-      k -> (b, v, rv, times.nonEmpty)
+      k -> (b, v, rv, times.nonEmpty, load, sentR)
     }
-    val confirmed = rechecks.filter { case (k, (b, _, rv, measured)) =>
-      measured && rv > b * factorFor(k) * 1.5
+    def weatherSuspect(sentR: Double): Boolean =
+      sentR > 0 && sentBase.exists(sb => sentR > sb * 1.3)
+    val confirmedAll = rechecks.filter {
+      case (k, (b, _, rv, measured, _, _)) =>
+        measured && rv > b * factorFor(k) * 1.5
     }
-    val regs = rechecks.map { case (k, (b, v, rv, _)) =>
-      jstr(k) + ":[" + b + "," + v + "," + rv + "]"
+    val (weatherConf, confirmed) = confirmedAll.partition {
+      case (_, (_, _, _, _, _, sentR)) => weatherSuspect(sentR)
+    }
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    val regs = rechecks.map { case (k, (b, v, rv, _, load, sentR)) =>
+      jstr(k) + ":[" + b + "," + v + "," + rv + "," + r3(load) + "," +
+        r3(sentR) + "]"
     }.mkString("{", ",", "}")
-    val conf = confirmed.map { case (k, (b, _, rv, _)) =>
+    val conf = confirmed.map { case (k, (b, _, rv, _, _, _)) =>
       jstr(k) + ":[" + b + "," + rv + "]"
+    }.mkString("{", ",", "}")
+    val confSuspect = weatherConf.map { case (k, (b, _, rv, _, load, sentR)) =>
+      jstr(k) + ":[" + b + "," + rv + "," + r3(load) + "," + r3(sentR) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + failedTime
     // Normalizing by speed_factor absorbs a genuinely distribution-wide
@@ -489,10 +580,24 @@ object Bench {
       math.round((t1 - t0) / 1e7) / 100.0
     val tEnd = System.nanoTime()
     val phases = s"""{"warm":${ph(tWarm0, tMat0)},"materialize":${
-      ph(tMat0, tTimed0)},"timed":${ph(tTimed0, tRecheck0)},"recheck":${
-      ph(tRecheck0, tEnd)}}"""
+      ph(tMat0, tSent0)},"sentinel":${ph(tSent0, tTimed0)},"timed":${
+      ph(tTimed0, tRecheck0)},"recheck":${ph(tRecheck0, tEnd)}}"""
     val abSec = math.round(artifactBuildSec * 100) / 100.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"regressions":$regs,"regressions_confirmed":$conf,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"phases":$phases}"""
+    // materialize-phase gate (r12, ADVICE): the stored-artifact builds
+    // moved out of every timed window, so an algorithmic regression in
+    // a build faces no per-entry gate — the phase total is gated here
+    // against its own committed baseline (the `__materialize` pseudo
+    // entry), speed-adjusted like any entry. The per-FAMILY gate is
+    // the timed-uncached twin entries (graph_louvain_deep,
+    // graph_components_fresh, graph_msf_fresh).
+    val matSec = ph(tMat0, tSent0)
+    val matRegressed = gateArmed && baseline.get("__materialize")
+      .exists(b => matSec > b * speedFactor * 1.5)
+    val sentJson = SentinelNames.map { n =>
+      jstr(n) + ":[" + baseline.getOrElse(n, -1.0) + "," +
+        r3(sentinelMed.getOrElse(n, -1.0)) + "]"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"sentinels":$sentJson,"regressions":$regs,"regressions_confirmed":$conf,"regressions_confirmed_weather_suspect":$confSuspect,"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"phases":$phases}"""
     println(line)
     // short summary line AFTER the full line (r11): the driver's
     // artifact keeps only the tail of stdout, which truncated the
@@ -500,7 +605,7 @@ object Bench {
     // `parsed: null`). This line is a few hundred bytes — the tail
     // window always contains one complete parseable record; the
     // per-entry map lives in the committed BENCH_full_last.json.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_ok":${results.size},"n_failed":$zeroSuccess,"n_errors":${errors.size},"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"n_regressions":${rechecks.size},"n_confirmed":${confirmed.size},"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"phases":$phases,"full":"BENCH_full_last.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_ok":${results.size},"n_failed":$zeroSuccess,"n_errors":${errors.size},"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"n_regressions":${rechecks.size},"n_confirmed":${confirmed.size},"n_confirmed_weather_suspect":${weatherConf.size},"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"phases":$phases,"full":"BENCH_full_last.json"}"""
     println(summary)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write

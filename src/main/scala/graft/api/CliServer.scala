@@ -236,16 +236,24 @@ final class CliServer(spark: SparkSession, stateDir: String, port: Int = 0,
           case Right(req) if req.name == "--all" =>
             // the reference's sync-all sentinel travels IN the name
             // field (cli_protocol.zig:514-545); an empty registry is
-            // a server_error, not a no-op success
-            val n = try {
-              Cli.executeWorkspace(spark, stateDir,
-                Cli.SyncCmd(None, all = true)).count()
-            } catch { case _: IllegalArgumentException => 0L }
-            if (n == 0L) err(ErrorCode.ServerError,
+            // a server_error, not a no-op success. The emptiness check
+            // is on the COLLECTED name list (r12, ADVICE) — an
+            // IllegalArgumentException out of sync itself (a concurrent
+            // unlink between this read and sync's own load) propagates
+            // to the generic ServerError path instead of masquerading
+            // as "no codebases".
+            import spark.implicits._
+            val names = graft.core.Schemas.currentView(
+              WorkspaceStore.load(spark, stateDir).registry)
+              .select("id").as[String].collect().toSeq
+            if (names.isEmpty) err(ErrorCode.ServerError,
               "No linked codebases to sync")
-            else (MsgType.OperationResponse, encodeOperationResponse(
-              OperationResponse(success = true,
-                s"Successfully synced $n codebases")))
+            else {
+              val n = WorkspaceStore.sync(spark, stateDir, names).count()
+              (MsgType.OperationResponse, encodeOperationResponse(
+                OperationResponse(success = true,
+                  s"Successfully synced $n codebases")))
+            }
           case Right(req) =>
             operation(Cli.executeWorkspace(spark, stateDir,
               Cli.SyncCmd(Some(req.name))))

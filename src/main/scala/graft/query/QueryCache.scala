@@ -126,13 +126,23 @@ object QueryCache {
     * reference's SSTables and their indexes survive a `put_block`.
     * CONTRACT this relies on: `key` must fully determine the artifact
     * content (a pure function of immutable inputs — input dir +
-    * algorithm parameters — encoded in the key). Every current key
-    * embeds the testdata dir and round/parameter suffix; an artifact
-    * over MVCC-MUTABLE state must not use this API (a stale re-read
-    * would silently survive the write that outdated it).
+    * algorithm parameters — encoded in the key). An artifact over
+    * MVCC-MUTABLE state must not use this API (a stale re-read would
+    * silently survive the write that outdated it) — use
+    * [[QueryCache.getOrElseUpdate]] via [[forSession]] instead, whose
+    * entries die with every write invalidation. ENFORCED MECHANICALLY
+    * (r12, ADVICE): the key must embed its immutable input directory
+    * as an absolute-path `|` segment — a caller keying over anything
+    * else fails loudly here rather than silently serving pre-write
+    * parquet forever.
     */
   def storedArtifact(spark: SparkSession, key: String)
-                    (build: => DataFrame): DataFrame =
+                    (build: => DataFrame): DataFrame = {
+    require(key.split('|').exists(_.startsWith("/")),
+      "storedArtifact key must embed its immutable input dir as an " +
+        "absolute-path '|' segment (the key is the artifact's identity " +
+        "and invalidation only drops memory residency); for " +
+        s"MVCC-mutable inputs use the session cache directly: $key")
     forSession(spark).getOrElseUpdate(key) {
       val k = (spark, key)
       val existing = artifactDirs.get(k)
@@ -147,6 +157,7 @@ object QueryCache {
         spark.read.parquet(dir)
       }
     }
+  }
 
   /** Artifact parquet roots, keyed (session, key) — the on-disk half
     * of [[storedArtifact]] that outlives cache invalidation. Entries

@@ -56,7 +56,9 @@ class QueryCacheSpec extends SparkSpec {
     var builds = 0
     def build() = { builds += 1; Seq(("a", 1L), ("b", 2L))
       .toDF("id", "v").localCheckpoint(true) } // checkpoint lineage, like the loops
-    val key = s"spec|artifact|${System.nanoTime()}"
+    // keys must embed an immutable input-dir segment (enforced, r12);
+    // this inline fixture's "input" is the literal Seq — a pseudo dir
+    val key = s"/inline-fixture|spec|artifact|${System.nanoTime()}"
     val a1 = QueryCache.storedArtifact(spark, key)(build())
     assert(a1.count() == 2 && builds == 1)
     // second call: same artifact, no rebuild
@@ -81,6 +83,17 @@ class QueryCacheSpec extends SparkSpec {
     val a3 = QueryCache.storedArtifact(spark, key)(build())
     assert(builds == 1, "post-invalidation call must re-read, not recompute")
     assert(a3.orderBy("id").collect().map(_.getLong(1)).toSeq == Seq(1L, 2L))
+  }
+
+  test("storedArtifact rejects keys without an input-dir segment") {
+    // the stale-read contract (keys are pure functions of immutable
+    // inputs) is mechanical now: a key that embeds no absolute-path
+    // segment — e.g. one derived from MVCC-mutable workspace state —
+    // fails loudly instead of silently serving pre-write parquet
+    val e = intercept[IllegalArgumentException] {
+      QueryCache.storedArtifact(spark, "graft|mutable-state|r1")(df(1))
+    }
+    assert(e.getMessage.contains("immutable input dir"))
   }
 
   test("MVCC write invalidates the session cache behind a real query") {
