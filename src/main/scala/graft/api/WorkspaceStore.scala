@@ -194,7 +194,10 @@ object WorkspaceStore {
                          include: Seq[String], exclude: Seq[String],
                          parser: SourceParser): (DataFrame, DataFrame, Long) = {
     val files = Ingest.readDirectory(spark, rootPath, include, exclude)
-    val units = Ingest.parseFiles(files, parser).cache()
+    // cache the PARSE (the expensive pass), derive the downgrade
+    // lazily from it — see SemanticResolver.downgradeOrphanMethods
+    val parsed = Ingest.parseFiles(files, parser).cache()
+    val units = SemanticResolver.downgradeOrphanMethods(parsed)
     val blocks = Ingest.unitsToBlocks(units, name).drop("sequence", "is_deleted")
     val edges = SemanticResolver.edgesAsBlocks(units, name)
     (blocks, edges, files.count())
@@ -241,13 +244,20 @@ object WorkspaceStore {
            nowSeconds: Long = System.currentTimeMillis() / 1000L): DataFrame = withWriteLock(spark, stateDir) {
     import spark.implicits._
     val st = load(spark, stateDir)
-    val (blocks, edges, nFiles) = ingestTree(spark, name, rootPath, include, exclude, parser)
-    // skipped-file visibility (r11, ADVICE): the default include list
-    // narrowed from `**` to the code-extension surface — report how
-    // many enumerated files the globs excluded so a silently narrowed
-    // link is visible in its own summary (listing-only second pass;
-    // binaryFile count prunes the content column)
-    val nAll = Ingest.readDirectory(spark, rootPath, Seq("**"), exclude).count()
+    // skipped-file visibility (r11, ADVICE; single-enumeration r12):
+    // the default include list narrowed from `**` to the code-extension
+    // surface — report how many enumerated files the include globs
+    // excluded so a silently narrowed link is visible in its own
+    // summary. ONE enumeration produces both counts (the listing is the
+    // cost on a huge monorepo; the include globs apply as a column
+    // predicate over it, not as a second tree walk).
+    val (files, nAll) =
+      Ingest.readDirectoryWithTotal(spark, rootPath, include, exclude)
+    val parsed = Ingest.parseFiles(files, parser).cache()
+    val units = SemanticResolver.downgradeOrphanMethods(parsed)
+    val blocks = Ingest.unitsToBlocks(units, name).drop("sequence", "is_deleted")
+    val edges = SemanticResolver.edgesAsBlocks(units, name)
+    val nFiles = files.count()
     val reg2 = Mvcc.putBlocks(st.registry,
       Seq((name, rootPath, nowSeconds, include, exclude))
         .toDF("id", "root_path", "synced_at", "include_globs", "exclude_globs"))
@@ -320,14 +330,19 @@ object WorkspaceStore {
       .collect()
       .map(r => r._1 -> ((r._2,
         // NULL globs = legacy registry row (pre-r11 schema): fall back
-        // to `**`, the non-destructive direction — see registrySchema
-        r._3.getOrElse(Seq("**")), r._4.getOrElse(Nil)))).toMap
+        // to `**`, the non-destructive direction — see registrySchema.
+        // The fallback is DISCLOSED per row in the sync summary
+        // (`legacy_globs`, r12 ADVICE): a first post-upgrade sync that
+        // mass-ingests non-code files should be visible where it
+        // happens, not discovered from store growth.
+        r._3.getOrElse(Seq("**")), r._4.getOrElse(Nil),
+        r._3.isEmpty))).toMap
     val missing = names.filterNot(reg.contains)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(s"workspace not linked: ${missing.mkString(", ")}")
     var cur = st
     val summaries = names.sorted.map { name =>
-      val (root, include, exclude) = reg(name)
+      val (root, include, exclude, legacyGlobs) = reg(name)
       val (blocks, edges, nFiles) =
         // sync re-enumerates with the SAME globs link registered —
         // a re-sync must neither widen the workspace to files link
@@ -351,10 +366,11 @@ object WorkspaceStore {
           .toDF("id", "root_path", "synced_at",
             "include_globs", "exclude_globs"))
       cur = State(r2, b2, e2)
-      (name, nFiles, delta.count(), gone.count())
+      (name, nFiles, delta.count(), gone.count(), legacyGlobs)
     }
     save(stateDir, cur)
-    summaries.toDF("workspace", "files_processed", "blocks_synced", "blocks_removed")
+    summaries.toDF("workspace", "files_processed", "blocks_synced",
+      "blocks_removed", "legacy_globs")
   }
 
   /** Clear ALL linked workspaces — the wire protocol's

@@ -64,11 +64,15 @@ import scala.collection.mutable.ArrayBuffer
   * dead code is routinely unbalanced), `#if 1`'s `#else` arm
   * likewise, with `#elif`/`#else` chains tracked per nesting level;
   * macro conditions take the FIRST arm and suppress the
-  * `#elif`/`#else` alternatives (first-arm-wins, r11 — a
-  * config-dependent alternative arm is invisible rather than
-  * double-counted). What it gains:
-  * zero native dependencies and per-partition parallelism inside
-  * `flatMap`.
+  * `#elif`/`#else` alternatives (first-arm-wins, r11). MACRO-suppressed
+  * arms still contribute their definition NAMES as
+  * `arm = "suppressed"` units (r12; literally-dead `#if 0` code stays
+  * dead): the `#else` POSIX half of a
+  * platform split stays findable in the index, with no call edges, no
+  * brace effect on file scope, and an active same-named definition
+  * winning — so neither the r10 double-count nor the scope corruption
+  * can return. What it gains: zero native dependencies and
+  * per-partition parallelism inside `flatMap`.
   */
 object CParser extends SourceParser {
 
@@ -128,32 +132,96 @@ object CParser extends SourceParser {
     // config-heavy code and let per-arm unbalanced braces (`#ifdef
     // _WIN32 void f() { #else void f() { #endif`) corrupt scope
     // depth. Per level: (suppress THIS arm, an arm was taken).
-    val condStack = ArrayBuffer.empty[(Boolean, Boolean)]
-    def suppressed: Boolean = condStack.exists(_._1)
-    def condDirective(d: String, arg: String): Boolean = d match {
-      case "if" =>
-        condStack += ((arg == "0", arg != "0")); true
-      case "ifdef" | "ifndef" =>
-        condStack += ((false, true)); true
-      case "elif" =>
-        if (condStack.nonEmpty) {
-          val (_, took) = condStack.last
-          condStack(condStack.length - 1) =
-            if (took) (true, true) else (arg == "0", arg != "0")
-        }
-        true
-      case "else" =>
-        if (condStack.nonEmpty) {
-          val (_, took) = condStack.last
-          condStack(condStack.length - 1) = (took, took)
-        }
-        true
-      case "endif" =>
-        if (condStack.nonEmpty) condStack.remove(condStack.length - 1)
-        true
-      case _ => false
-    }
+    // shared conditional machine (ParserScaffold.CondTracker, r12) +
+    // the recovered-definition buffer
+    val cond = new ParserScaffold.CondTracker
+    def suppressed: Boolean = cond.suppressed
+    def condDirective(d: String, arg: String): Boolean = cond.directive(d, arg)
+    val suppressedUnits = ArrayBuffer.empty[UnitBuilder]
     val DirectiveRe = """^\s*#\s*(\w+)\s*(\S*)""".r
+
+    /** SUPPRESSED-ARM UNIT RECOVERY (r12). First-arm-wins (r11) fixed
+      * the double-count and the per-arm brace corruption, but made a
+      * definition living only in a non-taken arm — the `#ifdef _WIN32
+      * … #else <POSIX defs> #endif` shape, the most common real split
+      * — invisible in the index. Recover definition NAMES from
+      * MACRO-conditional suppressed arms (cond.recoverable —
+      * literally-dead `#if 0` code stays dead, it is the disabled-code
+      * idiom) as `arm = "suppressed"` units: no call edges, no brace
+      * counting against file scope, no scope frames, a function's
+      * extent = its joined signature. An identical active definition
+      * wins (appendSuppressed drops recovered (type, name, parent)
+      * duplicates); block-local noise is gated out by the arm-relative
+      * depth (only cond.armDepth == 0, each arm's own top level, is
+      * scanned); suppressed `#include`s are config noise and skipped.
+      * Returns the consumed-to line. A local def, NOT inline in the
+      * scan loop: keeping the hot loop's method small preserves its
+      * JIT budget (measured on the CppParser twin).
+      */
+    def scanSuppressedArm(line: String, i: Int, lineNo: Int): Int = {
+      var consumedTo = i
+      if (line.trim.startsWith("#")) {
+        // join continuations like the active # path, so a suppressed
+        // macro's replacement-list lines are never signature-scanned
+        var pEnd = i
+        while (pEnd < cleanedLines.length - 1 &&
+            cleanedLines(pEnd).replaceAll("""\s+$""", "").endsWith("\\"))
+          pEnd += 1
+        consumedTo = pEnd
+        val joined =
+          if (pEnd == i) line
+          else (i to pEnd).map(cleanedLines(_)
+            .replaceAll("""\\\s*$""", " ")).mkString(" ")
+        if (cond.recoverable)
+          DefineRe.findFirstMatchIn(joined).foreach { m =>
+            suppressedUnits += UnitBuilder(
+              if (m.group(2) != null) "function" else "const",
+              m.group(1), "", lineNo, pEnd + 1, arm = "suppressed")
+          }
+      } else {
+        if (cond.recoverable && cond.armDepth == 0) {
+          val t = line.trim
+          if (t.startsWith("typedef")) {
+            TypedefFnPtrRe.findFirstMatchIn(line)
+              .orElse(TypedefOneRe.findFirstMatchIn(line))
+              .filter(m => !Keywords(m.group(1)))
+              .foreach(m => suppressedUnits += UnitBuilder("type",
+                m.group(1), "", lineNo, lineNo, arm = "suppressed"))
+          } else if (StructRe.findFirstMatchIn(line).isDefined &&
+              line.contains("{")) {
+            suppressedUnits += UnitBuilder("type",
+              StructRe.findFirstMatchIn(line).get.group(2), "",
+              lineNo, lineNo, arm = "suppressed")
+          } else if (FuncRe.findFirstMatchIn(line).isDefined) {
+            val name = FuncRe.findFirstMatchIn(line).get.group(1)
+            val (_, end, opened, _) = joinDecl(cleanedLines, i)
+            // a join that crosses another directive line would read
+            // past the arm boundary — reject it (conservative)
+            val crossesDirective =
+              (i to end).exists(cleanedLines(_).trim.startsWith("#"))
+            if (opened && !crossesDirective && !Keywords(name)) {
+              suppressedUnits += UnitBuilder("function", name, "",
+                lineNo, end + 1, arm = "suppressed")
+              consumedTo = end
+            }
+          } else if (GlobalRe.findFirstMatchIn(line).isDefined &&
+              !line.contains("(") && t.endsWith(";")) {
+            val name = GlobalRe.findFirstMatchIn(line).get.group(1)
+            if (!Keywords(name)) {
+              val kind =
+                if (line.matches(""".*\bconst\b.*""")) "const" else "var"
+              suppressedUnits += UnitBuilder(kind, name, "",
+                lineNo, lineNo, arm = "suppressed")
+            }
+          }
+        }
+        // arm-relative depth machine: clamped at 0 (an arm may open
+        // with a closing brace relative to the taken arm's scope)
+        cond.armDepth = math.max(0, cond.armDepth +
+          (i to consumedTo).map(j => netBraces(cleanedLines(j))).sum)
+      }
+      consumedTo
+    }
 
     var depth = 0
     var i = 0
@@ -182,10 +250,9 @@ object CParser extends SourceParser {
           pEnd += 1
         consumedTo = pEnd
       } else if (suppressed) {
-        // inside a literally-dead arm: no declarations, no call-sites,
-        // and crucially no brace counting (dead code is routinely
-        // unbalanced)
+        // SUPPRESSED-ARM UNIT RECOVERY (r12) — see scanSuppressedArm
         isPreproc = true
+        consumedTo = scanSuppressedArm(line, i, lineNo)
       } else if (line.trim.startsWith("#")) {
         // preprocessor lines: includes and defines declare, the rest
         // (#if/#endif/#pragma/…) are transparent to the scan. A
@@ -327,6 +394,7 @@ object CParser extends SourceParser {
     }
     for (f <- stack) f.ub.lineEnd = origLines.length
 
+    ParserScaffold.appendSuppressed(builders, suppressedUnits.toSeq)
     ParserScaffold.finish(filePath, content, origLines, builders.toSeq,
       dedupIds = true)
   }

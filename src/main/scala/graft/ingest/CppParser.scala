@@ -79,15 +79,20 @@ import scala.collection.mutable.ArrayBuffer
   * conditionals with MACRO conditions are not evaluated — literal
   * `#if 0` / `#if 1` arms ARE decided (r10), and macro conditions
   * take the FIRST arm, suppressing `#elif`/`#else` alternatives
-  * (first-arm-wins, r11 — so a config-dependent alternative arm is
-  * invisible rather than double-counted); constructor
-  * initializer lists sit between the params' `)` and the body `{`
-  * and are EXCLUDED from the call scan (paramsOnly) — a ctor's
-  * member-init "calls" would dominate its real call edges — so an
-  * init-list's genuine function calls (`: x_(compute())`) are
-  * invisible; and lambdas
-  * assigned at file scope don't open scopes. What it gains: zero
-  * native dependencies and per-partition parallelism inside `flatMap`.
+  * (first-arm-wins, r11). MACRO-suppressed arms still contribute their
+  * definition NAMES as `arm = "suppressed"` units (r12; literally-dead
+  * `#if 0` code stays dead) — findable,
+  * call-edge-free, no brace effect on file scope, active same-named
+  * definitions winning (operators/conversions/TESTs are not
+  * recovered). Constructor initializer lists: the item HEADS
+  * (`: addr_(…), base(…)`) are member/base initializers and stay
+  * excluded from the call scan (the r10 paramsOnly rule — member-init
+  * noise would dominate real edges), but calls NESTED inside the
+  * items' parens/braces (`: x_(compute(a))`) are genuine call-sites
+  * and ARE scanned (r12, initListArgs) — only base-class ctor calls
+  * remain invisible. Lambdas assigned at file scope don't open
+  * scopes. What it gains: zero native dependencies and per-partition
+  * parallelism inside `flatMap`.
   */
 object CppParser extends SourceParser {
 
@@ -253,6 +258,78 @@ object CppParser extends SourceParser {
       sig.substring(open + 1)
     }
 
+    /** Call-sites nested INSIDE a constructor initializer list (r12).
+      * In `Cls(int a) : x_(compute(a)), base(a), n_{f(a)} {` the
+      * TOP-LEVEL item heads (`x_`, `base`, `n_`) are member/base
+      * initializers, not calls — the r10 paramsOnly exclusion, kept
+      * (member-init noise would dominate real edges) — but text at
+      * paren/brace depth ≥ 1 inside the items is ordinary expression
+      * text whose calls are genuine (`compute`, `f`): a ctor whose
+      * only call to a function happens in its init list is a real
+      * caller. Returns the concatenated inner argument text for the
+      * standard call scan; "" when the declaration has no init list.
+      * Residual: base-class ctor calls (the heads themselves) stay
+      * invisible — structurally indistinguishable from member inits
+      * without a symbol table.
+      */
+    def initListArgs(sig: String): String = {
+      val open = sig.indexOf('(')
+      if (open < 0) return ""
+      var depth = 0
+      var k = open
+      var close = -1
+      while (k < sig.length && close < 0) {
+        sig(k) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = k
+          case _ => ()
+        }
+        k += 1
+      }
+      if (close < 0) return ""
+      // the init list begins at the first single ':' (not '::') after
+      // the params and before the body '{'
+      var c = close + 1
+      var colon = -1
+      var scanning = true
+      while (c < sig.length && scanning) {
+        val ch = sig(c)
+        if (ch == '{') scanning = false
+        else if (ch == ':') {
+          if (c + 1 < sig.length && sig(c + 1) == ':') c += 1 // '::'
+          else { colon = c; scanning = false }
+        }
+        c += 1
+      }
+      if (colon < 0) return ""
+      // collect the items' INNER text (depth >= 1); a top-level '{'
+      // glued to an identifier is a brace-init item, otherwise it is
+      // the ctor body — stop there
+      val sb = new StringBuilder
+      var d = 0
+      var p = colon + 1
+      var stop = false
+      while (p < sig.length && !stop) {
+        val ch = sig(p)
+        if (ch == '(') { if (d > 0) sb += ch; d += 1 }
+        else if (ch == ')') { d -= 1; sb += (if (d > 0) ch else ' ') }
+        else if (ch == '{') {
+          if (d > 0) { sb += ch; d += 1 }
+          else {
+            var q = p - 1
+            while (q >= 0 && sig(q) == ' ') q -= 1
+            val prevC = if (q >= 0) sig(q) else ' '
+            if (prevC == '_' || prevC.isLetterOrDigit) d += 1
+            else stop = true
+          }
+        }
+        else if (ch == '}') { d = math.max(0, d - 1); sb += (if (d > 0) ch else ' ') }
+        else if (d > 0) sb += ch
+        p += 1
+      }
+      sb.toString
+    }
+
     /** GNU-style declarations put the return type (and the qualified
       * class) on lines of their own:
       * {{{
@@ -296,33 +373,99 @@ object CppParser extends SourceParser {
     // arms double-counted declarations and call edges in config-heavy
     // code and let per-arm unbalanced braces (the `#ifdef _WIN32
     // void f() { #else void f() { #endif` shape) corrupt scope depth.
-    // Per level: (suppress THIS arm, an arm was taken).
-    val condStack = ArrayBuffer.empty[(Boolean, Boolean)]
-    def suppressed: Boolean = condStack.exists(_._1)
-    def condDirective(d: String, arg: String): Boolean = d match {
-      case "if" =>
-        condStack += ((arg == "0", arg != "0")); true
-      case "ifdef" | "ifndef" =>
-        condStack += ((false, true)); true
-      case "elif" =>
-        if (condStack.nonEmpty) {
-          val (_, took) = condStack.last
-          condStack(condStack.length - 1) =
-            if (took) (true, true) else (arg == "0", arg != "0")
-        }
-        true
-      case "else" =>
-        if (condStack.nonEmpty) {
-          val (_, took) = condStack.last
-          condStack(condStack.length - 1) = (took, took)
-        }
-        true
-      case "endif" =>
-        if (condStack.nonEmpty) condStack.remove(condStack.length - 1)
-        true
-      case _ => false
-    }
+    // Shared conditional machine (ParserScaffold.CondTracker, r12) +
+    // the recovered-definition buffer.
+    val cond = new ParserScaffold.CondTracker
+    def suppressed: Boolean = cond.suppressed
+    def condDirective(d: String, arg: String): Boolean = cond.directive(d, arg)
+    val suppressedUnits = ArrayBuffer.empty[UnitBuilder]
     val DirectiveRe = """^\s*#\s*(\w+)\s*(\S*)""".r
+
+    /** SUPPRESSED-ARM UNIT RECOVERY (r12), the CParser rule with the
+      * C++ matchers: definition NAMES from MACRO-conditional non-taken
+      * arms (cond.recoverable — literally-dead `#if 0` code stays
+      * dead) become `arm = "suppressed"` units — no call edges, no
+      * brace counting against file scope, no frames; a class/namespace
+      * context comes from the LIVE stack (an #ifdef inside a class
+      * body attributes its arms' methods to that class). Operators,
+      * conversion operators and TESTs are not recovered (rare in
+      * platform-split arms). appendSuppressed drops any recovered
+      * (type, name, parent) an active definition carries. Returns the
+      * consumed-to line. A local def, NOT inline in the scan loop:
+      * keeping the hot loop's method small preserves its JIT budget
+      * (inlining this cost ~25% parse throughput, measured).
+      */
+    def scanSuppressedArm(rawLine: String, line: String, trimmed: String,
+                          i: Int, lineNo: Int): Int = {
+      var consumedTo = i
+      if (rawLine.trim.startsWith("#")) {
+        var pEnd = i
+        while (pEnd < cleanedLines.length - 1 &&
+            cleanedLines(pEnd).replaceAll("""\s+$""", "").endsWith("\\"))
+          pEnd += 1
+        consumedTo = pEnd
+        val joined =
+          if (pEnd == i) rawLine
+          else (i to pEnd).map(cleanedLines(_)
+            .replaceAll("""\\\s*$""", " ")).mkString(" ")
+        if (cond.recoverable)
+          DefineRe.findFirstMatchIn(joined).foreach { m =>
+            suppressedUnits += UnitBuilder(
+              if (m.group(2) != null) "function" else "const",
+              m.group(1), "", lineNo, pEnd + 1, arm = "suppressed")
+          }
+      } else {
+        if (cond.recoverable && cond.armDepth == 0) {
+          val cls =
+            if (classFrame.isDefined) classFrame.get.ub.name else ""
+          def recoverFn(name: String, parent: String): Unit = {
+            val (_, end, opened, _) = joinDecl(cleanedLines, i)
+            val crossesDirective =
+              (i to end).exists(cleanedLines(_).trim.startsWith("#"))
+            if (opened && !crossesDirective &&
+                !Keywords(name.stripPrefix("~"))) {
+              suppressedUnits += UnitBuilder("function", name, parent,
+                lineStart = lineNo, lineEnd = end + 1,
+                edges =
+                  if (parent.nonEmpty)
+                    ArrayBuffer(ParsedEdge("method_of", parent))
+                  else ArrayBuffer.empty,
+                arm = "suppressed")
+              consumedTo = end
+            }
+          }
+          if (typeKeywordLed(trimmed) &&
+              TypeRe.findFirstMatchIn(line).isDefined &&
+              line.contains("{")) {
+            typeDecl(line, lineNo, cls).foreach { case (ub, _) =>
+              // a suppressed `class X {` while a LIVE class X is open
+              // is the alternative arm of that very class (`#ifdef A
+              // class Conn { … #else class Conn { … #endif };`), not
+              // a nested type — skip it
+              if (ub.name != cls)
+                suppressedUnits += ub.copy(arm = "suppressed")
+            }
+          } else if (line.indexOf('(') >= 0 && cls.isEmpty &&
+              line.contains("::") &&
+              QualFnRe.findFirstMatchIn(declHead(line, i)).isDefined) {
+            val m = QualFnRe.findFirstMatchIn(declHead(line, i)).get
+            val parent =
+              if (namespaceNames.contains(m.group(1))) "" else m.group(1)
+            recoverFn(m.group(2), parent)
+          } else if (line.indexOf('(') >= 0 &&
+              MethodRe.findFirstMatchIn(line).isDefined) {
+            recoverFn(MethodRe.findFirstMatchIn(line).get.group(1), cls)
+          } else if (line.indexOf('(') >= 0 && cls.nonEmpty &&
+              CtorRe.findFirstMatchIn(line)
+                .exists(m => m.group(1) == cls || m.group(1) == s"~$cls")) {
+            recoverFn(CtorRe.findFirstMatchIn(line).get.group(1), cls)
+          }
+        }
+        cond.armDepth = math.max(0, cond.armDepth +
+          (i to consumedTo).map(j => netBraces(cleanedLines(j))).sum)
+      }
+      consumedTo
+    }
 
     var depth = 0
     var i = 0
@@ -350,7 +493,9 @@ object CppParser extends SourceParser {
           pEnd += 1
         consumedTo = pEnd
       } else if (suppressed) {
+        // SUPPRESSED-ARM UNIT RECOVERY (r12) — see scanSuppressedArm
         isPreproc = true
+        consumedTo = scanSuppressedArm(rawLine, line, trimmed, i, lineNo)
       } else if (rawLine.trim.startsWith("#")) {
         // the C preprocessor rules verbatim: `\`-continuations join to
         // one logical line, macro-body braces never shift scope depth
@@ -484,6 +629,10 @@ object CppParser extends SourceParser {
                   ArrayBuffer(ParsedEdge("method_of", cls)))
                 builders += ub
                 addCalls(paramsOnly(sig), ub)
+                // a constructor's init-list NESTED calls are genuine
+                // call-sites (r12) — see initListArgs
+                if (name == cls || name == s"~$cls")
+                  addCalls(initListArgs(sig), ub)
                 addCalls(rest, ub)
                 pending = Some(Frame("function", ub, depth))
               }
@@ -552,6 +701,9 @@ object CppParser extends SourceParser {
                 ArrayBuffer(ParsedEdge("method_of", parent)))
             builders += ub
             addCalls(paramsOnly(sig), ub)
+            // out-of-line ctor `Cls::Cls(…) : x_(f()) { … }` — its
+            // init-list nested calls are genuine (r12)
+            if (name == parent) addCalls(initListArgs(sig), ub)
             addCalls(rest, ub)
             pending = Some(Frame("function", ub, depth))
           }
@@ -642,6 +794,7 @@ object CppParser extends SourceParser {
     }
     for (f <- stack) f.ub.lineEnd = origLines.length
 
+    ParserScaffold.appendSuppressed(builders, suppressedUnits.toSeq)
     ParserScaffold.finish(filePath, content, origLines, builders.toSeq,
       dedupIds = true)
   }

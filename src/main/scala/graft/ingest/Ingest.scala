@@ -63,15 +63,20 @@ object Ingest {
       "^" + java.util.regex.Pattern.quote(rootAbs) + "/", "")
   }
 
+  /** Any-glob predicate over a root-relative path column; `default`
+    * is the empty-list value (include lists default-allow, exclude
+    * lists default-deny).
+    */
+  private def globAnyCol(rel: Column, globs: Seq[String],
+                         default: Boolean): Column =
+    globs.map(g => rel.rlike("^" + globToRegex(g) + "$"))
+      .reduceOption(_ || _).getOrElse(lit(default))
+
   /** include/exclude glob predicate over a root-relative path column. */
   private def globFilterCol(rel: Column, include: Seq[String],
-                            exclude: Seq[String]): Column = {
-    val included = include.map(g => rel.rlike("^" + globToRegex(g) + "$"))
-      .reduceOption(_ || _).getOrElse(lit(true))
-    val excluded = exclude.map(g => rel.rlike("^" + globToRegex(g) + "$"))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    included && !excluded
-  }
+                            exclude: Seq[String]): Column =
+    globAnyCol(rel, include, default = true) &&
+      !globAnyCol(rel, exclude, default = false)
 
   /** Driver-side `git ls-files -z` enumeration, the reference's
     * FIRST-choice source listing (`ingest_directory.zig:208-253`):
@@ -144,6 +149,20 @@ object Ingest {
                     maxBytes: Long = MaxFileBytes): Dataset[FileDoc] = {
     import spark.implicits._
     val rootAbs = new java.io.File(root).getAbsolutePath.stripSuffix("/")
+    val sized = enumerateSized(spark, rootAbs, maxBytes)
+    val rel = relPathCol(col("path"), rootAbs)
+    sized.filter(globFilterCol(rel, include, exclude))
+      .select(rel.as("path"), col("content").cast("string").as("content"))
+      .as[FileDoc]
+  }
+
+  /** The shared enumeration behind [[readDirectory]] and
+    * [[readDirectoryWithTotal]]: one git-or-walk listing, size-capped
+    * on the file-length metadata column (oversized payloads are never
+    * read).
+    */
+  private def enumerateSized(spark: SparkSession, rootAbs: String,
+                             maxBytes: Long): DataFrame = {
     val raw = gitTrackedFiles(rootAbs) match {
       case Some(rels) =>
         spark.read.format("binaryFile")
@@ -153,11 +172,33 @@ object Ingest {
           .option("recursiveFileLookup", "true")
           .load(rootAbs)
     }
-    val sized = raw.filter(col("length") > 0 && col("length") <= maxBytes)
+    raw.filter(col("length") > 0 && col("length") <= maxBytes)
+  }
+
+  /** One-enumeration variant of [[readDirectory]] for callers that
+    * also need the tree's include-independent file count — `link`
+    * reports `files_skipped` = total − included. Builds ONE file index
+    * (one `git ls-files` run / one recursive listing) and derives both
+    * the included-file Dataset and the total count from it, instead of
+    * enumerating the tree twice (r12 — on a huge monorepo the listing
+    * IS the cost). The count action touches only the path/length
+    * metadata columns; column pruning keeps file contents unread.
+    */
+  def readDirectoryWithTotal(spark: SparkSession, root: String,
+                             include: Seq[String] = DefaultInclude,
+                             exclude: Seq[String] = Nil,
+                             maxBytes: Long = MaxFileBytes)
+      : (Dataset[FileDoc], Long) = {
+    import spark.implicits._
+    val rootAbs = new java.io.File(root).getAbsolutePath.stripSuffix("/")
+    val sized = enumerateSized(spark, rootAbs, maxBytes)
     val rel = relPathCol(col("path"), rootAbs)
-    sized.filter(globFilterCol(rel, include, exclude))
+    val base = sized.filter(!globAnyCol(rel, exclude, default = false))
+    val nAll = base.select(rel.as("path")).count()
+    val files = base.filter(globAnyCol(rel, include, default = true))
       .select(rel.as("path"), col("content").cast("string").as("content"))
       .as[FileDoc]
+    (files, nAll)
   }
 
   /** Continuous ingestion: the Structured Streaming variant of
@@ -219,13 +260,21 @@ object Ingest {
 
   /** Ingestion stats, reference `IngestStats`
     * (`ingest_directory.zig:64-71`): one aggregation, not counters.
+    * `suppressed_arm_units` (r12, ADVICE) surfaces how many units were
+    * recovered from non-taken preprocessor arms — the observable for
+    * first-arm-wins recall on config-heavy C/C++ trees.
     */
   def stats(files: Dataset[FileDoc], units: Dataset[ParsedUnit]): DataFrame = {
     val f = files.count()
-    val u = units.count()
-    val e = units.toDF().select(explode(col("edges"))).count()
+    val r = units.toDF().agg(
+      count(lit(1)).as("u"),
+      coalesce(sum(size(col("edges"))), lit(0L)).as("e"),
+      coalesce(sum(when(col("arm") === "suppressed", 1L).otherwise(0L)),
+        lit(0L)).as("sup")).first()
     val spark = files.sparkSession
     import spark.implicits._
-    Seq((f, u, e)).toDF("files_processed", "blocks_generated", "raw_edges")
+    Seq((f, r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("files_processed", "blocks_generated", "raw_edges",
+        "suppressed_arm_units")
   }
 }

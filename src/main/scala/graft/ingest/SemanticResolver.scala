@@ -25,6 +25,58 @@ object SemanticResolver {
     units.toDF().select(
       col("name"), col("parentContainer").as("container"), col("unitId"))
 
+  /** Workspace-level downgrade of ORPHAN C++ "methods" (r12) — the
+    * qualified-definition residual: `ns::f(…)` where `namespace ns {`
+    * opens only in ANOTHER header scans as a method of `ns`, because
+    * [[CppParser]] sees one file at a time. Here the whole workspace's
+    * symbol table exists: a function unit whose parent container
+    * matches NO type unit anywhere cannot be a method of a type —
+    * downgrade it to a FREE function (parent "", `method_of` edge
+    * dropped, unitId re-derived as `file:name`), turning the per-file
+    * lexical limit into a workspace-level fix. Scoped to C++-parsed
+    * files: every other extractor derives parents from ENCLOSING type
+    * frames in the same file, which always emit a type unit.
+    * Residual: a genuine method of a type that is itself outside the
+    * ingest surface downgrades too — the name still resolves and the
+    * unit survives, only the container attribution is lost. A
+    * re-derived id that would collide with an existing unit id gets
+    * the parse-time `#line` suffix. Two unit-scale joins (type names,
+    * collision probe); callers should cache the parsed units first so
+    * the parse itself runs once.
+    */
+  def downgradeOrphanMethods(units: Dataset[ParsedUnit]): Dataset[ParsedUnit] = {
+    val spark = units.sparkSession
+    import spark.implicits._
+    val df = units.toDF()
+    val cand = col("filePath").rlike("""\.(cpp|cc|cxx|hpp|hh|hxx)$""") &&
+      col("unitType") === "function" && col("parentContainer") =!= ""
+    val typeNames = df.filter(col("unitType") === "type")
+      .select(col("name").as("__tn")).distinct()
+    val marked = df
+      .join(typeNames, col("parentContainer") === col("__tn"), "left")
+      .withColumn("__down", cand && col("__tn").isNull)
+      .drop("__tn")
+    val existingIds = marked.filter(!col("__down"))
+      .select(col("unitId").as("__eid"))
+    val newId = concat(col("filePath"), lit(":"), col("name"))
+    marked
+      .join(existingIds, col("__down") && newId === col("__eid"), "left")
+      .select(
+        when(col("__down"),
+          when(col("__eid").isNotNull,
+            concat(newId, lit("#"), col("lineStart"))).otherwise(newId))
+          .otherwise(col("unitId")).as("unitId"),
+        col("unitType"), col("name"),
+        when(col("__down"), lit("")).otherwise(col("parentContainer"))
+          .as("parentContainer"),
+        col("filePath"), col("lineStart"), col("lineEnd"), col("content"),
+        when(col("__down"), filter(col("edges"),
+            e => e.getField("edgeType") =!= "method_of"))
+          .otherwise(col("edges")).as("edges"),
+        col("arm"))
+      .as[ParsedUnit]
+  }
+
   /** Resolve every raw edge to (src_unit_id, dst_unit_id, edge_type).
     * Ambiguous global names resolve to the lexicographically-smallest
     * unit_id (deterministic across cluster layouts; the reference's

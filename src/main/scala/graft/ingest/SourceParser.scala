@@ -16,7 +16,13 @@ final case class ParsedUnit(
     lineStart: Int,
     lineEnd: Int,
     content: String,
-    edges: Seq[ParsedEdge])
+    edges: Seq[ParsedEdge],
+    // "" = active code; "suppressed" = a definition recovered from a
+    // non-taken preprocessor arm (C/C++ first-arm-wins, r12): the NAME
+    // is indexed so `#else`-only definitions stay findable, but the
+    // unit carries no call edges and its extent is the signature — the
+    // tag lets consumers and ingest stats tell the two apart.
+    arm: String = "")
 
 /** Pluggable parser: (path, content) → units. The reference walks a real
   * Zig AST (`parsers/zig_parser.zig`); that is language tooling, not
@@ -43,7 +49,8 @@ private[ingest] object ParserScaffold {
       unitType: String, name: String, parent: String, lineStart: Int,
       var lineEnd: Int,
       edges: scala.collection.mutable.ArrayBuffer[ParsedEdge] =
-        scala.collection.mutable.ArrayBuffer.empty)
+        scala.collection.mutable.ArrayBuffer.empty,
+      arm: String = "")
 
   /** One open scope. `boundary` is the brace depth just before the
     * body's `{` (brace languages) or the declaration line's indent
@@ -146,6 +153,96 @@ private[ingest] object ParserScaffold {
     }
     }
 
+  /** C/C++ preprocessor-conditional machine (r10 literal arms, r11
+    * first-arm-wins, r12 recoverability), shared by [[CParser]] and
+    * [[CppParser]] so the arm rules cannot diverge. Literal arms are
+    * decided (`#if 0` dead, `#if 1`'s `#else` dead); macro conditions
+    * take the FIRST arm and suppress the rest. `recoverable`
+    * distinguishes the two kinds of suppression: a macro-conditional
+    * alternative arm (`#ifdef _WIN32 … #else`) is plausibly active in
+    * another build config — its definition names are worth recovering —
+    * while a literally-dead arm (`#if 0`, the classic disabled-code
+    * idiom, or the `#else` of a taken literal) is dead in EVERY config
+    * and recovers nothing.
+    */
+  final class CondTracker {
+    private final case class Arm(suppress: Boolean, took: Boolean,
+                                 takenLiteral: Boolean, recover: Boolean)
+    private val stack = scala.collection.mutable.ArrayBuffer.empty[Arm]
+    /** Arm-relative brace depth for the recovery scan — reset per arm
+      * (each arm's braces are routinely unbalanced against file scope,
+      * so its depth machine is its own).
+      */
+    var armDepth: Int = 0
+    def suppressed: Boolean = stack.exists(_.suppress)
+    /** Suppressed AND every suppressing level is a macro-conditional
+      * arm — the gate for suppressed-arm unit recovery.
+      */
+    def recoverable: Boolean = suppressed &&
+      stack.forall(a => !a.suppress || a.recover)
+    /** Handle a directive; true when `d` was a conditional directive
+      * (the caller treats the line as consumed either way it returns).
+      */
+    def directive(d: String, arg: String): Boolean = {
+      armDepth = 0
+      d match {
+        case "if" =>
+          stack += Arm(suppress = arg == "0", took = arg != "0",
+            takenLiteral = arg == "1", recover = false)
+          true
+        case "ifdef" | "ifndef" =>
+          stack += Arm(suppress = false, took = true,
+            takenLiteral = false, recover = false)
+          true
+        case "elif" =>
+          if (stack.nonEmpty) {
+            val a = stack.last
+            stack(stack.length - 1) =
+              if (a.took) Arm(suppress = true, took = true,
+                takenLiteral = a.takenLiteral, recover = !a.takenLiteral)
+              else Arm(suppress = arg == "0", took = arg != "0",
+                takenLiteral = arg == "1", recover = false)
+          }
+          true
+        case "else" =>
+          if (stack.nonEmpty) {
+            val a = stack.last
+            stack(stack.length - 1) =
+              if (a.took) Arm(suppress = true, took = true,
+                takenLiteral = a.takenLiteral, recover = !a.takenLiteral)
+              else Arm(suppress = false, took = true,
+                takenLiteral = false, recover = false)
+          }
+          true
+        case "endif" =>
+          if (stack.nonEmpty) stack.remove(stack.length - 1)
+          true
+        case _ => false
+      }
+    }
+  }
+
+  /** Append suppressed-arm recovered builders (C/C++ first-arm-wins
+    * recovery, r12) to the active list, dropping any whose
+    * (type, name, parent) an ACTIVE unit already carries — the taken
+    * arm wins, so recovery can never reintroduce the double-count
+    * first-arm-wins was built to kill — and deduping within the
+    * recovered set itself (identical definitions across #elif arms).
+    */
+  def appendSuppressed(
+      builders: scala.collection.mutable.ArrayBuffer[UnitBuilder],
+      suppressed: Seq[UnitBuilder]): Unit = {
+    if (suppressed.isEmpty) return
+    val active =
+      builders.iterator.map(b => (b.unitType, b.name, b.parent)).toSet
+    val seen =
+      scala.collection.mutable.HashSet.empty[(String, String, String)]
+    suppressed.foreach { b =>
+      val k = (b.unitType, b.name, b.parent)
+      if (!active(k) && seen.add(k)) builders += b
+    }
+  }
+
   /** Builders → ParsedUnits: the shared unit-id scheme
     * (`file:import:<name>` / `file:test:<line>` / `file[:Parent]:name`),
     * optional `#line` suffixing for duplicate ids (overloads,
@@ -168,7 +265,7 @@ private[ingest] object ParserScaffold {
       val body = origLines.slice(ub.lineStart - 1, ub.lineEnd)
         .mkString("\n").trim
       ParsedUnit(unitId, ub.unitType, ub.name, ub.parent, filePath,
-        ub.lineStart, ub.lineEnd, body, ub.edges.distinct.toSeq)
+        ub.lineStart, ub.lineEnd, body, ub.edges.distinct.toSeq, ub.arm)
     }
     if (units.isEmpty && content.trim.nonEmpty)
       Seq(ParsedUnit(s"$filePath:document", "document",

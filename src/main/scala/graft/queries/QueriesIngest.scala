@@ -358,12 +358,19 @@ object QueriesIngest {
       Ingest.FileDoc("svc/store_check.c", demoCCheck)).toDS()
   }
 
-  // C++ demo codebase for the CppParser entries (r10): a namespace
-  // (transparent scope), a class with an in-class constructor (whose
-  // initializer list must NOT scan as calls), an in-class method, an
+  // C++ demo codebase for the CppParser entries (r10; extended r12): a
+  // namespace (transparent scope), a class with an in-class constructor
+  // whose initializer-list ITEM HEADS must not scan as calls but whose
+  // NESTED init call (`addr_(validate(addr))`) is the ctor's only path
+  // to `validate` (pinning initListArgs), an in-class method, an
   // in-class PROTOTYPE defined out-of-line (`Store::open` — the
-  // Go-receiver shape: exactly one unit), a file-scope free function,
-  // and a gtest TEST reaching the class through a `using` import.
+  // Go-receiver shape: exactly one unit), a file-scope free function, a
+  // platform split pinning first-arm-wins + suppressed-arm recovery
+  // (same-named `flush_store` in both arms → ONE active unit;
+  // `posix_retries` only in the non-taken arm → recovered with
+  // arm = 'suppressed'), a qualified definition in a file that never
+  // opens `svc` (resolver-time orphan downgrade), and a gtest TEST
+  // reaching the class through a `using` import.
   private val demoCppStore =
     """#include <cstdio>
       |#include "store.hpp"
@@ -376,7 +383,7 @@ object QueriesIngest {
       |
       |class Store {
       | public:
-      |  Store(const char* addr) : addr_(addr) { validate(addr); }
+      |  Store(const char* addr) : addr_(validate(addr)) { log_open(addr); }
       |  int get(const char* key) {
       |    return lookup(addr_, key);
       |  }
@@ -393,7 +400,31 @@ object QueriesIngest {
       |  return normalize(addr);
       |}
       |
+      |#ifdef _WIN32
+      |int flush_store(Store* s) { return win_flush(s); }
+      |#else
+      |int flush_store(Store* s) { return posix_flush(s); }
+      |#endif
+      |
+      |#ifdef _WIN32
+      |#else
+      |static int posix_retries(void) { return 2; }
+      |#endif
+      |
       |}  // namespace svc
+      |""".stripMargin
+
+  // `svc` opens only in store.cpp — this file's `svc::helper` scans as
+  // a method of `svc` at parse time (the per-file lexical limit) and is
+  // downgraded to a FREE function at resolver time, because no TYPE
+  // unit named `svc` exists anywhere in the workspace (r12,
+  // SemanticResolver.downgradeOrphanMethods).
+  private val demoCppUtil =
+    """#include "store.hpp"
+      |
+      |int svc::helper(int n) {
+      |  return n + 1;
+      |}
       |""".stripMargin
 
   private val demoCppTest =
@@ -411,8 +442,17 @@ object QueriesIngest {
   private def demoCppFiles(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
     Seq(Ingest.FileDoc("svc/store.cpp", demoCppStore),
+      Ingest.FileDoc("svc/util.cpp", demoCppUtil),
       Ingest.FileDoc("svc/store_test.cpp", demoCppTest)).toDS()
   }
+
+  /** The C++ demo's workspace-level unit view: parse + the resolver's
+    * orphan-method downgrade (r12) — what [[graft.api.WorkspaceStore]]
+    * ingests through.
+    */
+  private def demoCppUnits(s: org.apache.spark.sql.SparkSession) =
+    SemanticResolver.downgradeOrphanMethods(
+      Ingest.parseFiles(demoCppFiles(s), DispatchParser))
 
   /** Deterministic on-disk tree for the directory-source entry: code
     * files that pass the globs, a doc file, a glob-excluded vendor file,
@@ -456,7 +496,9 @@ object QueriesIngest {
       },
       Some("""SELECT CAST(3 AS BIGINT) AS files_processed,
         | CAST(7 AS BIGINT) AS blocks_generated,
-        | CAST(6 AS BIGINT) AS raw_edges""".stripMargin.replace("\n", " "))),
+        | CAST(6 AS BIGINT) AS raw_edges,
+        | CAST(0 AS BIGINT) AS suppressed_arm_units"""
+        .stripMargin.replace("\n", " "))),
 
     // link → link → unlink → re-link registry roundtrip through the real
     // MVCC write path (put = epoch sequence, unlink = tombstone); the
@@ -858,39 +900,50 @@ object QueriesIngest {
     // scoping, out-of-line `Cls::method` definitions, gtest TESTs,
     // using-imports.
     ("ingest_cpp_units",
-      (s, d) => Ingest.parseFiles(demoCppFiles(s), DispatchParser)
+      (s, d) => demoCppUnits(s)
         .toDF().select(col("unitId").as("unit_id"),
           col("unitType").as("unit_type"), col("name"),
-          col("parentContainer").as("parent"))
+          col("parentContainer").as("parent"), col("arm"))
         .orderBy("unit_id"),
+      // pins (r12): ONE flush_store (first-arm-wins, active arm),
+      // posix_retries recovered from the #else arm (arm='suppressed'),
+      // and svc::helper downgraded to a FREE function because no type
+      // unit named svc exists in the workspace
       Some("""SELECT * FROM (VALUES
-        | ('svc/store.cpp:MAX_CONNS', 'const', 'MAX_CONNS', ''),
-        | ('svc/store.cpp:Store', 'type', 'Store', ''),
-        | ('svc/store.cpp:Store:Store', 'function', 'Store', 'Store'),
-        | ('svc/store.cpp:Store:addr_', 'const', 'addr_', 'Store'),
-        | ('svc/store.cpp:Store:get', 'function', 'get', 'Store'),
-        | ('svc/store.cpp:Store:open', 'function', 'open', 'Store'),
-        | ('svc/store.cpp:import:cstdio', 'import', 'cstdio', ''),
-        | ('svc/store.cpp:import:store', 'import', 'store', ''),
-        | ('svc/store.cpp:kRetries', 'const', 'kRetries', ''),
-        | ('svc/store.cpp:validate', 'function', 'validate', ''),
-        | ('svc/store_test.cpp:import:Store', 'import', 'Store', ''),
-        | ('svc/store_test.cpp:import:gtest', 'import', 'gtest', ''),
-        | ('svc/store_test.cpp:import:store', 'import', 'store', ''),
-        | ('svc/store_test.cpp:test:6', 'test', 'StoreTest.OpensStore', '')
-        |) t(unit_id, unit_type, name, parent) ORDER BY unit_id"""
+        | ('svc/store.cpp:MAX_CONNS', 'const', 'MAX_CONNS', '', ''),
+        | ('svc/store.cpp:Store', 'type', 'Store', '', ''),
+        | ('svc/store.cpp:Store:Store', 'function', 'Store', 'Store', ''),
+        | ('svc/store.cpp:Store:addr_', 'const', 'addr_', 'Store', ''),
+        | ('svc/store.cpp:Store:get', 'function', 'get', 'Store', ''),
+        | ('svc/store.cpp:Store:open', 'function', 'open', 'Store', ''),
+        | ('svc/store.cpp:flush_store', 'function', 'flush_store', '', ''),
+        | ('svc/store.cpp:import:cstdio', 'import', 'cstdio', '', ''),
+        | ('svc/store.cpp:import:store', 'import', 'store', '', ''),
+        | ('svc/store.cpp:kRetries', 'const', 'kRetries', '', ''),
+        | ('svc/store.cpp:posix_retries', 'function', 'posix_retries', '',
+        |   'suppressed'),
+        | ('svc/store.cpp:validate', 'function', 'validate', '', ''),
+        | ('svc/store_test.cpp:import:Store', 'import', 'Store', '', ''),
+        | ('svc/store_test.cpp:import:gtest', 'import', 'gtest', '', ''),
+        | ('svc/store_test.cpp:import:store', 'import', 'store', '', ''),
+        | ('svc/store_test.cpp:test:6', 'test', 'StoreTest.OpensStore', '',
+        |   ''),
+        | ('svc/util.cpp:helper', 'function', 'helper', '', ''),
+        | ('svc/util.cpp:import:store', 'import', 'store', '', '')
+        |) t(unit_id, unit_type, name, parent, arm) ORDER BY unit_id"""
         .stripMargin.replace("\n", " "))),
 
     // Callers of `validate` on the C++ demo: the in-class constructor
-    // (initializer list excluded from the scan — only the body's call
-    // counts) and the out-of-line `Store::open` definition guard with
-    // it; the gtest TEST reaches it through `Store::open(` — a
-    // `::`-qualified call-site scanning as its last segment — at
+    // reaches it ONLY through its initializer list's nested call
+    // (`addr_(validate(addr))` — the r12 initListArgs rule; the body
+    // calls log_open), the out-of-line `Store::open` definition guards
+    // with it, and the gtest TEST reaches it through `Store::open(` —
+    // a `::`-qualified call-site scanning as its last segment — at
     // depth 2. Parser → resolver → blocks/edges → BFS.
     ("ingest_cpp_callers",
       (s, d) => {
         import graft.api.Cli
-        val units = Ingest.parseFiles(demoCppFiles(s), DispatchParser)
+        val units = demoCppUnits(s)
         val blocks = Ingest.unitsToBlocks(units, "cppdemo")
         val edges = SemanticResolver.edgesAsBlocks(units, "cppdemo")
         Cli.execute(blocks, edges,

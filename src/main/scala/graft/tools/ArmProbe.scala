@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.ingest.{CParser, CppParser}
+
+/** Dogfood measurement for the preprocessor-arm policy (r12): parse
+  * the glibc headers (/usr/include, CParser) and the libstdc++ tree
+  * (/usr/include/c++/<ver>, CppParser) and report how many units are
+  * RECOVERED from macro-suppressed arms (`arm = "suppressed"`) versus
+  * the active surface — i.e. exactly the definitions first-arm-wins
+  * (r11) had made invisible, net of both-arm duplicates. Pure JVM, no
+  * Spark session (the extractors are the unit under test).
+  *
+  * `runMain graft.tools.ArmProbe`
+  */
+object ArmProbe {
+  private def read(f: java.io.File): String =
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+
+  private def walk(dir: java.io.File, keep: java.io.File => Boolean)
+      : Seq[java.io.File] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    def go(d: java.io.File): Unit = {
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      fs.sortBy(_.getName).foreach { f =>
+        if (f.isDirectory) go(f)
+        else if (f.isFile && f.length > 0 && f.length <= 1024 * 1024 &&
+          keep(f)) out += f
+      }
+    }
+    go(dir)
+    out.toSeq
+  }
+
+  private def report(corpus: String,
+                     parse: (String, String) => Seq[graft.ingest.ParsedUnit],
+                     files: Seq[java.io.File]): Unit = {
+    var total = 0L
+    var supp = 0L
+    val suppByType = scala.collection.mutable.Map.empty[String, Long]
+    var failed = 0
+    val t0 = System.nanoTime()
+    files.foreach { f =>
+      try {
+        val us = parse(f.getPath, read(f))
+        total += us.length
+        us.foreach { u =>
+          if (u.arm == "suppressed") {
+            supp += 1
+            suppByType(u.unitType) =
+              suppByType.getOrElse(u.unitType, 0L) + 1
+          }
+        }
+      } catch { case _: Throwable => failed += 1 }
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    val pct = if (total > 0) 100.0 * supp / total else 0.0
+    println(f"$corpus%-12s files=${files.size}%5d units=$total%7d " +
+      f"suppressed_recovered=$supp%6d ($pct%4.1f%%) " +
+      f"by_type=${suppByType.toSeq.sortBy(-_._2).mkString(",")} " +
+      f"failed=$failed ${files.size / dt}%.0f files/s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val glibc = new java.io.File("/usr/include")
+    if (glibc.isDirectory) {
+      val hs = walk(glibc, f => f.getName.endsWith(".h") &&
+        !f.getPath.contains("/c++/"))
+      report("glibc .h", CParser.parse, hs)
+    }
+    val cxxBase = new java.io.File("/usr/include/c++")
+    Option(cxxBase.listFiles()).flatMap(_.headOption).foreach { ver =>
+      // libstdc++ ships extensionless headers (<vector>) plus bits/*.h
+      val hs = walk(ver, f => !f.getName.contains("."))
+      report("libstdc++ hd", CppParser.parse, hs)
+      val bits = walk(new java.io.File(ver, "bits"),
+        _.getName.endsWith(".h"))
+      report("libstdc++ .h", CppParser.parse, bits)
+    }
+  }
+}

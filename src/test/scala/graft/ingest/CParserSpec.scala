@@ -175,10 +175,52 @@ class CParserSpec extends AnyFunSuite {
     // inclusion double-counted declarations and let per-arm
     // unbalanced braces corrupt scope depth. An #elif reached with no
     // arm yet taken is itself first-arm-wins (elif_taken), and its
-    // #else is shadowed.
-    assert(us.map(_.name) == Seq("live_fn", "also_live", "arm_a", "elif_taken"))
+    // #else is shadowed. MACRO-suppressed arms recover their
+    // definition NAMES as arm="suppressed" units, appended last (r12):
+    // arm_b and elif_shadowed — but never the LITERALLY dead ones
+    // (dead_fn, ghost, dead_else, elif_dead stay invisible: #if 0 is
+    // the disabled-code idiom, and #if 1's #else is dead in every
+    // config).
+    assert(us.map(_.name) == Seq("live_fn", "also_live", "arm_a",
+      "elif_taken", "arm_b", "elif_shadowed"))
     assert(us.find(_.name == "live_fn").get.edges
       .contains(ParsedEdge("calls", "keep")))
+    assert(us.filter(_.arm == "suppressed").map(_.name) ==
+      Seq("arm_b", "elif_shadowed"))
+    // recovered units carry NO call edges — names only
+    assert(us.find(_.name == "arm_b").get.edges.isEmpty)
+  }
+
+  test("suppressed-arm recovery: same-named active definition wins") {
+    // the r10 double-count shape: first-arm-wins keeps ONE poll_impl
+    // (the taken arm's, with its call edge); recovery must not bring
+    // the #else twin back. An #else-ONLY definition (the POSIX half of
+    // a platform split) is recovered, with its brace depth never
+    // touching file scope.
+    val src =
+      """#ifdef _WIN32
+        |int poll_impl(void) { return win_poll(); }
+        |#else
+        |int poll_impl(void) { return epoll_loop(); }
+        |static int posix_fd(void) {
+        |    int local_decl = 0;
+        |    return helper(local_decl);
+        |}
+        |#endif
+        |
+        |int after(void) { return poll_impl(); }
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.map(_.name) == Seq("poll_impl", "after", "posix_fd"))
+    assert(us.count(_.name == "poll_impl") == 1)
+    assert(us.find(_.name == "poll_impl").get.edges
+      .contains(ParsedEdge("calls", "win_poll")))
+    val rec = us.find(_.name == "posix_fd").get
+    assert(rec.arm == "suppressed" && rec.edges.isEmpty)
+    // block-locals inside the recovered function's body never register
+    assert(!us.exists(_.name == "local_decl"))
+    // file scope survived the arm's braces: `after` parses normally
+    assert(us.find(_.name == "after").get.arm == "")
   }
 
   test("typedefs: one-liner, struct tail name, function pointer") {

@@ -344,6 +344,74 @@ class CppParserSpec extends AnyFunSuite {
       .contains(ParsedEdge("calls", "tls_send")))
   }
 
+  test("suppressed-arm recovery: class-body and file-scope definitions") {
+    val src =
+      """class Conn {
+        | public:
+        |#ifdef _WIN32
+        |  int send() { return win_send(); }
+        |  int win_only() { return 1; }
+        |#else
+        |  int send() { return raw_send(); }
+        |  int posix_only() { return 2; }
+        |#endif
+        |};
+        |
+        |#ifdef _WIN32
+        |#else
+        |int util::helper(int x) { return x; }
+        |static int posix_free(void) { return 3; }
+        |#define POSIX_CAP 64
+        |#endif
+        |""".stripMargin
+    val us = parse(src)
+    // the taken arm's send wins with its call edge; the #else twin is
+    // dropped; #else-ONLY definitions are recovered with the LIVE
+    // class context (posix_only attributes to Conn) and at file scope
+    // (free fn, qualified method, macro) — names only, no call edges
+    assert(us.count(_.name == "send") == 1)
+    assert(us.find(_.name == "send").get.edges
+      .contains(ParsedEdge("calls", "win_send")))
+    val po = us.find(_.name == "posix_only").get
+    assert(po.arm == "suppressed" && po.parentContainer == "Conn")
+    assert(po.edges == Seq(ParsedEdge("method_of", "Conn")))
+    val h = us.find(_.name == "helper").get
+    assert(h.arm == "suppressed" && h.parentContainer == "util")
+    assert(us.find(_.name == "posix_free").get.arm == "suppressed")
+    assert(us.find(_.name == "posix_free").get.edges.isEmpty)
+    assert(us.find(_.name == "POSIX_CAP").get.arm == "suppressed")
+    assert(us.find(_.name == "POSIX_CAP").get.unitType == "const")
+  }
+
+  test("constructor init-lists: nested calls are genuine, heads are not") {
+    val src =
+      """class Store {
+        | public:
+        |  Store(int v) : v_(clamp(v)), base_(v) { open_conn(); }
+        |  int get() { return v_; }
+        | private:
+        |  int v_;
+        |  int base_;
+        |};
+        |
+        |Store::Store(int v, int w) : v_(check(v, w)), base_(w) { }
+        |""".stripMargin
+    val us = parse(src)
+    val ctors = us.filter(u => u.name == "Store" && u.unitType == "function")
+    assert(ctors.size == 2)
+    val inClass = ctors.head
+    // nested init calls ARE edges; member-init heads are NOT
+    assert(inClass.edges.contains(ParsedEdge("calls", "clamp")))
+    assert(inClass.edges.contains(ParsedEdge("calls", "open_conn")))
+    assert(!inClass.edges.exists(_.targetName == "v_"))
+    assert(!inClass.edges.exists(_.targetName == "base_"))
+    val outOfLine = ctors.last
+    assert(outOfLine.edges.contains(ParsedEdge("calls", "check")))
+    assert(!outOfLine.edges.exists(_.targetName == "v_"))
+    // a non-ctor method with no init list gains no call edges
+    assert(!us.find(_.name == "get").get.edges.exists(_.edgeType == "calls"))
+  }
+
   test("ns::f free-function definitions are scope-qualified, not methods") {
     val src =
       """namespace net {

@@ -383,5 +383,50 @@ class IngestSpec extends SparkSpec {
     val u = Ingest.parseFiles(files, SimpleParser)
     val s = Ingest.stats(files, u).head()
     assert(s.getLong(0) == 3 && s.getLong(1) == 10 && s.getLong(2) > 0)
+    // no C/C++ in this fixture → zero suppressed-arm units (r12 column)
+    assert(s.getLong(3) == 0)
+  }
+
+  test("resolver downgrades orphan C++ methods to free functions") {
+    // the qualified-definition residual (r12): `svc::helper` in a file
+    // that never opens `namespace svc` scans as a method of `svc` at
+    // parse time; at resolver time the workspace symbol table shows no
+    // TYPE unit named svc anywhere → downgrade to a free function
+    // (parent "", method_of dropped, unitId re-derived). A REAL
+    // out-of-line method (`Store::open`, Store is a type unit in
+    // another file) keeps its container.
+    val cpp = Seq(
+      Ingest.FileDoc("a/store.cpp",
+        """namespace svc {
+          |class Store {
+          | public:
+          |  int get() { return 1; }
+          |};
+          |Store* Store::open(const char* a) { return make(a); }
+          |}
+          |""".stripMargin),
+      Ingest.FileDoc("a/util.cpp",
+        "int svc::helper(int n) {\n  return n;\n}\n")).toDS()
+    val units = SemanticResolver.downgradeOrphanMethods(
+      Ingest.parseFiles(cpp, DispatchParser)).collect()
+    val h = units.find(_.name == "helper").get
+    assert(h.parentContainer == "" && h.unitId == "a/util.cpp:helper")
+    assert(!h.edges.exists(_.edgeType == "method_of"))
+    val o = units.find(_.name == "open").get
+    assert(o.parentContainer == "Store" &&
+      o.edges.exists(_.edgeType == "method_of"))
+  }
+
+  test("orphan-method downgrade suffixes a colliding re-derived id") {
+    val cpp = Seq(Ingest.FileDoc("a/x.cpp",
+      """int helper(int n) { return n; }
+        |int svc::helper(int n) { return n + 1; }
+        |""".stripMargin)).toDS()
+    val units = SemanticResolver.downgradeOrphanMethods(
+      Ingest.parseFiles(cpp, DispatchParser)).collect()
+    val ids = units.filter(_.name == "helper").map(_.unitId).sorted
+    // the downgraded svc::helper would collide with the free helper's
+    // id — it takes the parse-time `#line` suffix instead
+    assert(ids.toSeq == Seq("a/x.cpp:helper", "a/x.cpp:helper#2"))
   }
 }
