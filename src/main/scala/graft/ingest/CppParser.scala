@@ -31,9 +31,12 @@ import scala.collection.mutable.ArrayBuffer
   *     the Go-receiver analogue: C++ methods routinely live outside
   *     the type's braces. A qualifier matching a namespace THIS FILE
   *     opened (`ns::f(…)` after `namespace ns {`) is scope, not
-  *     container: the definition scans as a FREE function (r11) — the
-  *     residual is a qualified definition whose namespace lives only
-  *     in another header.
+  *     container: the definition scans as a FREE function (r11). A
+  *     qualified definition whose namespace opens only in ANOTHER
+  *     header still scans as a method HERE (one file at a time), but
+  *     [[SemanticResolver.downgradeOrphanMethods]] downgrades it at
+  *     workspace level (r12) — the residual is now only a
+  *     single-file parse with no resolver pass.
   *   - `namespace X {` opens a TRANSPARENT scope: no unit (the Java
   *     package rule), members inside parse as file-scope with
   *     `parentContainer` "". Namespace aliases (`namespace a = b;`)
