@@ -589,7 +589,7 @@ object Bench {
     // against its own committed baseline (the `__materialize` pseudo
     // entry), speed-adjusted like any entry. The per-FAMILY gate is
     // the timed-uncached twin entries (graph_louvain_deep,
-    // graph_components_fresh, graph_msf_fresh).
+    // graph_components_fresh, graph_msf_fresh, graph_linkpred_fresh).
     val matSec = ph(tMat0, tSent0)
     val matRegressed = gateArmed && baseline.get("__materialize")
       .exists(b => matSec > b * speedFactor * 1.5)

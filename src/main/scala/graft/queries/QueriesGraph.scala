@@ -944,6 +944,16 @@ object QueriesGraph {
           rounds = 4, undirectedPairs = true),
         msfUnpackedUncached(s, d)),
       Some(msfInvariantsSql)),
+
+    // The linkpred family's timed-uncached twin (r12): no stored
+    // (canon, dict, adj) index — the O(E) dictionary + coded-adjacency
+    // build runs inside the timed window together with the scoring
+    // phase, so a regression in the index BUILD faces the per-entry
+    // gate too. Same oracle as graph_linkpred.
+    ("graph_linkpred_fresh",
+      (s, d) => GraphAnalytics.linkPredTopK(CodeGraph.edgePairs(s, d),
+        k = 100, maxDeg = 100),
+      Some(GraphAnalytics.linkPredSql(E, k = 100, maxDeg = 100))),
   )
 
   /** Spanning-forest invariants over (components, forest) — shared by
