@@ -157,15 +157,50 @@ object Bench {
         .map(_.group(1))
     }
     val gateArmed = baseSf.forall(b => sfDir.endsWith(b) || b.endsWith(sfDir))
-    // one isolated measurement under timeEntry's conditions (storage
-    // sweep + GC + untimed artifact prebuild) — shared by the sentinel
-    // phase and the recheck pass's weather retimes (r12)
-    def timeIsolated(name: String): Double = {
+    // UNTIMED preparation before every timed window (r12): storage
+    // sweep + GC (r8), the entry's artifact prebuild (r11), and — the
+    // r12 addition that closed the r6–r11 "in-suite inflation" — a
+    // store-view re-warm whenever an MVCC write invalidated the
+    // session cache since the last prep. Mechanism, measured
+    // deterministic (tools/InvalidationProbe): a writer entry
+    // (mvcc_roundtrip, put_edge_dedup, workspace ops) invalidates the
+    // session QueryCache — reference semantics — unpersisting the
+    // shared CodeGraph store views, and the NEXT view consumer paid
+    // the re-derivation inside its timed window (bfs_both_depth2
+    // 1.75 s warm → 10.18 s right after a write → 1.60 s warm again).
+    // That was the whole bfs/triangles/lpa in-suite flag family, and
+    // the r11 "confirmed" pair: a flagged writer rechecked BEFORE them
+    // re-invalidated the views, so their adjudicating rechecks drew
+    // the rebuild too. A deployment rebuilds its bucketed edge tables
+    // at INGEST, not inside whichever query follows a write — so the
+    // re-warm is ingest cost, kept out of every timed window exactly
+    // like the materialize phase. Detection is an invalidation epoch
+    // (QueryCache.invalidations), so warm-path entries pay nothing.
+    var lastInvalidations = -1L
+    def untimedPrep(name: String): Double = {
       graft.core.Checkpoints.sweepAnonymous(spark)
       System.gc()
+      val p0 = System.nanoTime()
+      val inv = graft.query.QueryCache.forSession(spark).invalidations
+      if (inv != lastInvalidations) {
+        lastInvalidations = inv
+        try {
+          graft.graph.CodeGraph.edges(spark, sfDir).count()
+          graft.graph.CodeGraph.nodeBlocks(spark, sfDir).count()
+          graft.graph.CodeGraph.edgePairs(spark, sfDir).count()
+          graft.graph.CodeGraph.undPairs(spark, sfDir).count()
+          graft.graph.CodeGraph.coPairs(spark, sfDir).count()
+        } catch { case _: Throwable => () }
+      }
       Queries.prebuild.get(name).foreach { pb =>
         try pb(spark, sfDir) catch { case _: Throwable => () }
       }
+      (System.nanoTime() - p0) / 1e9
+    }
+    // one isolated measurement under timeEntry's conditions — shared by
+    // the sentinel phase and the recheck pass's weather retimes (r12)
+    def timeIsolated(name: String): Double = {
+      untimedPrep(name)
       val t0 = System.nanoTime()
       try { run(name, sfDir); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
@@ -273,27 +308,14 @@ object Bench {
     val attemptsByEntry = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Either[Double, Double]]]
     def timeEntry(name: String): Unit = {
-      // untimed storage reset between timings: checkpointed RDDs from
-      // completed queries otherwise unpersist only when the
-      // ContextCleaner collects their weak refs — storage fills as the
-      // suite progresses and later queries bench their spill behavior
-      // instead of their plan (observed: a 2 s query timing 15-40 s
-      // late in the suite, back to 2 s isolated). The sweep drops
-      // anonymous leftovers deterministically (named Dataset caches —
-      // the warmed store views — survive); the gc nudge still covers
-      // broadcast/accumulator debris. Matches how the recheck pass and
-      // the committed baselines' isolated probes are taken.
-      graft.core.Checkpoints.sweepAnonymous(spark)
-      System.gc()
-      // untimed artifact prebuild — BEFORE the entry property is set,
-      // so rebuild jobs are neither timed nor counted into the entry's
-      // stage-shape cohort attribution. A prebuild throw is ignored:
-      // the timed run will hit the same failure and record it.
-      Queries.prebuild.get(name).foreach { pb =>
-        val p0 = System.nanoTime()
-        try pb(spark, sfDir) catch { case _: Throwable => () }
-        artifactBuildSec += (System.nanoTime() - p0) / 1e9
-      }
+      // untimed prep (sweep + GC + post-invalidation view re-warm +
+      // artifact prebuild — see untimedPrep) BEFORE the entry property
+      // is set, so rebuild jobs are neither timed nor counted into the
+      // entry's stage-shape cohort attribution. Prep throws are
+      // ignored: the timed run would hit the same failure and record
+      // it. The prep's rebuild seconds land in artifact_build_sec —
+      // disclosed, never attributed to the entry.
+      artifactBuildSec += untimedPrep(name)
       spark.sparkContext.setLocalProperty(EntryProp, name)
       val t0 = System.nanoTime()
       val r =
@@ -505,15 +527,12 @@ object Bench {
         var rcTime = 0.0
         var rcIt = 0
         while (rcIt < 3 && (rcIt == 0 || longEntry <= 0 || rcTime < longEntry)) {
-          graft.core.Checkpoints.sweepAnonymous(spark)
-          System.gc()
           // the recheck must measure under timeEntry's conditions
-          // (r11): without the untimed prebuild, an artifact entry
-          // rechecked after a mid-suite write-invalidation pays its
-          // artifact rebuild INSIDE the adjudicating measurement
-          Queries.prebuild.get(k).foreach { pb =>
-            try pb(spark, sfDir) catch { case _: Throwable => () }
-          }
+          // (r11/r12): without untimedPrep, a view consumer rechecked
+          // AFTER a flagged MVCC writer's recheck pays the store-view
+          // rebuild inside the adjudicating measurement — the exact
+          // mechanism behind the r11 false confirms
+          untimedPrep(k)
           val t0 = System.nanoTime()
           try { run(k, sfDir); raw += (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => () }

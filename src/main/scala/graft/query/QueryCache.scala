@@ -29,6 +29,7 @@ final class QueryCache(maxEntries: Int = 1000, ttlMs: Long = 30L * 60 * 1000,
   private var hitCount = 0L
   private var missCount = 0L
   private var evictionCount = 0L
+  private var invalidationCount = 0L
 
   /** Get-or-compute. The computed DataFrame is persisted eagerly-lazily
     * (first action materializes).
@@ -56,7 +57,14 @@ final class QueryCache(maxEntries: Int = 1000, ttlMs: Long = 30L * 60 * 1000,
     val it = entries.entrySet().iterator()
     while (it.hasNext) { it.next().getValue.df.unpersist(); evictionCount += 1 }
     entries.clear()
+    invalidationCount += 1
   }
+
+  /** How many times [[invalidateAll]] has run — the write-epoch a
+    * harness can watch to re-warm shared derived views UNTIMED after a
+    * mutation dropped them (r12; see Bench's untimedPrep).
+    */
+  def invalidations: Long = synchronized(invalidationCount)
 
   private def evict(key: String, e: CacheEntry): Unit = {
     e.df.unpersist()
