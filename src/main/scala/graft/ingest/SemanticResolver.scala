@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object SemanticResolver {
 
-  /** Symbol table: (name, container, unit_id) per unit — the join-side
-    * of `build_symbol_table` (`semantic_resolver.zig:110-126`).
+  /** Symbol table: (name, container, unit_id, arm) per unit — the
+    * join-side of `build_symbol_table` (`semantic_resolver.zig:110-126`).
+    * `arm` rides along so resolution can prefer ACTIVE definitions over
+    * `arm='suppressed'` recovered ones (r13, ADVICE): a platform-split
+    * twin (`#ifdef _WIN32 … #else`) puts a dead-config definition of the
+    * same name in the table, and a bare min(unitId) tie-break could
+    * silently retarget call edges to code that is never compiled.
     */
   def symbolTable(units: Dataset[ParsedUnit]): DataFrame =
     units.toDF().select(
-      col("name"), col("parentContainer").as("container"), col("unitId"))
+      col("name"), col("parentContainer").as("container"), col("unitId"),
+      col("arm"))
 
   /** Workspace-level downgrade of ORPHAN C++ "methods" (r12) — the
     * qualified-definition residual: `ns::f(…)` where `namespace ns {`
@@ -39,9 +45,11 @@ object SemanticResolver {
     * Residual: a genuine method of a type that is itself outside the
     * ingest surface downgrades too — the name still resolves and the
     * unit survives, only the container attribution is lost. A
-    * re-derived id that would collide with an existing unit id gets
-    * the parse-time `#line` suffix. Two unit-scale joins (type names,
-    * collision probe); callers should cache the parsed units first so
+    * re-derived id that would collide with an existing unit id — or
+    * with ANOTHER downgraded unit's re-derived id (same name, same
+    * file, different former containers) — gets the parse-time `#line`
+    * suffix. Three unit-scale joins (type names, collision probe,
+    * within-set dups); callers should cache the parsed units first so
     * the parse itself runs once.
     */
   def downgradeOrphanMethods(units: Dataset[ParsedUnit]): Dataset[ParsedUnit] = {
@@ -58,12 +66,23 @@ object SemanticResolver {
       .drop("__tn")
     val existingIds = marked.filter(!col("__down"))
       .select(col("unitId").as("__eid"))
+    // collisions WITHIN the downgraded set too (r13, ADVICE): two
+    // orphan methods of the same name in one file (`a::init` and
+    // `b::init` both defined in one .cpp) would otherwise both re-derive
+    // the unsuffixed `file:init` — duplicate block ids at the same MVCC
+    // sequence, currentView picking an arbitrary winner
+    val downDups = marked.filter(col("__down"))
+      .groupBy(col("filePath").as("__df"), col("name").as("__dn"))
+      .agg(count(lit(1)).as("__dc")).filter(col("__dc") > 1)
+      .drop("__dc")
     val newId = concat(col("filePath"), lit(":"), col("name"))
     marked
       .join(existingIds, col("__down") && newId === col("__eid"), "left")
+      .join(downDups, col("__down") && col("filePath") === col("__df") &&
+        col("name") === col("__dn"), "left")
       .select(
         when(col("__down"),
-          when(col("__eid").isNotNull,
+          when(col("__eid").isNotNull || col("__dn").isNotNull,
             concat(newId, lit("#"), col("lineStart"))).otherwise(newId))
           .otherwise(col("unitId")).as("unitId"),
         col("unitType"), col("name"),
@@ -101,13 +120,19 @@ object SemanticResolver {
 
     val symbols = symbolTable(units)
     val typeSymbols = symbolTable(units.filter(_.unitType == "type"))
-    // deterministic pick per (name, container) and per name
+    // deterministic pick per (name, container) and per name — min over
+    // (arm, unitId), so an ACTIVE unit (arm="") always beats a
+    // suppressed-arm recovery of the same name (r13, ADVICE) and ties
+    // within an arm class stay the lexicographically-smallest unitId
+    def pick(prefix: String, suffix: String) =
+      min(struct(col("arm"), col("unitId")))
+        .getField("unitId").as(s"${prefix}_${suffix}_id")
     def scoped(t: DataFrame, prefix: String) = t.groupBy("name", "container")
-      .agg(min("unitId").as(s"${prefix}_scoped_id"))
+      .agg(pick(prefix, "scoped"))
       .withColumnRenamed("name", s"${prefix}_sname")
       .withColumnRenamed("container", s"${prefix}_scontainer")
     def global(t: DataFrame, prefix: String) = t.groupBy("name")
-      .agg(min("unitId").as(s"${prefix}_global_id"))
+      .agg(pick(prefix, "global"))
       .withColumnRenamed("name", s"${prefix}_gname")
 
     val isMethodOf = col("edge_type") === "method_of"

@@ -182,9 +182,18 @@ private[ingest] object ParserScaffold {
       stack.forall(a => !a.suppress || a.recover)
     /** Handle a directive; true when `d` was a conditional directive
       * (the caller treats the line as consumed either way it returns).
+      * Only CONDITIONAL directives reset the arm-relative depth (r13,
+      * ADVICE): a `#define`/`#pragma`/`#include` in the middle of a
+      * suppressed function body is not an arm boundary — zeroing the
+      * depth there made the body's remaining block-local declarations
+      * scan as spurious file-scope suppressed units.
       */
     def directive(d: String, arg: String): Boolean = {
-      armDepth = 0
+      d match {
+        case "if" | "ifdef" | "ifndef" | "elif" | "else" | "endif" =>
+          armDepth = 0
+        case _ => return false
+      }
       d match {
         case "if" =>
           stack += Arm(suppress = arg == "0", took = arg != "0",

@@ -53,8 +53,21 @@ object QueriesGraph {
                             (build: => DataFrame): DataFrame =
     graft.query.QueryCache.storedArtifact(s, key)(build)
 
+  /** Artifact keys embed the input dir ABSOLUTIZED (r13, ADVICE): the
+    * storedArtifact contract requires an absolute-path segment (the key
+    * is the artifact's identity; invalidation only drops memory
+    * residency), and callers pass SPARK_GRAFT_SF_DIR / CLI paths
+    * verbatim — a relative-but-immutable dir must normalize here, not
+    * throw there. Absolutizing is also the correct identity: the same
+    * relative name from two working dirs is two different datasets.
+    */
+  private def artifactKey(name: String, d: String, params: String = "") = {
+    val ad = new java.io.File(d).getAbsolutePath
+    if (params.isEmpty) s"graft|$name|$ad" else s"graft|$name|$ad|$params"
+  }
+
   private def louvainL1(s: SparkSession, d: String): DataFrame =
-    storedArtifact(s, s"graft|louvain_l1|$d|r4") {
+    storedArtifact(s, artifactKey("louvain_l1", d, "r4")) {
       GraphAnalytics.louvainOneLevel(CodeGraph.undPairs(s, d),
         rounds = 4, undirectedPairs = true)
     }
@@ -70,7 +83,7 @@ object QueriesGraph {
     * pins the equivalence every round.
     */
   private def louvainL2(s: SparkSession, d: String): DataFrame =
-    storedArtifact(s, s"graft|louvain_l2|$d|r4x4") {
+    storedArtifact(s, artifactKey("louvain_l2", d, "r4x4")) {
       GraphAnalytics.louvainTwoLevel(
         CodeGraph.undPairs(s, d), rounds1 = 4, rounds2 = 4,
         undirectedPairs = true, l1Precomputed = Some(louvainL1(s, d)))
@@ -83,7 +96,7 @@ object QueriesGraph {
     * move phase, everyone after reads the artifact.
     */
   private def louvainL3(s: SparkSession, d: String): DataFrame =
-    storedArtifact(s, s"graft|louvain_l3|$d|r4x4x4") {
+    storedArtifact(s, artifactKey("louvain_l3", d, "r4x4x4")) {
       GraphAnalytics.louvainLevels(
         CodeGraph.undPairs(s, d), rounds1 = 4, roundsMeta = 4,
         maxLevels = 2, undirectedPairs = true,
@@ -95,7 +108,7 @@ object QueriesGraph {
     * the identical chain on the identical stored pair view.
     */
   private def components4(s: SparkSession, d: String): DataFrame =
-    storedArtifact(s, s"graft|components|$d|r4") {
+    storedArtifact(s, artifactKey("components", d, "r4")) {
       GraphAnalytics.connectedComponents(CodeGraph.undPairs(s, d),
         rounds = 4, undirectedPairs = true)
     }
@@ -141,16 +154,16 @@ object QueriesGraph {
     // canon is its own artifact so the dict and adj builds don't each
     // re-pay the O(E) distinct (they read the stored copy; `canonical
     // = true` consumes it as-is)
-    val canon = storedArtifact(s, s"graft|lp_canon|$d") {
+    val canon = storedArtifact(s, artifactKey("lp_canon", d)) {
       CodeGraph.edgePairs(s, d).filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"))
         .distinct()
     }
-    val dict = storedArtifact(s, s"graft|lp_dict|$d") {
+    val dict = storedArtifact(s, artifactKey("lp_dict", d)) {
       GraphAnalytics.linkPredDict(canon, canonical = true)
     }
-    val adj = storedArtifact(s, s"graft|lp_adj|$d") {
+    val adj = storedArtifact(s, artifactKey("lp_adj", d)) {
       GraphAnalytics.linkPredAdj(canon, dict, canonical = true)
     }
     (dict, adj)
@@ -1005,7 +1018,7 @@ object QueriesGraph {
     */
   private def msfUnpacked(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
-    storedArtifact(s, s"graft|msf|$d")(msfUnpackedUncached(s, d))
+    storedArtifact(s, artifactKey("msf", d))(msfUnpackedUncached(s, d))
 
   private def msfUnpackedUncached(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame = {

@@ -383,6 +383,31 @@ class CppParserSpec extends AnyFunSuite {
     assert(us.find(_.name == "POSIX_CAP").get.unitType == "const")
   }
 
+  test("a non-conditional directive mid-body does not reset the arm depth") {
+    // r13 (ADVICE): CondTracker used to zero armDepth for EVERY
+    // directive, including #define/#pragma/#include — inside a
+    // recoverable suppressed arm, a #define in the middle of a
+    // function body made the following block-local lines scan at
+    // "file scope", recovering spurious suppressed units (the
+    // function-style macro loop header below).
+    val src =
+      """#ifdef _WIN32
+        |#else
+        |int helper(int x) {
+        |#define CAP 4
+        |  list_for_each(it, x) {
+        |    use(it);
+        |  }
+        |  return 0;
+        |}
+        |#endif
+        |""".stripMargin
+    val us = parse(src)
+    assert(us.exists(u => u.name == "helper" && u.arm == "suppressed"))
+    assert(us.exists(u => u.name == "CAP" && u.arm == "suppressed"))
+    assert(!us.exists(_.name == "list_for_each"))
+  }
+
   test("constructor init-lists: nested calls are genuine, heads are not") {
     val src =
       """class Store {

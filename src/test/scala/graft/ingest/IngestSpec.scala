@@ -429,4 +429,45 @@ class IngestSpec extends SparkSpec {
     // id — it takes the parse-time `#line` suffix instead
     assert(ids.toSeq == Seq("a/x.cpp:helper", "a/x.cpp:helper#2"))
   }
+  test("orphan-method downgrade dedups within the downgraded set") {
+    // two orphan methods of the same name in ONE file (r13, ADVICE):
+    // both downgrade, and both would re-derive the unsuffixed
+    // `file:init` — duplicate block ids at the same MVCC sequence.
+    // Repeats within the downgraded set take the `#line` suffix too.
+    val cpp = Seq(Ingest.FileDoc("a/x.cpp",
+      """int a::init(int n) { return n; }
+        |int b::init(int n) { return n + 1; }
+        |""".stripMargin)).toDS()
+    val units = SemanticResolver.downgradeOrphanMethods(
+      Ingest.parseFiles(cpp, DispatchParser)).collect()
+    val ids = units.filter(_.name == "init").map(_.unitId).sorted
+    assert(ids.toSeq == Seq("a/x.cpp:init#1", "a/x.cpp:init#2"))
+    assert(units.forall(_.parentContainer == ""))
+  }
+
+  test("resolution prefers an ACTIVE definition over a suppressed-arm twin") {
+    // platform-split twin (r13, ADVICE): the recovered `#else`-arm
+    // helper sorts BELOW the active one by unitId alone
+    // ("a/plat.cpp:helper" < "b/util.cpp:helper"), so a bare
+    // min(unitId) pick would retarget the call edge to code that is
+    // never compiled. Active (arm = "") must win; a suppressed-ONLY
+    // name must still resolve (names stay findable).
+    val cpp = Seq(
+      Ingest.FileDoc("a/plat.cpp",
+        """#ifdef _WIN32
+          |#else
+          |static int helper(int x) { return x; }
+          |static int posix_entry(int x) { return x; }
+          |#endif
+          |""".stripMargin),
+      Ingest.FileDoc("b/util.cpp",
+        "int helper(int n) {\n  return n;\n}\n"),
+      Ingest.FileDoc("c/main.cpp",
+        "int main() {\n  return helper(1) + posix_entry(2);\n}\n")).toDS()
+    val edges = SemanticResolver.resolveEdges(Ingest.parseFiles(cpp, DispatchParser))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(edges.contains(("c/main.cpp:main", "b/util.cpp:helper", "calls")))
+    assert(!edges.contains(("c/main.cpp:main", "a/plat.cpp:helper", "calls")))
+    assert(edges.contains(("c/main.cpp:main", "a/plat.cpp:posix_entry", "calls")))
+  }
 }

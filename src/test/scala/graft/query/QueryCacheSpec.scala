@@ -96,6 +96,17 @@ class QueryCacheSpec extends SparkSpec {
     assert(e.getMessage.contains("immutable input dir"))
   }
 
+  test("graph artifact queries accept a RELATIVE input dir") {
+    // r13 (ADVICE): the storedArtifact require demands an
+    // absolute-path segment, but callers passed the user-supplied
+    // testdata dir verbatim — a relative-but-immutable dir threw
+    // IllegalArgumentException on every artifact query. Keys now
+    // absolutize at the build site (QueriesGraph.artifactKey).
+    val rel = "../testdata/sf0.001"
+    assume(new java.io.File(rel).isDirectory)
+    assert(graft.Queries.queries("graph_components")(spark, rel).count() > 0)
+  }
+
   test("MVCC write invalidates the session cache behind a real query") {
     import graft.graph.CodeGraph
     val dir = "/root/testdata/sf0.001"
