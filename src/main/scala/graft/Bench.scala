@@ -510,7 +510,12 @@ object Bench {
     // cannot distinguish code from weather. A genuine code regression
     // is unaffected — it slows the flagged entry, not the sentinel.
     val RecheckSentinel = "bfs_both_depth2"
-    val sentBase = baseline.get(RecheckSentinel).filter(_ > 0)
+    // the sentinel flagging ITSELF is adjudicated by an ALTERNATE
+    // scheduling-bound probe entry (r13, ADVICE): with sentR = its own
+    // recheck median, confirmation needed rv > base*factor*1.5 while
+    // demotion triggered at sentR > base*1.3 — the gate structurally
+    // could never confirm its own sentinel
+    val RecheckSentinelAlt = "bfs_in_depth2"
     val tRecheck0 = System.nanoTime()
     val rechecks = regressions
       .sortBy { case (_, (b, v)) => -(v / b) }
@@ -521,6 +526,8 @@ object Bench {
       val raw = scala.collection.mutable.ArrayBuffer.empty[Double]
       var load = -1.0
       var sentR = -1.0
+      val sentName = if (k == RecheckSentinel) RecheckSentinelAlt
+                     else RecheckSentinel
       if (recheckBudget > 0 && recheckSpent > recheckBudget) {
         rechecksSkipped += 1
       } else {
@@ -541,12 +548,7 @@ object Bench {
         }
         load = loadavg1
         val s0 = System.nanoTime()
-        sentR = if (k == RecheckSentinel) {
-          // the sentinel flagging ITSELF gets no self-adjudication:
-          // its own recheck median is the retime
-          val times = raw.sorted
-          if (times.isEmpty) -1.0 else times((times.size - 1) / 2)
-        } else timeIsolated(RecheckSentinel)
+        sentR = timeIsolated(sentName)
         recheckSpent += rcTime + (System.nanoTime() - s0) / 1e9
       }
       val times = raw.sorted
@@ -558,27 +560,118 @@ object Bench {
       // `regressions` (rv = in-suite value) and the throw itself is
       // already in `errors`.
       val rv = if (times.isEmpty) v else times((times.size - 1) / 2)
-      k -> (b, v, rv, times.nonEmpty, load, sentR)
+      k -> (b, v, rv, times.nonEmpty, load, sentR, sentName)
     }
-    def weatherSuspect(sentR: Double): Boolean =
-      sentR > 0 && sentBase.exists(sb => sentR > sb * 1.3)
-    val confirmedAll = rechecks.filter {
-      case (k, (b, _, rv, measured, _, _)) =>
+    def weatherSuspect(sentName: String, sentR: Double): Boolean =
+      sentR > 0 && baseline.get(sentName).filter(_ > 0)
+        .exists(sb => sentR > sb * 1.3)
+    // JVM-wide GC time and cached-RDD storage occupancy — the fresh
+    // probe's evidence columns (r13)
+    def gcMillis: Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) {
+        val c = it.next().getCollectionTime
+        if (c > 0) t += c
+      }
+      t
+    }
+    def storageMB: Double =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+    // STATE-CONTROLLED confirm adjudication (r13): the r12 closing
+    // artifact shipped a false confirm (graph_lpa 8.12 vs 5.25 — a
+    // fresh-JVM probe measured 3.75 with identical scheduling shape)
+    // that the weather sentinel structurally cannot catch: ~200
+    // entries of co-resident cached artifacts inflate GC-sensitive
+    // iterative entries (reproduced with ZERO writers: lpa 8.75 s
+    // interleaved with linkpred_fresh's index build vs 3.75 s alone,
+    // GC 3-7×), the suite-session recheck inherits that heap, and the
+    // lightweight freshly-prepped sentinel doesn't feel it. So before
+    // CONFIRMING, each candidate is re-run once with session state
+    // CONTROLLED: invalidate the session cache (bumps the epoch, so
+    // untimedPrep re-warms the store views), unpersist every RDD,
+    // clear cached plans, sweep checkpoints, GC — then 3 iterations
+    // under timeEntry conditions with only THIS entry's requirements
+    // re-warmed (parquet artifact roots survive invalidation, so the
+    // prebuild re-reads instead of recomputing). The probe's GC delta
+    // and storage occupancy land in the artifact as the evidence a
+    // reader needs to audit the verdict. A genuine code regression
+    // (the doctored-baseline gatecheck) is slow in ANY context and
+    // still confirms; a session-pressure artifact self-refutes here.
+    val freshProbeCap = 5
+    var freshProbes = 0
+    def adjudicateFresh(k: String): (Double, Long, Double) = {
+      try graft.query.QueryCache.forSession(spark).invalidateAll()
+      catch { case _: Throwable => () }
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => try { r.unpersist(true); () }
+          catch { case _: Throwable => () })
+      catch { case _: Throwable => () }
+      graft.core.Checkpoints.sweepAnonymous(spark)
+      System.gc()
+      val raw = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val gc0 = gcMillis
+      var it = 0
+      var spent = 0.0
+      while (it < 3 && (it == 0 || longEntry <= 0 || spent < longEntry)) {
+        untimedPrep(k)
+        val t0 = System.nanoTime()
+        try { run(k, sfDir); raw += (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => () }
+        spent += (System.nanoTime() - t0) / 1e9
+        it += 1
+      }
+      val gcDelta = gcMillis - gc0
+      val occupied = storageMB
+      val times = raw.sorted
+      val med = if (times.isEmpty) -1.0 else times((times.size - 1) / 2)
+      recheckSpent += spent
+      (med, gcDelta, occupied)
+    }
+    val confirmCandidates = rechecks.filter {
+      case (k, (b, _, rv, measured, _, _, _)) =>
         measured && rv > b * factorFor(k) * 1.5
     }
+    // candidate → (freshMed, gcMs, storageMb); -2 marks a candidate
+    // past the probe cap (confirmed WITHOUT fresh evidence, disclosed)
+    val freshEvidence: Map[String, (Double, Long, Double)] =
+      confirmCandidates.map { case (k, _) =>
+        if (freshProbes >= freshProbeCap) k -> (-2.0, -1L, -1.0)
+        else { freshProbes += 1; k -> adjudicateFresh(k) }
+      }.toMap
+    def freshRefutes(k: String, b: Double): Boolean =
+      freshEvidence.get(k).exists { case (m, _, _) =>
+        m > 0 && m <= b * factorFor(k) * 1.5
+      }
+    val (freshRefuted, confirmedAll) = confirmCandidates.partition {
+      case (k, (b, _, _, _, _, _, _)) => freshRefutes(k, b)
+    }
     val (weatherConf, confirmed) = confirmedAll.partition {
-      case (_, (_, _, _, _, _, sentR)) => weatherSuspect(sentR)
+      case (_, (_, _, _, _, _, sentR, sentName)) =>
+        weatherSuspect(sentName, sentR)
     }
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0
-    val regs = rechecks.map { case (k, (b, v, rv, _, load, sentR)) =>
+    def freshCols(k: String): String = {
+      val (m, g, s) = freshEvidence.getOrElse(k, (-1.0, -1L, -1.0))
+      r3(m) + "," + g + "," + r3(s)
+    }
+    val regs = rechecks.map { case (k, (b, v, rv, _, load, sentR, _)) =>
       jstr(k) + ":[" + b + "," + v + "," + rv + "," + r3(load) + "," +
         r3(sentR) + "]"
     }.mkString("{", ",", "}")
-    val conf = confirmed.map { case (k, (b, _, rv, _, _, _)) =>
-      jstr(k) + ":[" + b + "," + rv + "]"
+    val conf = confirmed.map { case (k, (b, _, rv, _, _, _, _)) =>
+      jstr(k) + ":[" + b + "," + rv + "," + freshCols(k) + "]"
     }.mkString("{", ",", "}")
-    val confSuspect = weatherConf.map { case (k, (b, _, rv, _, load, sentR)) =>
-      jstr(k) + ":[" + b + "," + rv + "," + r3(load) + "," + r3(sentR) + "]"
+    val confSuspect = weatherConf.map {
+      case (k, (b, _, rv, _, load, sentR, _)) =>
+        jstr(k) + ":[" + b + "," + rv + "," + r3(load) + "," + r3(sentR) +
+          "," + freshCols(k) + "]"
+    }.mkString("{", ",", "}")
+    val refutedFresh = freshRefuted.map { case (k, (b, _, rv, _, _, _, _)) =>
+      jstr(k) + ":[" + b + "," + rv + "," + freshCols(k) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + failedTime
     // Normalizing by speed_factor absorbs a genuinely distribution-wide
@@ -616,7 +709,7 @@ object Bench {
       jstr(n) + ":[" + baseline.getOrElse(n, -1.0) + "," +
         r3(sentinelMed.getOrElse(n, -1.0)) + "]"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"sentinels":$sentJson,"regressions":$regs,"regressions_confirmed":$conf,"regressions_confirmed_weather_suspect":$confSuspect,"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"phases":$phases}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"sentinels":$sentJson,"regressions":$regs,"regressions_confirmed":$conf,"regressions_confirmed_weather_suspect":$confSuspect,"regressions_refuted_fresh":$refutedFresh,"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"phases":$phases}"""
     println(line)
     // short summary line AFTER the full line (r11): the driver's
     // artifact keeps only the tail of stdout, which truncated the
@@ -624,7 +717,7 @@ object Bench {
     // `parsed: null`). This line is a few hundred bytes — the tail
     // window always contains one complete parseable record; the
     // per-entry map lives in the committed BENCH_full_last.json.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_ok":${results.size},"n_failed":$zeroSuccess,"n_errors":${errors.size},"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"n_regressions":${rechecks.size},"n_confirmed":${confirmed.size},"n_confirmed_weather_suspect":${weatherConf.size},"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"phases":$phases,"full":"BENCH_full_last.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_ok":${results.size},"n_failed":$zeroSuccess,"n_errors":${errors.size},"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"n_regressions":${rechecks.size},"n_confirmed":${confirmed.size},"n_confirmed_weather_suspect":${weatherConf.size},"n_refuted_fresh":${freshRefuted.size},"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"phases":$phases,"full":"BENCH_full_last.json"}"""
     println(summary)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write
@@ -634,6 +727,16 @@ object Bench {
       java.nio.file.Paths.get("BENCH_full_last.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // round-end flag (r13): SPARK_GRAFT_BENCH_ROUND=r13 makes the
+    // harness write the round's IMMUTABLE close itself
+    // (BENCH_r13_final.json) — archive discipline no longer depends on
+    // a hand copy of the rolling BENCH_full_last.json.
+    sys.env.get("SPARK_GRAFT_BENCH_ROUND").filter(_.nonEmpty).foreach { r =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_${r}_final.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }
