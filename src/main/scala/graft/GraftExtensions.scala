@@ -115,6 +115,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WedgePairs(children.head, pv)
       }))
+    // seeded xxhash64 (r13): Spark's built-in `xxhash64` pins seed 42;
+    // the LSH family hashes each shingle under k DIFFERENT seeds
+    // (XXH64.hashUnsafeBytes(bytes, seed = h) inside MinHashBandKeys).
+    // Exposing the seeded Catalyst XxHash64 lets the shingle→hash
+    // dictionary entry materialize exactly those values, which is what
+    // makes the fast-banding DuckDB oracle possible (the oracle treats
+    // the per-shingle hashes as trusted opaque labels and recomputes
+    // everything downstream of them).
+    ext.injectFunction((
+      FunctionIdentifier("xxhash64_seed"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.XxHash64].getName,
+        "xxhash64_seed"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size >= 2,
+          "xxhash64_seed takes (expr..., seed) — at least 2 arguments")
+        val seed = children.last
+        require(seed.foldable, "xxhash64_seed seed must be a literal")
+        val sv = seed.eval() match {
+          case n: Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"xxhash64_seed seed must be an integer literal, got $other")
+        }
+        org.apache.spark.sql.catalyst.expressions.XxHash64(children.init, sv)
+      }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),

@@ -47,8 +47,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // `{{OUT}}` placeholder (r13): an oracle may read ANOTHER entry's
+    // Verify-dumped parquet as a trusted input (the minhash-fast oracle
+    // treats the Spark-computed shingle→xxhash64 dictionary as opaque
+    // labels — that dictionary entry's own oracle pins its shingle set
+    // — and recomputes the banding pipeline over it in SQL). The
+    // placeholder resolves to THIS run's absolute output dir at dump
+    // time, so the driver's DuckDB replay reads the parquet it just
+    // produced.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{OUT}}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

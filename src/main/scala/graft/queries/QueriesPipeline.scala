@@ -194,6 +194,91 @@ object QueriesPipeline {
        | bands AS (SELECT doc_id, $bandColsSql FROM sig)"""
       .stripMargin.replace("\n", " ")
 
+  /** Full-value oracle for the xxhash64 fast banding (r13, closes its
+    * r5 `no_oracle` gap). DuckDB cannot recompute xxhash64 of an
+    * arbitrary STRING, so the per-shingle hashes are taken as TRUSTED
+    * OPAQUE LABELS from the Spark-dumped `dedup_minhash_shingle_hashes`
+    * dictionary (whose own oracle pins its shingle set against pure-SQL
+    * shingling — the only unverified claim is the raw label values);
+    * everything downstream is recomputed independently in SQL: the
+    * signed per-seed minima, and the banded chain
+    * `acc_b = XXH64.hashLong(min_{b*rows+r}, acc)` from seed 42 —
+    * hashLong is a FIXED-8-BYTE xxhash64, a short branch-free formula
+    * of 64-bit wrapping multiplies/rotates/xors, expressed here in
+    * exact UBIGINT/HUGEINT arithmetic (wrapping multiply split at 2^32
+    * so the 128-bit intermediate never overflows HUGEINT). A bug in
+    * the fused expression's min loop, chain order, seed, or NULL
+    * handling (docs with < n words) now fails rows+schema+hash.
+    */
+  private lazy val minhashFastSql: String = {
+    val M = "18446744073709551616" // 2^64
+    val P1 = "11400714785074694791" // 0x9E3779B185EBCA87
+    val P2 = "14029467366897019727" // 0xC2B2AE3D27D4EB4F
+    val P3 = "1609587929392839161" // 0x165667B19E3779F9
+    val P4 = "9650029242287828579" // 0x85EBCA77C2B2AE63
+    val P5 = "2870177450012600261" // 0x27D4EB2F165667C5
+    def mul(a: String, c: String) =
+      s"CAST(((CAST(($a) % 4294967296 AS HUGEINT) * $c) + " +
+        s"((CAST(($a) // 4294967296 AS HUGEINT) * $c) % 4294967296) * " +
+        s"4294967296) % $M AS UBIGINT)"
+    def rotl(x: String, s: Int) =
+      s"CAST(((CAST(($x) AS HUGEINT) * ${1L << s}) % $M + " +
+        s"(CAST(($x) AS HUGEINT) // ${1L << (64 - s)})) AS UBIGINT)"
+    def xr(a: String, b: String) =
+      s"xor(CAST(($a) AS UBIGINT), CAST(($b) AS UBIGINT))"
+    def shr(x: String, s: Int) = s"(CAST(($x) AS UBIGINT) >> $s)"
+    def addc(a: String, c: String) =
+      s"CAST((CAST(($a) AS HUGEINT) + $c) % $M AS UBIGINT)"
+    def toU(x: String) =
+      s"CAST(((CAST(($x) AS HUGEINT) % $M) + $M) % $M AS UBIGINT)"
+    def toS(u: String) =
+      s"CAST(CASE WHEN ($u) >= 9223372036854775808 THEN " +
+        s"CAST(($u) AS HUGEINT) - $M ELSE CAST(($u) AS HUGEINT) END AS BIGINT)"
+    val rows = K / BANDS
+    val bs = 0 until BANDS
+    val dcols = (0 until K).map(h => f"h$h%02d")
+    val sb = new StringBuilder
+    sb ++= s"WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents), "
+    sb ++= s"shl AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w), "
+    sb ++= "dict AS (SELECT * FROM " +
+      "'{{OUT}}/dedup_minhash_shingle_hashes/*.parquet'), "
+    sb ++= "ds AS (SELECT doc_id, unnest(sh) AS shingle FROM shl), "
+    sb ++= s"js AS (SELECT ds.doc_id, ${dcols.map(c => s"dict.$c").mkString(", ")}" +
+      " FROM ds LEFT JOIN dict USING (shingle)), "
+    sb ++= s"sig AS (SELECT doc_id, ${(0 until K)
+      .map(i => s"MIN(${dcols(i)}) AS m$i").mkString(", ")} FROM js GROUP BY doc_id), "
+    sb ++= s"au AS (SELECT d.doc_id, ${(0 until K)
+      .map(i => s"${toU(s"sig.m$i")} AS um$i").mkString(", ")}" +
+      " FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id), "
+    var prev = "au"
+    for (r <- 0 until rows) {
+      val carries = (0 until K).filter(i => i % rows > r).map(i => s"um$i")
+      def layer(name: String, cols: Seq[String]): Unit = {
+        sb ++= s"$name AS (SELECT doc_id${(carries ++ cols)
+          .map(c => ", " + c).mkString} FROM $prev), "
+        prev = name
+      }
+      def seedOf(b: Int) = if (r == 0) "CAST(42 AS UBIGINT)" else s"acc$b"
+      def inOf(b: Int) = s"um${b * rows + r}"
+      layer(s"r${r}a", bs.map(b => s"${addc(seedOf(b), s"$P5 + 8")} AS h$b") ++
+        bs.map(b => s"${mul(inOf(b), P2)} AS k$b"))
+      layer(s"r${r}b", bs.map(b => s"h$b") ++
+        bs.map(b => s"${rotl(s"k$b", 31)} AS k$b"))
+      layer(s"r${r}c", bs.map(b => s"${xr(s"h$b", mul(s"k$b", P1))} AS h$b"))
+      layer(s"r${r}d",
+        bs.map(b => s"${addc(mul(rotl(s"h$b", 27), P1), P4)} AS h$b"))
+      layer(s"r${r}e", bs.map(b => s"${xr(s"h$b", shr(s"h$b", 33))} AS h$b"))
+      layer(s"r${r}f", bs.map(b => s"${mul(s"h$b", P2)} AS h$b"))
+      layer(s"r${r}g", bs.map(b => s"${xr(s"h$b", shr(s"h$b", 29))} AS h$b"))
+      layer(s"r${r}h", bs.map(b => s"${mul(s"h$b", P3)} AS h$b"))
+      layer(s"r${r}i", bs.map(b => s"${xr(s"h$b", shr(s"h$b", 32))} AS acc$b"))
+    }
+    sb.setLength(sb.length - 2) // trailing ", " after the last CTE
+    sb ++= s" SELECT doc_id, ${bs.map(b => s"${toS(s"acc$b")} AS band$b")
+      .mkString(", ")} FROM $prev ORDER BY doc_id"
+    sb.toString
+  }
+
   /** DuckDB 16-bit simhash over the words list `ws` (hex parse via
     * list_position on the digit alphabet — identical to the Spark
     * expression).
@@ -283,14 +368,43 @@ object QueriesPipeline {
       Some(s"$minhashCte SELECT doc_id, band0, band1, band2, band3 " +
         "FROM bands ORDER BY doc_id")),
 
-    // Scale-path banding (xxhash64, all-integer): rows-only check — the
-    // md5 variant above is the oracle-proven construction; this is the
-    // one a 100 TB run calls (and the one the bench times as the dedup
-    // scan cost).
+    // The shingle→xxhash64 dictionary (r13): every distinct 3-gram
+    // shingle with its K seeded xxhash64 values, exactly as the fused
+    // MinHashBandKeys expression hashes them
+    // (XXH64.hashUnsafeBytes(utf8, seed = h) == XxHash64(shingle, h)).
+    // Its oracle pins the SHINGLE SET against pure-SQL shingling (LEFT
+    // join from the SQL side: a shingle the output misses yields NULL
+    // hash columns, an extra one a row-count mismatch); the hash values
+    // themselves are the one opaque-trusted column family, consumed by
+    // the fast-banding oracle below.
+    ("dedup_minhash_shingle_hashes",
+      (s, d) => {
+        val sh = graft.core.Tables.documents(s, d)
+          .select(explode(call_function("shingles", col("text"), lit(3)))
+            .as("shingle"))
+          .distinct()
+        sh.select(col("shingle") +: (0 until K).map(h =>
+          call_function("xxhash64_seed", col("shingle"), lit(h.toLong))
+            .as(f"h$h%02d")): _*)
+          .orderBy("shingle")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+        | shl AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM w),
+        | ds AS (SELECT DISTINCT unnest(sh) AS shingle FROM shl),
+        | o AS (SELECT * FROM '{{OUT}}/dedup_minhash_shingle_hashes/*.parquet')
+        | SELECT ds.shingle, ${(0 until K).map(h => f"o.h$h%02d").mkString(", ")}
+        | FROM ds LEFT JOIN o USING (shingle) ORDER BY shingle"""
+        .stripMargin.replace("\n", " "))),
+
+    // Scale-path banding (xxhash64, all-integer) — the one a 100 TB run
+    // calls (and the one the bench times as the dedup scan cost). FULL
+    // value oracle since r13 (was rows-only): signed minima + the
+    // chained hashLong banding recomputed in DuckDB over the trusted
+    // shingle-hash dictionary above — see [[minhashFastSql]].
     ("dedup_minhash_bands_fast",
       (s, d) => Dedup.minhashBandsFast(graft.core.Tables.documents(s, d),
         "doc_id", "text", n = 3, k = K, bands = BANDS).orderBy("doc_id"),
-      None),
+      Some(minhashFastSql)),
 
     // Fast-path OUTPUT verification (closes the r5 no_oracle gap from
     // the value side): full-outer join of the xxhash64 banding's
