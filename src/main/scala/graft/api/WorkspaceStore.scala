@@ -13,13 +13,16 @@ import org.apache.spark.sql.types._
   * (`/root/reference/src/workspace/manager.zig:113-377`,
   * `/root/reference/src/server/cli_protocol.zig:83-574`). The reference
   * keeps this state in its LSM store under the daemon's data dir; here
-  * it is three parquet tables under `<stateDir>/_graft_ws/`:
+  * it is five parquet tables under `<stateDir>/_graft_ws/`:
   *
   *   - `registry`: MVCC-versioned (id, root_path, synced_at, sequence,
   *     is_deleted) — link/unlink history is queryable like any table;
   *   - `blocks`: MVCC-versioned ingested blocks (append-only epochs;
   *     re-link/sync shadow old versions rather than rewriting them);
-  *   - `edges`: resolved (src, dst, edge_type, workspace) relations.
+  *   - `edges`: resolved (src, dst, edge_type, workspace) relations;
+  *   - `files` / `units` (r13): the incremental-parse index — per-file
+  *     content hashes and the raw parse snapshot sync diffs against so
+  *     an unchanged file is never re-parsed (see [[State]]).
   *
   * Writes go through write-to-temp + rename so a failed job never
   * leaves a half-written table behind, and each command materializes
@@ -30,7 +33,23 @@ import org.apache.spark.sql.types._
   */
 object WorkspaceStore {
 
-  final case class State(registry: DataFrame, blocks: DataFrame, edges: DataFrame)
+  /** `files` and `units` (r13) are the INCREMENTAL-PARSE index: the
+    * per-file content hashes sync diffs against, and the raw parse
+    * output (pre-downgrade [[graft.ingest.ParsedUnit]] rows, workspace
+    * column added) that lets a sync re-run the GLOBAL passes —
+    * orphan-method downgrade and scoped-then-global edge resolution,
+    * both of which need every unit in the workspace — without
+    * re-parsing unchanged files. Both are replaced per workspace at
+    * link/sync (current-snapshot tables, like `edges`); a legacy store
+    * missing them reads as empty, which degrades to "every file
+    * changed" = the old full re-parse, never to wrong output. The
+    * units table duplicates block content (it is a parse CACHE); a
+    * parser upgrade invalidates it implicitly because `link` always
+    * re-parses the whole tree.
+    */
+  final case class State(registry: DataFrame, blocks: DataFrame,
+                         edges: DataFrame, files: DataFrame,
+                         units: DataFrame)
 
   // include_globs/exclude_globs (r11, ADVICE): the surface a workspace
   // was LINKED with must replay on sync — before this, sync always
@@ -63,6 +82,18 @@ object WorkspaceStore {
     StructField("src", StringType), StructField("dst", StringType),
     StructField("edge_type", StringType), StructField("workspace", StringType)))
 
+  private val filesSchema = StructType(Seq(
+    StructField("workspace", StringType),
+    StructField("file_path", StringType),
+    StructField("content_hash", LongType)))
+
+  // exactly ParsedUnit's encoder schema + workspace, so stored rows
+  // round-trip through .as[ParsedUnit] after dropping the column
+  private val unitsSchema: StructType = StructType(
+    StructField("workspace", StringType) +:
+      org.apache.spark.sql.Encoders.product[graft.ingest.ParsedUnit]
+        .schema.fields.toSeq)
+
   def stateRoot(stateDir: String): String = s"$stateDir/_graft_ws"
 
   def exists(spark: SparkSession, stateDir: String): Boolean = {
@@ -93,7 +124,9 @@ object WorkspaceStore {
     State(
       readOrEmpty(spark, s"$root/registry", registrySchema),
       readOrEmpty(spark, s"$root/blocks", blocksSchema),
-      readOrEmpty(spark, s"$root/edges", edgesSchema))
+      readOrEmpty(spark, s"$root/edges", edgesSchema),
+      readOrEmpty(spark, s"$root/files", filesSchema),
+      readOrEmpty(spark, s"$root/units", unitsSchema))
   }
 
   /** Overwrite-in-place safely: parquet output can't overwrite files a
@@ -119,6 +152,8 @@ object WorkspaceStore {
     writeAtomic(st.registry, s"$root/registry")
     writeAtomic(st.blocks, s"$root/blocks")
     writeAtomic(st.edges, s"$root/edges")
+    writeAtomic(st.files, s"$root/files")
+    writeAtomic(st.units, s"$root/units")
   }
 
   /** EXCLUSIVE WRITE LOCK for the mutating commands (r9). Temp+rename
@@ -188,19 +223,6 @@ object WorkspaceStore {
       Schemas.currentView(st.registry).select(col("id").as("workspace")))
     (Schemas.currentView(st.blocks).join(live, Seq("workspace"), "left_semi"),
       st.edges.join(live, Seq("workspace"), "left_semi"))
-  }
-
-  private def ingestTree(spark: SparkSession, name: String, rootPath: String,
-                         include: Seq[String], exclude: Seq[String],
-                         parser: SourceParser): (DataFrame, DataFrame, Long) = {
-    val files = Ingest.readDirectory(spark, rootPath, include, exclude)
-    // cache the PARSE (the expensive pass), derive the downgrade
-    // lazily from it — see SemanticResolver.downgradeOrphanMethods
-    val parsed = Ingest.parseFiles(files, parser).cache()
-    val units = SemanticResolver.downgradeOrphanMethods(parsed)
-    val blocks = Ingest.unitsToBlocks(units, name).drop("sequence", "is_deleted")
-    val edges = SemanticResolver.edgesAsBlocks(units, name)
-    (blocks, edges, files.count())
   }
 
   /** INCREMENTAL-sync delta (r8): rows of `fresh` that are NEW or
@@ -285,7 +307,17 @@ object WorkspaceStore {
     val edges2 = Mvcc.putEdges(
       st.edges.filter(!(col("workspace") <=> name)), edges)
     val (nBlocks, nEdges) = (blocks.count(), edges.count())
-    save(stateDir, State(reg2, blocks2, edges2))
+    // incremental-parse index snapshots (r13): per-file content hashes
+    // + the raw (pre-downgrade) parse, replaced per workspace — what a
+    // later `sync` diffs against so it re-parses only changed files
+    val files2 = st.files.filter(!(col("workspace") <=> name))
+      .unionByName(files.toDF().select(lit(name).as("workspace"),
+        col("path").as("file_path"),
+        xxhash64(col("content")).as("content_hash")))
+    val units2 = st.units.filter(!(col("workspace") <=> name))
+      .unionByName(parsed.toDF().withColumn("workspace", lit(name))
+        .select(unitsSchema.fieldNames.map(col).toSeq: _*))
+    save(stateDir, State(reg2, blocks2, edges2, files2, units2))
     Seq((name, rootPath, nFiles, nAll - nFiles, nBlocks, nEdges))
       .toDF("workspace", "root_path", "files_processed", "files_skipped",
         "blocks_linked", "edges_linked")
@@ -343,34 +375,91 @@ object WorkspaceStore {
     var cur = st
     val summaries = names.sorted.map { name =>
       val (root, include, exclude, legacyGlobs) = reg(name)
-      val (blocks, edges, nFiles) =
-        // sync re-enumerates with the SAME globs link registered —
-        // a re-sync must neither widen the workspace to files link
-        // excluded nor tombstone units link's wider globs included
-        ingestTree(spark, name, root, include, exclude, parser)
-      val curWs = Schemas.currentView(cur.blocks)
-        .filter(col("workspace") === name)
-      // INCREMENTAL (r8): only new-or-changed units become epoch rows —
-      // sync cost is ∝ the edit, not the corpus. `blocks_synced`
-      // reports the delta actually written.
-      val delta = changedBlocks(curWs, blocks)
-      // ids present in the current view but absent from the fresh parse
-      // → tombstone (file/unit deleted since link). DataFrame end-to-end
-      // (deleteBlocksDf) — no driver collect of the vanished-id set.
-      val gone = curWs.select("id").except(blocks.select("id"))
-      val b2 = Mvcc.deleteBlocksDf(Mvcc.putBlocks(cur.blocks, delta), gone)
-      // null-safe filter: block tombstones carry NULL workspace
-      val e2 = cur.edges.filter(!(col("workspace") <=> name)).unionByName(edges)
+      // sync re-enumerates with the SAME globs link registered —
+      // a re-sync must neither widen the workspace to files link
+      // excluded nor tombstone units link's wider globs included
+      // NOT cached: a cached plan rooted at this tree's scan would be
+      // served (stale) to every later scan of the same root — see the
+      // refreshByPath note in Ingest.enumerateSized. The tree is read
+      // twice (hash pass + re-parse of the changed subset); the parse
+      // is the cost being avoided, not the read.
+      val files = Ingest.readDirectory(spark, root, include, exclude)
+      // INCREMENTAL PARSE (r13): diff per-file content hashes against
+      // the stored file index and re-PARSE only new-or-changed files;
+      // unchanged files' raw units come from the stored parse snapshot.
+      // Reading+hashing still touches every file (that is the change
+      // detector); the parser — the expensive pass — runs ∝ the edit.
+      // A legacy store with no file index diffs everything as changed
+      // = the old full re-parse. The GLOBAL passes (orphan-method
+      // downgrade, scoped-then-global resolution) run over the merged
+      // unit set, so cross-file retargeting from an edit is identical
+      // to a full re-ingest — pinned by CliWorkspaceSpec.
+      val fh = files.toDF().select(col("path").as("file_path"),
+        xxhash64(col("content")).as("content_hash"))
+      val prevF = cur.files.filter(col("workspace") === name)
+        .select("file_path", "content_hash")
+      val changedPaths = fh
+        .join(prevF, Seq("file_path", "content_hash"), "left_anti")
+        .select("file_path").cache()
+      val vanishedPaths = prevF.select("file_path")
+        .join(fh.select("file_path"), Seq("file_path"), "left_anti")
+      val nFiles = files.count()
+      val nChanged = changedPaths.count()
+      val nVanished = vanishedPaths.count()
       val r2 = Mvcc.putBlocks(cur.registry,
         Seq((name, root, nowSeconds, include, exclude))
           .toDF("id", "root_path", "synced_at",
             "include_globs", "exclude_globs"))
-      cur = State(r2, b2, e2)
-      (name, nFiles, delta.count(), gone.count(), legacyGlobs)
+      if (nChanged == 0 && nVanished == 0) {
+        // nothing changed: zero block versions written, blocks/edges/
+        // index untouched; only the registry's synced_at advances
+        cur = cur.copy(registry = r2)
+        (name, nFiles, 0L, 0L, 0L, legacyGlobs)
+      } else {
+        val reparse = files.join(
+          changedPaths.withColumnRenamed("file_path", "path"),
+          Seq("path"), "left_semi").as[Ingest.FileDoc]
+        val parsedNew = Ingest.parseFiles(reparse, parser)
+        val keptRaw = cur.units.filter(col("workspace") === name)
+          .drop("workspace")
+          .join(changedPaths.withColumnRenamed("file_path", "__cp"),
+            col("filePath") === col("__cp"), "left_anti")
+          .join(vanishedPaths.withColumnRenamed("file_path", "__vp"),
+            col("filePath") === col("__vp"), "left_anti")
+          .as[graft.ingest.ParsedUnit]
+        val allRaw = keptRaw.unionByName(parsedNew).cache()
+        val units = SemanticResolver.downgradeOrphanMethods(allRaw)
+        val blocks = Ingest.unitsToBlocks(units, name)
+          .drop("sequence", "is_deleted")
+        val edges = SemanticResolver.edgesAsBlocks(units, name)
+        val curWs = Schemas.currentView(cur.blocks)
+          .filter(col("workspace") === name)
+        // INCREMENTAL write (r8): only new-or-changed units become
+        // epoch rows — `blocks_synced` reports the delta actually
+        // written.
+        val delta = changedBlocks(curWs, blocks)
+        // ids present in the current view but absent from the fresh
+        // unit set → tombstone (file/unit deleted since link).
+        // DataFrame end-to-end (deleteBlocksDf) — no driver collect of
+        // the vanished-id set.
+        val gone = curWs.select("id").except(blocks.select("id"))
+        val b2 = Mvcc.deleteBlocksDf(Mvcc.putBlocks(cur.blocks, delta), gone)
+        // null-safe filter: block tombstones carry NULL workspace
+        val e2 = cur.edges.filter(!(col("workspace") <=> name))
+          .unionByName(edges)
+        val f2 = cur.files.filter(!(col("workspace") <=> name))
+          .unionByName(fh.select(lit(name).as("workspace"),
+            col("file_path"), col("content_hash")))
+        val u2 = cur.units.filter(!(col("workspace") <=> name))
+          .unionByName(allRaw.toDF().withColumn("workspace", lit(name))
+            .select(unitsSchema.fieldNames.map(col).toSeq: _*))
+        cur = State(r2, b2, e2, f2, u2)
+        (name, nFiles, delta.count(), gone.count(), nChanged, legacyGlobs)
+      }
     }
     save(stateDir, cur)
     summaries.toDF("workspace", "files_processed", "blocks_synced",
-      "blocks_removed", "legacy_globs")
+      "blocks_removed", "files_reparsed", "legacy_globs")
   }
 
   /** Clear ALL linked workspaces — the wire protocol's

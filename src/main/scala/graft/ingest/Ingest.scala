@@ -163,6 +163,18 @@ object Ingest {
     */
   private def enumerateSized(spark: SparkSession, rootAbs: String,
                              maxBytes: Long): DataFrame = {
+    // invalidate stale session state for this tree (r13): two hazards
+    // when the SAME session re-reads a tree whose files changed on disk
+    // between commands (exactly what `sync` exists for). (1)
+    // InMemoryFileIndex.equals compares rootPaths ONLY, so a cached
+    // Dataset rooted at this tree's scan (link's parsed units, a prior
+    // sync's hash pass) is served — stale — for EVERY later scan of the
+    // same root; (2) the shared FileStatusCache can hold a pre-edit
+    // listing. refreshByPath drops both: cached plans rooted here are
+    // invalidated and lazily re-materialized, listings are relisted.
+    // Driver metadata work only.
+    try spark.catalog.refreshByPath(rootAbs)
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
     val raw = gitTrackedFiles(rootAbs) match {
       case Some(rels) =>
         spark.read.format("binaryFile")

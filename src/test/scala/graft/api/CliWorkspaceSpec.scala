@@ -177,15 +177,19 @@ class CliWorkspaceSpec extends SparkSpec {
       .collect().head
     assert(noop.getAs[Long]("blocks_synced") == 0L)
     assert(noop.getAs[Long]("blocks_removed") == 0L)
+    // r13: a no-op sync PARSES nothing either (hash-diff short-circuit)
+    assert(noop.getAs[Long]("files_reparsed") == 0L)
     assert(versionedRows() == afterLink)
 
-    // edit ONE file: exactly that file's changed unit is re-epoched
+    // edit ONE file: exactly that file's changed unit is re-epoched,
+    // and only that file re-parses (r13)
     java.nio.file.Files.write(new java.io.File(tree, "a.zig").toPath,
       "fn alpha() {\n  beta()\n}\n".getBytes("UTF-8"))
     val synced = Cli.executeWorkspace(spark, state, Cli.SyncCmd(Some("p")))
       .collect().head
     assert(synced.getAs[Long]("blocks_synced") == 1L) // alpha only
     assert(synced.getAs[Long]("blocks_removed") == 0L)
+    assert(synced.getAs[Long]("files_reparsed") == 1L)
     assert(versionedRows() == afterLink + 1L)
 
     // relink after unlink over an unchanged tree: registry epoch moves,
@@ -357,5 +361,51 @@ class CliWorkspaceSpec extends SparkSpec {
     val one = Cli.executeWorkspace(spark, state, Cli.HelpCmd(Some("sync")))
       .collect()
     assert(one.length == 1 && one.head.getAs[String]("usage").contains("--all"))
+  }
+  test("incremental sync retargets cross-file edges like a full re-ingest") {
+    // the global passes (downgrade + scoped-then-global resolution) run
+    // over the MERGED unit set (stored snapshot + re-parsed files), so
+    // an edit in one file retargets edges of UNCHANGED files exactly as
+    // a full re-ingest would — the correctness claim behind re-parsing
+    // only changed files (r13)
+    import org.apache.spark.sql.functions.col
+    val tree = writeTree(
+      "m.zig" -> "fn main() {\n  helper()\n}\n",
+      "z.zig" -> "fn helper() {\n}\n")
+    val state = tmpState()
+    Cli.executeWorkspace(spark, state, Cli.LinkCmd(tree.getAbsolutePath, "p"))
+    def edgeUnits(): Set[(String, String)] = {
+      val st = WorkspaceStore.load(spark, state)
+      val cur = graft.core.Schemas.currentView(st.blocks).select("id", "unit_id")
+      val a = cur.withColumnRenamed("id", "__s")
+        .withColumnRenamed("unit_id", "src_unit")
+      val b = cur.withColumnRenamed("id", "__d")
+        .withColumnRenamed("unit_id", "dst_unit")
+      st.edges.join(a, col("src") === col("__s"))
+        .join(b, col("dst") === col("__d"))
+        .select("src_unit", "dst_unit").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    assert(edgeUnits().contains(("m.zig:main", "z.zig:helper")))
+
+    // a NEW file defines a lexicographically-smaller helper: only it
+    // re-parses, yet the UNCHANGED m.zig's call edge must retarget
+    java.nio.file.Files.write(new java.io.File(tree, "a.zig").toPath,
+      "fn helper() {\n}\n".getBytes("UTF-8"))
+    val s1 = Cli.executeWorkspace(spark, state, Cli.SyncCmd(Some("p")))
+      .collect().head
+    assert(s1.getAs[Long]("files_reparsed") == 1L)
+    val e1 = edgeUnits()
+    assert(e1.contains(("m.zig:main", "a.zig:helper")))
+    assert(!e1.contains(("m.zig:main", "z.zig:helper")))
+
+    // delete it again: nothing re-parses (vanish only), the new file's
+    // unit tombstones, and the edge retargets back
+    assert(new java.io.File(tree, "a.zig").delete())
+    val s2 = Cli.executeWorkspace(spark, state, Cli.SyncCmd(Some("p")))
+      .collect().head
+    assert(s2.getAs[Long]("files_reparsed") == 0L)
+    assert(s2.getAs[Long]("blocks_removed") == 1L)
+    assert(edgeUnits().contains(("m.zig:main", "z.zig:helper")))
   }
 }
