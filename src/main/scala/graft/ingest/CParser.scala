@@ -95,7 +95,7 @@ object CParser extends SourceParser {
     """^\s*(?:[A-Za-z_]\w*\s+)+\*?\s*([A-Za-z_]\w*)\s*(?:=|;|\[)""".r
 
   /** Call-shaped but syntax: control flow, type keywords, operators. */
-  private val Keywords = Set(
+  private[ingest] val Keywords = Set(
     "if", "for", "while", "switch", "return", "sizeof", "case", "do",
     "else", "goto", "break", "continue", "typedef", "struct", "enum",
     "union", "static", "const", "extern", "inline", "void", "int",

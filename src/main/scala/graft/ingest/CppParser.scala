@@ -187,7 +187,7 @@ object CppParser extends SourceParser {
   }
 
   /** Call-shaped but syntax: C keywords + the C++ vocabulary. */
-  private val Keywords = Set(
+  private[ingest] val Keywords = Set(
     "if", "for", "while", "switch", "return", "sizeof", "case", "do",
     "else", "goto", "break", "continue", "typedef", "struct", "enum",
     "union", "static", "const", "extern", "inline", "void", "int",

@@ -51,6 +51,15 @@ object ScaleProbe {
       // ~a round's worth; production clusters set exactly this knob
       // for long iterative jobs.
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // deep legs, part 2 (r13): the per-round localCheckpoint frames
+      // and the _SER stored views are write-once read-once serialized
+      // blocks — compressing them (lz4) is pure win for the disk
+      // budget that killed the r12 100× leg (79 GB usable), at a CPU
+      // cost the probe's own ratios absorb. Applies to every
+      // serialized block the block manager spills or stores; reliable
+      // checkpoints (none here) get the same via checkpoint.compress.
+      .config("spark.rdd.compress", "true")
+      .config("spark.checkpoint.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.graph.GraphAnalytics
@@ -78,15 +87,20 @@ object ScaleProbe {
         .distinct().repartition(col("src"))
         .persist(level)
       println(s"[$tag] E=${pairs.count()} undE=${und.count()}")
+      // disk evidence per algo (r13): usable space on the spill volume
+      // before/after — the observable the 100× post-mortem lacked
+      def usableGB: Double = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace / 1e9
       def time(name: String)(f: => DataFrame): Option[(String, Double)] =
         if (!algos.contains(name)) None
         else {
           graft.core.Checkpoints.sweepAnonymous(spark)
           System.gc()
+          val d0 = usableGB
           val t0 = System.nanoTime()
           f.write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
-          println(f"[$tag] $name%-12s $dt%8.2f s")
+          println(f"[$tag] $name%-12s $dt%8.2f s  disk ${d0 - usableGB}%+6.1f GB (free ${usableGB}%.0f)")
           Some(name -> dt)
         }
       val r = Seq(

@@ -406,6 +406,11 @@ class CppParserSpec extends AnyFunSuite {
     assert(us.exists(u => u.name == "helper" && u.arm == "suppressed"))
     assert(us.exists(u => u.name == "CAP" && u.arm == "suppressed"))
     assert(!us.exists(_.name == "list_for_each"))
+    // the arm-policy edge contract (r13, measured by tools/ArmProbe):
+    // call-sites inside a suppressed arm emit NO edges — the recovered
+    // unit is a name-only index entry
+    assert(us.find(u => u.name == "helper" && u.arm == "suppressed")
+      .get.edges.isEmpty)
   }
 
   test("constructor init-lists: nested calls are genuine, heads are not") {
