@@ -588,19 +588,59 @@ object Bench {
     // interleaved with linkpred_fresh's index build vs 3.75 s alone,
     // GC 3-7×), the suite-session recheck inherits that heap, and the
     // lightweight freshly-prepped sentinel doesn't feel it. So before
-    // CONFIRMING, each candidate is re-run once with session state
-    // CONTROLLED: invalidate the session cache (bumps the epoch, so
-    // untimedPrep re-warms the store views), unpersist every RDD,
-    // clear cached plans, sweep checkpoints, GC — then 3 iterations
-    // under timeEntry conditions with only THIS entry's requirements
-    // re-warmed (parquet artifact roots survive invalidation, so the
-    // prebuild re-reads instead of recomputing). The probe's GC delta
+    // CONFIRMING, each candidate re-measures in a SPAWNED FRESH JVM
+    // (tools/FreshEntryProbe — same classpath, own session, untimed
+    // prep, 3 timed iterations): measured in the r13 gatecheck, the
+    // in-session alternative (invalidate + unpersist-all + clearCache
+    // + GC) re-timed lpa at 7.53 s with the interleaved-run GC
+    // signature (664 ms) against 3.75 s / ~130 ms truly fresh — a
+    // long-lived driver JVM keeps old-gen residue and code-cache
+    // state no unpersisting undoes, which is also why the reference
+    // benches each query in a fresh arena (src/bench/harness.zig).
+    // The in-session control remains the FALLBACK when a spawn fails
+    // (mode "session" in the artifact vs "jvm"). The probe's GC delta
     // and storage occupancy land in the artifact as the evidence a
     // reader needs to audit the verdict. A genuine code regression
     // (the doctored-baseline gatecheck) is slow in ANY context and
     // still confirms; a session-pressure artifact self-refutes here.
     val freshProbeCap = 5
     var freshProbes = 0
+    def spawnFresh(k: String): Option[(Double, Long, Double)] =
+      try {
+        val javaBin = new java.io.File(new java.io.File(
+          System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+        val cp = System.getProperty("java.class.path")
+        val pb = new ProcessBuilder(javaBin, "-cp", cp,
+          "graft.tools.FreshEntryProbe", k, sfDir)
+        pb.redirectErrorStream(true)
+        val t0 = System.nanoTime()
+        val p = pb.start()
+        p.getOutputStream.close()
+        val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]
+        val reader = new Thread(new Runnable {
+          def run(): Unit =
+            try {
+              val br = new java.io.BufferedReader(
+                new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+              var l = br.readLine()
+              while (l != null) { lines.add(l); l = br.readLine() }
+            } catch { case _: Throwable => () }
+        })
+        reader.setDaemon(true)
+        reader.start()
+        // prep (JVM start + view warm + artifact rebuild) dominates the
+        // probe's wall; 420 s bounds a hung Spark context, not a slow one
+        val done = p.waitFor(420, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) p.destroyForcibly()
+        reader.join(5000)
+        recheckSpent += (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        lines.iterator().asScala.toList.reverse.collectFirst {
+          case l if l.startsWith("FRESHPROBE ") =>
+            val ps = l.trim.split("\\s+")
+            (ps(2).toDouble, ps(3).toLong, ps(4).toDouble)
+        }.filter(_._1 > 0)
+      } catch { case _: Throwable => None }
     def adjudicateFresh(k: String): (Double, Long, Double) = {
       try graft.query.QueryCache.forSession(spark).invalidateAll()
       catch { case _: Throwable => () }
@@ -635,15 +675,25 @@ object Bench {
       case (k, (b, _, rv, measured, _, _, _)) =>
         measured && rv > b * factorFor(k) * 1.5
     }
-    // candidate → (freshMed, gcMs, storageMb); -2 marks a candidate
-    // past the probe cap (confirmed WITHOUT fresh evidence, disclosed)
-    val freshEvidence: Map[String, (Double, Long, Double)] =
+    // candidate → (freshMed, gcMs, storageMb, mode); -2 marks a
+    // candidate past the probe cap (confirmed WITHOUT fresh evidence,
+    // disclosed); mode "jvm" = spawned fresh JVM, "session" =
+    // in-session fallback, "none" = past cap
+    val freshEvidence: Map[String, (Double, Long, Double, String)] =
       confirmCandidates.map { case (k, _) =>
-        if (freshProbes >= freshProbeCap) k -> (-2.0, -1L, -1.0)
-        else { freshProbes += 1; k -> adjudicateFresh(k) }
+        if (freshProbes >= freshProbeCap) k -> ((-2.0, -1L, -1.0, "none"))
+        else {
+          freshProbes += 1
+          spawnFresh(k) match {
+            case Some((m, g, s)) => k -> ((m, g, s, "jvm"))
+            case None =>
+              val (m, g, s) = adjudicateFresh(k)
+              k -> ((m, g, s, "session"))
+          }
+        }
       }.toMap
     def freshRefutes(k: String, b: Double): Boolean =
-      freshEvidence.get(k).exists { case (m, _, _) =>
+      freshEvidence.get(k).exists { case (m, _, _, _) =>
         m > 0 && m <= b * factorFor(k) * 1.5
       }
     val (freshRefuted, confirmedAll) = confirmCandidates.partition {
@@ -655,8 +705,9 @@ object Bench {
     }
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0
     def freshCols(k: String): String = {
-      val (m, g, s) = freshEvidence.getOrElse(k, (-1.0, -1L, -1.0))
-      r3(m) + "," + g + "," + r3(s)
+      val (m, g, s, mode) =
+        freshEvidence.getOrElse(k, (-1.0, -1L, -1.0, "none"))
+      r3(m) + "," + g + "," + r3(s) + "," + jstr(mode)
     }
     val regs = rechecks.map { case (k, (b, v, rv, _, load, sentR, _)) =>
       jstr(k) + ":[" + b + "," + v + "," + rv + "," + r3(load) + "," +
