@@ -610,8 +610,16 @@ object Bench {
         val javaBin = new java.io.File(new java.io.File(
           System.getProperty("java.home"), "bin"), "java").getAbsolutePath
         val cp = System.getProperty("java.class.path")
-        val pb = new ProcessBuilder(javaBin, "-cp", cp,
-          "graft.tools.FreshEntryProbe", k, sfDir)
+        // inherit the parent JVM's own flags — Spark 4 on JDK 17 needs
+        // the --add-opens set sbt's fork injects; a bare `java -cp`
+        // child dies in SparkSession init and the adjudication would
+        // silently degrade to the in-session fallback
+        import scala.jdk.CollectionConverters._
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", cp, "graft.tools.FreshEntryProbe", k, sfDir)).asJava
+        val pb = new ProcessBuilder(cmd)
         pb.redirectErrorStream(true)
         val t0 = System.nanoTime()
         val p = pb.start()
