@@ -6,6 +6,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
   */
 object Bench {
+  /** The fixed scheduling-bound entry re-timed with every recheck as
+    * weather evidence (r12); see the recheck pass below.
+    */
+  private[graft] val RecheckSentinel = "bfs_both_depth2"
+  /** The sentinel flagging ITSELF is adjudicated by an ALTERNATE
+    * scheduling-bound probe entry (r13, ADVICE): with sentR = its own
+    * recheck median, confirmation needed rv > base*factor*1.5 while
+    * weather demotion triggered at sentR > base*1.3 — the gate
+    * structurally could never confirm its own sentinel.
+    */
+  private[graft] val RecheckSentinelAlt = "bfs_in_depth2"
+  private[graft] def adjudicatingSentinel(k: String): String =
+    if (k == RecheckSentinel) RecheckSentinelAlt else RecheckSentinel
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -509,13 +523,11 @@ object Bench {
     // was demonstrably slow at adjudication time, so the sample
     // cannot distinguish code from weather. A genuine code regression
     // is unaffected — it slows the flagged entry, not the sentinel.
-    val RecheckSentinel = "bfs_both_depth2"
-    // the sentinel flagging ITSELF is adjudicated by an ALTERNATE
-    // scheduling-bound probe entry (r13, ADVICE): with sentR = its own
-    // recheck median, confirmation needed rv > base*factor*1.5 while
-    // demotion triggered at sentR > base*1.3 — the gate structurally
-    // could never confirm its own sentinel
-    val RecheckSentinelAlt = "bfs_in_depth2"
+    // (RecheckSentinel / RecheckSentinelAlt / adjudicatingSentinel are
+    // object-level so BenchSpec can pin the alternate-probe selection —
+    // the full-suite gatecheck of this branch is margin-capped: the
+    // sentinel's honest value is ~1.5-2.3 s and the gate's 1.0 s
+    // baseline floor leaves at most ~2x of doctorable headroom)
     val tRecheck0 = System.nanoTime()
     val rechecks = regressions
       .sortBy { case (_, (b, v)) => -(v / b) }
@@ -526,8 +538,7 @@ object Bench {
       val raw = scala.collection.mutable.ArrayBuffer.empty[Double]
       var load = -1.0
       var sentR = -1.0
-      val sentName = if (k == RecheckSentinel) RecheckSentinelAlt
-                     else RecheckSentinel
+      val sentName = adjudicatingSentinel(k)
       if (recheckBudget > 0 && recheckSpent > recheckBudget) {
         rechecksSkipped += 1
       } else {
@@ -687,9 +698,15 @@ object Bench {
     // candidate past the probe cap (confirmed WITHOUT fresh evidence,
     // disclosed); mode "jvm" = spawned fresh JVM, "session" =
     // in-session fallback, "none" = past cap
+    // candidates arrive worst-ratio-first (the recheck sort), so the
+    // probe cap and the wall guard (2x the recheck budget — a spawned
+    // probe's JVM start + prep is wall the driver's external window
+    // pays) always spend their evidence on the most suspect flags
     val freshEvidence: Map[String, (Double, Long, Double, String)] =
       confirmCandidates.map { case (k, _) =>
-        if (freshProbes >= freshProbeCap) k -> ((-2.0, -1L, -1.0, "none"))
+        if (freshProbes >= freshProbeCap ||
+            (recheckBudget > 0 && recheckSpent > recheckBudget * 2))
+          k -> ((-2.0, -1L, -1.0, "none"))
         else {
           freshProbes += 1
           spawnFresh(k) match {
