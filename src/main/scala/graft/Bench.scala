@@ -781,11 +781,40 @@ object Bench {
     val matSec = ph(tMat0, tSent0)
     val matRegressed = gateArmed && baseline.get("__materialize")
       .exists(b => matSec > b * speedFactor * 1.5)
+    // SUB-SECOND COHORT gate (r13): entries below the 1.0 s
+    // baseline-arming floor are individually ungated (sub-second
+    // draws jitter past 1.5× on scheduler noise alone — the r7 rule),
+    // which leaves a disclosed blind spot: a broad regression in a
+    // shared path (+200 ms on every lookup from a scan/codegen/view
+    // change) never trips any entry. The cohort SUM is the right
+    // observable — n≈140 entries, measured 1.01–1.17× speed-adjusted
+    // across five archived runs including a loadavg-14 co-tenant hour
+    // (single entries swung 3× in the same runs) — so the sum is
+    // gated at 1.35×: above every observed weather draw, well below
+    // the 1.4× a flat +200 ms/entry regression produces. Per-entry
+    // attribution is deliberately NOT attempted here (that is what
+    // the arming floor exempts); the flag says "the sub-second
+    // distribution moved together — look at shared paths".
+    val subNames = results.collect {
+      case (k, _) if baseline.get(k).exists(b => b > 0 && b < 1.0) => k
+    }
+    val subBase = subNames.flatMap(baseline.get).sum
+    val subNow = results.collect {
+      case (k, v) if baseline.get(k).exists(b => b > 0 && b < 1.0) => v
+    }.sum
+    val subAdjRatio =
+      if (gateArmed && subBase > 0 && speedFactor > 0)
+        math.round(subNow / (subBase * speedFactor) * 1000) / 1000.0
+      else -1.0
+    val subRegressed = subAdjRatio > 1.35
+    val subJson = s"""{"n":${subNames.size},"baseline_sum":${
+      math.round(subBase * 100) / 100.0},"sum":${
+      math.round(subNow * 100) / 100.0},"adj_ratio":$subAdjRatio,"regressed":$subRegressed}"""
     val sentJson = SentinelNames.map { n =>
       jstr(n) + ":[" + baseline.getOrElse(n, -1.0) + "," +
         r3(sentinelMed.getOrElse(n, -1.0)) + "]"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"sentinels":$sentJson,"regressions":$regs,"regressions_confirmed":$conf,"regressions_confirmed_weather_suspect":$confSuspect,"regressions_refuted_fresh":$refutedFresh,"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"phases":$phases}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"sentinels":$sentJson,"regressions":$regs,"regressions_confirmed":$conf,"regressions_confirmed_weather_suspect":$confSuspect,"regressions_refuted_fresh":$refutedFresh,"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"subsecond_cohort":$subJson,"n_ok":${results.size},"n_failed":$zeroSuccess,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"iters_trimmed":$trimmed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"phases":$phases}"""
     println(line)
     // short summary line AFTER the full line (r11): the driver's
     // artifact keeps only the tail of stdout, which truncated the
@@ -793,7 +822,7 @@ object Bench {
     // `parsed: null`). This line is a few hundred bytes — the tail
     // window always contains one complete parseable record; the
     // per-entry map lives in the committed BENCH_full_last.json.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_ok":${results.size},"n_failed":$zeroSuccess,"n_errors":${errors.size},"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"n_regressions":${rechecks.size},"n_confirmed":${confirmed.size},"n_confirmed_weather_suspect":${weatherConf.size},"n_refuted_fresh":${freshRefuted.size},"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"phases":$phases,"full":"BENCH_full_last.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"n_ok":${results.size},"n_failed":$zeroSuccess,"n_errors":${errors.size},"speed_factor":$speedFactor,"speed_factor_iter":$iterSpeedFactor,"speed_factor_alert":$sfAlert,"sentinel_ratio":${r3(sentinelRatio)},"n_regressions":${rechecks.size},"n_confirmed":${confirmed.size},"n_confirmed_weather_suspect":${weatherConf.size},"n_refuted_fresh":${freshRefuted.size},"materialize_sec":$matSec,"materialize_regressed":$matRegressed,"subsecond_cohort":$subJson,"rechecks_skipped":$rechecksSkipped,"artifact_build_sec":$abSec,"sf":"$sfDir","iters":$iters,"budget_sec":$budget,"phases":$phases,"full":"BENCH_full_last.json"}"""
     println(summary)
     // self-archive: the driver's BENCH artifact truncates to the last
     // 2000 chars of stdout, which cuts most per-entry timings — write
