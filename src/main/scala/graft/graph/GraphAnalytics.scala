@@ -2775,43 +2775,66 @@ object GraphAnalytics {
     // round O(surviving edges), not O(E). Identical semantics: the
     // joins against the current undec re-filter whatever the carried
     // superset still holds.
+    //
+    // EAGER round frames (r13 optimization): every frame here is
+    // consumed from SEVERAL branches (live → minNb + the winners'-
+    // neighbors expansion + next round's carry; sel → out + decided +
+    // undec; decided → elimOut + undec), and the DAGScheduler runs
+    // independent branch stages CONCURRENTLY — a lazily-checkpointed
+    // frame's cache is not populated yet when the sibling stage reads
+    // it, so each concurrent branch recomputes the partition (stage-
+    // level evidence in plans/r13/graph_mis_before.txt's JobProbe
+    // shape: the round-join stage ran 3-10 copies, 150+ summed CPU-s
+    // for a 2.7M-row join). Eager checkpoints cost one scheduling
+    // round-trip per frame and make every branch read the cache —
+    // the connectedComponents policy, now applied here. Superseded
+    // E-scale carries are released with a blocking drop, so peak
+    // storage is two live frames, not `rounds` (the r12 GC-pressure
+    // lesson). Shuffle width sized from the loop's own table sizes
+    // (withLoopShuffle: V-scale states, E-scale round-1 live join).
     var liveEdges = und
     var out: DataFrame = null
-    for (r <- 1 to rounds) {
-      // live edges: both ends still undecided (the carried view holds
-      // both orientations, so grouping by `a` sees the full
-      // neighborhood). Checkpointed: consumed by minNb, the
-      // winners'-neighbors expansion, AND next round's carry.
-      val live = liveEdges
-        .join(undec.select(col("id").as("a")), Seq("a"))
-        .join(undec.select(col("id").as("b"), col("pri").as("pb")), Seq("b"))
-        .localCheckpoint(false)
-      val minNb = live.groupBy(col("a").as("id")).agg(min("pb").as("mn"))
-      // '~' (0x7E) exceeds every md5-hex/ascii-id char → +infinity for
-      // nodes whose neighbors have all left the game
-      // LAZY checkpoints throughout the loop: no per-round driver
-      // action exists, so each frame materializes exactly once when
-      // the final write (or the next round's first use) reaches it —
-      // lineage truncates without paying a scheduling round-trip per
-      // frame (the bfsLoop pattern)
-      val sel = undec.join(minNb, Seq("id"), "left")
-        .filter(col("pri") < coalesce(col("mn"), lit("~")))
-        .select(col("id"))
-        .localCheckpoint(false)
-      val selOut = sel.select(col("id"), lit("in").as("status"),
-        lit(r).as("round"))
-      val decided = sel
-        .union(live.join(sel.withColumnRenamed("id", "a"), Seq("a"))
-          .select(col("b").as("id")))
-        .distinct()
-        .localCheckpoint(false)
-      val elimOut = decided.join(sel, Seq("id"), "left_anti")
-        .select(col("id"), lit("out").as("status"), lit(r).as("round"))
-      val roundOut = selOut.unionAll(elimOut)
-      out = if (out == null) roundOut else out.unionAll(roundOut)
-      undec = undec.join(decided, Seq("id"), "left_anti")
-        .localCheckpoint(false)
-      liveEdges = live.select(col("a"), col("b"))
+    graft.core.Checkpoints.withLoopShuffle(pairs.sparkSession,
+      undec.count(), und.count()) {
+      var prevLive: DataFrame = null
+      var prevUndec: DataFrame = null
+      for (r <- 1 to rounds) {
+        // live edges: both ends still undecided (the carried view holds
+        // both orientations, so grouping by `a` sees the full
+        // neighborhood).
+        val live = liveEdges
+          .join(undec.select(col("id").as("a")), Seq("a"))
+          .join(undec.select(col("id").as("b"), col("pri").as("pb")), Seq("b"))
+          .localCheckpoint(true)
+        // prev round's carry was consumed ONLY by this live build;
+        // prev undec by this live build and the (materialized) sel/
+        // decided chain — both dead now
+        if (prevLive != null) graft.core.Checkpoints.drop(prevLive)
+        if (prevUndec != null) graft.core.Checkpoints.drop(prevUndec)
+        val minNb = live.groupBy(col("a").as("id")).agg(min("pb").as("mn"))
+        // '~' (0x7E) exceeds every md5-hex/ascii-id char → +infinity for
+        // nodes whose neighbors have all left the game
+        val sel = undec.join(minNb, Seq("id"), "left")
+          .filter(col("pri") < coalesce(col("mn"), lit("~")))
+          .select(col("id"))
+          .localCheckpoint(true)
+        val selOut = sel.select(col("id"), lit("in").as("status"),
+          lit(r).as("round"))
+        val decided = sel
+          .union(live.join(sel.withColumnRenamed("id", "a"), Seq("a"))
+            .select(col("b").as("id")))
+          .distinct()
+          .localCheckpoint(true)
+        val elimOut = decided.join(sel, Seq("id"), "left_anti")
+          .select(col("id"), lit("out").as("status"), lit(r).as("round"))
+        val roundOut = selOut.unionAll(elimOut)
+        out = if (out == null) roundOut else out.unionAll(roundOut)
+        prevUndec = undec
+        undec = undec.join(decided, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        prevLive = live
+        liveEdges = live.select(col("a"), col("b"))
+      }
     }
     out.unionAll(undec.select(col("id"), lit("undecided").as("status"),
       lit(0).as("round")))
@@ -3000,24 +3023,41 @@ object GraphAnalytics {
     // shrinks monotonically, so each round joins the carried surviving
     // edge set, not the full index — O(live edges) per round by
     // construction, not just by argument.
+    //
+    // EAGER round frames + superseded-carry drops + loop-sized shuffle
+    // width (r13 optimization) — see maximalIndependentSet: the lazy
+    // multi-branch frames were recomputed by concurrent sibling stages
+    // (live feeds minNb AND next round's carry; sel feeds out AND the
+    // undec anti-join), measured as 3-10 duplicate copies of the round
+    // join stage, ~180 summed CPU-s on a 2.7M-row round (JobProbe,
+    // plans/r13/graph_coloring_before.txt).
     var liveEdges = und
     var out: DataFrame = null
-    for (r <- 1 to rounds) {
-      val live = liveEdges
-        .join(undec.select(col("id").as("a")), Seq("a"))
-        .join(undec.select(col("id").as("b"), col("pri").as("pb")), Seq("b"))
-        .localCheckpoint(false)
-      val minNb = live.groupBy(col("a").as("id")).agg(min("pb").as("mn"))
-      val sel = undec.join(minNb, Seq("id"), "left")
-        .filter(col("pri") < coalesce(col("mn"), lit("~")))
-        .select(col("id"))
-        .localCheckpoint(false)
-      val roundOut = sel.select(col("id"), lit(r).as("color"),
-        lit("colored").as("status"))
-      out = if (out == null) roundOut else out.unionAll(roundOut)
-      undec = undec.join(sel, Seq("id"), "left_anti")
-        .localCheckpoint(false)
-      liveEdges = live.select(col("a"), col("b"))
+    graft.core.Checkpoints.withLoopShuffle(pairs.sparkSession,
+      undec.count(), und.count()) {
+      var prevLive: DataFrame = null
+      var prevUndec: DataFrame = null
+      for (r <- 1 to rounds) {
+        val live = liveEdges
+          .join(undec.select(col("id").as("a")), Seq("a"))
+          .join(undec.select(col("id").as("b"), col("pri").as("pb")), Seq("b"))
+          .localCheckpoint(true)
+        if (prevLive != null) graft.core.Checkpoints.drop(prevLive)
+        if (prevUndec != null) graft.core.Checkpoints.drop(prevUndec)
+        val minNb = live.groupBy(col("a").as("id")).agg(min("pb").as("mn"))
+        val sel = undec.join(minNb, Seq("id"), "left")
+          .filter(col("pri") < coalesce(col("mn"), lit("~")))
+          .select(col("id"))
+          .localCheckpoint(true)
+        val roundOut = sel.select(col("id"), lit(r).as("color"),
+          lit("colored").as("status"))
+        out = if (out == null) roundOut else out.unionAll(roundOut)
+        prevUndec = undec
+        undec = undec.join(sel, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        prevLive = live
+        liveEdges = live.select(col("a"), col("b"))
+      }
     }
     out.unionAll(undec.select(col("id"), lit(0).as("color"),
       lit("uncolored").as("status")))
